@@ -1,0 +1,105 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality check algebra (SURVEY.md §2.9, V1–V11).
+  *
+  * The reference runs two validation engines (pandera + Great Expectations,
+  * `validation/validator.py:38-145`) plus dbt schema tests; every rule
+  * reduces to "predicate → violation count". Here each check compiles to a
+  * single conditional-count [[Column]], and a whole suite evaluates in ONE
+  * aggregation job over the table (reference runs one pass per engine per
+  * rule) — at 100 TB this is one scan, no shuffle beyond the final
+  * single-row reduce.
+  *
+  * Uniqueness and referential integrity need their own shuffle (group-by /
+  * anti-join) and are exposed as separate plan builders.
+  */
+sealed trait Check {
+  /** Column name for this check's violation count in the report row. */
+  def name: String
+
+  /** True on rows violating the rule (null-safe: null input is only a
+    * violation for NotNull, matching pandera's `nullable=True` default). */
+  def violation: Column
+}
+
+/** V1 — reference `pandera_schemas.py:19-23`, dbt `not_null`. */
+final case class NotNull(column: String) extends Check {
+  val name = s"${column}_null"
+  def violation: Column = col(column).isNull
+}
+
+/** V3 — value-in-set, reference `pandera_schemas.py:31,49-51`. */
+final case class InSet(column: String, allowed: Seq[String]) extends Check {
+  val name = s"${column}_not_in_set"
+  def violation: Column = col(column).isNotNull && !col(column).isin(allowed: _*)
+}
+
+/** V4 — numeric range [lo, hi], reference `pandera_schemas.py:33-36`. */
+final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+  val name = s"${column}_out_of_range"
+  def violation: Column =
+    col(column).isNotNull && (col(column) < lo || col(column) > hi)
+}
+
+/** V5 — string length bound, reference `pandera_schemas.py:17-25`. */
+final case class MaxLength(column: String, maxLen: Int) extends Check {
+  val name = s"${column}_too_long"
+  def violation: Column = col(column).isNotNull && length(col(column)) > maxLen
+}
+
+/** V5 — regex format, reference `pandera_schemas.py:24-25` (`rlike`). */
+final case class MatchesRegex(column: String, pattern: String) extends Check {
+  val name = s"${column}_bad_format"
+  def violation: Column = col(column).isNotNull && !col(column).rlike(pattern)
+}
+
+/** V6 — cross-column predicate, reference `pandera_schemas.py:81-85`
+  * (`LBLNOR <= LBHNOR` etc.). `expectation` must hold on every row where it
+  * is non-null. */
+final case class CrossColumn(name: String, expectation: Column) extends Check {
+  def violation: Column = expectation.isNotNull && !expectation
+}
+
+object Checks {
+
+  /** Evaluate a suite in one aggregation pass: returns a single-row frame
+    * with one BIGINT violation count per check (V11 report shape). */
+  def evaluate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.map(c =>
+      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** V2 — duplicate-key detection: keys occurring more than once. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+
+  /** V2 as a scalar: number of keys with duplicates. */
+  def duplicateKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    duplicateKeys(df, keys).agg(count(lit(1)).as(s"${keys.mkString("_")}_dup_keys"))
+
+  /** V8 — referential integrity: child rows whose key has no parent
+    * (dbt `relationships` test → left anti join). */
+  def orphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)).distinct(),
+      child(childKey) === col(parentKey), "left_anti")
+
+  /** V7 — row-count bounds (reference `pandera_public.py:132-135`). */
+  def rowCountInBounds(df: DataFrame, lo: Long, hi: Long): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        (col("n_rows") >= lo && col("n_rows") <= hi).as("in_bounds"))
+
+  /** V10 — freshness lag in minutes against a reference instant
+    * (reference `src/common/freshness.py:33-57`; the anchor is injected so
+    * runs are deterministic, SURVEY §7.3 risk #2). */
+  def freshnessLagMinutes(df: DataFrame, tsCol: String, anchor: Column): DataFrame =
+    df.agg(max(col(tsCol)).as("latest"))
+      .select(((anchor.cast("long") - col("latest").cast("long")) / 60L)
+        .cast("long").as("lag_minutes"))
+}

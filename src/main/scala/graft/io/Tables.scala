@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-provided TPC-H-ish testdata (TESTDATA.md) plus
+  * generic medallion IO helpers (SURVEY.md §2.1, S1–S11).
+  *
+  * Reference behavior being reproduced: the platform reads CSV/Parquet into
+  * dataframes and registers warehouse views over parquet files
+  * (reference `sql/warehouse_ddl.sql:21-38`, `warehouse/loaders.py:37,53`).
+  * Here the scan layer is Spark's vectorized parquet reader; partition
+  * pruning and column pruning come from Catalyst.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table. `events.parquet` stores INT64
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
+    * (PARQUET_TYPE_ILLEGAL). We read nanos as a plain long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
+    * which is exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does — so
+    * oracle comparisons stay bit-identical.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // Leave the conf set for the session: it only affects parquet files
+      // that actually contain nanosecond timestamps (events is the only one),
+      // and execution may consult it again after planning.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case n =>
+      spark.read.parquet(s"$dir/$n.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

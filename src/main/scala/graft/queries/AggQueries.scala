@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Q.{davg, dsum, sqlDavg, sqlDsum}
+
+/** SURVEY.md §2.4 aggregations (A1–A13).
+  * Reference semantics: grouped counts (`feature_eng.py:33`), conditional
+  * counts/rates (`int_subject_summary.sql:14-16`, `analytics/queries.py:26,
+  * 43`), summary stats (`analytics/queries.py:60-62`), count-distinct
+  * (`int_subject_summary.sql:27-29`), exact median for `approx_quantile`
+  * (`dim_study_overview.sql:27` — pinned exact per SURVEY §7.3), sorted
+  * distinct string_agg (`int_subject_summary.sql:50`), whole-table and
+  * two-level aggregates (`ui/dashboard.py:190-200`, `dim_study_overview.sql`).
+  *
+  * All are hash aggregations with map-side partial aggregation; shuffle
+  * volume is #groups × #partitions, tiny even at 100 TB because every key
+  * here is low-cardinality.
+  */
+object AggQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("a1_group_count",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("a2_conditional_count",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_large"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+          count(lit(1)).as("n_total"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large,
+                     SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+                     COUNT(*) AS n_total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A3: AVG(CASE WHEN … 1 ELSE 0) — 0/1 doubles sum exactly, so the single
+    // final division is bit-identical across engines.
+    Q("a3_conditional_rate",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(avg(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
+          .otherwise(0.0)).as("urgent_rate"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     AVG(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1.0 ELSE 0.0 END) AS urgent_rate
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    Q("a4_stats_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          davg(col("l_quantity")).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                      ${sqlDavg("l_quantity")} AS avg_qty,
+                      ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+                      MIN(l_quantity) AS min_qty,
+                      MAX(l_quantity) AS max_qty,
+                      COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("a5_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     COUNT(DISTINCT o_custkey) AS n_customers,
+                     COUNT(DISTINCT o_orderpriority) AS n_priorities
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A6: exact median (reference uses approx_quantile; pinned exact so the
+    // oracle hash matches — SURVEY §7.3 risk #1).
+    Q("a6_median",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+                     ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("a7_group_max",
+      (s, d) => Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(max(col("s_acctbal")).as("max_bal"), count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, MAX(s_acctbal) AS max_bal, COUNT(*) AS n_suppliers
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // A8: sorted distinct string aggregation (order pinned per SURVEY §7.3).
+    Q("a8_string_agg_sorted",
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(", ", array_sort(collect_set(col("n_name")))).as("nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+              FROM (SELECT DISTINCT r_name, n_name
+                    FROM nation JOIN region ON n_regionkey = r_regionkey)
+              GROUP BY r_name ORDER BY r_name""")),
+
+    Q("a9_whole_table_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(expr("l_extendedprice * (1 - l_discount)"), 4).as("revenue"),
+          davg(col("l_discount")).as("avg_discount")),
+      Some(s"""SELECT COUNT(*) AS n_rows,
+                      ${sqlDsum("l_quantity")} AS sum_qty,
+                      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+                      ${sqlDavg("l_discount")} AS avg_discount
+               FROM lineitem""")),
+
+    Q("a10_multi_metric_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          davg(col("o_totalprice")).as("mean_price"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus,
+                      ${sqlDavg("o_totalprice")} AS mean_price,
+                      ${sqlDsum("o_totalprice")} AS sum_price,
+                      COUNT(*) AS n
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A11: row-normalized crosstab in long form (pivot + per-row normalize).
+    Q("a11_crosstab_normalized",
+      (s, d) => {
+        val joined = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("n"))
+        joined
+          .withColumn("share",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("c_mktsegment")).cast("double"))
+          .select(col("c_mktsegment"), col("o_orderstatus"), col("n"),
+            round(col("share"), 6).as("share"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus, n,
+                     ROUND(CAST(n AS DOUBLE) /
+                           CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6)
+                       AS share
+              FROM (SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    GROUP BY c_mktsegment, o_orderstatus)
+              ORDER BY c_mktsegment, o_orderstatus""")),
+
+    Q("a12_group_size_histogram",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus, o_orderpriority
+              ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // A13: aggregate over an aggregate (mart → study overview shape).
+    Q("a13_two_level_agg",
+      (s, d) => {
+        val perCustomer = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(dsum(col("o_totalprice")).as("cust_total"))
+        perCustomer.groupBy("c_mktsegment")
+          .agg(
+            davg(col("cust_total"), 2).as("avg_cust_total"),
+            max(col("cust_total")).as("max_cust_total"),
+            count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment,
+                      ${sqlDavg("cust_total")} AS avg_cust_total,
+                      MAX(cust_total) AS max_cust_total,
+                      COUNT(*) AS n_customers
+               FROM (SELECT c_custkey, c_mktsegment,
+                            ${sqlDsum("o_totalprice")} AS cust_total
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY c_custkey, c_mktsegment)
+               GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+}

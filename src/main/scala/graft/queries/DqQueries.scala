@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.checks._
+import graft.io.Tables
+
+/** SURVEY.md §2.9 validation operators (V1–V8), executed through the
+  * [[graft.checks.Checks]] engine so the oracle gate exercises the same code
+  * paths the ingest pipeline uses.
+  */
+object DqQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // V1 + V3 + V4 + V5 + V6 in one single-pass suite over events.
+    Q("v1_check_suite_events",
+      (s, d) => Checks.evaluate(Tables.events(s, d), Seq(
+        NotNull("event_type"),
+        NotNull("value"),
+        InSet("event_type", Seq("click", "view", "purchase", "signup", "error")),
+        InRange("value", 0.0, 1000.0),
+        MaxLength("event_type", 16),
+        MatchesRegex("event_type", "^[a-z_]+$"),
+        CrossColumn("purchase_value_positive",
+          !(col("event_type") === "purchase") || col("value") > 0))),
+      Some("""SELECT
+                SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_null,
+                SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_null,
+                SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('click','view','purchase','signup','error')
+                         THEN 1 ELSE 0 END) AS event_type_not_in_set,
+                SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
+                         THEN 1 ELSE 0 END) AS value_out_of_range,
+                SUM(CASE WHEN event_type IS NOT NULL AND length(event_type) > 16
+                         THEN 1 ELSE 0 END) AS event_type_too_long,
+                SUM(CASE WHEN event_type IS NOT NULL
+                          AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                         THEN 1 ELSE 0 END) AS event_type_bad_format,
+                SUM(CASE WHEN (NOT (event_type = 'purchase') OR value > 0) IS NOT NULL
+                          AND NOT (NOT (event_type = 'purchase') OR value > 0)
+                         THEN 1 ELSE 0 END) AS purchase_value_positive
+              FROM events""")),
+
+    // V1/V4/V6 red-green pair on lineitem (violations intentionally > 0).
+    Q("v4_check_suite_lineitem",
+      (s, d) => Checks.evaluate(Tables.lineitem(s, d), Seq(
+        InRange("l_discount", 0.0, 0.05),
+        InRange("l_quantity", 1.0, 50.0),
+        CrossColumn("price_at_least_qty", col("l_extendedprice") >= col("l_quantity")))),
+      Some("""SELECT
+                SUM(CASE WHEN l_discount IS NOT NULL
+                          AND (l_discount < 0.0 OR l_discount > 0.05)
+                         THEN 1 ELSE 0 END) AS l_discount_out_of_range,
+                SUM(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                         THEN 1 ELSE 0 END) AS l_quantity_out_of_range,
+                SUM(CASE WHEN NOT (l_extendedprice >= l_quantity)
+                         THEN 1 ELSE 0 END) AS price_at_least_qty
+              FROM lineitem""")),
+
+    // V2: duplicate-key counters (PK uniqueness).
+    Q("v2_unique_violations",
+      (s, d) => {
+        val dupOrders = Checks.duplicateKeyCount(Tables.orders(s, d), Seq("o_orderkey"))
+        val dupLines = Checks.duplicateKeyCount(
+          Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        dupOrders.crossJoin(dupLines)
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS o_orderkey_dup_keys,
+                (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                   GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+                  AS l_orderkey_l_linenumber_dup_keys""")),
+
+    // V7: row-count sanity bounds (reference: 100 ≤ persons ≤ 10 000).
+    Q("v7_rowcount_bounds",
+      (s, d) => Checks.rowCountInBounds(Tables.customer(s, d), 10L, 10000000L),
+      Some("""SELECT COUNT(*) AS n_rows,
+                     COUNT(*) >= 10 AND COUNT(*) <= 10000000 AS in_bounds
+              FROM customer""")),
+
+    // V8: referential-integrity orphan counts (dbt relationships test).
+    Q("v8_referential_orphans",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val orphanOrders = Checks
+          .orphans(orders, "o_custkey", Tables.customer(s, d), "c_custkey")
+          .agg(count(lit(1)).as("orphan_orders"))
+        val orphanItems = Checks
+          .orphans(Tables.lineitem(s, d), "l_orderkey", orders, "o_orderkey")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        orphanOrders.crossJoin(orphanItems)
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+                  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS orphan_orders,
+                (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+                  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+                  AS orphan_lineitems"""))
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Q.{dsum, sqlDsum}
+
+/** Time-series / event-stream operators over the `events` table.
+  * Reference semantics: day-bucketed AE rates (`analytics/queries.py:21-30`)
+  * → tumbling-window counts; freshness SLI (`src/common/freshness.py:33-57`)
+  * → max-timestamp lag, with the "now" anchor injected for determinism;
+  * sessionization extends the event model the way the streaming §7 extension
+  * does with watermarked windows (batch twin here, streaming twin in
+  * `graft.streaming`).
+  *
+  * Timestamps are formatted to strings in outputs: Spark writes
+  * UTC-adjusted parquet timestamps that DuckDB would read as TIMESTAMPTZ and
+  * mismatch the naive oracle values.
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling 1-hour window counts (batch twin of the streaming agg).
+    Q("e1_hourly_rollup",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some(s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                               '%Y-%m-%d %H:%M:%S') AS hour,
+                      event_type, COUNT(*) AS n,
+                      ${sqlDsum("value", 6)} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // Gap-based sessionization: new session when the per-user gap > 30 min.
+    Q("e2_sessionization",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+              FROM (SELECT user_id,
+                           CASE WHEN prev_ts IS NULL
+                                 OR epoch(CAST(ts AS TIMESTAMP))
+                                    - epoch(prev_ts) > 1800
+                                THEN 1 ELSE 0 END AS new_session
+                    FROM (SELECT user_id, ts, event_id,
+                                 LAG(CAST(ts AS TIMESTAMP), 1) OVER
+                                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                          FROM events))
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // Per-user daily activity with conditional purchase metrics.
+    Q("e3_user_daily_activity",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)), 6)
+            .as("purchase_value"))
+        .orderBy("user_id", "day"),
+      Some(s"""SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS n_purchases,
+                      ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 6)}
+                        AS purchase_value
+               FROM events GROUP BY 1, 2 ORDER BY user_id, day""")),
+
+    // V10 freshness SLI with an injected deterministic anchor.
+    Q("e4_freshness_lag",
+      (s, d) => graft.checks.Checks.freshnessLagMinutes(
+        Tables.events(s, d), "ts",
+        to_timestamp(lit("2024-03-01 00:00:00"), "yyyy-MM-dd HH:mm:ss")),
+      Some("""SELECT CAST(floor((epoch(TIMESTAMP '2024-03-01 00:00:00')
+                                 - epoch(max(CAST(ts AS TIMESTAMP)))) / 60) AS BIGINT)
+                       AS lag_minutes
+              FROM events""")),
+
+    // Event funnel: users reaching each stage (signup → view → purchase).
+    Q("e5_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val stages = e.groupBy("user_id").agg(
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("did_signup"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("did_view"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("did_purchase"))
+        stages.agg(
+          sum(col("did_signup")).as("n_signup"),
+          sum(col("did_view")).as("n_view"),
+          sum(col("did_purchase")).as("n_purchase"),
+          sum(when(col("did_view") === 1 && col("did_purchase") === 1, 1L).otherwise(0L))
+            .as("n_view_and_purchase"))
+      },
+      Some("""SELECT SUM(did_signup) AS n_signup, SUM(did_view) AS n_view,
+                     SUM(did_purchase) AS n_purchase,
+                     SUM(CASE WHEN did_view = 1 AND did_purchase = 1 THEN 1 ELSE 0 END)
+                       AS n_view_and_purchase
+              FROM (SELECT user_id,
+                           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
+                           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+                           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+                    FROM events GROUP BY user_id)"""))
+  )
+}

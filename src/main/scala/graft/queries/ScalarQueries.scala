@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Q.{davg, sqlDavg}
+
+/** SURVEY.md §2.8 scalar functions (F1–F16).
+  * Reference semantics: upper/coalesce defaults (`stg_adverse_events.sql:
+  * 16-18`), lower+LIKE categorization (`stg_exposure.sql:33-35`), CASE-WHEN
+  * bucketing (`clinical_utils.sql:3-108`), day date-diff
+  * (`stg_adverse_events.sql:21-25`), date-part (`analytics/queries.py:21`),
+  * casts, round, arithmetic normalization (`stg_laboratory.sql:30-34`),
+  * md5 surrogate keys (`fact_subject_outcomes.sql:19`), salted sha-256
+  * (`security/phi_redaction.py:10-15`), regex validation predicates
+  * (`pandera_schemas.py:24-25`), logistic scoring (`api/main.py:174-192`),
+  * Welch t statistic (`analytics/stats_utils.py:9-23`), JSON field
+  * extraction (manifest/report handling shape, `public_cdm.py:83-101`).
+  */
+object ScalarQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("f1_upper_coalesce",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_uc"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("UNKNOWN"))
+            .as("segment_or_unknown"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS name_uc,
+                     COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN')
+                       AS segment_or_unknown
+              FROM customer ORDER BY c_custkey""")),
+
+    Q("f2_like_categorize",
+      (s, d) => Tables.part(s, d)
+        .withColumn("category",
+          when(lower(col("p_type")).like("%economy%"), "ECONOMY_LINE")
+            .when(lower(col("p_type")).like("%standard%"), "STANDARD_LINE")
+            .when(lower(col("p_type")).like("%small%"), "SMALL_LINE")
+            .otherwise("OTHER"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy("category"),
+      Some("""SELECT CASE WHEN lower(p_type) LIKE '%economy%' THEN 'ECONOMY_LINE'
+                          WHEN lower(p_type) LIKE '%standard%' THEN 'STANDARD_LINE'
+                          WHEN lower(p_type) LIKE '%small%' THEN 'SMALL_LINE'
+                          ELSE 'OTHER' END AS category,
+                     COUNT(*) AS n
+              FROM part GROUP BY 1 ORDER BY category""")),
+
+    // F3: CASE-WHEN bucketing — the reference's workhorse (age bands, dose
+    // bands, clinical flags) re-expressed as balance/size bands.
+    Q("f3_case_bucketing",
+      (s, d) => Tables.customer(s, d)
+        .withColumn("bal_band",
+          when(col("c_acctbal") < 0, "NEGATIVE")
+            .when(col("c_acctbal") < 3000, "LOW")
+            .when(col("c_acctbal") < 7000, "MEDIUM")
+            .otherwise("HIGH"))
+        .groupBy("bal_band").agg(count(lit(1)).as("n"))
+        .orderBy("bal_band"),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+                          WHEN c_acctbal < 3000 THEN 'LOW'
+                          WHEN c_acctbal < 7000 THEN 'MEDIUM'
+                          ELSE 'HIGH' END AS bal_band,
+                     COUNT(*) AS n
+              FROM customer GROUP BY 1 ORDER BY bal_band""")),
+
+    // F4: day difference (AE duration shape); avg of exact ints is exact.
+    Q("f4_date_diff_days",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("ship_delay"), col("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(avg(col("ship_delay")).as("avg_delay"),
+          max(col("ship_delay")).as("max_delay"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     AVG(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS avg_delay,
+                     MAX(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS max_delay,
+                     COUNT(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    Q("f5_date_part",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("long").as("order_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("order_dom"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("order_month", "order_dom"),
+      Some("""SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS order_month,
+                     CAST(date_part('day', o_orderdate) AS BIGINT) AS order_dom,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1, 2 ORDER BY order_month, order_dom""")),
+
+    // F6: cast matrix. NB double→int differs between engines (Spark
+    // truncates, DuckDB rounds) so the truncation is made explicit.
+    Q("f6_cast_matrix",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+                     CAST(o_orderkey AS VARCHAR) AS key_str,
+                     CAST(o_orderdate AS DATE) AS order_date
+              FROM orders ORDER BY o_orderkey""")),
+
+    // F7: round via exact decimal (half-up agrees in both engines on exact
+    // decimals; rounding raw doubles would be representation-dependent).
+    Q("f7_round_decimal",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double")
+            .as("price_round1"),
+          round(col("o_totalprice").cast("decimal(18,2)"), -2).cast("double")
+            .as("price_round_hundreds"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+                       AS price_round1,
+                     CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), -2) AS DOUBLE)
+                       AS price_round_hundreds
+              FROM orders ORDER BY o_orderkey""")),
+
+    // F8: arithmetic normalization (lab-range shape) — exact decimal algebra.
+    Q("f8_arith_normalize",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)""").as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""")),
+
+    // F10: md5 surrogate key (dbt_utils.generate_surrogate_key shape).
+    Q("f10_md5_surrogate",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          md5(coalesce(col("c_custkey").cast("string"), lit(""))).as("cust_sk"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     md5(COALESCE(CAST(c_custkey AS VARCHAR), '')) AS cust_sk
+              FROM customer ORDER BY c_custkey""")),
+
+    // F11: salted SHA-256 irreversible hash (PHI pseudonymization shape).
+    Q("f11_sha2_tokenize",
+      (s, d) => Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          sha2(concat(lit("pepper::"), col("s_name")), 256).as("name_token"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, sha256('pepper::' || s_name) AS name_token
+              FROM supplier ORDER BY s_suppkey""")),
+
+    // F13: regex validation predicates as violation counters.
+    Q("f13_regex_validate",
+      (s, d) => Tables.customer(s, d)
+        .agg(
+          sum(when(col("c_name").rlike("^Customer#[0-9]+$"), 0L).otherwise(1L))
+            .as("bad_name_format"),
+          sum(when(col("c_mktsegment") === upper(col("c_mktsegment")), 0L).otherwise(1L))
+            .as("not_uppercase"),
+          sum(when(length(col("c_name")) <= 25, 0L).otherwise(1L)).as("too_long")),
+      Some("""SELECT SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
+                              THEN 0 ELSE 1 END) AS bad_name_format,
+                     SUM(CASE WHEN c_mktsegment = upper(c_mktsegment)
+                              THEN 0 ELSE 1 END) AS not_uppercase,
+                     SUM(CASE WHEN length(c_name) <= 25 THEN 0 ELSE 1 END) AS too_long
+              FROM customer""")),
+
+    // F14: logistic risk score (api/main.py:174-192 shape); exp() may differ
+    // in the last ulp between libm implementations → round 6.
+    Q("f14_logistic_score",
+      (s, d) => {
+        val feats = Tables.customer(s, d)
+          .join(Tables.orders(s, d).groupBy("o_custkey")
+              .agg(count(lit(1)).as("order_cnt")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+            col("c_acctbal"))
+        feats.select(col("c_custkey"),
+          round(lit(1.0) /
+            (lit(1.0) + exp(-(lit(0.0001) * col("c_acctbal")
+              + lit(0.3) * col("order_cnt") - lit(2.0)))), 6).as("risk"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     ROUND(1.0 / (1.0 + exp(-(0.0001 * c_acctbal
+                                              + 0.3 * COALESCE(oc.order_cnt, 0) - 2.0))), 6)
+                       AS risk
+              FROM customer
+              LEFT JOIN (SELECT o_custkey, COUNT(*) AS order_cnt
+                         FROM orders GROUP BY o_custkey) oc
+                ON c_custkey = oc.o_custkey
+              ORDER BY c_custkey""")),
+
+    // F15: Welch t statistic between two cohorts from grouped aggregates.
+    Q("f15_welch_t",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        val g = c.groupBy("c_mktsegment").agg(
+          count(lit(1)).cast("double").as("n"),
+          davg(col("c_acctbal")).as("m"),
+          var_samp(col("c_acctbal")).as("v"))
+        val a = g.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+        val b = g.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+        a.crossJoin(b).select(
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4).as("t_stat"))
+      },
+      Some(s"""SELECT ROUND((a.m1 - b.m2) / sqrt(a.v1 / a.n1 + b.v2 / b.n2), 4) AS t_stat
+               FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n1,
+                            ${sqlDavg("c_acctbal")} AS m1,
+                            VAR_SAMP(c_acctbal) AS v1
+                     FROM customer WHERE c_mktsegment = 'BUILDING') a,
+                    (SELECT CAST(COUNT(*) AS DOUBLE) AS n2,
+                            ${sqlDavg("c_acctbal")} AS m2,
+                            VAR_SAMP(c_acctbal) AS v2
+                     FROM customer WHERE c_mktsegment = 'MACHINERY') b""")),
+
+    // F16: JSON field extraction from the events props payload.
+    Q("f16_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("n"))
+        .orderBy("k_val"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1 ORDER BY k_val"""))
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Q.{dsum, sqlDsum}
+
+/** SURVEY.md §2.5 windows (W1–W3), §2.6 sorts/limits (O1–O4), §2.7 set ops
+  * (U1 + intersect/except extensions).
+  * Reference semantics: running count per partition
+  * (`sql/performance_examples.sql:4-12`), percent-of-partition-total
+  * (`warehouse_ddl.sql:247`), ROW_NUMBER surrogate key
+  * (`warehouse/loaders.py:31` — pinned to an explicit ordering per SURVEY
+  * §7.3 risk #2), multi-key / aggregate / CASE-custom sorts
+  * (`analytics/queries.py:28,46`, `warehouse_ddl.sql:262-268`), head-N
+  * (`ui/dashboard.py:296`), chunk concat UNION ALL (`ingest_csv.py:99-109`).
+  *
+  * Window partitions here are per-customer / per-status — bounded key
+  * cardinality with small per-key row counts, so no single-partition window
+  * bottleneck at scale. The only global window (surrogate key) is documented
+  * as dim-scale-only.
+  */
+object WindowSortQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("w1_running_count",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("running_orders"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     COUNT(*) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_orders
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Q("w2_pct_of_partition",
+      (s, d) => {
+        val grouped = Tables.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        grouped
+          .withColumn("pct", round(
+            col("n").cast("double") * 100.0 /
+              sum(col("n")).over(Window.partitionBy("o_orderstatus")).cast("double"),
+            6))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, n,
+                     ROUND(CAST(n AS DOUBLE) * 100.0 /
+                           CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6)
+                       AS pct
+              FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                    FROM orders GROUP BY o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // W3: surrogate key minting — explicit unique ordering for determinism.
+    Q("w3_row_number_surrogate",
+      (s, d) => Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          row_number().over(Window.orderBy("s_suppkey")).cast("long").as("supplier_sk"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey,
+                     CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS supplier_sk
+              FROM supplier ORDER BY s_suppkey""")),
+
+    Q("o1_multikey_sort",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_orderpriority"), col("o_orderdate").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS order_date
+              FROM orders
+              ORDER BY o_orderpriority, o_orderdate DESC, o_orderkey LIMIT 100""")),
+
+    Q("o2_sort_by_aggregate",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(dsum(expr("l_extendedprice * (1 - l_discount)"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(20),
+      Some(s"""SELECT l_partkey,
+                      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+               FROM lineitem GROUP BY l_partkey
+               ORDER BY revenue DESC, l_partkey LIMIT 20""")),
+
+    // O3: CASE-expression custom sort (quality-bucket ordering shape).
+    Q("o3_case_custom_sort",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prio_rank",
+          when(col("o_orderpriority") === "1-URGENT", 1L)
+            .when(col("o_orderpriority") === "2-HIGH", 2L)
+            .when(col("o_orderpriority") === "3-MEDIUM", 3L)
+            .otherwise(9L))
+        .orderBy("prio_rank", "o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+                     CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                       WHEN '3-MEDIUM' THEN 3 ELSE 9 END AS prio_rank
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY prio_rank, o_orderpriority""")),
+
+    Q("o4_top_n",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    Q("u1_union_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val high = o.filter(col("o_totalprice") > 300000)
+          .select(lit("high_value").as("src"), col("o_orderkey"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(lit("urgent").as("src"), col("o_orderkey"))
+        high.unionByName(urgent).orderBy("src", "o_orderkey")
+      },
+      Some("""SELECT 'high_value' AS src, o_orderkey FROM orders WHERE o_totalprice > 300000
+              UNION ALL
+              SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              ORDER BY src, o_orderkey""")),
+
+    Q("u2_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val jan = o.filter(month(col("o_orderdate")) === 1).select("o_custkey")
+        val feb = o.filter(month(col("o_orderdate")) === 2).select("o_custkey")
+        jan.intersect(feb).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 1
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 2
+              ORDER BY o_custkey""")),
+
+    Q("u3_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val jan = o.filter(month(col("o_orderdate")) === 1).select("o_custkey")
+        val feb = o.filter(month(col("o_orderdate")) === 2).select("o_custkey")
+        jan.except(feb).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 1
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE date_part('month', o_orderdate) = 2
+              ORDER BY o_custkey"""))
+  )
+}
