@@ -20,7 +20,9 @@ object SparkEntry {
       WindowSortQueries.all ++
       ScalarQueries.all ++
       DqQueries.all ++
-      EventQueries.all
+      EventQueries.all ++
+      TextQueries.all ++
+      EmbeddingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, word-shingle
+  * Jaccard, MinHash+LSH, SimHash. All built from Spark relational
+  * primitives (explode → distinct → shuffle-join on shingle/band keys) so
+  * they scale out: nothing here collects to the driver, and the quadratic
+  * candidate blowup is bounded by banding (LSH) or document-frequency caps.
+  *
+  * 100 TB notes:
+  *  - exact dedup is a single hash-shuffle on the digest;
+  *  - Jaccard self-join caps the per-shingle document frequency
+  *    (`maxShingleDf`) — ultra-common shingles contribute no discrimination
+  *    but produce O(df²) pairs; dropping them bounds the join output;
+  *  - MinHash/LSH reduces pair generation from O(n²) to O(Σ bucket²), the
+  *    standard scale path; band width trades recall vs. candidates.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: digest → group size and keeper (min id).
+    * One shuffle on the md5 digest (reference A1-style hash group-by). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Keep one row per distinct normalized text (the keeper = min id). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol).select(col("keeper").as(idCol))
+    df.join(keepers, idCol)
+  }
+
+  /** Distinct (id, shingle) pairs of `n` consecutive whitespace tokens. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = TextFunctions.tokens(col(textCol))
+    val joined = (0 until n).map(k => element_at(col("w"), col("i") + k + 1))
+    df.select(col(idCol), w.as("w"))
+      .withColumn("i", explode(sequence(lit(0), greatest(size(col("w")) - n, lit(0)))))
+      .filter(col("i") <= size(col("w")) - n)
+      .select(col(idCol), concat_ws(" ", joined: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard ≥ `minJaccard` via a shingle-key self-join.
+    * `maxShingleDf` drops shingles shared by more than that many documents
+    * before pairing (see class doc — required for the O(df²) bound). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double, maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val shF = sh.join(rare, "shingle")
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = shF.select(col(idCol).as("id1"), col("shingle"))
+    val b = shF.select(col(idCol).as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent 60-bit hash functions over word
+    * n-gram shingles; signature j = min over shingles of hash60(j, shingle).
+    * Engine-portable hashing (md5-based) — see TextFunctions.hash60. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+    val hashes = sh.select(col(idCol),
+      posexplode(array((0 until k).map(j =>
+        TextFunctions.hash60(col("shingle"), j)): _*)).as(Seq("j", "h")))
+    hashes.groupBy(idCol, "j").agg(min(col("h")).as("mh"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the k signature
+    * slots into bands of `rowsPerBand`; docs sharing any band bucket are
+    * candidates, then the estimated Jaccard (fraction of agreeing slots)
+    * is computed and filtered. Only candidate pairs are materialized —
+    * the O(n²) space is never enumerated. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
+    val banded = sigs
+      .withColumn("band", floor(col("j") / rowsPerBand).cast("long"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => concat_ws(":", x("j"), x("mh")))))
+        .as("band_hash"))
+    val cands = banded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+      .join(banded.select(col(idCol).as("id2"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sigs.select(col(idCol).as("id1"), col("j"), col("mh").as("mh1"))
+    val s2 = sigs.select(col(idCol).as("id2"), col("j"), col("mh").as("mh2"))
+    cands.join(s1, "id1").join(s2, Seq("id2", "j"))
+      .groupBy("id1", "id2")
+      .agg((sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).cast("double") /
+        lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 60-bit SimHash over whitespace tokens: bit b is the sign of
+    * Σ_tokens (bit b of hash60(token) ? +1 : −1). 60 bits (the width of
+    * hash60) keeps the assembled value positive in a signed 64-bit integer
+    * in every engine. Returns (id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tk"))
+    val hashed = tok.select(col(idCol), TextFunctions.hash60(col("tk"), 0).as("h"))
+    val bitVotes = hashed.select(col(idCol),
+      posexplode(array((0 until 60).map(b =>
+        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*))
+        .as(Seq("b", "vote")))
+    bitVotes.groupBy(idCol, "b").agg(sum(col("vote")).as("v"))
+      .groupBy(idCol)
+      .agg(sum(when(col("v") >= 0, expr("shiftleft(1L, b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.similarity.Ann
+
+/** Similarity search / embedding operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k, per-label centroids,
+  * hyperplane-LSH bucketing, cosine near-dup pairs. Double-precision folds
+  * are bit-identical between Spark's `aggregate` and DuckDB's
+  * `list_sum(list_transform(...))` (verified), so the oracles are exact.
+  */
+object EmbeddingQueries {
+
+  /** SQL dot product of two FLOAT[] columns in sequential double folds. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / sqrt(${sqlDot(a, a)}) / sqrt(${sqlDot(b, b)})"
+
+  val all: Seq[Q] = Seq(
+
+    Q("emb1_knn_bruteforce",
+      (s, d) => Ann.knnBruteForce(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score")),
+      Some(s"""SELECT e.vec_id, ROUND(${sqlCosine("e.embedding", "q.embedding")}, 6)
+                        AS score
+               FROM embeddings e,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+               WHERE e.vec_id != 0
+               ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id
+               LIMIT 10""")),
+
+    // Per-label per-dimension centroids; doubles summed then rounded — the
+    // only tolerance-rounded aggregate in the embedding family.
+    Q("emb2_label_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("v")), 6).as("centroid_v"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("centroid_v"), col("n"))
+        .orderBy("label", "dim"),
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+                     CAST(i - 1 AS BIGINT) AS dim,
+                     ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v,
+                     COUNT(*) AS n
+              FROM embeddings CROSS JOIN range(1, 65) t(i)
+              GROUP BY 1, 2 ORDER BY label, dim""")),
+
+    Q("emb3_lsh_bucket_histogram",
+      (s, d) => Tables.embeddings(s, d)
+        .select(Ann.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some {
+        val bits = (0 until 8).map { p =>
+          s"""CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST((($p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))) >= 0
+              THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"""
+        }.mkString(" + ")
+        s"""SELECT bucket, COUNT(*) AS n
+            FROM (SELECT CAST($bits AS BIGINT) AS bucket FROM embeddings)
+            GROUP BY bucket ORDER BY bucket"""
+      }),
+
+    Q("emb4_cosine_neardup_pairs",
+      (s, d) => Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4)
+        .orderBy("id1", "id2"),
+      Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                      ROUND(${sqlCosine("a.embedding", "b.embedding")}, 6) AS score
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
+               ORDER BY id1, id2""")),
+
+    // LSH-bucketed ANN (scale path): no SQL oracle — recall depends on the
+    // bucket layout; checked by the rows-only gate + the ScalaTest spec
+    // comparing it against brute force on the same bucket.
+    Q("emb5_knn_lsh_bucketed",
+      (s, d) => Ann.knnLshBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10, planes = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score")),
+      None)
+  )
+}

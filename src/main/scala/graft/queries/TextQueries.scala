@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.io.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface (BASELINE.json north star):
+  * token counting, quality scoring, language ID, fingerprinting, exact
+  * dedup, n-gram Jaccard, MinHash+LSH, SimHash. Everything is expressed
+  * through `graft.text.TextFunctions` / `graft.dedup.Dedup` so the oracle
+  * gate exercises the library itself.
+  */
+object TextQueries {
+
+  /** Tokens as the oracle splits them; both sides split trim(text) on \s+. */
+  private val sqlTok = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    Q("t1_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          (sum(tokenCount(col("text"))).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_tokens"),
+          max(tokenCount(col("text"))).as("max_tokens"),
+          sum(bpeishTokenCount(col("text"))).as("total_bpeish"),
+          sum(charCount(col("text"))).as("total_chars"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+                      CAST(SUM(len($sqlTok)) AS BIGINT) AS total_tokens,
+                      CAST(SUM(len($sqlTok)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        AS avg_tokens,
+                      CAST(MAX(len($sqlTok)) AS BIGINT) AS max_tokens,
+                      CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpeish,
+                      CAST(SUM(length(text)) AS BIGINT) AS total_chars
+               FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Q("t2_quality_scores",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          punctCount(col("text")).as("n_punct"),
+          digitCount(col("text")).as("n_digit"),
+          qualityScore(col("text")).as("quality"),
+          qualityBand(col("text")).as("band"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                      CAST(len($sqlTok) AS BIGINT) AS n_tokens,
+                      CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit,
+                      ROUND(
+                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                        + greatest(0.0, 0.3 -
+                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                                 AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
+                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','this','for','on','with','as','at','by','be','are'], t)))
+                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
+                        6) AS quality,
+                      CASE WHEN ROUND(
+                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                        + greatest(0.0, 0.3 -
+                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                                 AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
+                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','this','for','on','with','as','at','by','be','are'], t)))
+                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
+                        6) >= 0.6 THEN 'HIGH'
+                      WHEN ROUND(
+                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                        + greatest(0.0, 0.3 -
+                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                                 AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
+                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
+                            ['the','a','an','and','or','of','to','in','is','it',
+                             'that','this','for','on','with','as','at','by','be','are'], t)))
+                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
+                        6) >= 0.3 THEN 'MEDIUM' ELSE 'LOW' END AS band
+               FROM documents ORDER BY doc_id""")),
+
+    Q("t3_langid_confusion",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), detectLang(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted"),
+      Some {
+        val hits = LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
+        }.mkString(", ")
+        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
+          .reduceRight((a, b) => s"greatest($a, $b)")
+        val chain = LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+              SELECT lang, CASE $chain ELSE 'und' END AS predicted
+              FROM (SELECT lang, $hits, $maxExpr AS m
+                    FROM (SELECT lang, text FROM documents)))
+            GROUP BY lang, predicted ORDER BY lang, predicted"""
+      }),
+
+    Q("t4_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    Q("t5_exact_dedup_summary",
+      (s, d) => {
+        val g = Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        g.agg(
+          sum(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(col("n_docs") - 1).as("n_removable"))
+      },
+      Some("""SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     COUNT(*) AS n_distinct,
+                     SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+                     CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable
+              FROM (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                      AS digest, COUNT(*) AS n_docs
+                    FROM documents GROUP BY 1)""")),
+
+    Q("t6_ngram_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.2, maxShingleDf = 1000L)
+        .orderBy("id1", "id2"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs CROSS JOIN range(1, 2000) t(i)
+                          WHERE i <= len(w) - 2),
+                   rare AS (SELECT shingle FROM sh GROUP BY shingle
+                            HAVING COUNT(*) <= 1000),
+                   shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+                             FROM shf a JOIN shf b
+                               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2)
+              SELECT id1, id2, inter, s1.sz AS sz1, s2.sz AS sz2,
+                     ROUND(CAST(inter AS DOUBLE) /
+                           CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON id1 = s1.doc_id
+              JOIN sizes s2 ON id2 = s2.doc_id
+              WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2
+              ORDER BY id1, id2""")),
+
+    Q("t7_minhash_lsh_pairs",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, minEstJaccard = 0.25)
+        .orderBy("id1", "id2"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs CROSS JOIN range(1, 2000) t(i)
+                          WHERE i <= len(w) - 2),
+                   sig AS (SELECT doc_id, j,
+                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                      AS BIGINT)) AS mh
+                           FROM sh CROSS JOIN range(0, 12) t(j)
+                           GROUP BY doc_id, j),
+                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                       AS band_hash
+                              FROM sig GROUP BY doc_id, 2),
+                   cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                             FROM banded a JOIN banded b
+                               ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id),
+                   est AS (SELECT id1, id2,
+                                  CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END)
+                                       AS DOUBLE) / 12.0 AS est_jaccard
+                           FROM cands
+                           JOIN sig s1 ON s1.doc_id = id1
+                           JOIN sig s2 ON s2.doc_id = id2 AND s2.j = s1.j
+                           GROUP BY id1, id2)
+              SELECT id1, id2, ROUND(est_jaccard, 6) AS est_jaccard FROM est
+              WHERE est_jaccard >= 0.25 ORDER BY id1, id2""")),
+
+    Q("t8_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+                             AS tk FROM documents),
+                   hashed AS (SELECT doc_id,
+                                     CAST(('0x' || substr(md5('0|' || tk), 1, 15)) AS BIGINT)
+                                       AS h
+                              FROM tok),
+                   votes AS (SELECT doc_id, b,
+                                    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                             FROM hashed CROSS JOIN range(0, 60) t(b)
+                             GROUP BY doc_id, b)
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure `Column` expressions (whole-stage codegen, no
+  * UDFs) so they stay inside the scan pipeline at 100 TB — one pass, no
+  * shuffle until the caller aggregates.
+  *
+  * The clinical reference's text surface is regex validation + redaction
+  * (`validation/pandera_schemas.py:24-25`, `compliance/phi_redaction.py`);
+  * these operators extend it to the LLM-data-pipeline surface named in
+  * BASELINE.json.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the reference's only tokenizer is whitespace
+    * splitting in UI word counts; BPE-ish regex variant below). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and single
+    * punctuation marks (a deterministic stand-in for a real BPE vocab).
+    * RE2-compatible pattern so the DuckDB oracle computes the same count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Count of characters in `text` matching the regex char-class. */
+  def charClassCount(text: Column, charClass: String): Column =
+    (length(text) - length(regexp_replace(text, charClass, ""))).cast("long")
+
+  def punctCount(text: Column): Column = charClassCount(text, "[.,;:!?]")
+  def digitCount(text: Column): Column = charClassCount(text, "[0-9]")
+  def upperCount(text: Column): Column = charClassCount(text, "[A-Z]")
+
+  /** Fraction of whitespace tokens that appear in `words` (stopword ratio —
+    * the workhorse of quality scoring). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val hits = size(filter(tokens(text),
+      t => array_contains(typedlit(words), t))).cast("double")
+    hits / size(tokens(text)).cast("double")
+  }
+
+  /** Common-English stopword list (public, abridged). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /** Quality score in [0,1]: long-enough docs with low punctuation/digit
+    * noise and some stopword mass score high (reference shape: participation
+    * quality bands, `dim_study_overview.sql:82-97`, re-targeted at text). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lengthTerm = least(n / 500.0, lit(1.0)) * 0.4
+    val punctTerm = greatest(lit(0.0),
+      lit(0.3) - punctCount(text).cast("double") / greatest(n, lit(1.0)) * 3.0)
+    val stopTerm = least(wordSetRatio(text, EnglishStopwords) * 3.0, lit(1.0)) * 0.3
+    round(lengthTerm + punctTerm + stopTerm, 6)
+  }
+
+  def qualityBand(text: Column): Column = {
+    val q = qualityScore(text)
+    when(q >= 0.6, "HIGH").when(q >= 0.3, "MEDIUM").otherwise("LOW")
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic (public stopword lists, abridged). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Number of whitespace tokens of `text` within `markers`. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedlit(markers), t))).cast("long")
+
+  /** Language-ID heuristic: argmax of marker hits, ties broken by language
+    * code order, "und" (undetermined) when no marker hits at all. */
+  def detectLang(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val maxScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // argmax with first-language-wins tie-break; "und" when zero hits
+    scored.reverse.foldLeft(lit("und")) { case (el, (lang, s)) =>
+      when(s === maxScore && s > 0, lit(lang)).otherwise(el)
+    }
+  }
+
+  /** Whitespace-canonical form used for fingerprinting/dedup. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic 128-bit content fingerprint of the normalized text
+    * (reference F10 surrogate-key shape, `fact_subject_outcomes.sql:19`). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 60-bit integer hash of a string via md5 (stable across engines:
+    * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). Used as the
+    * shingle hash for MinHash. */
+  def hash60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
+      .cast("long")
+}
