@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.privacy.{HmacDetokenize, HmacSha256Base64}
+
+/** SparkSessionExtensions entry point: enable with
+  * `spark.sql.extensions=graft.GraftExtensions` to get the engine's custom
+  * Catalyst expressions in every session (SQL + DataFrame API) without
+  * runtime registration calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("hmac_tokenize"),
+      new ExpressionInfo(classOf[HmacSha256Base64].getName, "hmac_tokenize"),
+      (children: Seq[Expression]) => HmacSha256Base64(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("hmac_detokenize"),
+      new ExpressionInfo(classOf[HmacDetokenize].getName, "hmac_detokenize"),
+      (children: Seq[Expression]) => HmacDetokenize(children(0), children(1))))
+  }
+}

@@ -85,9 +85,12 @@ object Checks {
   /** V8 — referential integrity: child rows whose key has no parent
     * (dbt `relationships` test → left anti join). */
   def orphans(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey)).distinct(),
-      child(childKey) === col(parentKey), "left_anti")
+      parent: DataFrame, parentKey: String): DataFrame = {
+    // renamed parent key avoids AMBIGUOUS_REFERENCE when both sides use
+    // the same column name
+    val keys = parent.select(col(parentKey).as("__parent_key")).distinct()
+    child.join(keys, child(childKey) === col("__parent_key"), "left_anti")
+  }
 
   /** V7 — row-count bounds (reference `pandera_public.py:132-135`). */
   def rowCountInBounds(df: DataFrame, lo: Long, hi: Long): DataFrame =

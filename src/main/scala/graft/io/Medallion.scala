@@ -1,0 +1,122 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checks.{Check, Checks}
+import graft.standards.Sdtm
+
+/** Medallion ingestion pipeline (SURVEY.md §3.2, reference
+  * `ingestion/flows.py` + `ingest_csv.py` + `cdisc_sdtm_mapping.py:97-113`):
+  * CSV land → validated bronze parquet partitioned by (study_id, domain) →
+  * standardized SDTM silver parquet.
+  *
+  * The reference's 5 000-row chunking exists to bound pandas memory; Spark
+  * partitioned reads subsume it (`maxPartitionBytes` is the knob). The
+  * reference's per-domain fail-fast validation gate becomes one
+  * conditional-aggregate job per domain before the bronze write.
+  * At scale: `partitionBy("study_id","domain")` gives partition pruning on
+  * exactly the keys every downstream query filters on; the writer target
+  * can be any Hadoop FS URI (s3a:// in production, file:// here).
+  */
+object Medallion {
+
+  /** S1/S2 — CSV scan with explicit schema (no inference pass) falling
+    * back to header+inference when the domain is unknown. */
+  def readCsv(spark: SparkSession, path: String, domain: Option[String]): DataFrame =
+    domain.flatMap(Sdtm.schemas.get) match {
+      case Some(schema) =>
+        // SDTM CSVs carry typed columns; read as string and coerce through
+        // the domain mapper (null-on-failure) like the reference.
+        spark.read.option("header", "true").csv(path)
+      case None =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    }
+
+  final case class DomainResult(
+      domain: String, rows: Long, violations: Map[String, Long], passed: Boolean)
+
+  /** V11 — evaluate a check suite, one aggregation pass; returns per-check
+    * violation counts (reference `validation/validator.py:63-145`). */
+  def validate(df: DataFrame, checks: Seq[Check]): Map[String, Long] =
+    if (checks.isEmpty) Map.empty
+    else {
+      val row = Checks.evaluate(df, checks).collect()(0)
+      checks.map(c => c.name -> row.getAs[Long](c.name)).toMap
+    }
+
+  /** Default per-domain check suites (from `validation/pandera_schemas.py`). */
+  val domainChecks: Map[String, Seq[Check]] = {
+    import graft.checks._
+    Map(
+      "DM" -> Seq(NotNull("STUDYID"), NotNull("SUBJID"),
+        MatchesRegex("SUBJID", "^[A-Z0-9\\-]+$"), MaxLength("STUDYID", 50),
+        InSet("SEX", Seq("M", "F", "U")), InRange("AGE", 0, 150)),
+      "AE" -> Seq(NotNull("STUDYID"), NotNull("SUBJID"),
+        InSet("AESEV", Seq("MILD", "MODERATE", "SEVERE", "SERIOUS"))),
+      "LB" -> Seq(NotNull("SUBJID"), NotNull("LBTESTCD"), MaxLength("LBTESTCD", 8),
+        CrossColumn("lb_range_order",
+          !(col("LBLNOR").isNotNull && col("LBHNOR").isNotNull) ||
+            col("LBLNOR") <= col("LBHNOR"))),
+      "VS" -> Seq(NotNull("SUBJID"), NotNull("VSTESTCD"), MaxLength("VSTESTCD", 8)),
+      "EX" -> Seq(NotNull("SUBJID"),
+        CrossColumn("ex_date_order",
+          !(col("EXSTDTC").isNotNull && col("EXENDTC").isNotNull) ||
+            col("EXSTDTC") <= col("EXENDTC"))))
+  }
+
+  /** Land → bronze: validate each domain frame (fail-fast like
+    * `ingest_csv.py:128-131` unless `failFast=false`), then write
+    * hive-partitioned parquet (S5). Returns per-domain results. */
+  def landToBronze(domains: Map[String, DataFrame], studyId: String,
+      bronzeRoot: String, failFast: Boolean = true): Seq[DomainResult] = {
+    val results = Seq.newBuilder[DomainResult]
+    val it = Sdtm.Domains.iterator.filter(domains.contains)
+    var aborted = false
+    while (it.hasNext && !aborted) {
+      val domain = it.next()
+      val df = domains(domain)
+      val violations = validate(df, domainChecks.getOrElse(domain, Nil))
+      val passed = violations.values.forall(_ == 0L)
+      results += DomainResult(domain, df.count(), violations, passed)
+      if (passed) {
+        // dynamic partition overwrite: replace only this domain's
+        // partitions — static mode would wipe the other domains' data
+        df.withColumn("study_id", lit(studyId))
+          .withColumn("domain", lit(domain))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("study_id", "domain")
+          .parquet(bronzeRoot)
+      } else if (failFast) aborted = true
+    }
+    results.result()
+  }
+
+  /** Bronze → silver: read back by partition key (S6 — the partition
+    * columns ARE the routing), apply the domain mapper, write one silver
+    * parquet per domain (`cdisc_sdtm_mapping.py:97-113`). */
+  def bronzeToSilver(spark: SparkSession, bronzeRoot: String, studyId: String,
+      silverRoot: String): Seq[String] = {
+    // domains carry different schemas under one root → merge footers
+    val bronze = spark.read.option("mergeSchema", "true").parquet(bronzeRoot)
+      .filter(col("study_id") === studyId)
+    val domains = bronze.select("domain").distinct().collect().map(_.getString(0))
+    domains.sorted.map { domain =>
+      val mapped = Sdtm.mappers(domain)(
+        bronze.filter(col("domain") === domain).drop("study_id", "domain"))
+      val out = s"$silverRoot/$domain.parquet"
+      mapped.write.mode("overwrite").parquet(out)
+      out
+    }.toSeq
+  }
+
+  /** S11 — JSON ingest report (reference `ingest_csv.py:166-190`). */
+  def reportJson(results: Seq[DomainResult]): String = {
+    val items = results.map { r =>
+      val v = r.violations.toSeq.sorted
+        .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+      s"""{"domain":"${r.domain}","rows":${r.rows},"passed":${r.passed},"violations":$v}"""
+    }
+    items.mkString("[", ",", "]")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ml
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model registry / governance (SURVEY.md M8, reference `ml/registry.py`):
+  * stage state machine None → Staging → Production → Archived, required
+  * tags, expiry, and a governance report — re-implemented without MLflow as
+  * an append-only JSONL event log + a derived current-state view (an
+  * event-sourced register; the derived view is one window query, so the
+  * registry scales to any number of models/versions).
+  */
+object Registry {
+
+  val Stages: Seq[String] = Seq("None", "Staging", "Production", "Archived")
+
+  /** Promotion rules (`ml/registry.py:99-142`): linear promotion plus
+    * archive-from-anywhere and rollback Production→Staging. */
+  val AllowedTransitions: Set[(String, String)] = Set(
+    ("None", "Staging"), ("Staging", "Production"),
+    ("Production", "Staging"),
+    ("None", "Archived"), ("Staging", "Archived"), ("Production", "Archived"))
+
+  /** Tags every registered model must carry (`ml/registry.py:20-35`). */
+  val RequiredTags: Seq[String] = Seq("owner", "dataset", "training_date")
+
+  /** Max model age before it is flagged expired: 90 days
+    * (`ml/registry.py:361`). */
+  val MaxAgeDays = 90
+
+  final case class Event(
+      model: String, version: Int, stage: String, atMillis: Long,
+      tags: Map[String, String], metrics: Map[String, Double])
+
+  final case class TransitionRejected(from: String, to: String)
+    extends RuntimeException(s"illegal stage transition $from -> $to")
+
+  /** In-memory event-log registry with the reference's state machine;
+    * persisted as JSONL so a Spark job can read it as a table. */
+  final class EventLog(path: String) {
+    private def line(e: Event): String = {
+      def m(kv: Map[String, String]) =
+        kv.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      def md(kv: Map[String, Double]) =
+        kv.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"model":"${e.model}","version":${e.version},"stage":"${e.stage}",""" +
+        s""""at_millis":${e.atMillis},"tags":${m(e.tags)},"metrics":${md(e.metrics)}}"""
+    }
+
+    def append(e: Event): Unit = {
+      val p = Paths.get(path)
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+      Files.writeString(p, line(e) + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+    def register(model: String, version: Int, atMillis: Long,
+        tags: Map[String, String], metrics: Map[String, Double]): Unit = {
+      val missing = RequiredTags.filterNot(tags.contains)
+      require(missing.isEmpty, s"missing required tags: ${missing.mkString(", ")}")
+      append(Event(model, version, "None", atMillis, tags, metrics))
+    }
+
+    def currentStage(spark: SparkSession, model: String, version: Int): Option[String] = {
+      val st = state(spark).filter(col("model") === model && col("version") === version)
+        .select("stage").collect()
+      st.headOption.map(_.getString(0))
+    }
+
+    /** Transition with state-machine enforcement (throws on illegal). */
+    def transition(spark: SparkSession, model: String, version: Int,
+        toStage: String, atMillis: Long): Unit = {
+      require(Stages.contains(toStage), s"unknown stage $toStage")
+      val from = currentStage(spark, model, version).getOrElse(
+        throw new NoSuchElementException(s"$model v$version is not registered"))
+      if (!AllowedTransitions.contains((from, toStage)))
+        throw TransitionRejected(from, toStage)
+      append(Event(model, version, toStage, atMillis, Map.empty, Map.empty))
+    }
+
+    /** Current state per (model, version): latest event wins. */
+    def state(spark: SparkSession): DataFrame = {
+      val w = Window.partitionBy("model", "version")
+        .orderBy(col("at_millis").desc)
+      spark.read.json(path)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    /** Governance report (`ml/registry.py:361-468`): per model/version
+      * stage, age vs the injected `nowMillis`, expiry flag. */
+    def governanceReport(spark: SparkSession, nowMillis: Long): DataFrame = {
+      val first = spark.read.json(path)
+        .groupBy("model", "version").agg(min("at_millis").as("registered_at"))
+      state(spark).select("model", "version", "stage")
+        .join(first, Seq("model", "version"))
+        .withColumn("age_days",
+          ((lit(nowMillis) - col("registered_at")) / lit(86400000L)).cast("long"))
+        .withColumn("expired", col("age_days") > MaxAgeDays)
+        .orderBy("model", "version")
+    }
+  }
+}

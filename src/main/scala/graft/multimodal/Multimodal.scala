@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The container has no media codecs, so the DECODE step is a clearly
+  * marked deterministic fake (`fakeDecode`) — a real deployment swaps in a
+  * codec with the same signature. Everything around it — the schema, the
+  * per-partition batch shape, the partition-preserving plumbing — is real
+  * Spark and is what matters at 100 TB: payloads never pass through a
+  * shuffle (metadata is extracted first, heavy bytes stay columnar in
+  * parquet until the map stage that needs them).
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      media_id: Long, kind: String, n_bytes: Long,
+      sha: String, width: Int, height: Int)
+
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** Attach a binary payload column (demo: UTF-8 bytes of a text column —
+    * the stand-in for real image/audio bytes). */
+  def withBinaryPayload(df: DataFrame, idCol: String, srcCol: String): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      encode(col(srcCol), "UTF-8").as("payload"),
+      lit("image/fake").as("kind"))
+
+  /** Metadata extraction — pure column expressions, no decode needed. The
+    * fake width/height are deterministic functions of the payload hash
+    * (stand-ins for a header parse). */
+  def extractMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha"),
+      (pmod(xxhash64(col("payload")), lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(xxhash64(col("payload"), lit(1)), lit(1080L)) + 1).cast("int").as("height"))
+
+  /** DECODE STUB — deterministic fake: a real build replaces this body
+    * with a codec call (e.g. TwelveMonkeys/JavaCV). Signature and batch
+    * shape (bytes per row, fixed-size float feature vector out) are the
+    * real contract. */
+  def fakeDecode(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    var h = 1125899906842597L // FNV-ish rolling seed
+    var i = 0
+    while (i < payload.length) {
+      h = h * 31 + (payload(i) & 0xff)
+      i += 1
+      if (i % 7 == 0 || i == payload.length) {
+        val d = ((i / 7) min (dims - 1)) max 0
+        out(d) = ((h >>> 16) % 1000L).toFloat / 1000.0f
+      }
+    }
+    out
+  }
+
+  /** Feature extraction over binary payloads via mapPartitions: one fused
+    * per-partition pass (the Scala twin of a Pandas-batch UDF), preserving
+    * partitioning — no shuffle. */
+  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaFeatures(id, fakeDecode(bytes, dims))
+      })
+  }
+
+  /** RESIZE STUB: target-size metadata transform (a real impl re-encodes
+    * payload bytes; the fake scales the fake dimensions). */
+  def resizeMeta(meta: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide).cast("double") / greatest(col("width"), col("height")))
+    meta.withColumn("resized_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** FRAME-SAMPLE STUB: every k-th frame index of a fake n-frame video —
+    * the explode shape (one row per sampled frame) is the real contract. */
+  def sampleFrames(meta: DataFrame, everyK: Int): DataFrame =
+    meta.withColumn("n_frames", (pmod(xxhash64(col("sha")), lit(240L)) + 1).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
+      .select(col("media_id"), col("frame_idx"), col("n_frames"))
+}

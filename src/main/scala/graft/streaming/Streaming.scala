@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming extension (SURVEY.md §7.1 step 9): the reference's
+  * chunked CSV ingestion (`ingestion/ingest_csv.py:32-34`) becomes a file
+  * source with `maxFilesPerTrigger`; day-bucketed AE rates
+  * (`analytics/queries.py:21`) become watermarked tumbling windows; the
+  * freshness SLI (`src/common/freshness.py`) becomes a streaming max-ts
+  * monitor; and gap-based sessions use `flatMapGroupsWithState` (the
+  * batch twin is `graft.queries.EventQueries` e2).
+  *
+  * All aggregations are keyed (no global state), watermarks bound state
+  * size — the 120-minute SLO tolerance is exactly the watermark delay, so
+  * late events inside the SLO are still counted (SURVEY §7.3 #5).
+  */
+object Streaming {
+
+  /** S1 as a stream: micro-batch CSV ingestion with schema pinned up front
+    * (a streaming source cannot infer schemas). */
+  def csvFileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
+  /** Watermarked tumbling-window event counts (the streaming twin of the
+    * e1 hourly rollup). */
+  def windowedCounts(events: DataFrame, tsCol: String, window_ : String = "1 hour",
+      watermark: String = "120 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Freshness monitor: latest event timestamp per micro-batch → lag is
+    * evaluated by the sink against the SLO (ok ≤ slo, warning ≤ 1.25·slo,
+    * breach beyond — `freshness.py:52-57`). */
+  def freshnessState(events: DataFrame, tsCol: String): DataFrame =
+    events.groupBy(lit("silver").as("layer")).agg(max(col(tsCol)).as("latest_ts"))
+
+  def freshnessStatus(lagMinutes: Long, sloMinutes: Long = 120L): String =
+    if (lagMinutes <= sloMinutes) "ok"
+    else if (lagMinutes <= (sloMinutes * 1.25).toLong) "warning"
+    else "breach"
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(nSessions: Long, nEvents: Long, lastTsSecs: Long)
+  final case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Custom keyed state (`mapGroupsWithState`): per-user gap-based session
+    * counting — a new session starts when the gap since the previous event
+    * exceeds `gapSecs`. Each micro-batch emits the user's running totals
+    * (Update mode); state is one tiny record per active user, so it scales
+    * with distinct users, not events. Batch twin: `EventQueries` e2. */
+  def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts").as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val batch = rows.toSeq.sortBy(_.ts.getTime)
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          batch.foreach { e =>
+            val t = e.ts.getTime / 1000L
+            val newSession = s.lastTsSecs == Long.MinValue || t - s.lastTsSecs > gapSecs
+            s = SessionState(s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1, t)
+          }
+          state.update(s)
+          SessionOut(userId, s.nSessions, s.nEvents)
+      }.toDF()
+  }
+
+  /** Start a windowed-count query writing to an in-memory sink (used by
+    * tests and local monitoring dashboards). */
+  def startMemorySink(df: DataFrame, queryName: String,
+      intervalMs: Long = 500L): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+}

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "THE  QUICK  BROWN fox jumps over the lazy dog"),  // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"),  // near dup (1 word)
+    (5L, "completely different content about spark engines entirely"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeper = min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 3) // {1,2,3}, {4}, {5}
+    val g = groups.filter(col("n_docs") === 3).collect()(0)
+    assert(g.getAs[Long]("keeper") == 1L)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+  }
+
+  test("word shingles: size-n sliding window, distinct per doc") {
+    val sh = Dedup.wordShingles(docs.filter(col("doc_id") === 1), "doc_id", "text", 3)
+    // 9 tokens -> 7 trigrams, all distinct here
+    assert(sh.count() == 7)
+    assert(sh.filter(col("shingle") === "the quick brown").count() == 1)
+  }
+
+  test("jaccard pairs find the near-dup and skip unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L))) // identical => jaccard 1.0
+    assert(ids.contains((1L, 4L)) || ids.contains((2L, 4L))) // near dup
+    assert(!ids.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+  }
+
+  test("minhash LSH: estimated jaccard 1.0 for identical docs, candidates ⊆ pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, minEstJaccard = 0.25)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) < ham(sh(1L), sh(5L)))
+    // all values fit in 60 bits (engine-portable positive bigint)
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+}

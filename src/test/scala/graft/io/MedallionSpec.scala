@@ -1,0 +1,46 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.standards.{Sdtm, SyntheticSdtm}
+
+class MedallionSpec extends SparkSpec {
+
+  test("land→bronze→silver round-trip with partitioned layout (S4/S5/S6)") {
+    val tmp = Files.createTempDirectory("graft-medallion").toString
+    val domains = SyntheticSdtm.allDomains(spark, 30, 42L)
+    // drop the seeded invalid SEX='X' row => green path
+    val clean = domains.updated("DM", domains("DM").filter(col("SUBJID") =!= "SUBJ0000"))
+
+    val results = Medallion.landToBronze(clean, "STUDY001", s"$tmp/bronze")
+    assert(results.size == 5 && results.forall(_.passed))
+
+    // partition columns come back as columns (S6)
+    val bronze = spark.read.parquet(s"$tmp/bronze")
+    assert(bronze.columns.contains("study_id") && bronze.columns.contains("domain"))
+    assert(bronze.select("domain").distinct().count() == 5)
+
+    val silver = Medallion.bronzeToSilver(spark, s"$tmp/bronze", "STUDY001", s"$tmp/silver")
+    assert(silver.size == 5)
+    val dm = spark.read.parquet(s"$tmp/silver/DM.parquet")
+    assert(dm.columns.toSeq == Sdtm.dmSchema.fieldNames.toSeq)
+    assert(dm.count() == 29)
+  }
+
+  test("red path: seeded invalid SEX='X' fails DM validation and fail-fast aborts") {
+    val tmp = Files.createTempDirectory("graft-medallion-red").toString
+    val domains = SyntheticSdtm.allDomains(spark, 30, 42L) // includes SEX='X'
+    val results = Medallion.landToBronze(domains, "STUDY001", s"$tmp/bronze")
+    val dmResult = results.find(_.domain == "DM").get
+    assert(!dmResult.passed)
+    assert(dmResult.violations("SEX_not_in_set") == 1L)
+    assert(results.size == 1) // fail-fast: later domains never ran
+    // non-fail-fast continues through all domains
+    val all = Medallion.landToBronze(domains, "STUDY001",
+      s"$tmp/bronze2", failFast = false)
+    assert(all.size == 5)
+    assert(Medallion.reportJson(all).contains("\"passed\":false"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.standards.SyntheticSdtm
+
+class MlSpec extends SparkSpec {
+
+  private lazy val dm = SyntheticSdtm.dm(spark, 120, 42L)
+  private lazy val ae = SyntheticSdtm.ae(spark, 120, 42L)
+  private lazy val features = RiskModel.subjectFeatures(dm, ae)
+
+  test("M1 features: one row per subject, zero-filled counts, binary label") {
+    assert(features.count() == 120)
+    assert(features.filter(col("AE_COUNT").isNull).count() == 0)
+    val labels = features.select("label").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(labels.subsetOf(Set(0.0, 1.0)))
+    // label consistency: label=1 iff severe count > 0
+    assert(features.filter((col("SEVERE_AE_COUNT") > 0) =!= (col("label") === 1.0))
+      .count() == 0)
+  }
+
+  test("M2/M3/M4/M6: train, evaluate, gate — AUC must be high (label is derivable)") {
+    val (train, test) = RiskModel.stratifiedSplit(features)
+    assert(train.count() + test.count() == 120)
+    val model = RiskModel.pipeline().fit(train)
+    val m = RiskModel.evaluate(model, test)
+    assert(m.auc >= 0.9, s"auc=${m.auc}") // SEVERE_AE_COUNT is a feature
+    assert(RiskModel.passesGate(m))
+    assert(!RiskModel.passesGate(RiskModel.Metrics(0.5, 0.5)))
+  }
+
+  test("M7 batch scoring emits RISK probabilities in [0,1]") {
+    val model = RiskModel.pipeline().fit(features)
+    val scored = RiskModel.scoreBatch(model, features)
+    assert(scored.columns.toSeq == Seq("STUDYID", "SUBJID", "RISK"))
+    val risks = scored.select("RISK").collect().map(_.getDouble(0))
+    assert(risks.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("M8 registry: state machine enforces the reference's transitions") {
+    val dir = Files.createTempDirectory("graft-registry").toString
+    val log = new Registry.EventLog(s"$dir/events.jsonl")
+    val tags = Map("owner" -> "team", "dataset" -> "sdtm", "training_date" -> "2024-06-01")
+    log.register("risk", 1, 1000L, tags, Map("auc" -> 0.9))
+    assert(log.currentStage(spark, "risk", 1).contains("None"))
+    log.transition(spark, "risk", 1, "Staging", 2000L)
+    log.transition(spark, "risk", 1, "Production", 3000L)
+    assert(log.currentStage(spark, "risk", 1).contains("Production"))
+    // illegal: Production -> None is not a transition
+    intercept[Registry.TransitionRejected] {
+      log.transition(spark, "risk", 1, "None", 4000L)
+    }
+    // rollback and archive are legal
+    log.transition(spark, "risk", 1, "Staging", 5000L)
+    log.transition(spark, "risk", 1, "Archived", 6000L)
+    assert(log.currentStage(spark, "risk", 1).contains("Archived"))
+  }
+
+  test("M8 registry: required tags and expiry report") {
+    val dir = Files.createTempDirectory("graft-registry2").toString
+    val log = new Registry.EventLog(s"$dir/events.jsonl")
+    intercept[IllegalArgumentException] {
+      log.register("m", 1, 0L, Map("owner" -> "x"), Map.empty) // missing tags
+    }
+    val tags = Map("owner" -> "t", "dataset" -> "d", "training_date" -> "2024-01-01")
+    log.register("m", 1, 0L, tags, Map.empty)
+    val now = 91L * 86400000L // 91 days later
+    val report = log.governanceReport(spark, now).collect()(0)
+    assert(report.getAs[Boolean]("expired"))
+    assert(report.getAs[Long]("age_days") == 91L)
+  }
+}

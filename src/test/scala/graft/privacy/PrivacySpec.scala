@@ -1,0 +1,65 @@
+package graft.privacy
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hmac tokenize/detokenize round-trips through the codegen path") {
+    Privacy.register(spark)
+    val df = Seq("SUBJ0001", "SUBJ0002", "pii@example.com").toDF("v")
+    val out = df
+      .withColumn("tok", Privacy.tokenize(col("v"), "key-123"))
+      .withColumn("back", Privacy.detokenize(col("tok"), "key-123"))
+    assert(out.filter(col("back") =!= col("v")).count() == 0)
+    // deterministic: same value+key => same token
+    val toks = out.select("tok").as[String].collect()
+    val toks2 = df.withColumn("tok", Privacy.tokenize(col("v"), "key-123"))
+      .select("tok").as[String].collect()
+    assert(toks.toSeq == toks2.toSeq)
+  }
+
+  test("detokenize returns null on wrong key or garbage (no exception)") {
+    Privacy.register(spark)
+    val df = Seq("SUBJ0001").toDF("v")
+      .withColumn("tok", Privacy.tokenize(col("v"), "key-123"))
+    val wrongKey = df.select(Privacy.detokenize(col("tok"), "other-key").as("r"))
+    assert(wrongKey.filter(col("r").isNotNull).count() == 0)
+    val garbage = Seq("not-a-token!!", "QUJD").toDF("tok")
+      .select(Privacy.detokenize(col("tok"), "key-123").as("r"))
+    assert(garbage.filter(col("r").isNotNull).count() == 0)
+  }
+
+  test("tokenize matches the reference layout: urlsafe_b64(mac ++ '::' ++ value)") {
+    val tok = HmacUtil.tokenize("key-123",
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello")).toString
+    val raw = java.util.Base64.getUrlDecoder.decode(tok)
+    assert(raw.length == 32 + 2 + 5) // sha256 mac ++ '::' ++ value
+    assert(new String(raw.slice(34, 39), "UTF-8") == "hello")
+  }
+
+  test("irreversible hash = sha256(salt || value)") {
+    val got = Seq("abc").toDF("v")
+      .select(Privacy.irreversibleHash(col("v"), "salt").as("h")).as[String].head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update("saltabc".getBytes("UTF-8"))
+    val expected = md.digest().map("%02x".format(_)).mkString
+    assert(got == expected)
+  }
+
+  test("PHI redaction scrubs the reference's pattern families in order") {
+    val df = Seq(
+      "ssn 123-45-6789 ok",
+      "id 123456789 ok",
+      "call (555) 123-4567 now",
+      "mail a.b+c@example.org please",
+      "dob 2024-01-01 and 1/2/1999",
+      "patient = John Smith, next").toDF("t")
+      .select(Privacy.redactText(col("t")).as("r"))
+    val rows = df.as[String].collect()
+    assert(rows.forall(_.contains("[REDACTED]")))
+    assert(!rows.exists(r => r.contains("123-45-6789") || r.contains("example.org")
+      || r.contains("John Smith") || r.contains("2024-01-01")))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(0.7f, 0.7f, 0.0f)))   // diagonal
+    .toDF("vec_id", "embedding")
+
+  test("cosine matches hand-computed values") {
+    val c = vecs.filter(col("vec_id") === 4)
+      .crossJoin(vecs.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      .select(Ann.cosine(col("embedding"), col("q")).as("c")).as[Double].head()
+    assert(math.abs(c - 0.7071067811865475) < 1e-7) // float inputs, double fold
+  }
+
+  test("brute-force knn ranks by cosine with id tie-break") {
+    val knn = Ann.knnBruteForce(vecs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(knn == Seq(1L, 4L, 2L)) // 0.994 > 0.707 > 0.0; excludes query itself
+  }
+
+  test("LSH-bucketed knn returns a subset of brute-force candidates with same scores") {
+    val brute = Ann.knnBruteForce(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    val lsh = Ann.knnLshBucketed(vecs, "vec_id", "embedding", 0L, 4, planes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score"))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, score) =>
+      assert(brute.contains(id) && math.abs(brute(id) - score) < 1e-12)
+    }
+  }
+
+  test("near-dup pairs: exact quadratic vs bucketed candidates agree on found pairs") {
+    val exact = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(exact == Set((0L, 1L))) // only 0~1 are >= 0.9
+    val bucketed = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      exact = false, planes = 2)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(bucketed.subsetOf(exact))
+  }
+
+  test("hyperplane bucket is deterministic and stable across evaluations") {
+    val b1 = vecs.select(Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect().toSeq
+    val b2 = vecs.select(Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect().toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+}

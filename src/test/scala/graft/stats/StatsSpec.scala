@@ -1,0 +1,41 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Welch t matches precomputed values (stats_utils.py semantics)") {
+    val df = (Seq(5.1, 4.9, 6.2, 5.8, 5.5, 6.0).map(("a", _)) ++
+      Seq(4.2, 4.0, 4.8, 4.4).map(("b", _))).toDF("g", "v")
+    val row = Stats.welchT(df, "v", "g", "a", "b").collect()(0)
+    assert(row.getAs[Long]("n1") == 6 && row.getAs[Long]("n2") == 4)
+    assert(math.abs(row.getAs[Double]("t_stat") - 4.5717352677925955) < 1e-9)
+    assert(math.abs(row.getAs[Double]("mean1") - 5.583333333333333) < 1e-12)
+    // normal-approx p with the A&S erf polynomial (|eps| < 1.5e-7)
+    assert(math.abs(row.getAs[Double]("p_value") - 4.837017980374725e-06) < 1e-6)
+  }
+
+  test("chi-square matches precomputed table (Wilson–Hilferty p)") {
+    val rows =
+      Seq.fill(20)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+        Seq.fill(5)(("B", "X")) ++ Seq.fill(25)(("B", "Y"))
+    val df = rows.toDF("r", "c")
+    val out = Stats.chiSquare(df, "r", "c").collect()(0)
+    assert(math.abs(out.getAs[Double]("chi2") - 15.42857142857143) < 1e-9)
+    assert(out.getAs[Long]("dof") == 1)
+    assert(math.abs(out.getAs[Double]("p_value") - 0.00014112545516964392) < 1e-5)
+  }
+
+  test("p-values stay in [0,1] and t is antisymmetric") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val ab = Stats.welchT(df, "v", "g", "a", "b").collect()(0)
+    val ba = Stats.welchT(df, "v", "g", "b", "a").collect()(0)
+    assert(math.abs(ab.getAs[Double]("t_stat") + ba.getAs[Double]("t_stat")) < 1e-12)
+    Seq(ab, ba).foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  final case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling-window counts aggregate by hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = Streaming.windowedCounts(input.toDF(), "ts")
+    val query = counts.writeStream.format("memory")
+      .queryName("win_counts").outputMode("update").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:55:00"), "click", 2.0, 1L),
+        Ev(ts("2024-01-01 11:05:00"), "click", 4.0, 2L))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("window.start").cast("string").as("w"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", 2L, 3.0),
+        ("2024-01-01 11:00:00", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("freshness status bands follow the 120-minute SLO") {
+    assert(Streaming.freshnessStatus(60) == "ok")
+    assert(Streaming.freshnessStatus(120) == "ok")
+    assert(Streaming.freshnessStatus(140) == "warning")
+    assert(Streaming.freshnessStatus(150) == "warning") // 1.25x boundary
+    assert(Streaming.freshnessStatus(151) == "breach")
+  }
+
+  test("mapGroupsWithState sessionization counts gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = Streaming.sessionize(input.toDF())
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("update").start()
+    try {
+      // user 1: two events close together, then a 2-hour gap -> 2nd session
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:10:00"), "view", 1.0, 1L))
+      query.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 12:30:00"), "click", 1.0, 1L))
+      query.processAllAvailable()
+      val last = spark.table("sessions").collect().last
+      assert(last.getAs[Long]("n_sessions") == 2L)
+      assert(last.getAs[Long]("n_events") == 3L) // state survived across batches
+    } finally query.stop()
+  }
+
+  test("file-source csv stream ingests with pinned schema (S1 as stream)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val schema = graft.standards.Sdtm.dmSchema
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/batch1.csv"),
+      "STUDYID,SUBJID,ARM,SEX,AGE\nSTUDY001,S1,PLACEBO,M,42\nSTUDY001,S2,ACTIVE,F,55\n")
+    val stream = Streaming.csvFileStream(spark, tmp, schema)
+    assert(stream.isStreaming)
+    val query = stream.writeStream.format("memory")
+      .queryName("dm_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("dm_stream").count() == 2)
+    } finally query.stop()
+  }
+}
