@@ -22,7 +22,8 @@ object SparkEntry {
       DqQueries.all ++
       EventQueries.all ++
       TextQueries.all ++
-      EmbeddingQueries.all
+      EmbeddingQueries.all ++
+      ClinicalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -173,6 +173,18 @@ object Sdtm {
           .otherwise("UNKNOWN").as("sex_desc"),
         runTs.as("dbt_updated_at"), lit(studyId).as("dbt_study_id"))
 
+  /** AE ongoing flag (`stg_adverse_events.sql:27-30`): no end date and the
+    * (coalesced) outcome is not FATAL. */
+  def aeIsOngoing(aeendtc: Column, aeout: Column): Column =
+    when(aeendtc.isNull &&
+      !(upper(coalesce(aeout, lit("UNKNOWN"))) === "FATAL"), true)
+      .otherwise(false)
+
+  /** AE severity rank (`stg_adverse_events.sql:32-37`). */
+  def aeSeverityRank(aesev: Column): Column =
+    when(aesev === "MILD", 1).when(aesev === "MODERATE", 2)
+      .when(aesev === "SEVERE", 3).otherwise(0)
+
   /** `stg_adverse_events.sql`. */
   def stgAdverseEvents(ae: DataFrame, studyId: String, runTs: Column): DataFrame =
     ae.filter(col("STUDYID") === studyId)
@@ -183,13 +195,8 @@ object Sdtm {
         coalesce(col("AESER"), lit(false)).as("is_serious"),
         upper(coalesce(col("AEOUT"), lit("UNKNOWN"))).as("outcome"),
         daysBetween(col("AESTDTC"), col("AEENDTC")).as("duration_days"),
-        // NB reference compares the raw (pre-coalesce) aeout (`!= 'FATAL'`
-        // is null-propagating only through the coalesce'd alias upstream)
-        when(col("AEENDTC").isNull &&
-          !(upper(coalesce(col("AEOUT"), lit("UNKNOWN"))) === "FATAL"), true)
-          .otherwise(false).as("is_ongoing"),
-        when(col("AESEV") === "MILD", 1).when(col("AESEV") === "MODERATE", 2)
-          .when(col("AESEV") === "SEVERE", 3).otherwise(0).as("severity_rank"),
+        aeIsOngoing(col("AEENDTC"), col("AEOUT")).as("is_ongoing"),
+        aeSeverityRank(col("AESEV")).as("severity_rank"),
         runTs.as("dbt_updated_at"), lit(studyId).as("dbt_study_id"))
 
   /** `stg_laboratory.sql`. */
