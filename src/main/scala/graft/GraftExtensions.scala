@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ArrayDotProduct
 import graft.privacy.{HmacDetokenize, HmacSha256Base64}
 
 /** SparkSessionExtensions entry point: enable with
@@ -18,5 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hmac_detokenize"),
       new ExpressionInfo(classOf[HmacDetokenize].getName, "hmac_detokenize"),
       (children: Seq[Expression]) => HmacDetokenize(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
   }
 }

@@ -2,42 +2,59 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ArrayDotProduct
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline and an LSH-bucketed variant as the
-  * scale path. All math is pure Column expressions — sequential double
-  * folds that are bit-identical to DuckDB's `list_sum(list_transform(...))`
-  * (verified empirically), keeping the oracle gate exact.
+  * scale path.
+  *
+  * The inner product is the native codegen'd [[graft.functions
+  * .ArrayDotProduct]] expression (`graft_dot`) — Spark's higher-order
+  * `zip_with`/`aggregate` lambdas run interpreted and were the bench
+  * bottleneck. Division order `dot / norm(a) / norm(b)` is kept identical
+  * to the DuckDB oracle formula, and the dot accumulates sequentially in
+  * double, so results stay bit-identical across engines.
   *
   * 100 TB notes: brute force is a broadcast of the query vector + one scan
-  * (fine for one query, linear per query). The LSH path buckets vectors by
+  * (fine per query, linear). The LSH path buckets vectors by
   * random-hyperplane signs once (shuffle on bucket id), then probes only
   * matching buckets — the standard sub-linear ANN layout. An IVF layout
   * (k-means coarse quantizer) would swap the plane-sign bucketer for
-  * learned centroids; the probe/join shape is identical.
+  * learned centroids; the probe/join shape is identical. Norms are
+  * precomputed per row, never per pair.
   */
 object Ann {
 
-  private def toD(c: Column): Column = c.cast("array<double>")
+  /** Codegen'd sequential-fold dot product (registers `graft_dot`). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Sequential-fold dot product of two equal-length arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Reference fold-based dot (interpreted; kept for equivalence tests). */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(toD(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  private def withRegistry(df: DataFrame): DataFrame = {
+    ArrayDotProduct.register(df.sparkSession)
+    df
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`.
-    * The single query row is broadcast; no shuffle of the corpus. */
-  def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+    * The single query row (with precomputed norm) is broadcast; the corpus
+    * is scanned once with one dot + one cached norm per row — no shuffle. */
+  def knnBruteForce(emb0: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    val emb = withRegistry(emb0)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"))
+      .select(col(vecCol).as("__qvec"), norm(col(vecCol)).as("__qnorm"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("score"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / norm(col(vecCol)) / col("__qnorm"))
+          .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -50,7 +67,7 @@ object Ann {
 
   /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0). */
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
-    val v = toD(vec)
+    val v = vec.cast("array<double>")
     val bits = (0 until planes).map { p =>
       val dotP = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -65,25 +82,33 @@ object Ann {
     * bucket, probe only the query's bucket, brute-force inside it. Recall
     * is traded for a ~2^planes reduction in scanned vectors; callers can
     * lower `planes` to widen the probe. */
-  def knnLshBucketed(emb: DataFrame, idCol: String, vecCol: String,
+  def knnLshBucketed(emb0: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, planes: Int): DataFrame = {
+    val emb = withRegistry(emb0)
     val bucketed = emb.withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), col("__bucket"))
+      .select(col(vecCol).as("__qvec"), norm(col(vecCol)).as("__qnorm"),
+        col("__bucket"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("__bucket"))
-      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("score"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("__qvec")) / norm(col(vecCol)) / col("__qnorm"))
+          .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
   /** All pairs with cosine ≥ `minCosine` (embedding near-duplicate
-    * detection). Exact quadratic baseline; the LSH bucket join bounds the
-    * pair space at scale (pairs only form inside a bucket). */
-  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+    * detection). Per-row norms are computed once on each side of the join;
+    * each pair costs exactly one codegen'd dot. `exact=false` bounds the
+    * pair space with LSH buckets (pairs only form inside a bucket). */
+  def cosineNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, exact: Boolean = true, planes: Int = 8): DataFrame = {
-    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val emb = withRegistry(emb0)
+    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
     val pairs =
       if (exact) a.crossJoin(b)
       else {
@@ -92,7 +117,8 @@ object Ann {
         ba.join(bb, Seq("__bucket"))
       }
     pairs.filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("score"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / col("n1") / col("n2")).as("score"))
       .filter(col("score") >= minCosine)
       .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
   }

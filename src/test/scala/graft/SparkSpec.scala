@@ -16,6 +16,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.privacy.Privacy.register(s)
+    graft.functions.ArrayDotProduct.register(s)
     s
   }
 }

@@ -48,6 +48,24 @@ class AnnSpec extends SparkSpec {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("codegen'd graft_dot is bit-identical to the interpreted fold") {
+    graft.functions.ArrayDotProduct.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.crossJoin(
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      .select(Ann.dot(col("embedding"), col("q")).as("fast"),
+        Ann.dotFold(col("embedding"), col("q")).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_dot rejects mismatched element types at analysis time") {
+    graft.functions.ArrayDotProduct.register(spark)
+    val df = Seq((Array(1.0f), Array(1.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Ann.dot(col("a"), col("b"))).collect()
+    }
+  }
+
   test("hyperplane bucket is deterministic and stable across evaluations") {
     val b1 = vecs.select(Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
       .as[Long].collect().toSeq
