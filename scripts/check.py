@@ -18,8 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    if v is None:
+        return "∅"
     if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+        return "∅"  # pandas renders SQL NULL in numeric cols as NaN
     return v
 
 
@@ -52,8 +54,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)])
-        w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)])
+        g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
+                   key=repr)
+        w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)],
+                   key=repr)
         if g == w:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1

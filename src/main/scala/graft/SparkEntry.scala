@@ -23,7 +23,8 @@ object SparkEntry {
       EventQueries.all ++
       TextQueries.all ++
       EmbeddingQueries.all ++
-      ClinicalQueries.all
+      ClinicalQueries.all ++
+      SinkSqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import Q.{dsum, sqlDsum}
+
+/** Remaining SURVEY §2.1 sink/source surface (S1/S7 CSV roundtrip, S11
+  * JSON sink, S8 SQL-over-views) plus window extensions (rank/lag —
+  * "available via Window if needed", SURVEY §2.5).
+  *
+  * Roundtrip queries write to a per-query temp dir then read back, so the
+  * sink format itself is under the oracle gate (the oracle computes the
+  * same result straight from parquet — a format-fidelity check).
+  */
+object SinkSqlQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink/$name"
+
+  val all: Seq[Q] = Seq(
+
+    // S1 + S7: CSV sink then CSV scan with explicit schema.
+    Q("s1_csv_roundtrip",
+      (s, d) => {
+        val out = tmp("s1_csv")
+        Tables.region(s, d)
+          .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read
+          .schema(StructType(Seq(StructField("r_regionkey", LongType),
+            StructField("r_name", StringType))))
+          .option("header", "true").csv(out)
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+              FROM region ORDER BY r_regionkey""")),
+
+    // S11: JSON sink/scan roundtrip of an aggregate.
+    Q("s11_json_roundtrip",
+      (s, d) => {
+        val out = tmp("s11_json")
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema(StructType(Seq(StructField("o_orderstatus", StringType),
+            StructField("n", LongType), StructField("total", DoubleType))))
+          .json(out)
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // S8: the SQL entry point over registered views (CTAS-shaped select).
+    Q("s8_sql_over_views",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql(s"""SELECT c_mktsegment, COUNT(*) AS n,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           AS total
+                  FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // W-extension: rank + lag with deterministic tie-breaks.
+    Q("w4_rank_lag",
+      (s, d) => {
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byDate = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(byPrice).cast("long").as("price_rank"),
+          datediff(col("o_orderdate").cast("date"),
+            lag(col("o_orderdate"), 1).over(byDate).cast("date"))
+            .cast("long").as("days_since_prev"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(RANK() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey)
+                          AS BIGINT) AS price_rank,
+                     CAST(date_diff('day',
+                            CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+              FROM orders ORDER BY o_custkey, o_orderkey"""))
+  )
+}
