@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, MinHashLSH}
+import org.apache.spark.ml.linalg.SparseVector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** MinHash dedup on the MLlib standard path (SURVEY §7.1 step 9:
+  * `MinHashLSH.approx_similarity_join`): shingle → CountVectorizer(binary)
+  * → MinHashLSH → approxSimilarityJoin on Jaccard distance.
+  *
+  * Complements [[Dedup.minhashLshPairs]] (the engine-portable md5-based
+  * variant that the DuckDB oracle can replicate): this one rides MLlib's
+  * implementation — use it when interoperating with MLlib pipelines; use
+  * the portable one when results must be reproducible outside Spark.
+  */
+object MlLshDedup {
+
+  /** Candidate near-dup pairs with Jaccard distance ≤ `maxDistance`. */
+  def approxJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashTables: Int, maxDistance: Double,
+      seed: Long = 42L): DataFrame = {
+    val shingled = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("shingles",
+        expr(s"transform(sequence(0, greatest(size(toks) - $n, 0)), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+      .filter(size(col("toks")) >= n)
+    val cv = new CountVectorizer()
+      .setInputCol("shingles").setOutputCol("features").setBinary(true)
+    val model: CountVectorizerModel = cv.fit(shingled)
+    val vectorized = model.transform(shingled)
+      // MinHashLSH requires ≥1 non-zero entry
+      .filter(udfNonEmpty(col("features")))
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val lshModel = lsh.fit(vectorized)
+    lshModel
+      .approxSimilarityJoin(vectorized, vectorized, maxDistance, "jaccard_dist")
+      .select(col(s"datasetA.$idCol").as("id1"),
+        col(s"datasetB.$idCol").as("id2"),
+        col("jaccard_dist"))
+      .filter(col("id1") < col("id2"))
+  }
+
+  private val udfNonEmpty =
+    org.apache.spark.sql.functions.udf((v: SparseVector) => v.numNonzeros > 0)
+}

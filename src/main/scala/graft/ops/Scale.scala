@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the 100 TB deployment shape (SURVEY §4.1): salted
+  * aggregation/joins for skewed keys and bucketed-table layout for
+  * shuffle-free spine joins. These complement AQE (enabled in the session
+  * config): AQE handles *discovered* skew at runtime; salting is for keys
+  * known to be pathological (the canonical example: one mega-study or one
+  * power-user in the events table).
+  */
+object Scale {
+
+  /** Two-stage salted aggregation: groupBy (key, salt) partially, then
+    * groupBy key to merge. Breaks a hot key across `salts` reducers.
+    * `aggs` must be algebraic (sum/count/min/max) — they merge by the same
+    * function at the second stage.
+    */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+      salts: Int): DataFrame = {
+    val salted = df.select(key.as("k"),
+      (pmod(xxhash64(monotonically_increasing_id()), lit(salts))).as("salt"),
+      value.as("v"))
+    salted.groupBy("k", "salt")
+      .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_cnt"))
+      .groupBy("k")
+      .agg(sum(col("partial_sum")).as("sum_v"), sum(col("partial_cnt")).as("cnt"))
+  }
+
+  /** Salted skew join: the skewed (large) side gets a random salt in
+    * [0, salts); the small side is exploded `salts`× so every salted key
+    * finds its match. Output equals the plain inner join on `key`.
+    * Use when one key dominates and broadcast is impossible (both sides
+    * large) — AQE's skew-join split is the first resort, this is the
+    * explicit fallback. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedBig = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val explodedSmall = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(explodedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a table bucketed+sorted on the join key. Two tables bucketed
+    * the same way join with zero shuffle (SortMergeJoin reads co-located
+    * buckets) — the layout the 100 TB spine join wants. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Repartition by key then sort within partitions before writing —
+    * gives parquet min/max row-group skipping on `sortCol` (the poor
+    * man's index, SURVEY §4.1 "indexes" row). */
+  def writeSortedLayout(df: DataFrame, path: String, partitionKey: String,
+      sortCol: String): Unit =
+    df.repartition(col(partitionKey))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+}
