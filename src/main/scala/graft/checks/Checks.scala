@@ -98,6 +98,29 @@ object Checks {
       .select(col("n_rows"),
         (col("n_rows") >= lo && col("n_rows") <= hi).as("in_bounds"))
 
+  /** V9 — proportion threshold (dbt_utils `not_null_proportion` shape,
+    * reference `analytics/dbt/models/schema.yml`): fraction of rows
+    * satisfying `predicate` must be ≥ `minProportion`. Returns one row
+    * (n_rows, n_satisfied, proportion, passed). */
+  def proportionAtLeast(df: DataFrame, predicate: Column,
+      minProportion: Double): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(when(predicate, 1L).otherwise(0L)).as("n_satisfied"))
+      .select(col("n_rows"), col("n_satisfied"),
+        (col("n_satisfied").cast("double") / col("n_rows").cast("double"))
+          .as("proportion"),
+        (col("n_satisfied").cast("double") / col("n_rows").cast("double")
+          >= minProportion).as("passed"))
+
+  /** V9 — recency (dbt_utils `recency`): max(tsCol) within `maxAgeDays`
+    * of the injected anchor. */
+  def recency(df: DataFrame, tsCol: String, anchor: Column,
+      maxAgeDays: Int): DataFrame =
+    df.agg(max(col(tsCol)).as("latest"))
+      .select(col("latest"),
+        (datediff(anchor.cast("date"), col("latest").cast("date")) <= maxAgeDays)
+          .as("passed"))
+
   /** V10 — freshness lag in minutes against a reference instant
     * (reference `src/common/freshness.py:33-57`; the anchor is injected so
     * runs are deterministic, SURVEY §7.3 risk #2). */

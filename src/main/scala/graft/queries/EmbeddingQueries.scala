@@ -53,10 +53,13 @@ object EmbeddingQueries {
               GROUP BY 1, 2 ORDER BY label, dim""")),
 
     Q("emb3_lsh_bucket_histogram",
-      (s, d) => Tables.embeddings(s, d)
-        .select(Ann.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket"),
+      (s, d) => {
+        graft.functions.ArrayDotProduct.register(s)
+        Tables.embeddings(s, d)
+          .select(Ann.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
       Some {
         val bits = (0 until 8).map { p =>
           s"""CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),

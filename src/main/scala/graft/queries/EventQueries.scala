@@ -86,6 +86,70 @@ object EventQueries {
                        AS lag_minutes
               FROM events""")),
 
+    // Day-over-day retention: users active on day d AND d+1 (self-join on
+    // a derived key — the J-family shape the star schema lacks).
+    Q("e6_retention",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val next = daily.select(col("user_id"),
+          date_sub(col("day"), 1).as("day"))
+        daily.join(next, Seq("user_id", "day"))
+          .groupBy("day").agg(count(lit(1)).as("retained_users"))
+          .orderBy("day")
+      },
+      Some("""SELECT a.day, COUNT(*) AS retained_users
+              FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) a
+              JOIN (SELECT DISTINCT user_id, CAST(ts AS DATE) - 1 AS day
+                    FROM events) b
+                ON a.user_id = b.user_id AND a.day = b.day
+              GROUP BY a.day ORDER BY a.day""")),
+
+    // Top spenders with their purchase share of the whole (A + W over agg).
+    Q("e7_top_spenders",
+      (s, d) => {
+        val spend = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(dsum(col("value"), 6).as("spend"), count(lit(1)).as("n_purchases"))
+        val total = spend.agg(sum(col("spend")).as("total"))
+        spend.crossJoin(total)
+          .select(col("user_id"), col("spend"), col("n_purchases"),
+            round(col("spend") / col("total"), 6).as("share"))
+          .orderBy(col("spend").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(s"""WITH spend AS (SELECT user_id, ${sqlDsum("value", 6)} AS spend,
+                                     COUNT(*) AS n_purchases
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY user_id)
+               SELECT user_id, spend, n_purchases,
+                      ROUND(spend / (SELECT SUM(spend) FROM spend), 6) AS share
+               FROM spend ORDER BY spend DESC, user_id LIMIT 20""")),
+
+    // V9: proportion + recency thresholds through the checks engine.
+    Q("v9_proportion_recency",
+      (s, d) => {
+        val prop = graft.checks.Checks.proportionAtLeast(
+          Tables.events(s, d), col("value") >= 0, 0.95)
+        val rec = graft.checks.Checks.recency(
+          Tables.events(s, d), "ts",
+          to_timestamp(lit("2024-02-15 00:00:00"), "yyyy-MM-dd HH:mm:ss"), 30)
+          .select(col("passed").as("recency_passed"))
+        prop.crossJoin(rec)
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+                     SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS n_satisfied,
+                     CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS proportion,
+                     CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) >= 0.95 AS passed,
+                     (SELECT date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
+                                       DATE '2024-02-15') <= 30
+                      FROM events) AS recency_passed
+              FROM events""")),
+
     // Event funnel: users reaching each stage (signup → view → purchase).
     Q("e5_funnel",
       (s, d) => {

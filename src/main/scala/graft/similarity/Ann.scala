@@ -63,17 +63,18 @@ object Ann {
     * dimension d is ((p*131 + d*37) mod 7) − 3 ∈ [−3, 3]. Integer weights
     * make the float·int products exact in double, so the sign of the dot
     * product — hence the bucket — is engine-portable. */
-  def planeWeight(p: Int, d: Column): Column = (lit(p * 131) + d * 37) % 7 - 3
+  def planeWeight(p: Int, d: Int): Double = ((p * 131 + d * 37) % 7 - 3).toDouble
 
-  /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0). */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0).
+    * Each plane is a literal weight array dotted via the codegen'd
+    * `graft_dot` (the fold formulation ran interpreted). `maxDims` must be
+    * ≥ the vector length (extra weights are ignored by the min-length
+    * dot). */
+  def hyperplaneBucket(vec: Column, planes: Int, maxDims: Int = 64): Column = {
     val v = vec.cast("array<double>")
     val bits = (0 until planes).map { p =>
-      val dotP = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeWeight(p, d).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      val weights = typedlit((0 until maxDims).map(d => planeWeight(p, d)))
+      when(dot(v, weights) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }

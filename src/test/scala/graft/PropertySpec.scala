@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.checks._
+import graft.privacy.{HmacUtil, Privacy}
+
+/** ScalaCheck property tests for the check algebra, coercion and privacy
+  * primitives (SURVEY §5 implication (e)). DataFrame-level properties run
+  * on a handful of generated samples (Spark jobs are not free); pure
+  * primitives get full generator coverage.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (scalacheck Gen without the
+    * scalatestplus bridge — not present in the offline ivy cache). */
+  private def samples[A](g: Gen[A], n: Int = 8): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(20)
+    (0 until n).flatMap(i =>
+      g.apply(params, org.scalacheck.rng.Seed(42L + i)))
+  }
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(g1).zip(samples(g2)).foreach { case (a, b) => f(a, b) }
+
+  private val asciiStr = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  test("property: HMAC tokenize/detokenize round-trips any ASCII string") {
+    forAll(asciiStr, Gen.alphaNumStr.suchThat(_.nonEmpty)) { (v, key) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      val tok = HmacUtil.tokenize(key, u)
+      assert(HmacUtil.detokenize(key, tok) == u)
+      // wrong key never verifies (unless keys equal)
+      assert(HmacUtil.detokenize(key + "x", tok) == null)
+    }
+  }
+
+  test("property: redaction is idempotent") {
+    forAll(Gen.listOfN(6, asciiStr)) { texts =>
+      val df = (texts :+ "ssn 123-45-6789 mail a@b.co").toDF("t")
+      val once = df.select(Privacy.redactText(col("t")).as("r"))
+      val twice = once.select(Privacy.redactText(col("r")).as("r"))
+      assert(once.exceptAll(twice).count() == 0)
+    }
+  }
+
+  test("property: check violation counts equal a driver-side reference count") {
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.option(Gen.oneOf("M", "F", "U", "X", "zz")),
+      Gen.option(Gen.choose(-50.0, 250.0))))
+    forAll(rowGen) { rows =>
+      val df = rows.map { case (s, a) => (s.orNull, a) }.toDF("sex", "age")
+      val got = Checks.evaluate(df, Seq(
+        NotNull("sex"), InSet("sex", Seq("M", "F", "U")),
+        InRange("age", 0, 150))).collect()(0)
+      val expNull = rows.count(_._1.isEmpty)
+      val expSet = rows.count(r => r._1.exists(v => !Seq("M", "F", "U").contains(v)))
+      val expRange = rows.count(_._2.exists(v => v < 0 || v > 150))
+      assert(got.getAs[Long]("sex_null") == expNull)
+      assert(got.getAs[Long]("sex_not_in_set") == expSet)
+      assert(got.getAs[Long]("age_out_of_range") == expRange)
+    }
+  }
+
+  test("property: proportion check consistent with its own counts") {
+    forAll(Gen.listOfN(30, Gen.choose(0, 100))) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("x")
+        val r = Checks.proportionAtLeast(df, col("x") >= 50, 0.5).collect()(0)
+        assert(r.getAs[Long]("n_rows") == xs.size)
+        assert(r.getAs[Long]("n_satisfied") == xs.count(_ >= 50))
+        assert(r.getAs[Boolean]("passed") ==
+          (xs.count(_ >= 50).toDouble / xs.size >= 0.5))
+      }
+    }
+  }
+
+  test("property: hash60 stays in [0, 2^60) and is deterministic") {
+    forAll(Gen.listOfN(20, asciiStr)) { xs =>
+      val df = xs.toDF("s")
+      val h = df.select(graft.text.TextFunctions.hash60(col("s"), 7).as("h"))
+        .as[Long].collect()
+      assert(h.forall(v => v >= 0 && v < (1L << 60)))
+      val h2 = df.select(graft.text.TextFunctions.hash60(col("s"), 7).as("h"))
+        .as[Long].collect()
+      assert(h.toSeq == h2.toSeq)
+    }
+  }
+
+  test("property: try_cast numeric coercion nulls exactly the unparseable") {
+    forAll(Gen.listOfN(25, Gen.oneOf(
+      Gen.choose(-1e6, 1e6).map(_.toString),
+      Gen.alphaStr))) { xs =>
+      val df = xs.toDF("s").select(expr("try_cast(s AS DOUBLE)").as("d"), col("s"))
+      val bad = df.filter(col("d").isNull).select("s").as[String].collect()
+      bad.foreach(s => assert(s.toDoubleOption.isEmpty ||
+        s.trim != s || s.isEmpty))
+    }
+  }
+}
