@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.all ++
       EmbeddingQueries.all ++
       ClinicalQueries.all ++
-      SinkSqlQueries.all
+      SinkSqlQueries.all ++
+      PrivacyMiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

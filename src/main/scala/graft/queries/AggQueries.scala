@@ -40,8 +40,8 @@ object AggQueries {
           count(lit(1)).as("n_total"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
-                     SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large,
-                     SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+                     CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+                     CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                      COUNT(*) AS n_total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 

@@ -274,23 +274,22 @@ object ClinicalQueries {
                CASE WHEN ex.total_exposures > 0 THEN 1 ELSE 0 END AS has_exposure_data
         FROM ($sqlStgDm) d
         LEFT JOIN (SELECT subjid, COUNT(*) AS total_aes,
-                          SUM(CASE WHEN is_serious THEN 1 ELSE 0 END) AS serious_aes,
-                          SUM(CASE WHEN severity = 'SEVERE' THEN 1 ELSE 0 END) AS severe_aes,
-                          SUM(CASE WHEN is_ongoing THEN 1 ELSE 0 END) AS ongoing_aes,
+                          CAST(SUM(CASE WHEN is_serious THEN 1 ELSE 0 END) AS BIGINT) AS serious_aes,
+                          CAST(SUM(CASE WHEN severity = 'SEVERE' THEN 1 ELSE 0 END) AS BIGINT) AS severe_aes,
+                          CAST(SUM(CASE WHEN is_ongoing THEN 1 ELSE 0 END) AS BIGINT) AS ongoing_aes,
                           MAX(severity_rank) AS max_severity_rank,
                           COUNT(DISTINCT CASE WHEN is_serious THEN subjid END)
                             AS has_serious_ae
                    FROM ($sqlStgAe) GROUP BY subjid) ae ON d.subjid = ae.subjid
         LEFT JOIN (SELECT subjid, COUNT(*) AS total_lab_tests,
                           COUNT(DISTINCT test_code) AS unique_lab_tests,
-                          SUM(CASE WHEN result_flag = 'ABNORMAL' THEN 1 ELSE 0 END)
-                            AS abnormal_lab_results,
+                          CAST(SUM(CASE WHEN result_flag = 'ABNORMAL' THEN 1 ELSE 0 END) AS BIGINT) AS abnormal_lab_results,
                           COUNT(DISTINCT test_category) AS lab_categories_tested
                    FROM ($sqlStgLb) GROUP BY subjid) lb ON d.subjid = lb.subjid
         LEFT JOIN (SELECT subjid, COUNT(*) AS total_vital_measurements,
                           COUNT(DISTINCT test_code) AS unique_vital_tests,
-                          SUM(CASE WHEN clinical_flag NOT IN ('NORMAL','N/A')
-                                   THEN 1 ELSE 0 END) AS abnormal_vitals
+                          CAST(SUM(CASE WHEN clinical_flag NOT IN ('NORMAL','N/A')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS abnormal_vitals
                    FROM ($sqlStgVs) GROUP BY subjid) vs ON d.subjid = vs.subjid
         LEFT JOIN (SELECT subjid, COUNT(*) AS total_exposures,
                           MAX(treatment_duration_days) AS max_treatment_duration,

@@ -24,21 +24,21 @@ object DqQueries {
         CrossColumn("purchase_value_positive",
           !(col("event_type") === "purchase") || col("value") > 0))),
       Some("""SELECT
-                SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_null,
-                SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_null,
-                SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_null,
+                CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_null,
+                CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
                          ('click','view','purchase','signup','error')
-                         THEN 1 ELSE 0 END) AS event_type_not_in_set,
-                SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
-                         THEN 1 ELSE 0 END) AS value_out_of_range,
-                SUM(CASE WHEN event_type IS NOT NULL AND length(event_type) > 16
-                         THEN 1 ELSE 0 END) AS event_type_too_long,
-                SUM(CASE WHEN event_type IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS event_type_not_in_set,
+                CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range,
+                CAST(SUM(CASE WHEN event_type IS NOT NULL AND length(event_type) > 16
+                         THEN 1 ELSE 0 END) AS BIGINT) AS event_type_too_long,
+                CAST(SUM(CASE WHEN event_type IS NOT NULL
                           AND NOT regexp_matches(event_type, '^[a-z_]+$')
-                         THEN 1 ELSE 0 END) AS event_type_bad_format,
-                SUM(CASE WHEN (NOT (event_type = 'purchase') OR value > 0) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS event_type_bad_format,
+                CAST(SUM(CASE WHEN (NOT (event_type = 'purchase') OR value > 0) IS NOT NULL
                           AND NOT (NOT (event_type = 'purchase') OR value > 0)
-                         THEN 1 ELSE 0 END) AS purchase_value_positive
+                         THEN 1 ELSE 0 END) AS BIGINT) AS purchase_value_positive
               FROM events""")),
 
     // V1/V4/V6 red-green pair on lineitem (violations intentionally > 0).
@@ -48,14 +48,14 @@ object DqQueries {
         InRange("l_quantity", 1.0, 50.0),
         CrossColumn("price_at_least_qty", col("l_extendedprice") >= col("l_quantity")))),
       Some("""SELECT
-                SUM(CASE WHEN l_discount IS NOT NULL
+                CAST(SUM(CASE WHEN l_discount IS NOT NULL
                           AND (l_discount < 0.0 OR l_discount > 0.05)
-                         THEN 1 ELSE 0 END) AS l_discount_out_of_range,
-                SUM(CASE WHEN l_quantity IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_out_of_range,
+                CAST(SUM(CASE WHEN l_quantity IS NOT NULL
                           AND (l_quantity < 1.0 OR l_quantity > 50.0)
-                         THEN 1 ELSE 0 END) AS l_quantity_out_of_range,
-                SUM(CASE WHEN NOT (l_extendedprice >= l_quantity)
-                         THEN 1 ELSE 0 END) AS price_at_least_qty
+                         THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_out_of_range,
+                CAST(SUM(CASE WHEN NOT (l_extendedprice >= l_quantity)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS price_at_least_qty
               FROM lineitem""")),
 
     // V2: duplicate-key counters (PK uniqueness).

@@ -48,7 +48,8 @@ object EventQueries {
           .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      Some("""SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                     COUNT(*) AS n_events
               FROM (SELECT user_id,
                            CASE WHEN prev_ts IS NULL
                                  OR epoch(CAST(ts AS TIMESTAMP))
@@ -70,8 +71,7 @@ object EventQueries {
             .as("purchase_value"))
         .orderBy("user_id", "day"),
       Some(s"""SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                        AS n_purchases,
+                      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
                       ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 6)}
                         AS purchase_value
                FROM events GROUP BY 1, 2 ORDER BY user_id, day""")),
@@ -140,7 +140,7 @@ object EventQueries {
         prop.crossJoin(rec)
       },
       Some("""SELECT COUNT(*) AS n_rows,
-                     SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS n_satisfied,
+                     CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
                      CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS proportion,
                      CAST(SUM(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -165,10 +165,10 @@ object EventQueries {
           sum(when(col("did_view") === 1 && col("did_purchase") === 1, 1L).otherwise(0L))
             .as("n_view_and_purchase"))
       },
-      Some("""SELECT SUM(did_signup) AS n_signup, SUM(did_view) AS n_view,
-                     SUM(did_purchase) AS n_purchase,
-                     SUM(CASE WHEN did_view = 1 AND did_purchase = 1 THEN 1 ELSE 0 END)
-                       AS n_view_and_purchase
+      Some("""SELECT CAST(SUM(did_signup) AS BIGINT) AS n_signup,
+                     CAST(SUM(did_view) AS BIGINT) AS n_view,
+                     CAST(SUM(did_purchase) AS BIGINT) AS n_purchase,
+                     CAST(SUM(CASE WHEN did_view = 1 AND did_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_and_purchase
               FROM (SELECT user_id,
                            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
                            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,

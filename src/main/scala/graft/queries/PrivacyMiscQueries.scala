@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.privacy.Privacy
+
+/** Privacy (F11/F12) + multimodal metadata + native session-window
+  * operators under the oracle gate.
+  */
+object PrivacyMiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // F12: ordered multi-pattern PHI redaction. PHI is synthesized from
+    // row keys so the fold has real matches; the oracle replays the same
+    // pattern order with DuckDB's RE2.
+    Q("f12_phi_redaction",
+      (s, d) => {
+        val synth = Tables.customer(s, d).select(col("c_custkey"),
+          concat(lit("patient = P"), col("c_custkey"),
+            lit(", ssn 123-45-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+            lit(" mail u"), col("c_custkey"), lit("@example.org visit 2024-01-01 ok"))
+            .as("note"))
+        synth.select(col("c_custkey"),
+          Privacy.redactText(col("note")).as("redacted"),
+          ((length(Privacy.redactText(col("note")))
+            - length(regexp_replace(Privacy.redactText(col("note")),
+              "\\[REDACTED\\]", ""))) / lit(10)).cast("long").as("n_redactions"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val patterns = Seq(
+          "\\d{3}-\\d{2}-\\d{4}\\b" -> "\\b",
+          "\\d{9}\\b" -> "\\b",
+          "(?:\\+?1[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]\\d{3}[-.\\s]\\d{4}\\b" -> "\\b",
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b" -> "\\b",
+          "\\d{4}-\\d{2}-\\d{2}\\b" -> "\\b",
+          "\\d{1,2}/\\d{1,2}/\\d{2,4}\\b" -> "\\b",
+          "(?i)(name|patient|first_name|last_name)\\s*=\\s*[^,;]+" -> "")
+        val folded = patterns.foldLeft("note") { case (inner, (p, b)) =>
+          s"regexp_replace($inner, '$b$p', '[REDACTED]', 'g')"
+        }
+        s"""SELECT c_custkey, $folded AS redacted,
+                   CAST((length($folded)
+                         - length(regexp_replace($folded, '\\[REDACTED\\]', '', 'g')))
+                        / 10 AS BIGINT) AS n_redactions
+            FROM (SELECT c_custkey,
+                         'patient = P' || c_custkey || ', ssn 123-45-'
+                         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                         || ' mail u' || c_custkey
+                         || '@example.org visit 2024-01-01 ok' AS note
+                  FROM customer)
+            ORDER BY c_custkey"""
+      }),
+
+    // Native session_window operator (batch twin of the streaming agg;
+    // oracle derives the same sessions via gap-islands window SQL).
+    Q("e8_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH marked AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                       CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                             OR epoch(CAST(ts AS TIMESTAMP))
+                                - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              islands AS (
+                SELECT user_id, t,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+                FROM marked)
+              SELECT user_id,
+                     strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     COUNT(*) AS n_events
+              FROM islands GROUP BY user_id, session_id
+              ORDER BY user_id, session_start""")),
+
+    // Multimodal: binary payload metadata via pure column expressions.
+    Q("mm1_binary_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("payload_bytes"),
+          ascii(col("text")).cast("long").as("first_byte"),
+          sha2(col("text").cast("binary"), 256).as("payload_sha"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     octet_length(CAST(text AS BLOB)) AS payload_bytes,
+                     CAST(ascii(text) AS BIGINT) AS first_byte,
+                     sha256(text) AS payload_sha
+              FROM documents ORDER BY doc_id""")),
+
+    // A6 companion: the approximate sketch itself (reference uses
+    // approx_quantile). Sketches differ across engines by design → no
+    // SQL oracle; the rows-only gate checks it runs and is deterministic.
+    Q("a6b_approx_quantile",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(percentile_approx(col("c_acctbal"), lit(0.5), lit(10000))
+          .as("approx_median_bal"))
+        .orderBy("c_mktsegment"),
+      None)
+  )
+}

@@ -172,11 +172,11 @@ object ScalarQueries {
           sum(when(col("c_mktsegment") === upper(col("c_mktsegment")), 0L).otherwise(1L))
             .as("not_uppercase"),
           sum(when(length(col("c_name")) <= 25, 0L).otherwise(1L)).as("too_long")),
-      Some("""SELECT SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
-                              THEN 0 ELSE 1 END) AS bad_name_format,
-                     SUM(CASE WHEN c_mktsegment = upper(c_mktsegment)
-                              THEN 0 ELSE 1 END) AS not_uppercase,
-                     SUM(CASE WHEN length(c_name) <= 25 THEN 0 ELSE 1 END) AS too_long
+      Some("""SELECT CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS bad_name_format,
+                     CAST(SUM(CASE WHEN c_mktsegment = upper(c_mktsegment)
+                              THEN 0 ELSE 1 END) AS BIGINT) AS not_uppercase,
+                     CAST(SUM(CASE WHEN length(c_name) <= 25 THEN 0 ELSE 1 END) AS BIGINT) AS too_long
               FROM customer""")),
 
     // F14: logistic risk score (api/main.py:174-192 shape); exp() may differ

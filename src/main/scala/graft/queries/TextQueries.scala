@@ -132,7 +132,7 @@ object TextQueries {
       },
       Some("""SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
                      COUNT(*) AS n_distinct,
-                     SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+                     CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                      CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable
               FROM (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
                       AS digest, COUNT(*) AS n_docs
@@ -208,12 +208,11 @@ object TextQueries {
                                        AS h
                               FROM tok),
                    votes AS (SELECT doc_id, b,
-                                    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                                    CAST(SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
                              FROM hashed CROSS JOIN range(0, 60) t(b)
                              GROUP BY doc_id, b)
               SELECT doc_id,
-                     CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                          AS BIGINT) AS simhash
+                     CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -104,9 +104,9 @@ object WindowSortQueries {
             .otherwise(9L))
         .orderBy("prio_rank", "o_orderpriority"),
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
-                     CASE o_orderpriority
+                     CAST(CASE o_orderpriority
                        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
-                       WHEN '3-MEDIUM' THEN 3 ELSE 9 END AS prio_rank
+                       WHEN '3-MEDIUM' THEN 3 ELSE 9 END AS BIGINT) AS prio_rank
               FROM orders GROUP BY o_orderpriority
               ORDER BY prio_rank, o_orderpriority""")),
 

@@ -121,7 +121,8 @@ object Star {
             col("total_vital_measurements").cast("double"), 3)).otherwise(0.0)
           .as("abnormal_vital_rate"),
         coalesce(col("total_exposures"), lit(0L)).as("total_exposures"),
-        coalesce(col("max_treatment_duration"), lit(0)).as("max_treatment_duration"),
+        coalesce(col("max_treatment_duration"), lit(0)).cast("long")
+          .as("max_treatment_duration"),
         coalesce(col("ongoing_treatments"), lit(0L)).as("ongoing_treatments"),
         coalesce(when(length(col("treatment_categories")) > 0,
           col("treatment_categories")), lit("NONE")).as("treatment_categories"),
