@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-regression tests locking in the physical-plan properties PERF.md
+  * documents (SURVEY §4): pushdown, pruning, broadcast star joins,
+  * map-side partial aggregation, top-k without global sort. These catch
+  * silent plan regressions (a lost broadcast hint, a filter that stopped
+  * pushing) that row-level correctness tests cannot see.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    df.queryExecution.toString
+  }
+
+  test("p4: equality filters are pushed to the parquet scan") {
+    val plan = planString("p4_filter_eq")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_linestatus), " +
+      "EqualTo(l_returnflag,R), EqualTo(l_linestatus,F)]"),
+      s"filters not pushed:\n$plan")
+  }
+
+  test("p4: scan schema is pruned to referenced columns") {
+    val plan = planString("p4_filter_eq")
+    assert(!plan.contains("l_extendedprice"), "unreferenced column read")
+    assert(plan.contains("TakeOrderedAndProject"), "sort+limit not fused to top-k")
+  }
+
+  test("j1: all four dimension joins broadcast; fact side never shuffles pre-agg") {
+    val plan = planString("j1_star_join_broadcast")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 4, s"expected 4 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("a1: aggregation is two-phase with map-side partial") {
+    val plan = planString("a1_group_count")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
+  test("o2: top-k by aggregate uses TakeOrderedAndProject, not global sort") {
+    val plan = planString("o2_sort_by_aggregate")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
+
+  test("emb4: dot product runs as the codegen'd graft_dot, not a lambda fold") {
+    val plan = planString("emb4_cosine_neardup_pairs")
+    assert(plan.contains("graft_dot"), s"graft_dot missing from plan:\n$plan")
+    assert(!plan.contains("aggregate(zip_with"), "interpreted fold in hot path")
+  }
+
+  test("checks suite evaluates as a single aggregation (no joins, one scan)") {
+    val df = SparkEntry.queries("v1_check_suite_events")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"check suite should be join-free:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"check suite should scan once, got $scans")
+  }
+}
