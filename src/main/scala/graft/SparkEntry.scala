@@ -25,7 +25,8 @@ object SparkEntry {
       EmbeddingQueries.all ++
       ClinicalQueries.all ++
       SinkSqlQueries.all ++
-      PrivacyMiscQueries.all
+      PrivacyMiscQueries.all ++
+      TimeJoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

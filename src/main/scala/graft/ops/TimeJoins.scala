@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins the reference (and stock Spark SQL) lacks: backward
+  * as-of join and bounded time-range join (SURVEY §2.3 lists both as "not
+  * present" — these extend the engine beyond parity).
+  *
+  * Both follow the preference order in SURVEY §2.11: composed from
+  * built-in operators, no custom strategy needed —
+  *  - as-of join = union the two sides, one window pass per key
+  *    (`last(..., ignoreNulls)` over ts order) → exactly ONE shuffle+sort
+  *    on the key, the same cost as a sort-merge join, no per-row probe.
+  *  - range join = equi-join on a coarse time bucket (± one neighbor)
+  *    then an exact range filter → turns an O(n²) theta join into an
+  *    equi-shuffle whose fan-out is bounded by events-per-bucket.
+  */
+object TimeJoins {
+
+  /** Backward as-of join: for every left row, attach `valueCol` from the
+    * right row with the same `key` and the greatest `ts` ≤ the left ts
+    * (inclusive, DuckDB `ASOF JOIN` semantics). Left rows with no prior
+    * right row are dropped (inner semantics).
+    *
+    * Right-side ties on (key, ts): the row with the greatest `tieBreak`
+    * wins (pass a unique right-side id for determinism).
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String, tieBreak: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rts", lit(null).cast(right.schema(ts).dataType))
+    val r = right.select(col(key), col(ts), col(tieBreak))
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", right(valueCol))
+      .withColumn("__rts", right(ts))
+    val unioned = l.select((l.columns.filter(c => !c.startsWith("__"))
+      .map(col) ++ Seq(col("__side"), col("__rv"), col("__rts"))): _*)
+      .unionByName(r.select(col(key), col(ts), col("__side"), col("__rv"),
+        col("__rts"), col(tieBreak).as("__tb")), allowMissingColumns = true)
+    // right rows sort before left rows at equal ts (__side 0 < 1) so the
+    // match is inclusive; __tb orders right-side ties
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof_v", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__asof_v").isNotNull)
+      .drop("__side", "__rv", "__rts", "__tb")
+      .withColumnRenamed("__asof_v", s"asof_$valueCol")
+      .withColumnRenamed("__asof_ts", s"asof_$ts")
+  }
+
+  /** Bounded time-range self/two-table join: pairs (a, b) with the same
+    * `key` and b strictly after a, within `windowSecs` — all comparisons
+    * on floor-truncated epoch seconds (engine-portable; sub-second
+    * fractions are deliberately out of the contract). Implemented as an
+    * equi-join on the coarse bucket floor(sec / windowSecs) against bucket
+    * and bucket−1, then the exact range filter — an equi-shuffle whose
+    * fan-out is bounded by events-per-bucket, instead of an O(n²) theta
+    * join.
+    */
+  def rangeJoinBucketed(a: DataFrame, b: DataFrame, key: String, ts: String,
+      windowSecs: Long): DataFrame = {
+    val aa = a.select(col(key), col(ts).cast("long").as("a_sec"))
+      .withColumn("__b", floor(col("a_sec") / windowSecs))
+    val bb = b.select(col(key), col(ts).cast("long").as("b_sec"))
+      .withColumn("__b0", floor(col("b_sec") / windowSecs))
+      .withColumn("__b", explode(array(col("__b0"), col("__b0") - 1)))
+      .drop("__b0")
+    aa.join(bb, Seq(key, "__b"))
+      .filter(col("b_sec") > col("a_sec") &&
+        col("b_sec") - col("a_sec") <= windowSecs)
+      .drop("__b")
+      .distinct()
+  }
+}
