@@ -113,6 +113,31 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** The 100 TB dedup composition: LSH candidates first, exact Jaccard
+    * verification only on the candidate pairs — the full shingle
+    * self-join never materializes. Recall is bounded by the banding
+    * probability 1−(1−j^r)^b; precision is exact (every emitted pair
+    * carries its true Jaccard ≥ `minJaccard`). */
+  def lshThenExactPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val cands = minhashLshPairs(df, idCol, textCol, n, k, rowsPerBand,
+      minEstJaccard = 0.0).select("id1", "id2")
+    val sh = wordShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id1"), col("shingle"))
+    val b = sh.select(col(idCol).as("id2"), col("shingle"))
+    val inter = cands.join(a, "id1").join(b, Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit b is the sign of
     * Σ_tokens (bit b of hash60(token) ? +1 : −1). 60 bits (the width of
     * hash60) keeps the assembled value positive in a signed 64-bit integer

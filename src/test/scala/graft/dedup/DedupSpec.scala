@@ -59,4 +59,20 @@ class DedupSpec extends SparkSpec {
     // all values fit in 60 bits (engine-portable positive bigint)
     assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
   }
+
+  test("LSH-then-exact composition finds the planted near-dups with true jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("jaccard"))).toMap
+    val composed = Dedup.lshThenExactPairs(docs, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, minJaccard = 0.3)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("jaccard"))).toMap
+    // precision: every composed pair appears in exact with the same jaccard
+    composed.foreach { case (pair, j) =>
+      assert(exact.contains(pair) && math.abs(exact(pair) - j) < 1e-9)
+    }
+    // recall on the planted identical pair is guaranteed (est jaccard 1.0)
+    assert(composed.contains((1L, 2L)))
+  }
 }

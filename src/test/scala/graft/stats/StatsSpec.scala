@@ -38,4 +38,23 @@ class StatsSpec extends SparkSpec {
       assert(p >= 0.0 && p <= 1.0)
     }
   }
+
+  test("Welford single-pass moments match var_samp / avg across partitions") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .repartition(4)
+    val builtin = df.agg(avg("c_acctbal"), var_samp("c_acctbal"))
+      .collect()(0)
+    val ds = df.select(col("c_acctbal")).as[Double]
+    val m = ds.groupByKey(_ => 1).agg(Welford.moments).collect()(0)._2
+    assert(m.n == df.count())
+    assert(math.abs(m.mean - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(m.variance - builtin.getDouble(1)) < 1e-6)
+    // merge is order-insensitive up to fp noise
+    val a = Seq(1.0, 2.0, 3.0).foldLeft(Welford.zero)(Welford.update)
+    val b = Seq(10.0, 11.0).foldLeft(Welford.zero)(Welford.update)
+    val ab = Welford.merge(a, b)
+    val all = Seq(1.0, 2.0, 3.0, 10.0, 11.0).foldLeft(Welford.zero)(Welford.update)
+    assert(math.abs(ab.variance - all.variance) < 1e-12)
+  }
 }
