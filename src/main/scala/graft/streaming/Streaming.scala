@@ -77,6 +77,31 @@ object Streaming {
       }.toDF()
   }
 
+  /** Streaming exact dedup: drop duplicate `keyCols` within the watermark
+    * horizon (the streaming twin of `graft.dedup.Dedup.exactDedup` —
+    * state holds one entry per distinct key seen inside the watermark,
+    * so state size is bounded by arrival rate × horizon, not history). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Stream-stream inner join with bounded state: both sides watermarked,
+    * the time-range condition lets Spark evict state older than the
+    * horizon (views ↔ purchases attribution inside `windowSecs`). */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame,
+      keyCol: String, tsCol: String, windowSecs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col(keyCol).as("view_k"), col(tsCol).as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col(keyCol).as("purchase_k"), col(tsCol).as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p, expr(
+      s"""view_k = purchase_k AND purchase_ts >= view_ts AND
+          purchase_ts <= view_ts + interval $windowSecs seconds"""))
+  }
+
   /** Start a windowed-count query writing to an in-memory sink (used by
     * tests and local monitoring dashboards). */
   def startMemorySink(df: DataFrame, queryName: String,

@@ -77,4 +77,45 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dm_stream").count() == 2)
     } finally query.stop()
   }
+
+  test("streaming dedup drops exact duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = Streaming.dedupStream(input.toDF(), "ts",
+      Seq("user_id", "event_type"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L), // exact dup
+        Ev(ts("2024-01-01 10:00:00"), "view", 2.0, 1L))
+      query.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // same key again in a later batch, same ts → still deduped by state
+      input.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L))
+      query.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally query.stop()
+  }
+
+  test("stream-stream join attributes purchases to recent views") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = Streaming.streamStreamJoin(
+      views.toDF(), purchases.toDF(), "user_id", "ts", windowSecs = 600L)
+    val query = joined.writeStream.format("memory")
+      .queryName("attributed").outputMode("append").start()
+    try {
+      views.addData(Ev(ts("2024-01-01 10:00:00"), "view", 0.0, 1L))
+      purchases.addData(
+        Ev(ts("2024-01-01 10:05:00"), "purchase", 9.0, 1L), // within 10 min
+        Ev(ts("2024-01-01 11:00:00"), "purchase", 9.0, 1L)) // too late
+      query.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("view_k") == 1L)
+    } finally query.stop()
+  }
 }
