@@ -180,6 +180,47 @@ object AggQueries {
               FROM orders GROUP BY o_orderstatus, o_orderpriority
               ORDER BY o_orderstatus, o_orderpriority""")),
 
+    // A-extension: ROLLUP hierarchy totals (SURVEY §2.4 "available if we
+    // extend reporting"); grouping_id disambiguates the null rows.
+    Q("a14_rollup",
+      (s, d) => Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total,
+                      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                           AS BIGINT) AS gid
+               FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+               ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                        o_orderpriority ASC NULLS FIRST""")),
+
+    // A-extension: CUBE over two dims. Via the SQL entry point: the
+    // DataFrame cube() after a join trips Spark's ambiguous-self-join
+    // detector (Expand duplicates the joined subtree's dataset-id tags) —
+    // the SQL path plans the identical Expand without the tags.
+    Q("a15_cube",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_a15_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_a15_customer")
+        s.sql("""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+                        CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus)
+                             AS BIGINT) AS gid
+                 FROM v_a15_orders JOIN v_a15_customer ON o_custkey = c_custkey
+                 GROUP BY CUBE (c_mktsegment, o_orderstatus)
+                 ORDER BY gid, c_mktsegment ASC NULLS FIRST,
+                          o_orderstatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+                     CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus)
+                          AS BIGINT) AS gid
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY CUBE (c_mktsegment, o_orderstatus)
+              ORDER BY gid, c_mktsegment ASC NULLS FIRST,
+                       o_orderstatus ASC NULLS FIRST""")),
+
     // A13: aggregate over an aggregate (mart → study overview shape).
     Q("a13_two_level_agg",
       (s, d) => {
