@@ -8,9 +8,27 @@ import org.apache.spark.sql.SparkSession
   * Methodology: one unmeasured warmup execution per query (JIT + codegen +
   * file-footer caches — the things a long-lived cluster amortizes away),
   * then one measured execution. Per-query seconds are steady-state; the
-  * "value" metric is the sum of measured seconds.
+  * "value" metric is the sum of measured seconds over ALL queries.
+  *
+  * The printed JSON line is kept SHORT (headline per-query map only) so it
+  * survives the driver's bounded tail buffer — round 1's full 94-query map
+  * made the line ~4 KB and the driver recorded `parsed: null`. The complete
+  * per-query map is written to bench_full.json in the working directory.
+  *
+  * A query that throws during its measured run is recorded as -1 seconds
+  * and listed in "errors" — a fast failure must not read as a fast success.
   */
 object Bench {
+
+  /** Representative queries across operator families: scan, agg, join,
+    * window, top-k, json, validation, text/dedup suite, embeddings. */
+  private val Headline = Seq(
+    "a1_group_count", "a6_median", "j1_star_join_broadcast",
+    "j2_left_join_spine", "w1_running_count", "o4_top_n",
+    "f16_json_extract", "t2_quality_scores", "t6_ngram_jaccard_pairs",
+    "t7_minhash_lsh_pairs", "t8_simhash", "emb1_knn_bruteforce",
+    "emb4_cosine_neardup_pairs", "v1_check_suite_events", "cp3_subject_summary")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,14 +50,27 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val headline = results.filter(r => Headline.contains(r._1))
+
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
+      s""""errors":$errors,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes("UTF-8"))
+
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},""" +
+      s""""n_errors":${results.count(!_._3)},"errors":$errors,""" +
+      s""""queries":${jmap(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

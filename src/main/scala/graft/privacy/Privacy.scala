@@ -146,6 +146,7 @@ object Privacy {
   val PhiPatterns: Seq[String] = Seq(
     "\\b\\d{3}-\\d{2}-\\d{4}\\b",                                    // SSN
     "\\b\\d{9}\\b",                                                  // bare 9-digit id
+    "(?i)\\b[a-z0-9]{6,12}\\b(?=.*\\bmrn\\b)",                       // MRN (word later followed by "mrn")
     "\\b(?:\\+?1[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]\\d{3}[-.\\s]\\d{4}\\b", // phone
     "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b",         // email
     "\\b\\d{4}-\\d{2}-\\d{2}\\b",                                    // ISO date

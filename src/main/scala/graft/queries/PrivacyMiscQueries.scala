@@ -53,6 +53,58 @@ object PrivacyMiscQueries {
             ORDER BY c_custkey"""
       }),
 
+    // F12b: the MRN lookahead pattern (compliance/phi_redaction.py:17) —
+    // redacts any 6-12-char alnum word later followed by the word "mrn".
+    // DuckDB's RE2 has no lookahead, so the oracle emulates that fold step
+    // exactly: split on the LAST \bmrn\b occurrence (greedy ^(.*)\bmrn\b),
+    // redact 6-12-alnum words in the prefix, keep the suffix — validated
+    // char-identical vs the Python reference fold on 42 synthesized notes.
+    Q("f12b_mrn_redaction",
+      (s, d) => {
+        val k = col("c_custkey")
+        val synth = Tables.customer(s, d).select(k,
+          when(k % 3 === 0,
+            concat(lit("ssn 123-45-"), lpad((k % 10000).cast("string"), 4, "0"),
+              lit(" chart C"), k, lit(" record KEEPME12 mrn follow-up ok")))
+            .when(k % 3 === 1, lit("mrn leading nothing redacts here"))
+            .otherwise(concat(lit("no marker record KEEPME12 stays put u"),
+              k, lit("@example.org")))
+            .as("note"))
+        synth.select(k, Privacy.redactText(col("note")).as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val simple = Seq(
+          "s1" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+          "s2" -> "\\b\\d{9}\\b")
+        val tail = Seq(
+          "s4" -> "\\b(?:\\+?1[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]\\d{3}[-.\\s]\\d{4}\\b",
+          "s5" -> "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b",
+          "s6" -> "\\b\\d{4}-\\d{2}-\\d{2}\\b",
+          "s7" -> "\\b\\d{1,2}/\\d{1,2}/\\d{2,4}\\b",
+          "s8" -> "(?i)(name|patient|first_name|last_name)\\s*=\\s*[^,;]+")
+        def step(name: String, prev: String, p: String) =
+          s"$name AS (SELECT c_custkey, regexp_replace(x, '$p', '[REDACTED]', 'g') AS x FROM $prev)"
+        val stages =
+          simple.zip("s0" +: simple.map(_._1)).map { case ((n, p), prev) => step(n, prev, p) } ++
+          Seq("""s3 AS (SELECT c_custkey, CASE WHEN regexp_matches(x, '(?i)\bmrn\b')
+                 THEN regexp_replace(regexp_extract(x, '(?i)^(.*)\bmrn\b', 1),
+                        '(?i)\b[a-z0-9]{6,12}\b', '[REDACTED]', 'g')
+                      || substr(x, length(regexp_extract(x, '(?i)^(.*)\bmrn\b', 1)) + 1)
+                 ELSE x END AS x FROM s2)""") ++
+          tail.zip("s3" +: tail.map(_._1)).map { case ((n, p), prev) => step(n, prev, p) }
+        s"""WITH s0 AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0
+                          THEN 'ssn 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                               || ' chart C' || c_custkey || ' record KEEPME12 mrn follow-up ok'
+                        WHEN c_custkey % 3 = 1 THEN 'mrn leading nothing redacts here'
+                        ELSE 'no marker record KEEPME12 stays put u' || c_custkey || '@example.org'
+                   END AS x
+                 FROM customer),
+               ${stages.mkString(",\n")}
+            SELECT c_custkey, x AS redacted FROM s8 ORDER BY c_custkey"""
+      }),
+
     // Native session_window operator (batch twin of the streaming agg;
     // oracle derives the same sessions via gap-islands window SQL).
     Q("e8_session_window",

@@ -38,7 +38,9 @@ object Stats {
       .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
     val b = moments.filter(col(groupCol) === groupB)
       .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
-    val t = (col("m1") - col("m2")) / sqrt(col("v1") / col("n1") + col("v2") / col("n2"))
+    val se = sqrt(col("v1") / col("n1") + col("v2") / col("n2"))
+    // stats_utils.py:20 — t = 0.0 if se == 0 (constant-valued groups)
+    val t = when(se === 0, lit(0.0)).otherwise((col("m1") - col("m2")) / se)
     a.crossJoin(b).select(
       col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
       col("m1").as("mean1"), col("m2").as("mean2"),
@@ -46,26 +48,35 @@ object Stats {
       (lit(2.0) * (lit(1.0) - normalCdf(abs(t)))).as("p_value"))
   }
 
-  /** Pearson χ² over an r×c contingency table built with a grouped count
-    * (`stats_utils.py:26-41`): expected = row_total·col_total/grand_total,
-    * χ² = Σ (o−e)²/e, p via Wilson–Hilferty cube-root normal approx. */
+  /** Pearson χ² over the DENSE r×c contingency table
+    * (`stats_utils.py:26-41`): the reference operates on a full matrix, so
+    * zero-count cells still contribute (0−e)²/e = e. We materialize the
+    * dense cell grid as distinct-rows × distinct-cols (cross join of two
+    * tiny aggregate frames) and left-join the observed counts with
+    * coalesce(o, 0). Expected = row_total·col_total/grand_total,
+    * χ² = Σ (o−e)²/e, p via Wilson–Hilferty cube-root normal approx,
+    * two-sided like the reference: p = 2·(1 − Φ(|z|)), with z = 0 when
+    * dof = 0 (stats_utils.py:39). */
   def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val obs = df.groupBy(rowCol, colCol).agg(count(lit(1)).cast("double").as("o"))
     val rowTot = obs.groupBy(rowCol).agg(sum(col("o")).as("rt"))
     val colTot = obs.groupBy(colCol).agg(sum(col("o")).as("ct"))
     val grand = obs.agg(sum(col("o")).as("gt"))
-    val cells = obs.join(rowTot, rowCol).join(colTot, colCol).crossJoin(grand)
+    val cells = rowTot.crossJoin(colTot)
+      .join(obs, Seq(rowCol, colCol), "left")
+      .crossJoin(grand)
       .withColumn("e", col("rt") * col("ct") / col("gt"))
-      .withColumn("contrib", pow(col("o") - col("e"), 2) / col("e"))
+      .withColumn("contrib", pow(coalesce(col("o"), lit(0.0)) - col("e"), 2) / col("e"))
     val dims = cells.agg(
       sum(col("contrib")).as("chi2"),
       countDistinct(col(rowCol)).cast("double").as("r"),
       countDistinct(col(colCol)).cast("double").as("c"))
     val dof = (col("r") - 1) * (col("c") - 1)
     // Wilson–Hilferty: (χ²/k)^(1/3) ≈ N(1 − 2/(9k), 2/(9k))
-    val z = (pow(col("chi2") / dof, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
-      sqrt(lit(2.0) / (lit(9.0) * dof))
+    val z = when(dof > 0,
+      (pow(col("chi2") / dof, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * dof))) /
+        sqrt(lit(2.0) / (lit(9.0) * dof))).otherwise(lit(0.0))
     dims.select(col("chi2"), dof.cast("long").as("dof"),
-      (lit(1.0) - normalCdf(z)).as("p_value"))
+      (lit(2.0) * (lit(1.0) - normalCdf(abs(z)))).as("p_value"))
   }
 }

@@ -62,4 +62,22 @@ class PrivacySpec extends SparkSpec {
     assert(!rows.exists(r => r.contains("123-45-6789") || r.contains("example.org")
       || r.contains("John Smith") || r.contains("2024-01-01")))
   }
+
+  test("MRN pattern redacts 6-12 alnum words followed by 'mrn' (reference order)") {
+    // expected strings precomputed with the reference's ordered fold
+    // (compliance/phi_redaction.py:14-23) — including the fold artifacts:
+    // an earlier-pass [REDACTED] re-matches as an 8-char word before "mrn"
+    val cases = Seq(
+      "record AB12CD34 mrn on file" ->
+        "[REDACTED] [REDACTED] mrn on file",
+      "mrn trailing words here stay" ->
+        "mrn trailing words here stay",
+      "id 445566 before mrn, short xy after" ->
+        "id [REDACTED] [REDACTED] mrn, short xy after",
+      "patient = P7, ssn 123-45-0007 mail u7@example.org visit 2024-01-01 ok mrn code A1B2C3" ->
+        "[REDACTED] = P7, ssn [[REDACTED]] mail u7@[REDACTED].org visit [REDACTED] ok mrn code A1B2C3")
+    val got = cases.map(_._1).toDF("t")
+      .select(Privacy.redactText(col("t")).as("r")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
 }

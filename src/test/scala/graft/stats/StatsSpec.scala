@@ -16,7 +16,7 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("p_value") - 4.837017980374725e-06) < 1e-6)
   }
 
-  test("chi-square matches precomputed table (Wilson–Hilferty p)") {
+  test("chi-square matches precomputed table (Wilson–Hilferty two-sided p)") {
     val rows =
       Seq.fill(20)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
         Seq.fill(5)(("B", "X")) ++ Seq.fill(25)(("B", "Y"))
@@ -24,7 +24,27 @@ class StatsSpec extends SparkSpec {
     val out = Stats.chiSquare(df, "r", "c").collect()(0)
     assert(math.abs(out.getAs[Double]("chi2") - 15.42857142857143) < 1e-9)
     assert(out.getAs[Long]("dof") == 1)
-    assert(math.abs(out.getAs[Double]("p_value") - 0.00014112545516964392) < 1e-5)
+    // reference: p = 2·(1 − Φ(|z|)), stats_utils.py:40
+    assert(math.abs(out.getAs[Double]("p_value") - 0.00028225091033928784) < 1e-5)
+  }
+
+  test("chi-square counts zero-observed cells via the dense matrix") {
+    // contingency [[8,4],[0,6]] — cell (B,X) never occurs in the data but
+    // still contributes (0−e)²/e = e in the reference's dense formulation
+    val rows =
+      Seq.fill(8)(("A", "X")) ++ Seq.fill(4)(("A", "Y")) ++ Seq.fill(6)(("B", "Y"))
+    val out = Stats.chiSquare(rows.toDF("r", "c"), "r", "c").collect()(0)
+    assert(math.abs(out.getAs[Double]("chi2") - 7.2) < 1e-9)
+    assert(out.getAs[Long]("dof") == 1)
+    assert(math.abs(out.getAs[Double]("p_value") - 0.01443273568412673) < 1e-5)
+  }
+
+  test("Welch t with zero standard error returns t=0, p=1 (se guard)") {
+    val df = (Seq.fill(3)(("a", 3.0)) ++ Seq.fill(2)(("b", 3.0))).toDF("g", "v")
+    val row = Stats.welchT(df, "v", "g", "a", "b").collect()(0)
+    assert(row.getAs[Double]("t_stat") == 0.0)
+    // A&S polynomial: |erf(0)| ≈ 1e-9, so p is 1 up to the approximation
+    assert(math.abs(row.getAs[Double]("p_value") - 1.0) < 1e-7)
   }
 
   test("p-values stay in [0,1] and t is antisymmetric") {
