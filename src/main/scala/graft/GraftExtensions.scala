@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.ArrayDotProduct
+import graft.plans.AsOfJoinStrategy
 import graft.privacy.{HmacDetokenize, HmacSha256Base64}
 
 /** SparkSessionExtensions entry point: enable with
@@ -22,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
+    // BroadcastAsOfJoinExec (custom physical as-of join).
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

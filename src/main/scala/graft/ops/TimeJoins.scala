@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
 
 /** Time-series joins the reference (and stock Spark SQL) lacks: backward
   * as-of join and bounded time-range join (SURVEY §2.3 lists both as "not
@@ -52,6 +55,47 @@ object TimeJoins {
       .drop("__side", "__rv", "__rts", "__tb")
       .withColumnRenamed("__asof_v", s"asof_$valueCol")
       .withColumnRenamed("__asof_ts", s"asof_$ts")
+  }
+
+  /** Register [[AsOfJoinStrategy]] with the session planner (idempotent).
+    * The spark.sql.extensions path does this at session build
+    * ([[graft.GraftExtensions]]); this covers plain sessions. */
+  def registerAsOfStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of join via the custom physical operator
+    * [[graft.plans.BroadcastAsOfJoinExec]] — same semantics and output
+    * shape as [[asofJoinBackward]], but the right side is broadcast
+    * (BroadcastExchange) and probed with a per-row binary search, so the
+    * left side is NEVER shuffled or sorted. Use when the right side fits
+    * the broadcast threshold; use [[asofJoinBackward]] (one shuffle+sort
+    * of both sides) when both sides are large.
+    */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String, tieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    registerAsOfStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // Self-join shapes (left and right carved from the same scan) share
+    // exprIds across children; re-alias the right side so every attribute
+    // in the plan is unique before the analyzer sees it.
+    val rp: LogicalPlan =
+      if (rp0.outputSet.intersect(lp.outputSet).nonEmpty)
+        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val (rKey, rTs, rVal, rTb) =
+      (resolve(rp, key), resolve(rp, ts), resolve(rp, valueCol), resolve(rp, tieBreak))
+    val node = AsOfJoinPlan(lp, rp,
+      resolve(lp, key), rKey, resolve(lp, ts), rTs, rVal, rTb,
+      AttributeReference(s"asof_$valueCol", rVal.dataType, nullable = true)(),
+      AttributeReference(s"asof_$ts", rTs.dataType, nullable = true)())
+    GraftSqlShims.ofRows(spark, node)
   }
 
   /** Bounded time-range self/two-table join: pairs (a, b) with the same

@@ -39,6 +39,35 @@ object TimeJoinQueries {
                 ON p.user_id = v.user_id AND v.ts <= p.ts
               ORDER BY purchase_id""")),
 
+    // Same as-of semantics through the custom physical operator
+    // (BroadcastAsOfJoinExec: right side broadcast, left never shuffled)
+    // — checked against DuckDB's native ASOF JOIN like aj1, proving the
+    // custom exec and the engine-portable formulation agree exactly.
+    Q("aj3_asof_join_broadcast",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        TimeJoins.asofJoinBroadcast(purchases, views,
+          key = "user_id", ts = "ts", valueCol = "view_id", tieBreak = "view_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof_view_id").as("view_id"),
+            (col("ts").cast("long") - col("asof_ts").cast("long"))
+              .as("view_to_purchase_secs"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+                     v.event_id AS view_id,
+                     CAST(floor(epoch(CAST(p.ts AS TIMESTAMP)))
+                          - floor(epoch(CAST(v.ts AS TIMESTAMP))) AS BIGINT)
+                       AS view_to_purchase_secs
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                ON p.user_id = v.user_id AND v.ts <= p.ts
+              ORDER BY purchase_id""")),
+
     // Pairs of error events within 10 minutes of each other per user,
     // rolled up to a per-user burst count.
     Q("aj2_time_range_join",

@@ -33,6 +33,63 @@ class TimeJoinsSpec extends SparkSpec {
     assert(!joined.contains(201L)) // no prior quote → dropped (inner)
   }
 
+  test("broadcast as-of exec matches the window formulation on the unit fixture") {
+    val viaExec = TimeJoins.asofJoinBroadcast(trades, quotes,
+      "key", "ts", "quote_id", "quote_id")
+      .select("trade_id", "asof_quote_id", "asof_ts")
+    val viaWindow = TimeJoins.asofJoinBackward(trades, quotes,
+      "key", "ts", "quote_id", "quote_id")
+      .select("trade_id", "asof_quote_id", "asof_ts")
+    assert(viaExec.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaExec).count() == 0)
+    assert(viaExec.count() == 2)
+  }
+
+  test("broadcast as-of exec matches the window formulation on events (self-carved)") {
+    val e = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val viaExec = TimeJoins.asofJoinBroadcast(purchases, views,
+      "user_id", "ts", "view_id", "view_id")
+    val viaWindow = TimeJoins.asofJoinBackward(purchases, views,
+      "user_id", "ts", "view_id", "view_id")
+    val cols = Seq("event_id", "user_id", "asof_view_id")
+    val a = viaExec.select(cols.map(col): _*)
+    val b = viaWindow.select(cols.map(col): _*)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("broadcast as-of plan: BroadcastExchange on right, no shuffle of the left side") {
+    val df = TimeJoins.asofJoinBroadcast(trades, quotes,
+      "key", "ts", "quote_id", "quote_id")
+    df.collect() // force planning through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"))
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("broadcast as-of null keys/ts never match and null right values are skipped") {
+    val l = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:01:00")), 1L),
+      (Option.empty[Long], Option(ts("2024-01-01 10:01:00")), 2L),
+      (Option(1L), Option.empty[Timestamp], 3L))
+      .toDF("key", "ts", "id")
+    val r = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), Option.empty[Long], 1L),
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), Option(9L), 2L))
+      .toDF("key", "ts", "v", "tb")
+    val out = TimeJoins.asofJoinBroadcast(l, r, "key", "ts", "v", "tb")
+      .select("id", "asof_v").collect()
+    // null-valued 10:00 right row is excluded from the build, so id=1
+    // falls back to the 09:00 row; null left key/ts rows drop out
+    assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 9L)))
+  }
+
   test("range join equals the naive theta join") {
     val errors = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
