@@ -165,6 +165,48 @@ object TextQueries {
               WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2
               ORDER BY id1, id2""")),
 
+    // Near-dup CLUSTERING: the t6 pair list folded into connected
+    // components (alternating large-star/small-star, Clusters.scala) with
+    // one canonical doc per cluster. The oracle recomputes the same pairs
+    // in DuckDB and takes the transitive closure with a recursive CTE —
+    // engine-independent ground truth for the distributed algorithm.
+    Q("t9_neardup_clusters",
+      (s, d) => {
+        val pairs = graft.dedup.Dedup.jaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, minJaccard = 0.2, maxShingleDf = 1000L)
+        graft.dedup.Clusters.canonicalAssignment(pairs, "id1", "id2")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+                   docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs CROSS JOIN range(1, 2000) t(i)
+                          WHERE i <= len(w) - 2),
+                   rare AS (SELECT shingle FROM sh GROUP BY shingle
+                            HAVING COUNT(*) <= 1000),
+                   shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+                             FROM shf a JOIN shf b
+                               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2),
+                   pairs AS (SELECT id1, id2 FROM inter
+                             JOIN sizes s1 ON id1 = s1.doc_id
+                             JOIN sizes s2 ON id2 = s2.doc_id
+                             WHERE CAST(inter AS DOUBLE)
+                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2),
+                   sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+                           UNION SELECT id2, id1 FROM pairs),
+                   reach AS (SELECT a, b FROM sym
+                             UNION
+                             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+                   comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                            FROM reach GROUP BY a)
+              SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+              FROM comp ORDER BY doc_id""")),
+
     Q("t7_minhash_lsh_pairs",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, k = 12, rowsPerBand = 3, minEstJaccard = 0.25)
