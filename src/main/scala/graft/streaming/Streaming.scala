@@ -102,6 +102,50 @@ object Streaming {
           purchase_ts <= view_ts + interval $windowSecs seconds"""))
   }
 
+  /** Streaming medallion landing: a foreachBatch bronze writer with
+    * dead-letter routing. The batch path ([[graft.io.Medallion.landToBronze]])
+    * fail-fasts on a failed domain like the reference's ingest
+    * (`ingest_csv.py:128-131`); a stream must keep running, so per
+    * micro-batch the violating rows (same [[graft.checks.Check]] suite)
+    * are appended to a quarantine path tagged with `batch_id`, and the
+    * clean rows land hive-partitioned under (study_id, domain) exactly
+    * like the batch writer — the downstream silver reader is identical
+    * for both paths.
+    *
+    * Delivery: the checkpoint makes foreachBatch effectively-once per
+    * batch id under normal operation; on recovery a batch may replay, and
+    * the `batch_id` column on both sinks is what a compacting consumer
+    * dedupes on (append-only parquet has no atomic upsert — at 100 TB
+    * this sink would be a transactional table format instead).
+    */
+  def bronzeStreamWriter(stream: DataFrame, studyId: String, domain: String,
+      bronzeRoot: String, quarantineRoot: String,
+      checkpointDir: String): StreamingQuery = {
+    val checks = graft.io.Medallion.domainChecks.getOrElse(domain, Nil)
+    stream.writeStream
+      .queryName(s"bronze_$domain")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = checks.map(_.violation).reduceOption(_ || _).getOrElse(lit(false))
+        val tagged = batch.withColumn("__bad", bad).persist()
+        try {
+          val quarantined = tagged.filter(col("__bad")).drop("__bad")
+            .withColumn("batch_id", lit(batchId))
+          if (quarantined.limit(1).count() > 0)
+            quarantined.write.mode("append").parquet(quarantineRoot)
+          tagged.filter(!col("__bad")).drop("__bad")
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("study_id", lit(studyId))
+            .withColumn("domain", lit(domain))
+            .write.mode("append")
+            .partitionBy("study_id", "domain")
+            .parquet(bronzeRoot)
+        } finally { tagged.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Start a windowed-count query writing to an in-memory sink (used by
     * tests and local monitoring dashboards). */
   def startMemorySink(df: DataFrame, queryName: String,
