@@ -26,7 +26,8 @@ object Bench {
     "a1_group_count", "a6_median", "j1_star_join_broadcast",
     "j2_left_join_spine", "w1_running_count", "o4_top_n",
     "f16_json_extract", "t2_quality_scores", "t6_ngram_jaccard_pairs",
-    "t7_minhash_lsh_pairs", "t8_simhash", "emb1_knn_bruteforce",
+    "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
+    "emb1_knn_bruteforce",
     "emb4_cosine_neardup_pairs", "v1_check_suite_events", "cp3_subject_summary")
 
   def main(args: Array[String]): Unit = {

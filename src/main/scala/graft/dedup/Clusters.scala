@@ -28,16 +28,45 @@ object Clusters {
     * Returns (node, component) for every node that appears in an edge,
     * where component = the smallest node id in the component.
     *
-    * Each round is `localCheckpoint`ed to cut lineage (the loop would
-    * otherwise stack O(rounds) of plan on every iteration); swap for a
-    * reliable checkpoint dir in long multi-hour jobs.
+    * Size-adaptive, the same way AQE converts a shuffle join to a
+    * broadcast join once a runtime size is known: an edge list at or under
+    * `driverThreshold` (default 2^20 edges ≈ 16 MB of longs) is collected
+    * and solved with path-compressed union-find — one job instead of
+    * O(log n) shuffle rounds, each of which costs scheduler fixed time
+    * that would dominate a small graph. Above the threshold the
+    * alternating-star loop runs fully distributed; each round is
+    * `localCheckpoint`ed to cut lineage (the loop would otherwise stack
+    * O(rounds) of plan on every iteration); swap for a reliable
+    * checkpoint dir in long multi-hour jobs.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverThreshold: Long = 1L << 20): DataFrame = {
     require(maxIter > 0)
+    val spark = edges.sparkSession
     val clean = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
+
+    if (clean.count() <= driverThreshold) {
+      val pairs = clean.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      pairs.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      import spark.implicits._
+      return nodes.iterator.map(x => (x, find(x))).toSeq
+        .toDF("node", "component")
+    }
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
@@ -65,7 +94,7 @@ object Clusters {
       (r.getLong(0), r.getLong(1))
     }
 
-    var cur = clean.localCheckpoint(true)
+    var cur = clean
     var prev = (-1L, 0L)
     var it = 0
     var converged = false

@@ -18,6 +18,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Analyzed-plan cache: repeated reads of the same (session, dir, table)
+    * reuse one DataFrame, so file listing + footer schema resolution happen
+    * once per session instead of once per query — at 97 queries that fixed
+    * cost dominates small-SF benchmarks, and on a real cluster it's a
+    * namenode/object-store round trip saved per query. DataFrames are
+    * immutable plans, so sharing is safe; the testdata tables are
+    * immutable, so the cached file index cannot go stale (mutable paths —
+    * e.g. medallion roots — do not go through this cache).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
   /** Read one testdata table. `events.parquet` stores INT64
     * TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
     * (PARQUET_TYPE_ILLEGAL). We read nanos as a plain long
@@ -25,7 +40,7 @@ object Tables {
     * which is exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does — so
     * oracle comparisons stay bit-identical.
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // Leave the conf set for the session: it only affects parquet files
       // that actually contain nanosecond timestamps (events is the only one),

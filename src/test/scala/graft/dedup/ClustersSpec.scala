@@ -31,17 +31,23 @@ class ClustersSpec extends SparkSpec {
       val edges = edgeGen(params, seed).get.filter(e => e._1 != e._2)
       seed = seed.next
       val expected = unionFind(25, edges)
-      val got = Clusters.connectedComponents(
+      // distributed star loop and driver fast path must both match
+      val dist = Clusters.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", driverThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = Clusters.connectedComponents(
           edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected)
+      assert(dist == expected)
+      assert(fast == expected)
     }
   }
 
   test("chain graph collapses to one component rooted at the min") {
     // path 10-11-12-...-19 forces multiple star rounds (diameter 9)
     val edges = (10L until 19L).map(i => (i, i + 1))
-    val got = Clusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    val got = Clusters.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (10L to 19L).map(_ -> 10L).toMap)
   }
