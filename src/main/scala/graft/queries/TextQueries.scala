@@ -255,6 +255,53 @@ object TextQueries {
                              GROUP BY doc_id, b)
               SELECT doc_id,
                      CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-              FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+              FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // T10: deterministic hash-based train/val/test assignment
+    // (graft.ops.Sampling) — stable across engines/runs/partitionings,
+    // unlike rand() splits. Oracle replays the same md5 bucket scheme.
+    Q("t10_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN b < 9000 THEN 'train'
+                          WHEN b < 9500 THEN 'val'
+                          ELSE 'test' END AS split,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM (SELECT n_chars,
+                           CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) % 10000 AS b
+                    FROM documents)
+              GROUP BY 1 ORDER BY split""")),
+
+    // T11: equal-count decile bucketing (NTILE) by document length — the
+    // curriculum / quality-tier assignment shape. NTILE is a global sort
+    // by contract (like the w3 surrogate mint); the documented scale path
+    // is approx-quantile cutoffs + a broadcast range join when exact
+    // equal-count tiles aren't required.
+    Q("t11_length_deciles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id")))
+              .cast("long").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("decile")
+      },
+      Some("""SELECT decile, COUNT(*) AS n_docs,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM (SELECT doc_id, n_chars,
+                           CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                             AS decile
+                    FROM documents)
+              GROUP BY decile ORDER BY decile"""))
   )
 }

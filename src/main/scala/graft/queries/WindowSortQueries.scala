@@ -71,6 +71,45 @@ object WindowSortQueries {
                      CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS supplier_sk
               FROM supplier ORDER BY s_suppkey""")),
 
+    // W5 (extension): SCD2 dimension derived from the event log — runs of
+    // consecutive identical event_type per user become [valid_from,
+    // valid_to) versions (graft.warehouse.Scd2). Oracle replays the
+    // gaps-and-islands formulation in DuckDB.
+    Q("w5_scd2_dimension",
+      (s, d) => graft.warehouse.Scd2.fromHistory(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            col("ts"), col("event_id")),
+          key = "user_id", attrs = Seq("event_type"),
+          ts = "ts", tieBreak = "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("long").as("valid_from_sec"),
+          col("valid_to").cast("long").as("valid_to_sec"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_sec"),
+      Some("""WITH ordered AS (
+                SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id,
+                       CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              runs AS (
+                SELECT user_id, event_type, t,
+                       SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                FROM ordered),
+              vers AS (
+                SELECT user_id, event_type, run, MIN(t) AS vf
+                FROM runs GROUP BY 1, 2, 3),
+              dim AS (
+                SELECT user_id, event_type, vf,
+                       lead(vf) OVER (PARTITION BY user_id ORDER BY vf, run) AS vt
+                FROM vers)
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_sec,
+                     CAST(floor(epoch(vt)) AS BIGINT) AS valid_to_sec,
+                     vt IS NULL AS is_current
+              FROM dim ORDER BY user_id, valid_from_sec""")),
+
     Q("o1_multikey_sort",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
