@@ -240,6 +240,49 @@ object TextQueries {
               SELECT id1, id2, ROUND(est_jaccard, 6) AS est_jaccard FROM est
               WHERE est_jaccard >= 0.25 ORDER BY id1, id2""")),
 
+    // T12: the SCALE path for pairwise dedup — LSH banding prunes the
+    // O(n²) pair space, then exact Jaccard verifies only the candidates
+    // (Dedup.lshThenExactPairs). The oracle mirrors the banding (t7's
+    // CTEs) and the exact verification (t6's), so the pruned-but-exact
+    // contract is itself hash-checked.
+    Q("t12_lsh_exact_dedup_pairs",
+      (s, d) => Dedup.lshThenExactPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, minJaccard = 0.2)
+        .orderBy("id1", "id2"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs CROSS JOIN range(1, 2000) t(i)
+                          WHERE i <= len(w) - 2),
+                   sig AS (SELECT doc_id, j,
+                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                      AS BIGINT)) AS mh
+                           FROM sh CROSS JOIN range(0, 12) t(j)
+                           GROUP BY doc_id, j),
+                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                       AS band_hash
+                              FROM sig GROUP BY doc_id, 2),
+                   cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                             FROM banded a JOIN banded b
+                               ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id),
+                   inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
+                             FROM cands c
+                             JOIN sh a ON a.doc_id = c.id1
+                             JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+              SELECT id1, id2,
+                     ROUND(CAST(inter AS DOUBLE)
+                           / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON id1 = s1.doc_id
+              JOIN sizes s2 ON id2 = s2.doc_id
+              WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2
+              ORDER BY id1, id2""")),
+
     Q("t8_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),

@@ -146,6 +146,45 @@ object Streaming {
       .start()
   }
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of change
+    * events is merged into the versioned dimension with
+    * [[graft.warehouse.Scd2.merge]] (idempotent — replayed batches
+    * produce no new versions, which is exactly the at-least-once
+    * foreachBatch contract's failure mode). Each batch writes a full
+    * dimension snapshot under `v_<batchId>`; [[readCurrentDim]] reads the
+    * latest. Snapshot-per-batch is the plain-parquet stand-in for a
+    * transactional table format's commit — at 100 TB the dimension is
+    * orders of magnitude smaller than the fact stream it versions, and
+    * old snapshots are retention-pruned like any table-format history.
+    */
+  def scd2StreamSink(updates: DataFrame, key: String, attrs: Seq[String],
+      ts: String, tieBreak: String, dimDir: String,
+      checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .queryName("scd2_dim")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cur = readCurrentDim(spark, dimDir)
+        val merged = cur match {
+          case Some(dim) => graft.warehouse.Scd2.merge(dim, batch, key, attrs, ts, tieBreak)
+          case None => graft.warehouse.Scd2.fromHistory(batch, key, attrs, ts, tieBreak)
+        }
+        merged.write.mode("overwrite").parquet(f"$dimDir/v_$batchId%012d")
+      }
+      .start()
+
+  /** Latest SCD2 snapshot under `dimDir` (None before the first commit).
+    * `v_` dirs are zero-padded so lexicographic max = latest batch. */
+  def readCurrentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
+    val root = new java.io.File(dimDir)
+    Option(root.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName).sorted)
+      .filter(_.nonEmpty)
+      .map(vs => spark.read.parquet(s"$dimDir/${vs.last}"))
+  }
+
   /** Start a windowed-count query writing to an in-memory sink (used by
     * tests and local monitoring dashboards). */
   def startMemorySink(df: DataFrame, queryName: String,

@@ -154,4 +154,35 @@ class StreamingSpec extends SparkSpec {
         Set("DIABP", "HEARTRATE99"))
     } finally query.stop()
   }
+
+  final case class Chg(subj: Long, arm: String, ts: Timestamp, eid: Long)
+
+  test("streaming SCD2 sink versions the dimension across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+    val (dimDir, ckpt) = (s"$root/dim", s"$root/ckpt")
+    val input = MemoryStream[Chg]
+    val query = Streaming.scd2StreamSink(input.toDF(),
+      key = "subj", attrs = Seq("arm"), ts = "ts", tieBreak = "eid",
+      dimDir = dimDir, checkpointDir = ckpt)
+    try {
+      input.addData(
+        Chg(1L, "trial_a", ts("2024-01-01 00:00:00"), 1L),
+        Chg(2L, "trial_a", ts("2024-01-02 00:00:00"), 2L))
+      query.processAllAvailable()
+      val v1 = Streaming.readCurrentDim(spark, dimDir).get
+      assert(v1.count() == 2)
+      assert(v1.filter(col("is_current")).count() == 2)
+
+      input.addData(
+        Chg(1L, "trial_b", ts("2024-02-01 00:00:00"), 3L), // real change
+        Chg(2L, "trial_a", ts("2024-02-02 00:00:00"), 4L)) // no-op state replay
+      query.processAllAvailable()
+      val v2 = Streaming.readCurrentDim(spark, dimDir).get
+      assert(v2.count() == 3) // subj 1 gains a version, subj 2 does not
+      val s1 = v2.filter(col("subj") === 1L).orderBy("valid_from")
+        .select("arm", "is_current").as[(String, Boolean)].collect().toSeq
+      assert(s1 == Seq(("trial_a", false), ("trial_b", true)))
+    } finally query.stop()
+  }
 }
