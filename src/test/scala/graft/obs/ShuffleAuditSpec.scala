@@ -1,0 +1,48 @@
+package graft.obs
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+class ShuffleAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def audited(name: String): ShuffleAudit.Audit =
+    ShuffleAudit.measure(spark) {
+      SparkEntry.queries(name)(spark, sf).count()
+    }._2
+
+  test("broadcast star join never shuffles the fact side") {
+    val star = audited("j1_star_join_broadcast")
+    val factBytes = new java.io.File(s"$sf/lineitem.parquet").length()
+    // all dims broadcast — only the final tiny agg exchange remains,
+    // orders of magnitude under the fact bytes (measured: ~900 B vs the
+    // fact parquet)
+    assert(star.shuffleWriteBytes < factBytes / 20,
+      s"star=${star.shuffleWriteBytes} fact=$factBytes")
+  }
+
+  test("partial aggregation shuffles far less than the scan") {
+    val (_, agg) = ShuffleAudit.measure(spark) {
+      SparkEntry.queries("a1_group_count")(spark, sf).count()
+    }
+    val inputBytes = new java.io.File(s"$sf/lineitem.parquet").length()
+    // map-side combine: shuffle volume is groups x partitions, not rows
+    assert(agg.shuffleWriteBytes < inputBytes / 10,
+      s"shuffled ${agg.shuffleWriteBytes} of $inputBytes input")
+  }
+
+  test("broadcast as-of join moves less shuffle than the union+window form") {
+    val exec = audited("aj3_asof_join_broadcast")
+    val window = audited("aj1_asof_join")
+    assert(exec.shuffleWriteBytes < window.shuffleWriteBytes,
+      s"exec=${exec.shuffleWriteBytes} window=${window.shuffleWriteBytes}")
+  }
+
+  test("nothing in the audited queries spills at test scale") {
+    Seq("j1_star_join_broadcast", "a1_group_count").foreach { q =>
+      val a = audited(q)
+      assert(a.memorySpillBytes == 0 && a.diskSpillBytes == 0)
+    }
+  }
+}
