@@ -2,13 +2,14 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Whole-operator as-of join as a first-class Catalyst citizen (SURVEY
   * §2.11 preference order, tier (c): custom `LogicalPlan` + `SparkStrategy`
@@ -67,12 +68,83 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Physical backward as-of join, broadcast build side.
+/** Flattened per-key sorted timelines over the broadcast rows, with a
+  * generated-code-friendly (Java-shaped) probe API: `find` returns a slot
+  * or -1, `ts`/`value` read the slot. One flat long[] + Object[] pair —
+  * no per-probe allocation beyond primitive-key boxing.
+  */
+final class AsOfIndex(
+    ranges: java.util.HashMap[Any, Array[Int]],
+    tss: Array[Long],
+    vals: Array[AnyRef]) {
+
+  /** Slot of the last entry for `key` with ts ≤ `ts`, or -1. */
+  def find(key: AnyRef, ts: Long): Int = {
+    val r = ranges.get(key)
+    if (r == null) return -1
+    var lo = r(0); var hi = r(1) - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tss(mid) <= ts) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ans
+  }
+  def ts(slot: Int): Long = tss(slot)
+  def value(slot: Int): AnyRef = vals(slot)
+}
+
+/** Serializable index builder capturing build-side ordinals and types;
+  * shared by the interpreted path (per-partition) and the codegen path
+  * (as a reference object in the generated class). Rows with a null key,
+  * ts, or value are excluded — mirroring `last(value, ignoreNulls=true)`
+  * in the window formulation.
+  */
+final class AsOfIndexBuilder(
+    keyIdx: Int, tsIdx: Int, valIdx: Int, tbIdx: Int,
+    keyType: DataType, valType: DataType, tbType: DataType)
+  extends Serializable {
+
+  def build(rows: Array[InternalRow]): AsOfIndex = {
+    val tbOrd = TypeUtils.getInterpretedOrdering(tbType).asInstanceOf[Ordering[Any]]
+    val byKey = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, Any, AnyRef)]]()
+    rows.foreach { row =>
+      if (!row.isNullAt(keyIdx) && !row.isNullAt(tsIdx) && !row.isNullAt(valIdx)) {
+        val k = row.get(keyIdx, keyType)
+        val buf = byKey.computeIfAbsent(k,
+          _ => scala.collection.mutable.ArrayBuffer.empty[(Long, Any, AnyRef)])
+        buf += ((row.getLong(tsIdx), row.get(tbIdx, tbType),
+          row.get(valIdx, valType).asInstanceOf[AnyRef]))
+      }
+    }
+    var total = 0
+    byKey.forEach((_, buf) => total += buf.length)
+    val tss = new Array[Long](total)
+    val vals = new Array[AnyRef](total)
+    val ranges = new java.util.HashMap[Any, Array[Int]](byKey.size * 2)
+    var pos = 0
+    val ord = Ordering.Tuple2(Ordering.Long, tbOrd).on[(Long, Any, AnyRef)](t => (t._1, t._2))
+    byKey.forEach { (k, buf) =>
+      val start = pos
+      buf.sortInPlace()(ord).foreach { case (t, _, v) =>
+        tss(pos) = t; vals(pos) = v; pos += 1
+      }
+      ranges.put(k, Array(start, pos))
+    }
+    new AsOfIndex(ranges, tss, vals)
+  }
+}
+
+/** Physical backward as-of join, broadcast build side, whole-stage
+  * codegen on the probe side.
   *
-  * Build (once per executor, from the broadcast rows): per-key arrays of
-  * (ts, tieBreak, value) sorted by (ts, tieBreak). Probe: per left row,
-  * upper-bound binary search for the last entry with ts ≤ left ts —
-  * O(log m) per row, no shuffle, no sort of the probe side.
+  * Build (once per codegen object / partition, from the broadcast rows):
+  * per-key timelines sorted by (ts, tieBreak), flattened into one
+  * long[]/Object[] pair ([[AsOfIndex]]). Probe: per left row, upper-bound
+  * binary search for the last entry with ts ≤ left ts — O(log m) per row,
+  * no shuffle, no sort of the probe side. The generated probe keeps the
+  * operator inside the parent WholeStageCodegen span (`*(n)
+  * BroadcastAsOfJoin` in explain), like BroadcastHashJoinExec; the
+  * iterator path below is the codegen-disabled fallback.
   */
 case class BroadcastAsOfJoinExec(
     leftKey: Attribute,
@@ -85,7 +157,7 @@ case class BroadcastAsOfJoinExec(
     asofTs: AttributeReference,
     left: SparkPlan,
     right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofValue :+ asofTs
 
@@ -108,73 +180,101 @@ case class BroadcastAsOfJoinExec(
     i
   }
 
-  private def tsLong(row: InternalRow, i: Int): Long = row.getLong(i)
-
-  override protected def doExecute(): RDD[InternalRow] = {
+  private def requireTsType(): Unit =
     require(leftTs.dataType == TimestampType || leftTs.dataType == LongType,
       s"as-of ts must be TIMESTAMP or BIGINT, got ${leftTs.dataType}")
+
+  private def indexBuilder: AsOfIndexBuilder = new AsOfIndexBuilder(
+    ordinal(right.output, rightKey), ordinal(right.output, rightTs),
+    ordinal(right.output, rightValue), ordinal(right.output, rightTieBreak),
+    rightKey.dataType, rightValue.dataType, rightTieBreak.dataType)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    requireTsType()
     val numOutputRows = longMetric("numOutputRows")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
-
-    val rKeyIdx = ordinal(right.output, rightKey)
-    val rTsIdx = ordinal(right.output, rightTs)
-    val rValIdx = ordinal(right.output, rightValue)
-    val rTbIdx = ordinal(right.output, rightTieBreak)
+    val builder = indexBuilder
     val lKeyIdx = ordinal(left.output, leftKey)
     val lTsIdx = ordinal(left.output, leftTs)
     val keyType = rightKey.dataType
-    val valType = rightValue.dataType
-    val tbType = rightTieBreak.dataType
     val outTypes = output.map(_.dataType).toArray
 
     left.execute().mapPartitions({ iter =>
-      // Build the per-key timelines from the broadcast array. Built once
-      // per task but shared rows live in the broadcast block; the index
-      // itself is small (right side is broadcast-small by contract).
-      val tbOrd = TypeUtils.getInterpretedOrdering(tbType)
-      val index = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, Any, Any)]]()
-      broadcastRows.value.foreach { row =>
-        if (!row.isNullAt(rKeyIdx) && !row.isNullAt(rTsIdx) && !row.isNullAt(rValIdx)) {
-          val k = row.get(rKeyIdx, keyType)
-          val buf = index.computeIfAbsent(k,
-            _ => scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Any)])
-          buf += ((tsLong(row, rTsIdx), row.get(rTbIdx, tbType), row.get(rValIdx, valType)))
-        }
-      }
-      val sorted = new java.util.HashMap[Any, (Array[Long], Array[Any])]()
-      index.forEach { (k, buf) =>
-        val arr = buf.sortInPlace()(Ordering.Tuple2(Ordering.Long, tbOrd.asInstanceOf[Ordering[Any]]).on[(Long, Any, Any)](t => (t._1, t._2)))
-        sorted.put(k, (arr.map(_._1).toArray, arr.map(_._3).toArray[Any]))
-      }
-
+      // Built once per task; the heavy payloads live in the broadcast
+      // block, the index itself is small (right side is broadcast-small
+      // by contract).
+      val index = builder.build(broadcastRows.value)
       val proj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow()
       val attach = new GenericInternalRow(2)
       iter.flatMap { lrow =>
         if (lrow.isNullAt(lKeyIdx) || lrow.isNullAt(lTsIdx)) Iterator.empty
         else {
-          val timeline = sorted.get(lrow.get(lKeyIdx, keyType))
-          if (timeline == null) Iterator.empty
+          val slot = index.find(
+            lrow.get(lKeyIdx, keyType).asInstanceOf[AnyRef], lrow.getLong(lTsIdx))
+          if (slot < 0) Iterator.empty
           else {
-            val (tss, vals) = timeline
-            val t = tsLong(lrow, lTsIdx)
-            // upper bound: last index with tss(i) <= t
-            var lo = 0; var hi = tss.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tss(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
-            }
-            if (ans < 0) Iterator.empty
-            else {
-              attach.update(0, vals(ans))
-              attach.update(1, tss(ans))
-              numOutputRows += 1
-              Iterator.single(proj(joined(lrow, attach)))
-            }
+            attach.update(0, index.value(slot))
+            attach.update(1, index.ts(slot))
+            numOutputRows += 1
+            Iterator.single(proj(joined(lrow, attach)))
           }
         }
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen (probe side only, like BroadcastHashJoin) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  /** At most one output row per probe row (no match buffering), so the
+    * copy requirement is whatever the streamed side already needs —
+    * same rule as BroadcastHashJoin's unique-key inner case. */
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    requireTsType()
+    val idxCls = classOf[AsOfIndex].getName
+    val builderRef = ctx.addReferenceObj("asofIndexBuilder", indexBuilder,
+      classOf[AsOfIndexBuilder].getName)
+    val bcRef = ctx.addReferenceObj("asofBroadcast",
+      right.executeBroadcast[Array[InternalRow]](),
+      "org.apache.spark.broadcast.Broadcast")
+    val idxVar = ctx.addMutableState(idxCls, "asofIndex",
+      v => s"$v = $builderRef.build((org.apache.spark.sql.catalyst.InternalRow[]) $bcRef.value());")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val tsEv = BindReferences.bindReference(leftTs, left.output).genCode(ctx)
+
+    val slot = ctx.freshName("asofSlot")
+    val valVar = ctx.freshName("asofVal")
+    val tsVar = ctx.freshName("asofMatchTs")
+    val valType = rightValue.dataType
+    val valEv = ExprCode.forNonNullValue(JavaCode.variable(valVar, valType))
+    val tsOutEv = ExprCode.forNonNullValue(JavaCode.variable(tsVar, asofTs.dataType))
+
+    s"""
+       |${keyEv.code}
+       |${tsEv.code}
+       |if (!(${keyEv.isNull}) && !(${tsEv.isNull})) {
+       |  int $slot = $idxVar.find((Object) ${keyEv.value}, ${tsEv.value});
+       |  if ($slot >= 0) {
+       |    ${CodeGenerator.javaType(valType)} $valVar =
+       |      (${CodeGenerator.boxedType(valType)}) $idxVar.value($slot);
+       |    long $tsVar = $idxVar.ts($slot);
+       |    $numOutputRows.add(1);
+       |    ${consume(ctx, input ++ Seq(valEv, tsOutEv))}
+       |  }
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -73,6 +73,26 @@ class TimeJoinsSpec extends SparkSpec {
     assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("broadcast as-of runs INSIDE whole-stage codegen (starred in plan)") {
+    val df = TimeJoins.asofJoinBroadcast(trades, quotes,
+      "key", "ts", "quote_id", "quote_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefix = operator compiled into a WholeStageCodegen stage
+    assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("broadcast as-of interpreted fallback (codegen off) matches") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaExec = TimeJoins.asofJoinBroadcast(trades, quotes,
+        "key", "ts", "quote_id", "quote_id")
+        .select("trade_id", "asof_quote_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaExec == Map(101L -> 12L, 102L -> 13L))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("broadcast as-of null keys/ts never match and null right values are skipped") {
     val l = Seq(
       (Option(1L), Option(ts("2024-01-01 10:01:00")), 1L),
