@@ -110,6 +110,56 @@ object WindowSortQueries {
                      vt IS NULL AS is_current
               FROM dim ORDER BY user_id, valid_from_sec""")),
 
+    // W6 (extension): RANGE-frame rolling window — 30-day trailing order
+    // count and exact spend per customer, keyed on day number so the
+    // frame is value-based (RANGE), not row-based.
+    Q("w6_rolling_30d_spend",
+      (s, d) => {
+        val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("__day"))
+          .rangeBetween(-29, 0)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            day.as("__day"))
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .withColumn("spend_30d",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double"))
+          .select(col("o_orderkey"), col("o_custkey"), col("n_30d"), col("spend_30d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     COUNT(*) OVER w AS n_30d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       AS spend_30d
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+              ORDER BY o_orderkey""")),
+
+    // A16 (extension): native pivot — order counts by priority with one
+    // column per status. Missing combinations are zero-filled so the
+    // shape matches the conditional-aggregation oracle exactly.
+    Q("a16_pivot_status_counts",
+      (s, d) => {
+        val p = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+        p.select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     Q("o1_multikey_sort",
       (s, d) => Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
