@@ -110,6 +110,34 @@ object Medallion {
     }.toSeq
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes`. Streaming micro-batch appends (and any
+    * per-batch landing) accumulate small files; at 100 TB the resulting
+    * task explosion and footer overhead dominate scan cost long before
+    * the data does. File count is sized from the on-disk bytes, the
+    * rewrite goes through a temp dir and an atomic-as-possible swap, and
+    * rows are untouched (no sort — pair with sortWithinPartitions when
+    * clustering for row-group skipping is also wanted).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
+      .map(_.length()).sum).getOrElse(0L)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = s"$path.__compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val backup = new java.io.File(s"$path.__compact_old")
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delete)); f.delete(); ()
+    }
+    require(dir.renameTo(backup), s"could not move $path aside")
+    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp into $path")
+    delete(backup)
+    nFiles
+  }
+
   /** S11 — JSON ingest report (reference `ingest_csv.py:166-190`). */
   def reportJson(results: Seq[DomainResult]): String = {
     val items = results.map { r =>

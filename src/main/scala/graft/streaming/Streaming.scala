@@ -127,21 +127,7 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bad = checks.map(_.violation).reduceOption(_ || _).getOrElse(lit(false))
-        val tagged = batch.withColumn("__bad", bad).persist()
-        try {
-          val quarantined = tagged.filter(col("__bad")).drop("__bad")
-            .withColumn("batch_id", lit(batchId))
-          if (quarantined.limit(1).count() > 0)
-            quarantined.write.mode("append").parquet(quarantineRoot)
-          tagged.filter(!col("__bad")).drop("__bad")
-            .withColumn("batch_id", lit(batchId))
-            .withColumn("study_id", lit(studyId))
-            .withColumn("domain", lit(domain))
-            .write.mode("append")
-            .partitionBy("study_id", "domain")
-            .parquet(bronzeRoot)
-        } finally { tagged.unpersist(); () }
+        landBatch(batch, batchId, checks, studyId, domain, bronzeRoot, quarantineRoot)
       }
       .start()
   }
@@ -174,6 +160,51 @@ object Streaming {
         merged.write.mode("overwrite").parquet(f"$dimDir/v_$batchId%012d")
       }
       .start()
+
+  /** Batch catch-up through the streaming path: run a landing query with
+    * `Trigger.AvailableNow` — process everything currently in the source
+    * (checkpoint-resumable, rate-limited into micro-batches like a live
+    * stream) and stop. One code path serves both the nightly backfill and
+    * the continuous stream; at 100 TB this is how a new study's history
+    * is loaded without a separate batch writer drifting out of sync.
+    */
+  def bronzeCatchUp(stream: DataFrame, studyId: String, domain: String,
+      bronzeRoot: String, quarantineRoot: String, checkpointDir: String,
+      timeoutMs: Long = 120000L): Boolean = {
+    val checks = graft.io.Medallion.domainChecks.getOrElse(domain, Nil)
+    val q = stream.writeStream
+      .queryName(s"bronze_catchup_$domain")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, checks, studyId, domain, bronzeRoot, quarantineRoot)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+  }
+
+  /** Shared micro-batch landing: violations → quarantine (tagged with
+    * batch_id), clean rows → hive-partitioned bronze. */
+  private def landBatch(batch: DataFrame, batchId: Long,
+      checks: Seq[graft.checks.Check], studyId: String, domain: String,
+      bronzeRoot: String, quarantineRoot: String): Unit = {
+    val bad = checks.map(_.violation).reduceOption(_ || _).getOrElse(lit(false))
+    val tagged = batch.withColumn("__bad", bad).persist()
+    try {
+      val quarantined = tagged.filter(col("__bad")).drop("__bad")
+        .withColumn("batch_id", lit(batchId))
+      if (quarantined.limit(1).count() > 0)
+        quarantined.write.mode("append").parquet(quarantineRoot)
+      tagged.filter(!col("__bad")).drop("__bad")
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("study_id", lit(studyId))
+        .withColumn("domain", lit(domain))
+        .write.mode("append")
+        .partitionBy("study_id", "domain")
+        .parquet(bronzeRoot)
+    } finally { tagged.unpersist(); () }
+  }
 
   /** Latest SCD2 snapshot under `dimDir` (None before the first commit).
     * `v_` dirs are zero-padded so lexicographic max = latest batch. */

@@ -43,4 +43,25 @@ class MedallionSpec extends SparkSpec {
     assert(all.size == 5)
     assert(Medallion.reportJson(all).contains("\"passed\":false"))
   }
+
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val path = s"$tmp/events"
+    // 40 tiny appends → 40+ part files (micro-batch landing shape)
+    (1 to 40).foreach { i =>
+      Seq((i.toLong, s"payload_$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val beforeRows = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val beforeFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(beforeFiles >= 40)
+
+    val nFiles = Medallion.compact(spark, path)
+    val afterFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(afterFiles == nFiles && afterFiles < beforeFiles)
+    assert(spark.read.parquet(path).orderBy("id").collect().toSeq == beforeRows)
+  }
 }

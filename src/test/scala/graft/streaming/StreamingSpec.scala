@@ -155,6 +155,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("AvailableNow catch-up lands a backlog through the streaming path and stops") {
+    val root = java.nio.file.Files.createTempDirectory("graft-catchup")
+    val src = s"$root/incoming"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/day1.csv"),
+      "STUDYID,SUBJID,ARM,SEX,AGE\nSTUDY001,S1,PLACEBO,M,42\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/day2.csv"),
+      "STUDYID,SUBJID,ARM,SEX,AGE\nSTUDY001,S2,ACTIVE,F,55\nSTUDY001,,ACTIVE,F,31\n")
+    val stream = Streaming.csvFileStream(spark, src, graft.standards.Sdtm.dmSchema)
+    val done = Streaming.bronzeCatchUp(stream, "STUDY001", "DM",
+      s"$root/bronze", s"$root/quarantine", s"$root/ckpt")
+    assert(done) // AvailableNow terminated on its own after draining
+    val landed = spark.read.parquet(s"$root/bronze")
+    assert(landed.count() == 2) // null-SUBJID row quarantined
+    assert(spark.read.parquet(s"$root/quarantine").count() == 1)
+  }
+
   final case class Chg(subj: Long, arm: String, ts: Timestamp, eid: Long)
 
   test("streaming SCD2 sink versions the dimension across micro-batches") {
