@@ -41,6 +41,61 @@ object Multimodal {
       (pmod(xxhash64(col("payload")), lit(1920L)) + 1).cast("int").as("width"),
       (pmod(xxhash64(col("payload"), lit(1)), lit(1080L)) + 1).cast("int").as("height"))
 
+  final case class ImageHeader(
+      media_id: Long, format: String, width: Int, height: Int)
+
+  /** REAL header decode (no codec needed — pure byte parsing): container
+    * format + pixel dimensions from PNG (IHDR, big-endian), GIF
+    * (logical-screen, little-endian), BMP (DIB header, little-endian)
+    * and JPEG (SOF marker scan). Unknown/truncated payloads → format
+    * "unknown", dims -1. This is the piece of "image decode" that needs
+    * no image library, so it is implemented for real; pixel decode stays
+    * behind [[fakeDecode]].
+    */
+  def parseImageHeader(bytes: Array[Byte]): (String, Int, Int) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val n = bytes.length
+    if (n >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      ("png", be32(16), be32(20))
+    else if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      ("gif", le16(6), le16(8))
+    else if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      ("bmp", le32(18), math.abs(le32(22)))
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0-CF minus C4/C8/CC)
+      var i = 2
+      while (i + 9 < n && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return ("jpeg", be16(i + 7), be16(i + 5))
+        val len = be16(i + 2)
+        if (len < 2) return ("unknown", -1, -1)
+        i += 2 + len
+      }
+      ("unknown", -1, -1)
+    } else ("unknown", -1, -1)
+  }
+
+  /** Header metadata over a binary column via one partition-preserving
+    * map pass (same batch shape as [[extractFeatures]]). */
+  def imageHeaders(media: DataFrame): Dataset[ImageHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, w, h) = parseImageHeader(bytes)
+        ImageHeader(id, fmt, w, h)
+      })
+  }
+
   /** DECODE STUB — deterministic fake: a real build replaces this body
     * with a codec call (e.g. TwelveMonkeys/JavaCV). Signature and batch
     * shape (bytes per row, fixed-size float feature vector out) are the

@@ -41,6 +41,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image header parse: real PNG/GIF/BMP/JPEG byte layouts") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.putInt(0x89504e47).putInt(0x0d0a1a0a) // signature
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")) // IHDR chunk header
+      b.putInt(w).putInt(h)                         // big-endian dims
+      b.put(Array[Byte](8, 6, 0, 0, 0)).putInt(0)   // bit depth..crc
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte]((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0xff).toByte, 0, 0, 0)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(26)
+      b.putInt(12) // DIB size (offset 14)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 + 8 + 12)
+      b.put(0xff.toByte).put(0xd8.toByte)                   // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(6)       // APP0 len=6
+      b.putInt(0x4a464946)                                  // "JFIF"
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(8)       // SOF0 len=8
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      b.array()
+    }
+    assert(Multimodal.parseImageHeader(png(640, 480)) == ("png", 640, 480))
+    assert(Multimodal.parseImageHeader(gif(320, 200)) == ("gif", 320, 200))
+    assert(Multimodal.parseImageHeader(bmp(800, 600)) == ("bmp", 800, 600))
+    assert(Multimodal.parseImageHeader(jpeg(1024, 768)) == ("jpeg", 1024, 768))
+    assert(Multimodal.parseImageHeader("not an image".getBytes)._1 == "unknown")
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray)._1 == "unknown")
+    // distributed pass over a payload table
+    val media = Seq(
+      (1L, png(64, 32)), (2L, gif(10, 20)), (3L, "nope".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.imageHeaders(media).collect()
+      .map(h => h.media_id -> ((h.format, h.width, h.height))).toMap
+    assert(got(1L) == ("png", 64, 32))
+    assert(got(2L) == ("gif", 10, 20))
+    assert(got(3L)._1 == "unknown")
+  }
+
   test("frame sampling explodes every k-th frame index") {
     val frames = Multimodal.sampleFrames(Multimodal.extractMeta(media), everyK = 10)
     val byId = frames.groupBy("media_id").agg(
