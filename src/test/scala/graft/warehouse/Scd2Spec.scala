@@ -63,6 +63,38 @@ class Scd2Spec extends SparkSpec {
     assert(subj2 == Seq(("trial_a", false), ("trial_c", true)))
   }
 
+  test("property: generated histories match a driver-side reference fold") {
+    // driver-side ground truth: sort per key, collapse runs, tile timeline
+    def reference(rows: Seq[(Long, String, Long)]): Set[(Long, String, Long, Option[Long])] =
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2)).map(r => (r._2, r._3))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, cur) =>
+          if (acc.nonEmpty && acc.last._1 == cur._1) acc else acc :+ cur
+        }
+        runs.zipWithIndex.map { case ((arm, vf), i) =>
+          (k, arm, vf, runs.lift(i + 1).map(_._2))
+        }
+      }.toSet
+
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 4).foreach { _ =>
+      // distinct ts per key (the data contract) via shuffled day offsets;
+      // tieBreak = ts itself keeps the reference's (ts) order unambiguous
+      val rows = (1L to 5L).flatMap { k =>
+        rnd.shuffle((1 to 20).toList).take(rnd.nextInt(15) + 3)
+          .map(d => (k, s"arm_${rnd.nextInt(3)}", d.toLong * 86400))
+      }
+      val df = rows.toDF("subj", "arm", "sec")
+      val got = Scd2.fromHistory(df, "subj", Seq("arm"), "sec", "sec")
+        .collect().map { r =>
+          (r.getAs[Long]("subj"), r.getAs[String]("arm"),
+            r.getAs[Long]("valid_from"),
+            Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong))
+        }.toSet
+      assert(got == reference(rows))
+    }
+  }
+
   test("null-safe attribute comparison: null runs collapse") {
     val h = Seq(
       (1L, Option.empty[String], ts("2024-01-01 00:00:00"), 1L),
