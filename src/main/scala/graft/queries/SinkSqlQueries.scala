@@ -55,6 +55,35 @@ object SinkSqlQueries {
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // S8: the SQL entry point over registered views (CTAS-shaped select).
+    // S13 (extension): row-level MERGE/upsert (ops.Upsert) — matched keys
+    // take the update's row wholesale, new keys insert, the rest pass
+    // through; the oracle replays the same FULL OUTER JOIN semantics.
+    Q("s13_merge_upsert",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val upd = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"))
+          .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+        graft.ops.Upsert.merge(base, upd, "o_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+                             FROM orders),
+                   upd AS (SELECT k, 'U' AS s, p + 1000 AS p FROM base WHERE k % 10 = 0
+                           UNION ALL
+                           SELECT k + 10000000, 'N', 1.0 FROM base WHERE k % 1000 = 0),
+                   merged AS (SELECT CASE WHEN u.k IS NOT NULL THEN u.s ELSE b.s END AS s,
+                                     CASE WHEN u.k IS NOT NULL THEN u.p ELSE b.p END AS p
+                              FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+              SELECT s AS o_orderstatus, COUNT(*) AS n, ${sqlDsum("p")} AS total
+              FROM merged GROUP BY s ORDER BY s""")),
+
     Q("s8_sql_over_views",
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge: update wins wholesale (even nulls), inserts new, keeps rest") {
+    val target = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("b"), Option(20.0)),
+      (3L, Option("c"), Option(30.0))).toDF("k", "s", "v")
+    val updates = Seq(
+      (2L, Option("B"), Option.empty[Double]), // matched: null v must WIN
+      (4L, Option("d"), Option(40.0)))         // new key: insert
+      .toDF("k", "s", "v")
+    val got = Upsert.merge(target, updates, "k")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(got == Set(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("B"), None),       // update's null overwrote 20.0
+      (3L, Some("c"), Some(30.0)),
+      (4L, Some("d"), Some(40.0))))
+  }
+
+  test("merge rejects mismatched schemas") {
+    val t = Seq((1L, "a")).toDF("k", "s")
+    val u = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    intercept[IllegalArgumentException] { Upsert.merge(t, u, "k") }
+  }
+
+  test("merge is idempotent for identical updates") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val u = Seq((2L, "B")).toDF("k", "s")
+    val once = Upsert.merge(t, u, "k")
+    val twice = Upsert.merge(once, u, "k")
+    assert(once.exceptAll(twice).count() == 0)
+    assert(twice.exceptAll(once).count() == 0)
+  }
+}
