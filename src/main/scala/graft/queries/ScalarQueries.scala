@@ -241,6 +241,48 @@ object ScalarQueries {
         .orderBy("k_val"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
                      COUNT(*) AS n
-              FROM events GROUP BY 1 ORDER BY k_val"""))
+              FROM events GROUP BY 1 ORDER BY k_val""")),
+
+    // F17: explode / lateral flattening as the OUTPUT shape (one row per
+    // token of the 50 shortest docs) — DuckDB twin is UNNEST.
+    Q("f17_explode_tokens",
+      (s, d) => {
+        val short50 = Tables.documents(s, d)
+          .orderBy(col("n_chars"), col("doc_id")).limit(50)
+        short50.select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH short50 AS (SELECT doc_id, text FROM documents
+                               ORDER BY n_chars, doc_id LIMIT 50),
+                   tok AS (SELECT doc_id,
+                                  unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+                                  generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+                           FROM short50)
+              SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+              FROM tok ORDER BY doc_id, pos""")),
+
+    // F18: higher-order array functions as scalar surface — transform
+    // (clip), filter (positives), aggregate (fold sum) over the embedding
+    // vector; DuckDB twins are list_transform/list_filter/list_sum.
+    // round(,6) because the fold accumulates floats (engine-identical
+    // here per the Q discipline: both fold left-to-right over the same
+    // values — verified bit-identical in round 1 for graft_dot/list_sum).
+    Q("f18_array_higher_order",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+          round(aggregate(
+            transform(col("embedding"), x =>
+              least(greatest(x.cast("double"), lit(-0.5)), lit(0.5))),
+            lit(0.0), (acc, x) => acc + x), 6).as("clipped_sum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                     CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                     ROUND(list_sum(list_transform(embedding,
+                         x -> least(greatest(CAST(x AS DOUBLE), -0.5), 0.5))), 6)
+                       AS clipped_sum
+              FROM embeddings ORDER BY vec_id"""))
   )
 }
