@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.checks.{Check, Checks}
 import graft.standards.Sdtm
 
@@ -31,6 +32,28 @@ object Medallion {
       case None =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     }
+
+  /** Parse-level robustness (a failure class BELOW the check suite):
+    * PERMISSIVE CSV read against a pinned schema, with rows the parser
+    * could not fit captured whole in `_corrupt_record`. Returns
+    * (clean rows, corrupt raw lines) — the corrupt side goes to the same
+    * dead-letter flow as check violations. A malformed line must never
+    * kill a 100 TB load NOR silently coerce into nulls.
+    */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // corrupt-record column contract: materialize before split
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
 
   final case class DomainResult(
       domain: String, rows: Long, violations: Map[String, Long], passed: Boolean)

@@ -44,6 +44,24 @@ class MedallionSpec extends SparkSpec {
     assert(Medallion.reportJson(all).contains("\"passed\":false"))
   }
 
+  test("permissive CSV read splits clean rows from corrupt raw lines") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-permissive").toString
+    val schema = StructType(Seq(
+      StructField("SUBJID", StringType), StructField("AGE", IntegerType)))
+    // row 2 has a non-numeric AGE, row 3 has too many columns
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/dm.csv"),
+      "SUBJID,AGE\nS1,42\nS2,not_a_number\nS3,31,EXTRA,COLS\nS4,55\n")
+    val (clean, corrupt) = Medallion.readCsvPermissive(spark, s"$tmp/dm.csv", schema)
+    assert(clean.select("SUBJID").as[String].collect().toSet == Set("S1", "S4"))
+    // both the type failure and the arity failure are captured whole
+    // (raw line) for the dead letter — neither kills the load nor
+    // silently coerces
+    val bad = corrupt.as[String].collect().toSet
+    assert(bad == Set("S2,not_a_number", "S3,31,EXTRA,COLS"))
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-compact").toString
