@@ -23,11 +23,13 @@ object Bench {
   /** Representative queries across operator families: scan, agg, join,
     * window, top-k, json, validation, text/dedup suite, embeddings. */
   private val Headline = Seq(
-    "a1_group_count", "a6_median", "j1_star_join_broadcast",
-    "j2_left_join_spine", "w1_running_count", "o4_top_n",
-    "f16_json_extract", "t2_quality_scores", "t6_ngram_jaccard_pairs",
+    "a1_group_count", "a6_median", "a16_pivot_status_counts",
+    "j1_star_join_broadcast", "j2_left_join_spine", "aj3_asof_join_broadcast",
+    "w1_running_count", "w5_scd2_dimension", "w6_rolling_30d_spend",
+    "o4_top_n", "f16_json_extract", "f18_array_higher_order",
+    "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
-    "emb1_knn_bruteforce",
+    "t12_lsh_exact_dedup_pairs", "emb1_knn_bruteforce",
     "emb4_cosine_neardup_pairs", "v1_check_suite_events", "cp3_subject_summary")
 
   def main(args: Array[String]): Unit = {
