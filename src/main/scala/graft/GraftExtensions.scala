@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
     // BroadcastAsOfJoinExec (custom physical as-of join).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // Optimizer rule: hmac_detokenize(hmac_tokenize(x, k), k) → x.
+    ext.injectOptimizerRule(_ => graft.privacy.EliminateHmacRoundTrip)
   }
 }

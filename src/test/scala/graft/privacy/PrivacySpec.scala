@@ -63,6 +63,37 @@ class PrivacySpec extends SparkSpec {
       || r.contains("John Smith") || r.contains("2024-01-01")))
   }
 
+  // plan assertions use the parquet-backed testdata — a local Seq would be
+  // constant-folded into a LocalRelation and hide the expressions entirely
+  private def srcDocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("lang").as("v"))
+
+  test("optimizer rule eliminates hmac round-trip with equal literal keys") {
+    Rules.register(spark)
+    val df = srcDocs
+      .select(Privacy.detokenize(Privacy.tokenize(col("v"), "k1"), "k1").as("r"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("hmac_detokenize"), optimized)
+    assert(df.limit(3).as[String].collect().forall(_ != null))
+  }
+
+  test("optimizer rule does NOT fire for different or nullable keys") {
+    Rules.register(spark)
+    // different keys: round-trip is not the identity (detokenize → null)
+    val diff = srcDocs
+      .select(Privacy.detokenize(Privacy.tokenize(col("v"), "k1"), "k2").as("r"))
+    assert(diff.queryExecution.optimizedPlan.toString.contains("hmac_detokenize"))
+    assert(diff.limit(3).as[String].collect().forall(_ == null))
+    // nullable key column: NULL key yields NULL, not v — must not rewrite
+    val keyed = srcDocs
+      .select(col("v"), when(col("doc_id") % 2 === 0, lit("k1")).as("key"))
+      .select(col("v"),
+        call_function("hmac_detokenize",
+          call_function("hmac_tokenize", col("v"), col("key")), col("key")).as("r"))
+    assert(keyed.queryExecution.optimizedPlan.toString.contains("hmac_detokenize"))
+  }
+
   test("MRN pattern redacts 6-12 alnum words followed by 'mrn' (reference order)") {
     // expected strings precomputed with the reference's ordered fold
     // (compliance/phi_redaction.py:14-23) — including the fold artifacts:
