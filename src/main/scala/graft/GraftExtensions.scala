@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.ArrayDotProduct
-import graft.plans.AsOfJoinStrategy
+import graft.plans.{AsOfJoinStrategy, RangeJoinStrategy}
 import graft.privacy.{HmacDetokenize, HmacSha256Base64}
 
 /** SparkSessionExtensions entry point: enable with
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
     // BroadcastAsOfJoinExec (custom physical as-of join).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     // Optimizer rule: hmac_detokenize(hmac_tokenize(x, k), k) → x.
     ext.injectOptimizerRule(_ => graft.privacy.EliminateHmacRoundTrip)
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeRef
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, RangeJoinPlan, RangeJoinStrategy}
 
 /** Time-series joins the reference (and stock Spark SQL) lacks: backward
   * as-of join and bounded time-range join (SURVEY §2.3 lists both as "not
@@ -96,6 +96,37 @@ object TimeJoins {
       AttributeReference(s"asof_$valueCol", rVal.dataType, nullable = true)(),
       AttributeReference(s"asof_$ts", rTs.dataType, nullable = true)())
     GraftSqlShims.ofRows(spark, node)
+  }
+
+  /** Bounded time-range join via the custom physical operator
+    * [[graft.plans.BroadcastRangeJoinExec]] — same output shape and
+    * semantics as [[rangeJoinBucketed]] (key, a_sec, b_sec pairs with
+    * b strictly after a within `windowSecs`, distinct), but the right
+    * side is broadcast and range-probed, so the left side is never
+    * shuffled and no bucket-explode duplication happens. */
+  def rangeJoinBroadcast(a: DataFrame, b: DataFrame, key: String, ts: String,
+      windowSecs: Long): DataFrame = {
+    val spark = a.sparkSession
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    val lp = a.select(col(key), col(ts).cast("long").as("a_sec"))
+      .queryExecution.analyzed
+    val rp0 = b.select(col(key), col(ts).cast("long").as("b_sec"))
+      .queryExecution.analyzed
+    val rp: LogicalPlan =
+      if (rp0.outputSet.intersect(lp.outputSet).nonEmpty)
+        Project(rp0.output.map(att => Alias(att, att.name)()), rp0)
+      else rp0
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = RangeJoinPlan(lp, rp,
+      resolve(lp, key), resolve(rp, key),
+      resolve(lp, "a_sec"), resolve(rp, "b_sec"), windowSecs,
+      AttributeReference("b_sec", org.apache.spark.sql.types.LongType,
+        nullable = false)())
+    GraftSqlShims.ofRows(spark, node).distinct()
   }
 
   /** Bounded time-range self/two-table join: pairs (a, b) with the same

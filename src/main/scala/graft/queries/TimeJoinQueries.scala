@@ -88,6 +88,30 @@ object TimeJoinQueries {
                     FROM events WHERE event_type = 'error') b
                 ON a.user_id = b.user_id
                    AND b.b_sec > a.a_sec AND b.b_sec - a.a_sec <= 600
+              GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // Same range-join semantics through the custom physical operator
+    // (BroadcastRangeJoinExec: broadcast right, per-key range probe,
+    // left never shuffled) — same oracle as aj2, proving the exec and
+    // the bucket-explode formulation agree exactly.
+    Q("aj4_range_join_broadcast",
+      (s, d) => {
+        val errors = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"))
+        TimeJoins.rangeJoinBroadcast(errors, errors, "user_id", "ts", 600L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_burst_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT a.user_id, COUNT(*) AS n_burst_pairs
+              FROM (SELECT DISTINCT user_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS a_sec
+                    FROM events WHERE event_type = 'error') a
+              JOIN (SELECT DISTINCT user_id,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS b_sec
+                    FROM events WHERE event_type = 'error') b
+                ON a.user_id = b.user_id
+                   AND b.b_sec > a.a_sec AND b.b_sec - a.a_sec <= 600
               GROUP BY a.user_id ORDER BY a.user_id"""))
   )
 }

@@ -26,8 +26,9 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("injects the as-of planner strategy") {
+  test("injects the as-of and range-join planner strategies") {
     assert(strategies.contains(graft.plans.AsOfJoinStrategy))
+    assert(strategies.contains(graft.plans.RangeJoinStrategy))
   }
 
   test("injects the HMAC round-trip optimizer rule") {

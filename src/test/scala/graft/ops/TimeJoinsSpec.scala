@@ -110,6 +110,39 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 9L)))
   }
 
+  test("broadcast range-join exec equals the bucketed formulation on events") {
+    val errors = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    // 1-day window: 85 ground-truth pairs at sf0.001 (600 s has zero)
+    val viaExec = TimeJoins.rangeJoinBroadcast(errors, errors, "user_id", "ts", 86400L)
+    val viaBuckets = TimeJoins.rangeJoinBucketed(errors, errors, "user_id", "ts", 86400L)
+      .select("user_id", "a_sec", "b_sec")
+    assert(viaExec.count() == 85)
+    assert(viaExec.exceptAll(viaBuckets).count() == 0)
+    assert(viaBuckets.exceptAll(viaExec).count() == 0)
+    // plan: broadcast exchange on the right, no shuffle of the probe side
+    viaExec.collect()
+    val plan = viaExec.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), plan)
+  }
+
+  test("broadcast range-join exec: boundary semantics (exclusive start, inclusive end)") {
+    val a = Seq((1L, 1000L), (2L, 1000L)).toDF("k", "sec")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"))
+    val b = Seq(
+      (1L, 1000L),  // == a_sec → excluded (strictly after)
+      (1L, 1001L),  // in window
+      (1L, 1600L),  // == a_sec + 600 → included (inclusive end)
+      (1L, 1601L),  // past window
+      (3L, 1001L))  // wrong key
+      .toDF("k", "sec")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"))
+    val got = TimeJoins.rangeJoinBroadcast(a, b, "k", "ts", 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1000L, 1001L), (1L, 1000L, 1600L)))
+  }
+
   test("range join equals the naive theta join") {
     val errors = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
