@@ -39,6 +39,28 @@ class ShuffleAuditSpec extends SparkSpec {
       s"exec=${exec.shuffleWriteBytes} window=${window.shuffleWriteBytes}")
   }
 
+  test("broadcast range join moves less shuffle than the bucketed form") {
+    import org.apache.spark.sql.functions._
+    val errors = graft.io.Tables.events(spark, sf)
+      .filter(col("event_type") === "error").select(col("user_id"), col("ts"))
+    // 1-day window so the pair space is non-empty (85 pairs at sf0.001).
+    // Disable auto-broadcast: at test scale Spark would broadcast the
+    // bucketed join's side too, hiding the shuffle the bucketed plan
+    // performs at real scale; the custom exec's BroadcastDistribution is
+    // independent of the threshold.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (_, exec) = ShuffleAudit.measure(spark) {
+        graft.ops.TimeJoins.rangeJoinBroadcast(errors, errors, "user_id", "ts", 86400L).count()
+      }
+      val (_, bucketed) = ShuffleAudit.measure(spark) {
+        graft.ops.TimeJoins.rangeJoinBucketed(errors, errors, "user_id", "ts", 86400L).count()
+      }
+      assert(exec.shuffleWriteBytes < bucketed.shuffleWriteBytes,
+        s"exec=${exec.shuffleWriteBytes} bucketed=${bucketed.shuffleWriteBytes}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("nothing in the audited queries spills at test scale") {
     Seq("j1_star_join_broadcast", "a1_group_count").foreach { q =>
       val a = audited(q)
