@@ -39,6 +39,27 @@ object ZOrder {
   def zValue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  private val UnspreadLadder: Seq[(Int, Long)] = Seq(
+    1 -> 0x3333333333333333L,
+    2 -> 0x0f0f0f0f0f0f0f0fL,
+    4 -> 0x00ff00ff00ff00ffL,
+    8 -> 0x0000ffff0000ffffL,
+    16 -> 0x00000000ffffffffL)
+
+  /** Inverse of [[spread]]: collapse the even bit positions back to the
+    * low 32 bits (the reversed mask ladder). */
+  def unspread(c: Column): Column =
+    UnspreadLadder.foldLeft(c.bitwiseAND(lit(0x5555555555555555L))) {
+      case (x, (shift, mask)) =>
+        (x.bitwiseOR(shiftright(x, shift))).bitwiseAND(lit(mask))
+    }
+
+  /** Decode a Morton code back to its (a, b) components — the inverse of
+    * [[zValue]]; handy for mapping a file's z-range back to the key
+    * rectangle it covers. */
+  def zDecode(z: Column): (Column, Column) =
+    (unspread(z), unspread(shiftright(z, 1)))
+
   /** Write `df` z-ordered on (aCol, bCol): range-partition by the Morton
     * code into `nFiles` and sort within partitions, so each parquet file
     * covers one z-range — a small (a, b) rectangle. */

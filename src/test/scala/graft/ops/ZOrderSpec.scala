@@ -14,6 +14,18 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L, 0x5555555555555555L))
   }
 
+  test("property: zDecode inverts zValue over random 32-bit pairs") {
+    val rnd = new scala.util.Random(42L)
+    val pairs = Seq.fill(200)((rnd.nextInt() & 0xffffffffL, rnd.nextInt() & 0xffffffffL)) ++
+      Seq((0L, 0L), (0xffffffffL, 0xffffffffL), (0L, 0xffffffffL))
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+    val (da, db) = ZOrder.zDecode(col("z"))
+    val bad = df.select(col("a"), col("b"), da.as("da"), db.as("db"))
+      .filter(col("a") =!= col("da") || col("b") =!= col("db"))
+    assert(bad.count() == 0)
+  }
+
   /** Mean per-file span of a column across the written files — the proxy
     * for how much a min/max predicate can skip. */
   private def meanSpan(path: String, colName: String): Double = {
