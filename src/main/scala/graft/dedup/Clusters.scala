@@ -64,7 +64,11 @@ object Clusters {
       }
       val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
       import spark.implicits._
-      return nodes.iterator.map(x => (x, find(x))).toSeq
+      // parallelize rather than a local Seq: at the threshold boundary
+      // the assignment is ~2×2^20 rows, which as a LocalRelation would be
+      // embedded in every downstream plan
+      return spark.sparkContext
+        .parallelize(nodes.iterator.map(x => (x, find(x))).toSeq)
         .toDF("node", "component")
     }
 
