@@ -31,6 +31,21 @@ class UpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Upsert.merge(t, u, "k") }
   }
 
+  test("property: merge matches a driver-side map merge on random frames") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 3).foreach { _ =>
+      val target = (1L to 300L).map(k => (k, s"t$k", rnd.nextInt(1000).toDouble))
+      val updates = rnd.shuffle((1L to 400L).toList).take(150)
+        .map(k => (k, s"u$k", rnd.nextInt(1000).toDouble))
+      val expected = (target.map(r => r._1 -> r).toMap ++
+        updates.map(r => r._1 -> r).toMap).values.toSet
+      val got = Upsert.merge(
+          target.toDF("k", "s", "v"), updates.toDF("k", "s", "v"), "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("merge is idempotent for identical updates") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val u = Seq((2L, "B")).toDF("k", "s")
