@@ -110,6 +110,33 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 9L)))
   }
 
+  test("property: as-of exec matches a driver-side reference on random data") {
+    val rnd = new scala.util.Random(2026L)
+    (1 to 3).foreach { _ =>
+      val lefts = Seq.fill(200)((rnd.nextInt(8).toLong,
+        1000L + rnd.nextInt(500), rnd.nextLong().abs))
+      val rights = Seq.fill(120)((rnd.nextInt(10).toLong,
+        1000L + rnd.nextInt(500), rnd.nextLong().abs))
+      // driver-side reference: greatest right ts <= left ts, ties by max id
+      val expected = lefts.flatMap { case (k, t, id) =>
+        val cands = rights.filter(r => r._1 == k && r._2 <= t)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(r => (r._2, r._3))
+          Some((id, best._3, best._2))
+        }
+      }.toSet
+      val l = lefts.toDF("key", "sec", "lid")
+        .select(col("key"), col("sec").cast("timestamp").as("ts"), col("lid"))
+      val r = rights.toDF("key", "sec", "rid")
+        .select(col("key"), col("sec").cast("timestamp").as("ts"), col("rid"))
+      val got = TimeJoins.asofJoinBroadcast(l, r, "key", "ts", "rid", "rid")
+        .select(col("lid"), col("asof_rid"), col("asof_ts").cast("long"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("broadcast range-join exec equals the bucketed formulation on events") {
     val errors = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("event_type") === "error")
