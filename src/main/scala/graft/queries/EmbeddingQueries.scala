@@ -17,6 +17,19 @@ object EmbeddingQueries {
     s"""list_sum(list_transform(range(1, len($a) + 1),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
 
+  /** SQL twin of [[Ann.hyperplaneBucket]]: bit p set iff the integer-weight
+    * plane dot is ≥ 0. Deterministic integer weights make the bucket
+    * engine-portable (proven by the emb3 histogram hash-match). */
+  private def sqlBucket(vec: String, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(1, len($vec) + 1),
+            i -> CAST($vec[i] AS DOUBLE)
+                 * CAST((($p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))) >= 0
+          THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"""
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / sqrt(${sqlDot(a, a)}) / sqrt(${sqlDot(b, b)})"
 
@@ -60,17 +73,9 @@ object EmbeddingQueries {
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .orderBy("bucket")
       },
-      Some {
-        val bits = (0 until 8).map { p =>
-          s"""CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-                i -> CAST(embedding[i] AS DOUBLE)
-                     * CAST((($p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))) >= 0
-              THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"""
-        }.mkString(" + ")
-        s"""SELECT bucket, COUNT(*) AS n
-            FROM (SELECT CAST($bits AS BIGINT) AS bucket FROM embeddings)
-            GROUP BY bucket ORDER BY bucket"""
-      }),
+      Some(s"""SELECT bucket, COUNT(*) AS n
+               FROM (SELECT ${sqlBucket("embedding", 8)} AS bucket FROM embeddings)
+               GROUP BY bucket ORDER BY bucket""")),
 
     Q("emb4_cosine_neardup_pairs",
       (s, d) => Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -82,13 +87,23 @@ object EmbeddingQueries {
                WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
                ORDER BY id1, id2""")),
 
-    // LSH-bucketed ANN (scale path): no SQL oracle — recall depends on the
-    // bucket layout; checked by the rows-only gate + the ScalaTest spec
-    // comparing it against brute force on the same bucket.
+    // LSH-bucketed ANN (scale path). The hyperplane bucket is deterministic
+    // integer math, so the oracle recomputes the same bucket in DuckDB and
+    // brute-forces inside it — a full hash-match on the recall-traded
+    // result, not just a rows check.
     Q("emb5_knn_lsh_bucketed",
       (s, d) => Ann.knnLshBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
           queryId = 0L, k = 10, planes = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score")),
-      None)
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+                                 ${sqlBucket("embedding", 4)} AS bucket
+                          FROM embeddings),
+                    q AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+               SELECT e.vec_id,
+                      ROUND(${sqlCosine("e.embedding", "q.embedding")}, 6) AS score
+               FROM b e JOIN q ON e.bucket = q.bucket
+               WHERE e.vec_id != 0
+               ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id
+               LIMIT 10"""))
   )
 }

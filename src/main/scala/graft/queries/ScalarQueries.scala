@@ -232,6 +232,51 @@ object ScalarQueries {
                             VAR_SAMP(c_acctbal) AS v2
                      FROM customer WHERE c_mktsegment = 'MACHINERY') b""")),
 
+    // F15b: Pearson χ² over the dense status×priority contingency table
+    // (reference `analytics/stats_utils.py:26-41`). The oracle replicates
+    // the dense-matrix semantics (zero cells contribute e) and the
+    // Wilson–Hilferty + erf-polynomial p-value with the same arithmetic
+    // shape, so round(4)/round(6) absorb only sum-order ulps.
+    Q("f15b_chi_square",
+      (s, d) => graft.stats.Stats
+        .chiSquare(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+        .select(round(col("chi2"), 4).as("chi2"), col("dof"),
+          round(col("p_value"), 6).as("p_value")),
+      Some("""WITH obs AS (SELECT o_orderstatus AS r, o_orderpriority AS c,
+                                  CAST(COUNT(*) AS DOUBLE) AS o
+                           FROM orders GROUP BY 1, 2),
+                   rt AS (SELECT r, SUM(o) AS rtot FROM obs GROUP BY r),
+                   ct AS (SELECT c, SUM(o) AS ctot FROM obs GROUP BY c),
+                   g  AS (SELECT SUM(o) AS gt FROM obs),
+                   cells AS (SELECT COALESCE(obs.o, 0) AS o,
+                                    rt.rtot * ct.ctot / g.gt AS e
+                             FROM rt CROSS JOIN ct CROSS JOIN g
+                             LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+                   dims AS (SELECT SUM(POW(o - e, 2) / e) AS chi2,
+                                   (SELECT CAST(COUNT(DISTINCT r) AS DOUBLE) FROM obs) AS r,
+                                   (SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) FROM obs) AS c
+                            FROM cells),
+                   zc AS (SELECT chi2, (r - 1) * (c - 1) AS dof,
+                                 CASE WHEN (r - 1) * (c - 1) > 0 THEN
+                                   (POW(chi2 / ((r - 1) * (c - 1)), 1.0 / 3.0)
+                                     - (1.0 - 2.0 / (9.0 * (r - 1) * (c - 1))))
+                                   / SQRT(2.0 / (9.0 * (r - 1) * (c - 1)))
+                                 ELSE 0.0 END AS z
+                          FROM dims),
+                   p1 AS (SELECT chi2, dof, ABS(z) AS az FROM zc),
+                   p2 AS (SELECT chi2, dof, az,
+                                 1.0 / (1.0 + 0.3275911 * az / SQRT(2.0)) AS t,
+                                 az / SQRT(2.0) AS x
+                          FROM p1),
+                   p3 AS (SELECT chi2, dof,
+                                 1.0 - (t * (0.254829592 + t * (-0.284496736
+                                   + t * (1.421413741 + t * (-1.453152027
+                                   + t * 1.061405429))))) * EXP(-x * x) AS erf
+                          FROM p2)
+              SELECT ROUND(chi2, 4) AS chi2, CAST(dof AS BIGINT) AS dof,
+                     ROUND(2.0 * (1.0 - 0.5 * (1.0 + erf)), 6) AS p_value
+              FROM p3""")),
+
     // F16: JSON field extraction from the events props payload.
     Q("f16_json_extract",
       (s, d) => Tables.events(s, d)
