@@ -345,6 +345,33 @@ object TextQueries {
                            CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
                              AS decile
                     FROM documents)
+              GROUP BY decile ORDER BY decile""")),
+
+    // T11b: the decile SCALE path — quantile cutoffs + broadcast assignment,
+    // no global-sort window (graft.ops.Quantiles). Declared with exact
+    // type-7 cutoffs so the oracle (DuckDB quantile_cont, same definition)
+    // hash-matches; the production approx_percentile mode differs only in
+    // the cutoff aggregate and is spec-gated against this one.
+    Q("t11b_length_deciles_cutoffs",
+      (s, d) => graft.ops.Quantiles
+        .quantileBuckets(Tables.documents(s, d), "n_chars", 10,
+          bucketCol = "decile", exact = true)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("decile"),
+      Some("""WITH cuts AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                                     AS c
+                            FROM documents)
+              SELECT decile, COUNT(*) AS n_docs,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM (SELECT n_chars,
+                           CAST(1 + len(list_filter(cuts.c,
+                                  x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT)
+                             AS decile
+                    FROM documents, cuts)
               GROUP BY decile ORDER BY decile"""))
   )
 }
