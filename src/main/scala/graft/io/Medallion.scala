@@ -144,20 +144,23 @@ object Medallion {
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
-      .map(_.length()).sum).getOrElse(0L)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = s"$path.__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compact_tmp")
     spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val backup = new java.io.File(s"$path.__compact_old")
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(delete)); f.delete(); ()
-    }
-    require(dir.renameTo(backup), s"could not move $path aside")
-    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp into $path")
-    delete(backup)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Two-rename swap (Hadoop FS, so any URI scheme works; on HDFS the
+    // renames are metadata ops, on object stores the writer should prefer
+    // a manifest/table format). There is a brief window between the two
+    // renames where `path` is absent — readers racing a compaction should
+    // go through a snapshot/manifest layer; this helper targets quiesced
+    // maintenance windows, matching the reference's offline compaction.
+    val backup = new org.apache.hadoop.fs.Path(s"$path.__compact_old")
+    require(fs.rename(dir, backup), s"could not move $path aside")
+    require(fs.rename(tmp, dir), s"could not swap $tmp into $path")
+    fs.delete(backup, true)
     nFiles
   }
 

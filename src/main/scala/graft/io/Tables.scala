@@ -26,12 +26,22 @@ object Tables {
     * immutable plans, so sharing is safe; the testdata tables are
     * immutable, so the cached file index cannot go stale (mutable paths —
     * e.g. medallion roots — do not go through this cache).
+    *
+    * Lifecycle: entries strongly reference their session (a DataFrame pins
+    * its session anyway), so the cache self-evicts — every access drops
+    * entries whose SparkContext has stopped, and a hard entry bound guards
+    * the pathological many-live-sessions case so the map can never pin an
+    * unbounded set of plans/file indexes for the JVM lifetime.
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val MaxEntries = 512
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
+    if (cache.size >= MaxEntries) cache.clear()
     cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+  }
 
   /** Read one testdata table. `events.parquet` stores INT64
     * TIMESTAMP(NANOS), which Spark's parquet reader rejects outright

@@ -1,7 +1,10 @@
 package graft.obs
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.GraftSparkShims
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Measured shuffle/spill accounting for one action — "measure, don't
@@ -10,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   * shuffled key+payload volume; partial aggregation shows shuffle volume
   * bounded by groups × partitions, not input rows.
   *
-  * Implementation: a task-level SparkListener summing TaskMetrics over
-  * exactly the jobs triggered inside `measure`'s thunk (driver-side
-  * counters, no executor cost). The listener bus is drained before the
-  * totals are read.
+  * Implementation: the thunk runs under a unique job group, `onJobStart`
+  * records the stage ids of jobs carrying that group property, and
+  * `onTaskEnd` sums TaskMetrics only for those stages — concurrent jobs
+  * from other threads are excluded, unlike a bare task-end listener.
+  * Counters are AtomicLongs because the listener-bus thread mutates them
+  * while the calling thread later reads them; the bus is drained before
+  * the totals are read.
   */
 object ShuffleAudit {
 
@@ -24,26 +30,41 @@ object ShuffleAudit {
       diskSpillBytes: Long,
       tasks: Long)
 
+  private val auditSeq = new AtomicLong()
+
   def measure[A](spark: SparkSession)(action: => A): (A, Audit) = {
     val sc = spark.sparkContext
-    var read, write, memSpill, diskSpill, tasks = 0L
+    val group = s"graft-shuffle-audit-${auditSeq.incrementAndGet()}"
+    val read, write, memSpill, diskSpill, tasks = new AtomicLong()
+    val stages = ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (group == g) js.stageInfos.foreach(si => stages.add(si.stageId))
+      }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) {
-          read += m.shuffleReadMetrics.totalBytesRead
-          write += m.shuffleWriteMetrics.bytesWritten
-          memSpill += m.memoryBytesSpilled
-          diskSpill += m.diskBytesSpilled
-          tasks += 1
+        if (m != null && stages.contains(te.stageId)) {
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          tasks.incrementAndGet()
+          ()
         }
       }
     }
     sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft shuffle audit", interruptOnCancel = false)
     try {
       val result = action
       GraftSparkShims.waitUntilListenerBusEmpty(sc)
-      (result, Audit(read, write, memSpill, diskSpill, tasks))
-    } finally sc.removeSparkListener(listener)
+      (result, Audit(read.get(), write.get(), memSpill.get(), diskSpill.get(),
+        tasks.get()))
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
   }
 }

@@ -180,9 +180,20 @@ case class BroadcastAsOfJoinExec(
     i
   }
 
-  private def requireTsType(): Unit =
-    require(leftTs.dataType == TimestampType || leftTs.dataType == LongType,
-      s"as-of ts must be TIMESTAMP or BIGINT, got ${leftTs.dataType}")
+  /** Both probe/build key and ts types must agree exactly: the build map
+    * stores boxed keys (an int-keyed probe against a long-keyed build
+    * would hash-miss every lookup and silently return empty), and ts is
+    * compared as a raw long (micros vs seconds must not mix). */
+  private def requireTsType(): Unit = {
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+    Seq(leftTs, rightTs).foreach { a =>
+      require(a.dataType == TimestampType || a.dataType == LongType,
+        s"as-of ts must be TIMESTAMP or BIGINT, got ${a.dataType} (${a.name})")
+    }
+    require(leftTs.dataType == rightTs.dataType,
+      s"as-of ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+  }
 
   private def indexBuilder: AsOfIndexBuilder = new AsOfIndexBuilder(
     ordinal(right.output, rightKey), ordinal(right.output, rightTs),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
 
 /** Whole-operator bounded time-range join, broadcast build side — the
   * sibling of [[AsOfJoinPlan]]/[[BroadcastAsOfJoinExec]] (same extension
@@ -106,7 +107,20 @@ case class BroadcastRangeJoinExec(
     i
   }
 
+  /** Same contract as [[BroadcastAsOfJoinExec]]: boxed-key hash lookups
+    * and raw-long second comparisons require exact type agreement, or the
+    * join silently returns empty instead of failing. */
+  private def validateTypes(): Unit = {
+    require(leftKey.dataType == rightKey.dataType,
+      s"range-join key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+    Seq(leftSec, rightSec).foreach { a =>
+      require(a.dataType == LongType,
+        s"range-join epoch-second column must be BIGINT, got ${a.dataType} (${a.name})")
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    validateTypes()
     val numOutputRows = longMetric("numOutputRows")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val rKeyIdx = ordinal(right.output, rightKey)

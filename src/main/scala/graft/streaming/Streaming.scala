@@ -181,7 +181,12 @@ object Streaming {
         landBatch(batch, batchId, checks, studyId, domain, bronzeRoot, quarantineRoot)
       }
       .start()
-    q.awaitTermination(timeoutMs)
+    // On timeout (or await failure) the AvailableNow query must not be
+    // left running in the background: a later caller reusing the same
+    // checkpoint dir would collide with the zombie. Stop is idempotent
+    // and checkpoint-safe — the next run resumes from the last commit.
+    try q.awaitTermination(timeoutMs)
+    finally { if (q.isActive) q.stop() }
   }
 
   /** Shared micro-batch landing: violations → quarantine (tagged with
@@ -209,9 +214,12 @@ object Streaming {
   /** Latest SCD2 snapshot under `dimDir` (None before the first commit).
     * `v_` dirs are zero-padded so lexicographic max = latest batch. */
   def readCurrentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
-    val root = new java.io.File(dimDir)
-    Option(root.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("v_")).map(_.getName).sorted)
+    val root = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else Option(fs.listStatus(root))
+      .map(_.filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+        .map(_.getPath.getName).sorted)
       .filter(_.nonEmpty)
       .map(vs => spark.read.parquet(s"$dimDir/${vs.last}"))
   }
