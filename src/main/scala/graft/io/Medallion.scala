@@ -164,6 +164,12 @@ object Medallion {
     nFiles
   }
 
+  /** S11 — write the ingest report to any Hadoop FS URI (`file:` local,
+    * `s3a:` production — reference `ingest_csv.py:166-190` writes it next
+    * to the raw bucket). */
+  def writeReport(spark: SparkSession, uri: String, results: Seq[DomainResult]): Unit =
+    ObjectStore.putString(spark, uri, reportJson(results))
+
   /** S11 — JSON ingest report (reference `ingest_csv.py:166-190`). */
   def reportJson(results: Seq[DomainResult]): String = {
     val items = results.map { r =>
