@@ -74,6 +74,35 @@ object Checks {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-check sample of offending rows (reference `validation/
+    * validator.py:63-77` attaches failing examples to the report; pandera
+    * calls them `failure_cases`). Returns check name → up to `n` offending
+    * rows as JSON strings.
+    *
+    * Scale shape: ONE scan filtered to rows violating ANY check (the
+    * disjunction prunes at the source), then a shuffle over only the
+    * violating rows to take a deterministic top-N per check — sample cost
+    * is proportional to the violation count, never the table. The
+    * violated-check tags are computed once per row, not once per check.
+    */
+  def sampleFailures(df: DataFrame, checks: Seq[Check], n: Int = 5): Map[String, Seq[String]] = {
+    require(checks.nonEmpty, "empty check suite")
+    import org.apache.spark.sql.expressions.Window
+    val offending = df.filter(checks.map(_.violation).reduce(_ || _))
+    val tagged = offending.select(
+      array_compact(array(checks.map(c =>
+        when(c.violation, lit(c.name))): _*)).as("__checks"),
+      to_json(struct(df.columns.map(col): _*)).as("__row"))
+    tagged.select(explode(col("__checks")).as("check"), col("__row"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("check").orderBy("__row")))
+      .filter(col("__rn") <= n)
+      .select("check", "__row")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq.sorted }
+  }
+
   /** V2 — duplicate-key detection: keys occurring more than once. */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)

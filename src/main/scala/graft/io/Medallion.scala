@@ -56,7 +56,8 @@ object Medallion {
   }
 
   final case class DomainResult(
-      domain: String, rows: Long, violations: Map[String, Long], passed: Boolean)
+      domain: String, rows: Long, violations: Map[String, Long], passed: Boolean,
+      samples: Map[String, Seq[String]] = Map.empty)
 
   /** V11 — evaluate a check suite, one aggregation pass; returns per-check
     * violation counts (reference `validation/validator.py:63-145`). */
@@ -98,9 +99,17 @@ object Medallion {
     while (it.hasNext && !aborted) {
       val domain = it.next()
       val df = domains(domain)
-      val violations = validate(df, domainChecks.getOrElse(domain, Nil))
+      val checks = domainChecks.getOrElse(domain, Nil)
+      val violations = validate(df, checks)
       val passed = violations.values.forall(_ == 0L)
-      results += DomainResult(domain, df.count(), violations, passed)
+      // Failing domains carry example rows (reference validator.py:63-77);
+      // the capture scan is filtered to violating rows only, so the green
+      // path pays nothing and the red path pays ∝ violations.
+      val samples =
+        if (passed || checks.isEmpty) Map.empty[String, Seq[String]]
+        else Checks.sampleFailures(df,
+          checks.filter(c => violations.getOrElse(c.name, 0L) > 0L))
+      results += DomainResult(domain, df.count(), violations, passed, samples)
       if (passed) {
         // dynamic partition overwrite: replace only this domain's
         // partitions — static mode would wipe the other domains' data
@@ -175,7 +184,13 @@ object Medallion {
     val items = results.map { r =>
       val v = r.violations.toSeq.sorted
         .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
-      s"""{"domain":"${r.domain}","rows":${r.rows},"passed":${r.passed},"violations":$v}"""
+      // sample rows are already JSON objects (to_json of the full row) —
+      // embed them raw so the report nests structured failure examples
+      val s = r.samples.toSeq.sortBy(_._1)
+        .map { case (k, rows) => s""""$k":${rows.mkString("[", ",", "]")}""" }
+        .mkString("{", ",", "}")
+      s"""{"domain":"${r.domain}","rows":${r.rows},"passed":${r.passed},""" +
+        s""""violations":$v,"samples":$s}"""
     }
     items.mkString("[", ",", "]")
   }

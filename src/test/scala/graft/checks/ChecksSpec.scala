@@ -51,4 +51,20 @@ class ChecksSpec extends SparkSpec {
       to_timestamp(lit("2024-01-01 02:00:00"))).as[Long].head()
     assert(lag == 120L)
   }
+
+  test("sampleFailures: per-check offending rows, capped at n, multi-tagged") {
+    val d = Seq(
+      ("S1", 42), ("S2", 200), ("S3", 210), ("S4", 220),
+      (null.asInstanceOf[String], 300), ("S6", 55)
+    ).toDF("subj", "age")
+    val checks = Seq(NotNull("subj"), InRange("age", 0, 150))
+    val samples = Checks.sampleFailures(d, checks, n = 2)
+    // null subj row violates BOTH checks → appears under both names
+    assert(samples("subj_null").size == 1)
+    assert(samples("subj_null").head.contains("\"age\":300"))
+    // 4 range violations capped at 2, deterministic (sorted JSON order:
+    // the null-subj row serializes as {"age":300} and sorts first)
+    assert(samples("age_out_of_range") ==
+      Seq("""{"age":300}""", """{"subj":"S2","age":200}"""))
+  }
 }

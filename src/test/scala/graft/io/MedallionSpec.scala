@@ -37,11 +37,19 @@ class MedallionSpec extends SparkSpec {
     assert(!dmResult.passed)
     assert(dmResult.violations("SEX_not_in_set") == 1L)
     assert(results.size == 1) // fail-fast: later domains never ran
+    // failing check carries sample offending rows (reference
+    // validator.py:63-77): the seeded row is identifiable in the sample
+    val dmSamples = dmResult.samples("SEX_not_in_set")
+    assert(dmSamples.size == 1 && dmSamples.head.contains("\"SEX\":\"X\""))
     // non-fail-fast continues through all domains
     val all = Medallion.landToBronze(domains, "STUDY001",
       s"$tmp/bronze2", failFast = false)
     assert(all.size == 5)
-    assert(Medallion.reportJson(all).contains("\"passed\":false"))
+    val report = Medallion.reportJson(all)
+    assert(report.contains("\"passed\":false"))
+    assert(report.contains("\"samples\":{\"SEX_not_in_set\":[{"))
+    // green domains carry no samples
+    assert(all.filter(_.passed).forall(_.samples.isEmpty))
   }
 
   test("permissive CSV read splits clean rows from corrupt raw lines") {
