@@ -72,6 +72,75 @@ object RiskModel {
     Metrics(auc, ap)
   }
 
+  /** M4 — confusion matrix at `threshold` (`ml/train.py:78-92`,
+    * y_pred = y_prob > 0.5): one conditional-aggregate pass over the
+    * scored frame, no collect of predictions. */
+  final case class ConfusionMatrix(tp: Long, fp: Long, tn: Long, fn: Long) {
+    def total: Long = tp + fp + tn + fn
+    def accuracy: Double = (tp + tn).toDouble / total
+    def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    def f1: Double =
+      if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+  }
+
+  def confusionMatrix(model: PipelineModel, test: DataFrame,
+      threshold: Double = 0.5): ConfusionMatrix = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    val pred = (p1 > threshold).cast("int")
+    val row = model.transform(test)
+      .select(pred.as("p"), col("label").cast("int").as("y"))
+      .agg(
+        sum(when(col("p") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("p") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      .collect()(0)
+    ConfusionMatrix(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
+  /** M4 — ROC curve points (fpr, tpr), `ml/train.py:44-58`. Computed
+    * distributed by `BinaryClassificationMetrics`; `numBins` downsamples
+    * the curve so the returned point count is bounded at any test-set
+    * size (sklearn returns one point per distinct score — unbounded). */
+  def rocCurve(model: PipelineModel, test: DataFrame,
+      numBins: Int = 100): Seq[(Double, Double)] =
+    curveMetrics(model, test, numBins).roc().collect().toSeq
+
+  /** M4 — PR curve points (recall, precision), `ml/train.py:61-75`. */
+  def prCurve(model: PipelineModel, test: DataFrame,
+      numBins: Int = 100): Seq[(Double, Double)] =
+    curveMetrics(model, test, numBins).pr().collect().toSeq
+
+  private def curveMetrics(model: PipelineModel, test: DataFrame, numBins: Int) = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    val scoreAndLabel = model.transform(test)
+      .select(p1.as("score"), col("label"))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+      scoreAndLabel, numBins)
+  }
+
+  /** M4 — risk-score histogram per actual class (`ml/train.py:94-113`):
+    * (label, bin lower edge, count), bins of width 1/`bins`. */
+  def scoreDistribution(model: PipelineModel, test: DataFrame,
+      bins: Int = 30): DataFrame = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    model.transform(test)
+      .select(col("label"), least(floor(p1 * bins), lit(bins - 1)).as("bin"))
+      .groupBy("label", "bin").agg(count(lit(1)).as("n"))
+      .select(col("label"), (col("bin") / bins).as("bin_lo"), col("n"))
+  }
+
+  /** M4 — feature importance: scaled-space LR coefficients by feature
+    * name (`ml/train.py:139-143`). */
+  def featureImportance(model: PipelineModel): Map[String, Double] = {
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    FeatureCols.zip(lr.coefficients.toArray).toMap
+  }
+
   /** M5 — 5-fold CV on AUC (`ml/train.py:135`). */
   def crossValidate(features: DataFrame, seed: Long = 42L): Double = {
     val cv = new CrossValidator()

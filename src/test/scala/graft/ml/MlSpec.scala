@@ -33,6 +33,54 @@ class MlSpec extends SparkSpec {
     assert(!RiskModel.passesGate(RiskModel.Metrics(0.5, 0.5)))
   }
 
+  test("M4 completeness: confusion matrix, ROC/PR curves, score dist, importance") {
+    val (train, test) = RiskModel.stratifiedSplit(features)
+    val model = RiskModel.pipeline().fit(train)
+    val nTest = test.count()
+
+    val cm = RiskModel.confusionMatrix(model, test)
+    assert(cm.total == nTest, s"matrix total ${cm.total} != $nTest")
+    assert(cm.accuracy >= 0.0 && cm.accuracy <= 1.0)
+    assert(cm.precision >= 0.0 && cm.precision <= 1.0)
+    assert(cm.f1 >= 0.0 && cm.f1 <= 1.0)
+    // threshold extremes: everything predicted positive / negative
+    val all = RiskModel.confusionMatrix(model, test, threshold = -0.1)
+    assert(all.tn == 0 && all.fn == 0 && all.total == nTest)
+    val none = RiskModel.confusionMatrix(model, test, threshold = 1.1)
+    assert(none.tp == 0 && none.fp == 0 && none.total == nTest)
+
+    // ROC: within the unit square, monotone non-decreasing, ends at (1,1)
+    val roc = RiskModel.rocCurve(model, test)
+    assert(roc.nonEmpty && roc.last == ((1.0, 1.0)))
+    assert(roc.forall { case (x, y) => x >= 0 && x <= 1 && y >= 0 && y <= 1 })
+    assert(roc.sliding(2).forall {
+      case Seq((x1, y1), (x2, y2)) => x2 >= x1 && y2 >= y1
+      case _ => true
+    })
+
+    // PR: recall axis monotone non-decreasing, values in the unit square
+    val pr = RiskModel.prCurve(model, test)
+    assert(pr.nonEmpty)
+    assert(pr.forall { case (r, p) => r >= 0 && r <= 1 && p >= 0 && p <= 1 })
+    assert(pr.sliding(2).forall {
+      case Seq((r1, _), (r2, _)) => r2 >= r1
+      case _ => true
+    })
+
+    // score histogram partitions the test set; bins within [0, 1)
+    val dist = RiskModel.scoreDistribution(model, test)
+    assert(dist.agg(sum("n")).collect()(0).getLong(0) == nTest)
+    val los = dist.select("bin_lo").collect().map(_.getDouble(0))
+    assert(los.forall(lo => lo >= 0.0 && lo < 1.0))
+
+    // coefficients: one per feature; severe-AE count must dominate
+    // positively (the label is derived from it)
+    val imp = RiskModel.featureImportance(model)
+    assert(imp.keySet == RiskModel.FeatureCols.toSet)
+    assert(imp("SEVERE_AE_COUNT") > 0.0)
+    assert(imp("SEVERE_AE_COUNT") == imp.values.max)
+  }
+
   test("M7 batch scoring emits RISK probabilities in [0,1]") {
     val model = RiskModel.pipeline().fit(features)
     val scored = RiskModel.scoreBatch(model, features)
