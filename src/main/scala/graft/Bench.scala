@@ -30,7 +30,8 @@ object Bench {
     "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
     "t12_lsh_exact_dedup_pairs", "emb1_knn_bruteforce",
-    "emb4_cosine_neardup_pairs", "v1_check_suite_events", "cp3_subject_summary")
+    "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
+    "v1_check_suite_events", "cp3_subject_summary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,10 +47,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup: full sweep, unmeasured
+    // warmup: full sweep, unmeasured — but failures are REPORTED (a query
+    // that only breaks during warmup must not hide until the measured run
+    // happens to differ)
+    var warmupFailures = 0
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        warmupFailures += 1
+        System.err.println(s"[bench] warmup failure: $name: ${e.getMessage}")
+      }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -73,6 +80,7 @@ object Bench {
 
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},""" +
       s""""n_errors":${results.count(!_._3)},"errors":$errors,""" +
+      s""""n_warmup_failures":$warmupFailures,""" +
       s""""queries":${jmap(headline)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -104,6 +104,21 @@ object EmbeddingQueries {
                FROM b e JOIN q ON e.bucket = q.bucket
                WHERE e.vec_id != 0
                ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id
-               LIMIT 10"""))
+               LIMIT 10""")),
+
+    // IVF (k-means coarse quantizer) ANN — the learned-bucket scale path.
+    // No SQL oracle by design: the cells come from a KMeans fit, which
+    // DuckDB cannot reproduce; the driver rows-checks this entry, and the
+    // recall gates live in ScaleSpec ("probing all cells equals brute
+    // force", "recall@10 improves monotonically with nProbe").
+    Q("emb6_knn_ivf",
+      (s, d) => {
+        val index = graft.similarity.Ivf.build(
+          Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16)
+        graft.similarity.Ivf.knn(index, "vec_id", "embedding",
+            queryId = 0L, k = 10, nProbe = 4)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+      },
+      None)
   )
 }

@@ -61,6 +61,44 @@ class ShuffleAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed spine join runs shuffle-free (the j2/cp3 100x scale path)") {
+    import org.apache.spark.sql.functions._
+    val customer = graft.io.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val orders = graft.io.Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"),
+        sum("o_totalprice").as("spend"))
+    // force sort-merge so the exchange (or its absence) is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey"), "left")
+      val (_, plainAudit) = ShuffleAudit.measure(spark)(plain.count())
+      assert(plainAudit.shuffleWriteBytes > 0,
+        "unbucketed spine join must shuffle — else the proof proves nothing")
+
+      graft.warehouse.Bucketing.writeBucketed(customer, "cust_b", "c_custkey", 8)
+      graft.warehouse.Bucketing.writeBucketed(orders, "ord_b", "o_custkey", 8)
+      val cb = spark.table("cust_b"); val ob = spark.table("ord_b")
+      val bucketed = cb.join(ob, cb("c_custkey") === ob("o_custkey"), "left")
+      // string form of the plan sees through the AQE wrapper node
+      assert(!bucketed.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed join plan must contain no exchange")
+      // toRdd.count() executes the join without a count-aggregate on top
+      // (whose final reduce would add its own tiny exchange)
+      val (n, bAudit) = ShuffleAudit.measure(spark) {
+        bucketed.queryExecution.toRdd.count()
+      }
+      assert(n == customer.count())
+      assert(bAudit.shuffleWriteBytes == 0,
+        s"bucketed spine join shuffled ${bAudit.shuffleWriteBytes} bytes")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("nothing in the audited queries spills at test scale") {
     Seq("j1_star_join_broadcast", "a1_group_count").foreach { q =>
       val a = audited(q)
