@@ -44,8 +44,14 @@ object Scale {
   }
 
   /** Write a table bucketed+sorted on the join key. Two tables bucketed
-    * the same way join with zero shuffle (SortMergeJoin reads co-located
-    * buckets) — the layout the 100 TB spine join wants. */
+    * with the same count on the join key plan as a ZERO-exchange
+    * sort-merge join (Catalyst recognizes the bucket spec's
+    * HashPartitioning on both sides) — measured at exactly 0 shuffle
+    * bytes in ShuffleAuditSpec ("bucketed spine join runs shuffle-free"),
+    * the layout the 100 TB nightly spine rebuild (j2/cp3 shape) wants.
+    * Sizing: buckets ≈ largest-member bytes / 128–256 MB; every member of
+    * a join family shares the count. Catalog required: bucketing metadata
+    * lives there, hence `saveAsTable`, not a bare path. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
     df.write.mode("overwrite")

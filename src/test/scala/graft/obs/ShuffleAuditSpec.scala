@@ -77,8 +77,8 @@ class ShuffleAuditSpec extends SparkSpec {
       assert(plainAudit.shuffleWriteBytes > 0,
         "unbucketed spine join must shuffle — else the proof proves nothing")
 
-      graft.warehouse.Bucketing.writeBucketed(customer, "cust_b", "c_custkey", 8)
-      graft.warehouse.Bucketing.writeBucketed(orders, "ord_b", "o_custkey", 8)
+      graft.ops.Scale.writeBucketed(customer, "cust_b", "c_custkey", 8)
+      graft.ops.Scale.writeBucketed(orders, "ord_b", "o_custkey", 8)
       val cb = spark.table("cust_b"); val ob = spark.table("ord_b")
       val bucketed = cb.join(ob, cb("c_custkey") === ob("o_custkey"), "left")
       // string form of the plan sees through the AQE wrapper node
