@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hplanes"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "graft_hplanes"),
+      (children: Seq[Expression]) => graft.functions.HyperplaneBucket.build(children)))
     // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
     // BroadcastAsOfJoinExec (custom physical as-of join).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

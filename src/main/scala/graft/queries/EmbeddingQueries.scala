@@ -68,6 +68,7 @@ object EmbeddingQueries {
     Q("emb3_lsh_bucket_histogram",
       (s, d) => {
         graft.functions.ArrayDotProduct.register(s)
+        graft.functions.HyperplaneBucket.register(s)
         Tables.embeddings(s, d)
           .select(Ann.hyperplaneBucket(col("embedding"), planes = 8).as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n"))

@@ -39,6 +39,7 @@ object Ann {
 
   private def withRegistry(df: DataFrame): DataFrame = {
     ArrayDotProduct.register(df.sparkSession)
+    graft.functions.HyperplaneBucket.register(df.sparkSession)
     df
   }
 
@@ -65,12 +66,19 @@ object Ann {
     * product — hence the bucket — is engine-portable. */
   def planeWeight(p: Int, d: Int): Double = ((p * 131 + d * 37) % 7 - 3).toDouble
 
-  /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0).
-    * Each plane is a literal weight array dotted via the codegen'd
-    * `graft_dot` (the fold formulation ran interpreted). `maxDims` must be
-    * ≥ the vector length (extra weights are ignored by the min-length
-    * dot). */
-  def hyperplaneBucket(vec: Column, planes: Int, maxDims: Int = 64): Column = {
+  /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0):
+    * the single-pass codegen'd [[graft.functions.HyperplaneBucket]]
+    * expression (`graft_hplanes`). `maxDims` must be ≥ the vector length
+    * (extra dims are ignored). Callers must have registered the function
+    * (every `Ann` entry point does via `withRegistry`). */
+  def hyperplaneBucket(vec: Column, planes: Int, maxDims: Int = 64): Column =
+    call_function("graft_hplanes", vec, lit(planes), lit(maxDims))
+
+  /** The composed formulation (one `graft_dot` against a literal weight
+    * array per plane): kept as the equivalence reference for
+    * [[hyperplaneBucket]]'s fused expression — AnnSpec asserts identical
+    * buckets over the corpus. */
+  def hyperplaneBucketComposed(vec: Column, planes: Int, maxDims: Int = 64): Column = {
     val v = vec.cast("array<double>")
     val bits = (0 until planes).map { p =>
       val weights = typedlit((0 until maxDims).map(d => planeWeight(p, d)))

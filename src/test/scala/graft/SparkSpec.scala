@@ -20,6 +20,7 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     graft.privacy.Privacy.register(s)
     graft.functions.ArrayDotProduct.register(s)
+    graft.functions.HyperplaneBucket.register(s)
     s
   }
 }

@@ -74,4 +74,39 @@ class AnnSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("fused graft_hplanes equals the composed per-plane graft_dot form") {
+    // whole corpus, both plane counts used by the declared queries —
+    // one pass over the float array must reproduce the per-plane dots'
+    // signs exactly (integer weights keep every sum exact in double)
+    Seq(4, 8).foreach { planes =>
+      val both = vecs.select(
+        Ann.hyperplaneBucket(col("embedding"), planes).as("fused"),
+        Ann.hyperplaneBucketComposed(col("embedding"), planes).as("composed"))
+      assert(both.filter(col("fused") =!= col("composed")).count() == 0,
+        s"bucket mismatch at planes=$planes")
+    }
+  }
+
+  test("graft_hplanes interpreted eval matches codegen") {
+    val fromCodegen = vecs
+      .select(Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect().toSeq
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = vecs
+        .select(Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+        .as[Long].collect().toSeq
+      assert(interpreted == fromCodegen)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
