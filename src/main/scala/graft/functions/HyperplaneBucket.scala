@@ -49,10 +49,21 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hplanes"
 
+  /** Never null: a NULL vector lands in bucket 0, matching the composed
+    * form (`when(null >= 0, ...).otherwise(0)` sums to 0) and the DuckDB
+    * oracle's `CASE WHEN ... ELSE 0` — NOT the default null-propagating
+    * UnaryExpression behavior, which would silently drop null-vector rows
+    * from LSH candidate sets. An all-zero accumulator also yields bucket
+    * 2^planes−1 for sign-only reasons; bucket VALUES carry no meaning,
+    * only equality does. */
+  override def nullable: Boolean = false
+
   private lazy val isFloat = elemType.contains(FloatType)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return 0L
+    val v = raw.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), maxDims)
     val acc = new Array[Double](planes)
     var d = 0
@@ -77,30 +88,45 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val get = if (isFloat) "getFloat" else "getDouble"
-    nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      val p = ctx.freshName("p")
-      val x = ctx.freshName("x")
-      val bucket = ctx.freshName("bucket")
-      s"""int $n = java.lang.Math.min($v.numElements(), $maxDims);
-          double[] $acc = new double[$planes];
-          for (int $d = 0; $d < $n; $d++) {
-            if (!$v.isNullAt($d)) {
-              double $x = (double) $v.$get($d);
-              for (int $p = 0; $p < $planes; $p++) {
-                $acc[$p] += $x * (($p * 131 + $d * 37) % 7 - 3);
+    val childGen = child.genCode(ctx)
+    // accumulator hoisted to instance state: one allocation per generated
+    // object, reset per row — no per-row heap churn in the scan loop
+    val acc = ctx.addMutableState("double[]", "hplaneAcc",
+      v => s"$v = new double[$planes];")
+    val n = ctx.freshName("n")
+    val d = ctx.freshName("d")
+    val p = ctx.freshName("p")
+    val x = ctx.freshName("x")
+    val value = ctx.freshName("bucket")
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val resultCode =
+      s"""$jt $value = 0L;
+          if (!${childGen.isNull}) {
+            java.util.Arrays.fill($acc, 0.0);
+            int $n = java.lang.Math.min(${childGen.value}.numElements(), $maxDims);
+            for (int $d = 0; $d < $n; $d++) {
+              if (!${childGen.value}.isNullAt($d)) {
+                double $x = (double) ${childGen.value}.$get($d);
+                for (int $p = 0; $p < $planes; $p++) {
+                  $acc[$p] += $x * (($p * 131 + $d * 37) % 7 - 3);
+                }
               }
             }
-          }
-          long $bucket = 0L;
-          for (int $p = 0; $p < $planes; $p++) {
-            if ($acc[$p] >= 0) $bucket |= 1L << $p;
-          }
-          ${ev.value} = $bucket;"""
-    })
+            for (int $p = 0; $p < $planes; $p++) {
+              if ($acc[$p] >= 0) $value |= 1L << $p;
+            }
+          }"""
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $resultCode""",
+      isNull = FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(value, dataType))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -38,9 +38,16 @@ object Tables {
   private val MaxEntries = 512
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, dir, name)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    // maintenance only on miss (the hot path is a plain map get): drop
+    // entries of stopped sessions; if 512 LIVE entries remain after the
+    // sweep (50+ concurrent sessions), clearing is the documented last
+    // resort — correctness is unaffected, the next reads just re-list.
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
     if (cache.size >= MaxEntries) cache.clear()
-    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+    cache.computeIfAbsent(key, _ => load(spark, dir, name))
   }
 
   /** Read one testdata table. `events.parquet` stores INT64

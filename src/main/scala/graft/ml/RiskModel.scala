@@ -77,7 +77,7 @@ object RiskModel {
     * scored frame, no collect of predictions. */
   final case class ConfusionMatrix(tp: Long, fp: Long, tn: Long, fn: Long) {
     def total: Long = tp + fp + tn + fn
-    def accuracy: Double = (tp + tn).toDouble / total
+    def accuracy: Double = if (total == 0) 0.0 else (tp + tn).toDouble / total
     def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
     def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
     def f1: Double =
@@ -89,13 +89,17 @@ object RiskModel {
       threshold: Double = 0.5): ConfusionMatrix = {
     val p1 = element_at(vector_to_array(col("probability")), 2)
     val pred = (p1 > threshold).cast("int")
+    // coalesce: sum over zero rows is NULL — an empty test set must read
+    // as the all-zero matrix, not an NPE
+    def cell(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val row = model.transform(test)
       .select(pred.as("p"), col("label").cast("int").as("y"))
       .agg(
-        sum(when(col("p") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("p") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("p") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("p") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+        cell(col("p") === 1 && col("y") === 1).as("tp"),
+        cell(col("p") === 1 && col("y") === 0).as("fp"),
+        cell(col("p") === 0 && col("y") === 0).as("tn"),
+        cell(col("p") === 0 && col("y") === 1).as("fn"))
       .collect()(0)
     ConfusionMatrix(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
   }

@@ -56,6 +56,12 @@ object ShuffleAudit {
       }
     }
     sc.addSparkListener(listener)
+    // Save the caller's job group and restore it afterwards (clearJobGroup
+    // would clobber an enclosing measure() or a caller's cancellation
+    // group, silently under-counting their jobs).
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group, "graft shuffle audit", interruptOnCancel = false)
     try {
       val result = action
@@ -63,7 +69,9 @@ object ShuffleAudit {
       (result, Audit(read.get(), write.get(), memSpill.get(), diskSpill.get(),
         tasks.get()))
     } finally {
-      sc.clearJobGroup()
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
       sc.removeSparkListener(listener)
     }
   }

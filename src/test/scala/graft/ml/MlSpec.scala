@@ -48,6 +48,10 @@ class MlSpec extends SparkSpec {
     assert(all.tn == 0 && all.fn == 0 && all.total == nTest)
     val none = RiskModel.confusionMatrix(model, test, threshold = 1.1)
     assert(none.tp == 0 && none.fp == 0 && none.total == nTest)
+    // empty test set: all-zero matrix, defined accuracy — not an NPE
+    val empty = RiskModel.confusionMatrix(model, test.limit(0))
+    assert(empty == RiskModel.ConfusionMatrix(0, 0, 0, 0))
+    assert(empty.accuracy == 0.0 && empty.f1 == 0.0)
 
     // ROC: within the unit square, monotone non-decreasing, ends at (1,1)
     val roc = RiskModel.rocCurve(model, test)

@@ -75,6 +75,21 @@ class AnnSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("graft_hplanes buckets a NULL vector at 0, like the composed form") {
+    val withNull = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f)),
+      (2L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "embedding")
+    val rows = withNull.select(col("id"),
+      Ann.hyperplaneBucket(col("embedding"), 8).as("fused"),
+      Ann.hyperplaneBucketComposed(col("embedding"), 8).as("composed"))
+      .orderBy("id").collect()
+    // null vector: fused must be 0 (not NULL) to match composed + oracle
+    assert(!rows(1).isNullAt(1) && rows(1).getLong(1) == 0L)
+    assert(rows(1).getLong(2) == 0L)
+    assert(rows(0).getLong(1) == rows(0).getLong(2))
+  }
+
   test("fused graft_hplanes equals the composed per-plane graft_dot form") {
     // whole corpus, both plane counts used by the declared queries —
     // one pass over the float array must reproduce the per-plane dots'
