@@ -334,6 +334,30 @@ object ClinicalQueries {
                           GROUP BY subjid) sc ON d.subjid = sc.subjid
                ORDER BY d.subjid""")),
 
+    // CP7: ADaM ADSL (reference standards/adam/build_adsl.py) — the wide
+    // subject-level analysis table: full DM plus zero-filled AE counts
+    // and the severe-AE dropout-risk flag.
+    Q("cp7_adsl",
+      (s, d) => graft.standards.Adam.buildAdsl(dmFrom(s, d), aeFrom(s, d))
+        .select(col("STUDYID"), col("SUBJID"), col("ARM"), col("SEX"),
+          col("AGE"),
+          col("AE_COUNT").cast("long").as("AE_COUNT"),
+          col("SEVERE_AE_COUNT").cast("long").as("SEVERE_AE_COUNT"),
+          col("DROPOUT_RISK").cast("long").as("DROPOUT_RISK"))
+        .orderBy("SUBJID"),
+      Some(s"""SELECT d.studyid AS "STUDYID", d.subjid AS "SUBJID",
+                      d.arm AS "ARM", d.sex AS "SEX", d.age AS "AGE",
+                      CAST(COALESCE(ac.n, 0) AS BIGINT) AS "AE_COUNT",
+                      CAST(COALESCE(sc.n, 0) AS BIGINT) AS "SEVERE_AE_COUNT",
+                      CAST(COALESCE(sc.n, 0) > 0 AS BIGINT) AS "DROPOUT_RISK"
+               FROM ($sqlDm) d
+               LEFT JOIN (SELECT subjid, COUNT(*) AS n FROM ($sqlAe)
+                          GROUP BY subjid) ac ON d.subjid = ac.subjid
+               LEFT JOIN (SELECT subjid, COUNT(*) AS n FROM ($sqlAe)
+                          WHERE aesev IN ('SEVERE','SERIOUS')
+                          GROUP BY subjid) sc ON d.subjid = sc.subjid
+               ORDER BY d.subjid""")),
+
     Q("cp1_stg_demographics",
       (s, d) => Sdtm.stgDemographics(dmFrom(s, d), "STUDY001", runTs)
         .select("subjid", "treatment_arm", "sex", "age", "age_group", "sex_desc")
