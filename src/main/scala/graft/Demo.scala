@@ -110,9 +110,9 @@ object Demo {
       log.transition(spark, "risk_model", 1, "Production", t0 + 2000L)
     }
     step("report") {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/ingest_report.json"),
-        io.Medallion.reportJson(results))
+      // FS-agnostic write: same call lands the report on s3a:// in
+      // production (reference ingest_csv.py:166-190)
+      io.Medallion.writeReport(spark, s"$outDir/ingest_report.json", results)
     }
     timings.result()
   }

@@ -110,6 +110,25 @@ class TimeJoinsSpec extends SparkSpec {
     assert(out.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 9L)))
   }
 
+  test("as-of/range execs reject mismatched key types loudly, not with empty output") {
+    // int-keyed probe vs long-keyed build would box to Integer vs Long
+    // and hash-miss every lookup — the execs must throw, never return
+    // a silently empty (wrong) result
+    val l = Seq((1, ts("2024-01-01 10:01:00"), 1L)).toDF("key", "ts", "id")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 9L, 1L)).toDF("key", "ts", "v", "tb")
+    val asOfErr = intercept[Throwable] {
+      TimeJoins.asofJoinBroadcast(l, r, "key", "ts", "v", "tb").collect()
+    }
+    assert(asOfErr.getMessage.contains("key types must match"))
+
+    val ls = Seq((1, 100L)).toDF("key", "ts")
+    val rs = Seq((1L, 150L)).toDF("key", "ts")
+    val rangeErr = intercept[Throwable] {
+      TimeJoins.rangeJoinBroadcast(ls, rs, "key", "ts", 100L).collect()
+    }
+    assert(rangeErr.getMessage.contains("key types must match"))
+  }
+
   test("property: as-of exec matches a driver-side reference on random data") {
     val rnd = new scala.util.Random(2026L)
     (1 to 3).foreach { _ =>
