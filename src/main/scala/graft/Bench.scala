@@ -29,7 +29,7 @@ object Bench {
     "o4_top_n", "f16_json_extract", "f18_array_higher_order",
     "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
-    "t12_lsh_exact_dedup_pairs", "emb1_knn_bruteforce",
+    "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "emb1_knn_bruteforce",
     "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
     "v1_check_suite_events", "cp3_subject_summary")
 

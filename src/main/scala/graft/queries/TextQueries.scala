@@ -372,6 +372,96 @@ object TextQueries {
                                   x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT)
                              AS decile
                     FROM documents, cuts)
-              GROUP BY decile ORDER BY decile"""))
+              GROUP BY decile ORDER BY decile""")),
+
+    // T13: the full curation pipeline funnel (graft.text.Curation) —
+    // quality ≥ 0.3 → detected-lang 'en' → exact dedup (min-id keeper) →
+    // LSH-pruned near-dup dedup (Jaccard ≥ 0.5, drop higher id) →
+    // hash-split counts. The oracle chains the already-proven SQL twins
+    // of every stage (t2 quality, t3 langid, t4 fingerprint, t12 LSH,
+    // t10 split) into one CTE pipeline — a full hash-match on the whole
+    // composition, not just its parts.
+    Q("t13_curation_funnel",
+      (s, d) => graft.text.Curation.funnel(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val stop = EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        val quality =
+          s"""ROUND(
+                least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                + greatest(0.0, 0.3 -
+                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                         AS DOUBLE)
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
+                + least(CAST(len(list_filter($sqlTok, t -> list_contains($stop, t)))
+                    AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
+                6)"""
+        val hits = LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
+        }.mkString(", ")
+        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
+          .reduceRight((a, b) => s"greatest($a, $b)")
+        val chain = LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.3),
+                 lg AS (SELECT doc_id, text FROM (
+                          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
+                          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
+                        WHERE predicted IN ('en')),
+                 ex AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
+                          SELECT MIN(doc_id)
+                          FROM (SELECT doc_id,
+                                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                         AS fp
+                                FROM lg)
+                          GROUP BY fp)),
+                 docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                          FROM ex),
+                 sh AS (SELECT DISTINCT doc_id,
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                        FROM docs CROSS JOIN range(1, 2000) t(i)
+                        WHERE i <= len(w) - 2),
+                 sig AS (SELECT doc_id, j,
+                                MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                    AS BIGINT)) AS mh
+                         FROM sh CROSS JOIN range(0, 12) t(j)
+                         GROUP BY doc_id, j),
+                 banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                   md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                     AS band_hash
+                            FROM sig GROUP BY doc_id, 2),
+                 cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                           FROM banded a JOIN banded b
+                             ON a.band = b.band AND a.band_hash = b.band_hash
+                                AND a.doc_id < b.doc_id),
+                 inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
+                           FROM cands c
+                           JOIN sh a ON a.doc_id = c.id1
+                           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                           GROUP BY 1, 2),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                 drops AS (SELECT DISTINCT id2 FROM inter
+                           JOIN sizes s1 ON id1 = s1.doc_id
+                           JOIN sizes s2 ON id2 = s2.doc_id
+                           WHERE CAST(inter AS DOUBLE)
+                                 / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+                 nd AS (SELECT doc_id FROM ex
+                        WHERE doc_id NOT IN (SELECT id2 FROM drops)),
+                 sp AS (SELECT CASE WHEN b < 9000 THEN 'train'
+                                    WHEN b < 9500 THEN 'val'
+                                    ELSE 'test' END AS split
+                        FROM (SELECT CAST(('0x' || substr(md5('7|' ||
+                                       CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) % 10000 AS b FROM nd))
+            SELECT stage, n_docs FROM (
+              SELECT '00_raw' AS stage, COUNT(*) AS n_docs FROM documents
+              UNION ALL SELECT '10_quality', COUNT(*) FROM q
+              UNION ALL SELECT '20_lang', COUNT(*) FROM lg
+              UNION ALL SELECT '30_exact_dedup', COUNT(*) FROM ex
+              UNION ALL SELECT '40_near_dup', COUNT(*) FROM nd
+              UNION ALL SELECT '50_split_' || split, COUNT(*) FROM sp GROUP BY split
+            ) ORDER BY stage"""
+      })
   )
 }
