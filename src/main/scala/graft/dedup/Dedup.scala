@@ -21,16 +21,22 @@ import graft.text.TextFunctions
 object Dedup {
 
   /** Exact-duplicate groups: digest → group size and keeper (min id).
-    * One shuffle on the md5 digest (reference A1-style hash group-by). */
+    * One shuffle on the md5 digest (reference A1-style hash group-by).
+    * Null-text rows are excluded — they are ABSENT documents, not
+    * duplicates of each other (grouping them under digest NULL would
+    * collapse every null-text row into one keeper). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("digest"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("digest"))
       .groupBy("digest")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Keep one row per distinct normalized text (the keeper = min id). */
+  /** Keep one row per distinct normalized text (the keeper = min id);
+    * null-text rows pass through untouched. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = exactGroups(df, idCol, textCol).select(col("keeper").as(idCol))
-    df.join(keepers, idCol)
+    df.filter(col(textCol).isNotNull).join(keepers, idCol)
+      .unionByName(df.filter(col(textCol).isNull))
   }
 
   /** Distinct (id, shingle) pairs of `n` consecutive whitespace tokens. */
@@ -46,7 +52,14 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard ≥ `minJaccard` via a shingle-key self-join.
     * `maxShingleDf` drops shingles shared by more than that many documents
-    * before pairing (see class doc — required for the O(df²) bound). */
+    * before pairing (see class doc — required for the O(df²) bound). The
+    * Jaccard is the Jaccard OF THE FILTERED sets: sizes and intersections
+    * both exclude capped shingles, so the metric stays internally
+    * consistent (unfiltered sizes with filtered intersections would
+    * underestimate — two identical docs sharing capped shingles would
+    * score below 1.0 and could silently miss the threshold).
+    * The shingle cache is reused by three downstream plans (df-cap,
+    * filter, sizes); Spark's MEMORY_AND_DISK eviction bounds it. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 1000L): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).cache()
@@ -54,7 +67,7 @@ object Dedup {
       .filter(col("df") <= maxShingleDf)
       .select("shingle")
     val shF = sh.join(rare, "shingle")
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val sizes = shF.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = shF.select(col(idCol).as("id1"), col("shingle"))
     val b = shF.select(col(idCol).as("id2"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -83,14 +96,11 @@ object Dedup {
     hashes.groupBy(idCol, "j").agg(min(col("h")).as("mh"))
   }
 
-  /** LSH candidate pairs from MinHash signatures: split the k signature
-    * slots into bands of `rowsPerBand`; docs sharing any band bucket are
-    * candidates, then the estimated Jaccard (fraction of agreeing slots)
-    * is computed and filtered. Only candidate pairs are materialized —
-    * the O(n²) space is never enumerated. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
+  /** Banded candidate pairs only (no Jaccard estimate): docs sharing any
+    * band bucket of their MinHash signature. The O(n²) space is never
+    * enumerated — pairs exist only inside buckets. */
+  private def bandedCandidates(sigs: DataFrame, idCol: String,
+      rowsPerBand: Int): DataFrame = {
     val banded = sigs
       .withColumn("band", floor(col("j") / rowsPerBand).cast("long"))
       .groupBy(col(idCol), col("band"))
@@ -98,11 +108,22 @@ object Dedup {
         array_sort(collect_list(struct(col("j"), col("mh")))),
         x => concat_ws(":", x("j"), x("mh")))))
         .as("band_hash"))
-    val cands = banded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+    banded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
       .join(banded.select(col(idCol).as("id2"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the k signature
+    * slots into bands of `rowsPerBand`; docs sharing any band bucket are
+    * candidates, then the estimated Jaccard (fraction of agreeing slots)
+    * is computed and filtered. The signature cache feeds both the banding
+    * and the estimate join. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
+    val cands = bandedCandidates(sigs, idCol, rowsPerBand)
     val s1 = sigs.select(col(idCol).as("id1"), col("j"), col("mh").as("mh1"))
     val s2 = sigs.select(col(idCol).as("id2"), col("j"), col("mh").as("mh2"))
     cands.join(s1, "id1").join(s2, Seq("id2", "j"))
@@ -120,8 +141,11 @@ object Dedup {
     * carries its true Jaccard ≥ `minJaccard`). */
   def lshThenExactPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val cands = minhashLshPairs(df, idCol, textCol, n, k, rowsPerBand,
-      minEstJaccard = 0.0).select("id1", "id2")
+    // banding only — the exact verification below supersedes the slot
+    // estimate, so computing est_jaccard for every candidate would be a
+    // wasted k-rows-per-pair shuffle+aggregate stage
+    val cands = bandedCandidates(
+      minhashSignatures(df, idCol, textCol, n, k), idCol, rowsPerBand)
     val sh = wordShingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id1"), col("shingle"))

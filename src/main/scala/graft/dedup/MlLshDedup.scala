@@ -17,10 +17,15 @@ import graft.text.TextFunctions
   */
 object MlLshDedup {
 
-  /** Candidate near-dup pairs with Jaccard distance ≤ `maxDistance`. */
+  /** Candidate near-dup pairs with Jaccard distance ≤ `maxDistance`.
+    * `vocabSize` bounds the CountVectorizer vocabulary — the library
+    * default (2^18) silently truncates to the most frequent shingles on
+    * any real corpus, computing Jaccard over boilerplate only; size it
+    * ≥ the expected distinct-shingle count (the native `Dedup` path has
+    * no vocabulary at all and is the primary at scale). */
   def approxJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashTables: Int, maxDistance: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, vocabSize: Int = 1 << 22): DataFrame = {
     val shingled = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("shingles",
@@ -29,6 +34,7 @@ object MlLshDedup {
       .filter(size(col("toks")) >= n)
     val cv = new CountVectorizer()
       .setInputCol("shingles").setOutputCol("features").setBinary(true)
+      .setVocabSize(vocabSize)
     val model: CountVectorizerModel = cv.fit(shingled)
     val vectorized = model.transform(shingled)
       // MinHashLSH requires ≥1 non-zero entry

@@ -151,7 +151,7 @@ object TextQueries {
                    rare AS (SELECT shingle FROM sh GROUP BY shingle
                             HAVING COUNT(*) <= 1000),
                    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
                    inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
                              FROM shf a JOIN shf b
                                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -187,7 +187,7 @@ object TextQueries {
                    rare AS (SELECT shingle FROM sh GROUP BY shingle
                             HAVING COUNT(*) <= 1000),
                    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
                    inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
                              FROM shf a JOIN shf b
                                ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -70,7 +70,12 @@ object Streaming {
           batch.foreach { e =>
             val t = e.ts.getTime / 1000L
             val newSession = s.lastTsSecs == Long.MinValue || t - s.lastTsSecs > gapSecs
-            s = SessionState(s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1, t)
+            // lastTs only advances: a cross-batch late event joins the
+            // current session but must not rewind the high-water mark —
+            // otherwise the next on-time event reads an inflated gap and
+            // fabricates a phantom session
+            s = SessionState(s.nSessions + (if (newSession) 1 else 0),
+              s.nEvents + 1, math.max(s.lastTsSecs, t))
           }
           state.update(s)
           SessionOut(userId, s.nSessions, s.nEvents)
@@ -80,12 +85,15 @@ object Streaming {
   /** Streaming exact dedup: drop duplicate `keyCols` within the watermark
     * horizon (the streaming twin of `graft.dedup.Dedup.exactDedup` —
     * state holds one entry per distinct key seen inside the watermark,
-    * so state size is bounded by arrival rate × horizon, not history). */
+    * so state size is bounded by arrival rate × horizon, not history).
+    * Key-ONLY dedup (`dropDuplicatesWithinWatermark`): an at-least-once
+    * redelivery that restamps `tsCol` is still dropped — appending ts to
+    * the keys would let every restamped duplicate through. */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-stream inner join with bounded state: both sides watermarked,
     * the time-range condition lets Spark evict state older than the
@@ -152,7 +160,11 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cur = readCurrentDim(spark, dimDir)
+        // Read the latest snapshot STRICTLY BEFORE this batch id: a
+        // replayed batch (crash before checkpoint commit) must not read
+        // its own previous — possibly partial — v_<batchId> output and
+        // then overwrite the path it is reading from.
+        val cur = readDimBefore(spark, dimDir, batchId)
         val merged = cur match {
           case Some(dim) => graft.warehouse.Scd2.merge(dim, batch, key, attrs, ts, tieBreak)
           case None => graft.warehouse.Scd2.fromHistory(batch, key, attrs, ts, tieBreak)
@@ -213,15 +225,28 @@ object Streaming {
 
   /** Latest SCD2 snapshot under `dimDir` (None before the first commit).
     * `v_` dirs are zero-padded so lexicographic max = latest batch. */
-  def readCurrentDim(spark: SparkSession, dimDir: String): Option[DataFrame] = {
+  def readCurrentDim(spark: SparkSession, dimDir: String): Option[DataFrame] =
+    latestVersion(spark, dimDir, beforeName = None)
+      .map(v => spark.read.parquet(s"$dimDir/$v"))
+
+  /** Latest snapshot with version < `batchId` (replay safety — see
+    * [[scd2StreamSink]]). */
+  private def readDimBefore(spark: SparkSession, dimDir: String,
+      batchId: Long): Option[DataFrame] =
+    latestVersion(spark, dimDir, beforeName = Some(f"v_$batchId%012d"))
+      .map(v => spark.read.parquet(s"$dimDir/$v"))
+
+  private def latestVersion(spark: SparkSession, dimDir: String,
+      beforeName: Option[String]): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(dimDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) None
     else Option(fs.listStatus(root))
       .map(_.filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-        .map(_.getPath.getName).sorted)
+        .map(_.getPath.getName)
+        .filter(n => beforeName.forall(n < _)).sorted)
       .filter(_.nonEmpty)
-      .map(vs => spark.read.parquet(s"$dimDir/${vs.last}"))
+      .map(_.last)
   }
 
   /** Start a windowed-count query writing to an in-memory sink (used by

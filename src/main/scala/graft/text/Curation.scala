@@ -45,9 +45,13 @@ object Curation {
     val q = df.filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
     val lg = q.filter(TextFunctions.detectLang(col(textCol)).isin(cfg.langs: _*))
     val ex = Dedup.exactDedup(lg, idCol, textCol)
-    // greedy near-dup prune: drop the higher id of every verified pair
-    // (id1 < id2 by construction, so keepers are the cluster minima
-    // reachable pairwise — the same rule the exact-dedup keeper uses)
+    // Greedy near-dup prune: drop the higher id of every verified pair
+    // (id1 < id2 by construction). Survivors are pairwise non-similar
+    // w.r.t. the verified pairs; this is NOT cluster-min
+    // canonicalization — for pairs {(3,10),(5,10)} greedy keeps 3 AND 5,
+    // while `Clusters.canonicalAssignment` (the CC alternative, oracle-
+    // tested in t9) would keep only 3. Greedy retains more data and
+    // needs no iterative CC rounds — the usual curation trade.
     val drops = Dedup.lshThenExactPairs(ex, idCol, textCol, cfg.shingleSize,
         cfg.minhashes, cfg.rowsPerBand, cfg.minJaccard)
       .select(col("id2").as(idCol)).distinct()

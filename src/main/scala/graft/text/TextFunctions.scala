@@ -18,6 +18,13 @@ object TextFunctions {
 
   /** Whitespace tokenization (the reference's only tokenizer is whitespace
     * splitting in UI word counts; BPE-ish regex variant below). */
+  /** Contract note: an empty/whitespace-only string yields [""] (one
+    * empty token), so tokenCount("") == 1. Deliberate: DuckDB's
+    * regexp_split_to_array shares the quirk, and every oracle counts
+    * tokens through the same definition — changing one side alone would
+    * break t1/t2/t3/t13 hash-matches. Filter empty docs upstream if the
+    * distinction matters (the curation quality gate already excludes
+    * them: length term 0 ⇒ score < 0.3). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -23,6 +23,33 @@ class DedupSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
   }
 
+  test("null-text rows pass through dedup untouched (absent != duplicate)") {
+    val withNulls = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((10L, null.asInstanceOf[String]),
+        (11L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // null texts are excluded from grouping, not collapsed to one keeper
+    assert(Dedup.exactGroups(withNulls, "doc_id", "text").count() == 3)
+    val kept = Dedup.exactDedup(withNulls, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 10L, 11L))
+  }
+
+  test("df-capped jaccard is the jaccard of the FILTERED sets") {
+    // two identical docs sharing a shingle that exceeds the df cap:
+    // with sizes from the unfiltered sets the pair would score < 1.0
+    val common = "x y z" // appears in every doc -> df 4 > cap 3
+    val d = Seq(
+      (1L, s"$common a b c d e"), (2L, s"$common a b c d e"),
+      (3L, s"$common p q r s t"), (4L, s"$common u v w j k"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.9, maxShingleDf = 3L)
+      .select("id1", "id2", "jaccard").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
   test("word shingles: size-n sliding window, distinct per doc") {
     val sh = Dedup.wordShingles(docs.filter(col("doc_id") === 1), "doc_id", "text", 3)
     // 9 tokens -> 7 trigrams, all distinct here

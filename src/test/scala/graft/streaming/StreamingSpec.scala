@@ -59,6 +59,18 @@ class StreamingSpec extends SparkSpec {
       val last = spark.table("sessions").collect().last
       assert(last.getAs[Long]("n_sessions") == 2L)
       assert(last.getAs[Long]("n_events") == 3L) // state survived across batches
+      // a LATE event (before the 12:30 high-water mark) joins the current
+      // session without rewinding lastTs...
+      input.addData(Ev(ts("2024-01-01 11:00:00"), "view", 1.0, 1L))
+      query.processAllAvailable()
+      // ...so the next on-time event 5 min after 12:30 must NOT read an
+      // inflated gap and fabricate a phantom third session
+      input.addData(Ev(ts("2024-01-01 12:35:00"), "click", 1.0, 1L))
+      query.processAllAvailable()
+      val fin = spark.table("sessions").collect().last
+      assert(fin.getAs[Long]("n_sessions") == 2L,
+        "late event must not rewind the session high-water mark")
+      assert(fin.getAs[Long]("n_events") == 5L)
     } finally query.stop()
   }
 
@@ -94,6 +106,11 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_stream").count() == 2)
       // same key again in a later batch, same ts → still deduped by state
       input.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L))
+      query.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // at-least-once redelivery with a RESTAMPED ts (still inside the
+      // watermark): key-only dedup must drop it too
+      input.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1L))
       query.processAllAvailable()
       assert(spark.table("dedup_stream").count() == 2)
     } finally query.stop()
