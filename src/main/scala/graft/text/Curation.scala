@@ -44,7 +44,13 @@ object Curation {
       cfg: Config = Config()): Stages = {
     val q = df.filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
     val lg = q.filter(TextFunctions.detectLang(col(textCol)).isin(cfg.langs: _*))
+    // Persisted: the near-dup machinery consumes `ex` from four distinct
+    // subplans (shingles, signatures, sizes, anti-join target) — without
+    // the cache each one re-runs the quality+langid scan and the
+    // fingerprint shuffle. MEMORY_AND_DISK, LRU-evicted under pressure;
+    // the cached set is the already-filtered corpus, not the raw input.
     val ex = Dedup.exactDedup(lg, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Greedy near-dup prune: drop the higher id of every verified pair
     // (id1 < id2 by construction). Survivors are pairwise non-similar
     // w.r.t. the verified pairs; this is NOT cluster-min
@@ -55,7 +61,10 @@ object Curation {
     val drops = Dedup.lshThenExactPairs(ex, idCol, textCol, cfg.shingleSize,
         cfg.minhashes, cfg.rowsPerBand, cfg.minJaccard)
       .select(col("id2").as(idCol)).distinct()
+    // nd persisted for the same reason: the funnel counts it AND splits
+    // it, and each branch would otherwise re-run the whole LSH pipeline
     val nd = ex.join(drops, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Stages(df, q, lg, ex, nd)
   }
 
