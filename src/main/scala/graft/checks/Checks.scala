@@ -69,8 +69,10 @@ object Checks {
     * with one BIGINT violation count per check (V11 report shape). */
   def evaluate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
+    // coalesce: sum over an EMPTY table is NULL — a zero-row domain must
+    // report zero violations, not NULLs that NPE the report reader
     val aggs = checks.map(c =>
-      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -112,13 +114,17 @@ object Checks {
     duplicateKeys(df, keys).agg(count(lit(1)).as(s"${keys.mkString("_")}_dup_keys"))
 
   /** V8 — referential integrity: child rows whose key has no parent
-    * (dbt `relationships` test → left anti join). */
+    * (dbt `relationships` test → left anti join). NULL child keys are
+    * NOT orphans, matching dbt's semantics — a missing FK is NotNull's
+    * violation (see trait doc), not a referential one; counting it here
+    * would double-report. */
   def orphans(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
     // renamed parent key avoids AMBIGUOUS_REFERENCE when both sides use
     // the same column name
     val keys = parent.select(col(parentKey).as("__parent_key")).distinct()
-    child.join(keys, child(childKey) === col("__parent_key"), "left_anti")
+    child.filter(child(childKey).isNotNull)
+      .join(keys, child(childKey) === col("__parent_key"), "left_anti")
   }
 
   /** V7 — row-count bounds (reference `pandera_public.py:132-135`). */

@@ -40,9 +40,13 @@ object Quantiles {
       if (exact) percentile(v, probs)
       else percentile_approx(v, probs, lit(accuracy))
     val cuts = df.agg(cutAgg.cast("array<double>").as("__cuts"))
+    // null values get a NULL bucket (the percentile aggregate ignored
+    // them when computing cutoffs, so silently assigning them to tier 1
+    // would skew the lowest tier's population)
     df.crossJoin(broadcast(cuts))
       .withColumn(bucketCol,
-        (lit(1) + size(filter(col("__cuts"), c => c < v))).cast("long"))
+        when(v.isNotNull,
+          (lit(1) + size(filter(col("__cuts"), c => c < v))).cast("long")))
       .drop("__cuts")
   }
 }

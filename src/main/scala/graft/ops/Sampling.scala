@@ -18,9 +18,15 @@ import graft.text.TextFunctions
   */
 object Sampling {
 
-  /** Stable bucket in [0, granularity) from (seed, id). */
+  /** Stable bucket in [0, granularity) from (seed, id). A NULL id hashes
+    * like the empty string — ONE deterministic bucket, identical across
+    * `splitColumn` and `hashSample` (without the coalesce the two APIs
+    * disagreed: splits routed null ids to the last label while sampling
+    * silently dropped them). Callers wanting nulls distributed should
+    * assign real ids first. */
   def bucket(id: Column, seed: Int, granularity: Int = 10000): Column =
-    pmod(TextFunctions.hash60(id.cast("string"), seed), lit(granularity.toLong))
+    pmod(TextFunctions.hash60(coalesce(id.cast("string"), lit("")), seed),
+      lit(granularity.toLong))
 
   /** Split assignment from cumulative fractions, e.g.
     * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` (must sum to 1;

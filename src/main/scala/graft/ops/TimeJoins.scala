@@ -35,7 +35,11 @@ object TimeJoins {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("__rts", lit(null).cast(right.schema(ts).dataType))
-    val r = right.select(col(key), col(ts), col(tieBreak))
+    // keep valueCol in the projection (distinct: valueCol may equal
+    // tieBreak) — projecting it away before right(valueCol) resolves
+    // would fail analysis for the general distinct-column case
+    val r = right.select(
+        Seq(key, ts, tieBreak, valueCol).distinct.map(col): _*)
       .withColumn("__side", lit(0))
       .withColumn("__rv", right(valueCol))
       .withColumn("__rts", right(ts))

@@ -21,7 +21,13 @@ object Upsert {
     * update's columns wholesale (a NULL in the update still wins — true
     * MERGE semantics, via a presence marker rather than coalesce), new
     * keys are inserted, unmatched target rows pass through. Both frames
-    * must share the schema. */
+    * must share the schema.
+    *
+    * Precondition (same as SQL MERGE): `updates` must be unique on `key`.
+    * SQL MERGE raises "multiple source rows matched" at runtime; a lazy
+    * plan builder cannot, so a duplicate-keyed source would instead fan
+    * out the matched target rows. Deduplicate first —
+    * [[latestPerKey]] is the standard last-write-wins reduction. */
   def merge(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(target.columns.sameElements(updates.columns),
       s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
@@ -36,5 +42,20 @@ object Upsert {
           when(col("__upd").isNotNull, col(s"__u_$c")).otherwise(col(s"__t_$c")))
         .drop(s"__u_$c", s"__t_$c")
     }.select(target.columns.map(col): _*)
+  }
+
+  /** Last-write-wins reduction of an update batch to one row per key:
+    * the row with the greatest (`orderCol`, then `tieBreak`) survives.
+    * Run this before [[merge]] when the batch may carry multiple updates
+    * for one key (CDC streams do). One shuffle on the key. */
+  def latestPerKey(updates: DataFrame, key: String, orderCol: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    updates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key)
+          .orderBy(col(orderCol).desc, col(tieBreak).desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }

@@ -35,28 +35,32 @@ object Ivf {
   }
 
   /** Top-k by cosine among the `nProbe` cells nearest to the query vector
-    * (by euclidean centroid distance, the standard IVF probe rule). */
+    * (by euclidean centroid distance, the standard IVF probe rule). The
+    * query row is collected ONCE and rebuilt as literals — one corpus
+    * scan per query (the probe), not two. */
   def knn(index: Index, idCol: String, vecCol: String, queryId: Long,
       k: Int, nProbe: Int): DataFrame = {
     val spark = index.assigned.sparkSession
     graft.functions.ArrayDotProduct.register(spark)
     val qRow = index.assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol), col("__cell")).head()
-    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+      .select(col(vecCol).cast("array<double>"), col("__cell")).head()
+    // cast above makes the collected element type dtype-agnostic:
+    // build() accepts float or double corpora
+    val qVec = qRow.getSeq[Double](0).toArray
     val probeCells = index.centroids.zipWithIndex
       .map { case (c, i) =>
         val d2 = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d2)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
-    val q = index.assigned.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), Ann.norm(col(vecCol)).as("__qnorm"))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val qVecLit = typedlit(qVec.toSeq)
     index.assigned
       .filter(col("__cell").isin(probeCells.map(Integer.valueOf): _*))
       .filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
       .select(col(idCol),
-        (Ann.dot(col(vecCol), col("__qvec")) / Ann.norm(col(vecCol)) / col("__qnorm"))
+        (Ann.dot(col(vecCol).cast("array<double>"), qVecLit)
+          / Ann.norm(col(vecCol).cast("array<double>")) / lit(qNorm))
           .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

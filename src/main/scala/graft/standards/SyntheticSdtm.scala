@@ -52,7 +52,10 @@ object SyntheticSdtm {
     val id = col("id")
     val subjects = spark.range(n).select(id,
       floor(u(seed, "naes", id) * 4).cast("int").as("n_aes"))
-    val rows = subjects
+    // sequence(1, 0) is the DESCENDING array [1, 0], not empty — without
+    // the filter every 0-AE subject would get two phantom rows (same trap
+    // Omop.conditionOccurrence guards at Omop.scala:80)
+    val rows = subjects.filter(col("n_aes") > 0)
       .select(id, explode(sequence(lit(1), col("n_aes"))).as("k"))
     val rid = concat(col("id"), lit("_"), col("k"))
     val start = date_add(to_date(lit(baseDate)),

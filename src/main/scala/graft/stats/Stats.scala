@@ -58,7 +58,13 @@ object Stats {
     * two-sided like the reference: p = 2·(1 − Φ(|z|)), with z = 0 when
     * dof = 0 (stats_utils.py:39). */
   def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
-    val obs = df.groupBy(rowCol, colCol).agg(count(lit(1)).cast("double").as("o"))
+    // Rows with a NULL category are excluded up front (standard
+    // contingency-table practice, and what pandas crosstab does in the
+    // reference): a null group would contribute to the marginals but the
+    // null-unsafe dense-grid join could never match it back, silently
+    // inflating χ² by its full expected mass.
+    val obs = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(rowCol, colCol).agg(count(lit(1)).cast("double").as("o"))
     val rowTot = obs.groupBy(rowCol).agg(sum(col("o")).as("rt"))
     val colTot = obs.groupBy(colCol).agg(sum(col("o")).as("ct"))
     val grand = obs.agg(sum(col("o")).as("gt"))

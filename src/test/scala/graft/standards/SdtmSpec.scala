@@ -95,6 +95,19 @@ class SdtmSpec extends SparkSpec {
     assert(a("DM").exceptAll(c).count() > 0)
   }
 
+  test("synthetic AE honors the 0-3 rows/subject contract (zero means ZERO)") {
+    import org.apache.spark.sql.functions._
+    val ae = SyntheticSdtm.ae(spark, 200, 42L)
+    val perSubject = ae.groupBy("SUBJID").count()
+      .select("count").as[Long].collect()
+    assert(perSubject.forall(c => c >= 1 && c <= 3),
+      "no subject may exceed 3 AE rows")
+    // some subjects hash to zero AEs and must be ABSENT from the frame
+    // (sequence(1,0) is [1,0], not empty — the regression this guards)
+    assert(ae.select("SUBJID").distinct().count() < 200,
+      "0-AE subjects must produce no rows")
+  }
+
   test("synthetic DM carries the seeded invalid SEX='X' at row 0") {
     val dm = SyntheticSdtm.dm(spark, 20, 42L)
     assert(dm.filter(col("SUBJID") === "SUBJ0000" && col("SEX") === "X").count() == 1)
