@@ -76,6 +76,16 @@ object Checks {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[evaluate]] plus the row count in the SAME aggregation pass —
+    * `n_rows` first, then one count per check. The landing gate needs
+    * both; a separate df.count() would be a second full scan per domain
+    * on the green path. Works with an empty suite (count only). */
+  def evaluateWithCount(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: checks.map(c =>
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-check sample of offending rows (reference `validation/
     * validator.py:63-77` attaches failing examples to the report; pandera
     * calls them `failure_cases`). Returns check name → up to `n` offending

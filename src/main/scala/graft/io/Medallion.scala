@@ -21,14 +21,16 @@ import graft.standards.Sdtm
   */
 object Medallion {
 
-  /** S1/S2 — CSV scan with explicit schema (no inference pass) falling
-    * back to header+inference when the domain is unknown. */
+  /** S1/S2 — known-domain CSVs read all-string with the domain's column
+    * set ENFORCED (missing columns fail analysis loudly, extras are
+    * dropped; typing happens downstream in the domain mapper,
+    * null-on-failure like the reference) — no inference pass. Unknown
+    * domains fall back to header+inference. */
   def readCsv(spark: SparkSession, path: String, domain: Option[String]): DataFrame =
     domain.flatMap(Sdtm.schemas.get) match {
       case Some(schema) =>
-        // SDTM CSVs carry typed columns; read as string and coerce through
-        // the domain mapper (null-on-failure) like the reference.
         spark.read.option("header", "true").csv(path)
+          .select(schema.fieldNames.map(col).toSeq: _*)
       case None =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     }
@@ -50,7 +52,12 @@ object Medallion {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache() // corrupt-record column contract: materialize before split
+      // corrupt-record column contract: Spark requires materializing the
+      // raw frame before filtering on _corrupt_record. The cache is on
+      // the RAW plan (not the returned filtered views), so a long-lived
+      // ingest loop should spark.catalog.clearCache() between batches —
+      // MEMORY_AND_DISK eviction bounds it otherwise.
+      .cache()
     (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
   }
@@ -93,6 +100,10 @@ object Medallion {
     * hive-partitioned parquet (S5). Returns per-domain results. */
   def landToBronze(domains: Map[String, DataFrame], studyId: String,
       bronzeRoot: String, failFast: Boolean = true): Seq[DomainResult] = {
+    val unknown = domains.keySet -- Sdtm.Domains.toSet
+    require(unknown.isEmpty,
+      s"unknown domain(s) ${unknown.mkString(",")} — would be silently " +
+        s"dropped; expected one of ${Sdtm.Domains.mkString(",")}")
     val results = Seq.newBuilder[DomainResult]
     val it = Sdtm.Domains.iterator.filter(domains.contains)
     var aborted = false
@@ -100,7 +111,11 @@ object Medallion {
       val domain = it.next()
       val df = domains(domain)
       val checks = domainChecks.getOrElse(domain, Nil)
-      val violations = validate(df, checks)
+      // one aggregation pass yields the row count AND every violation
+      // count — no separate df.count() scan per domain
+      val row = Checks.evaluateWithCount(df, checks).collect()(0)
+      val nRows = row.getAs[Long]("n_rows")
+      val violations = checks.map(c => c.name -> row.getAs[Long](c.name)).toMap
       val passed = violations.values.forall(_ == 0L)
       // Failing domains carry example rows (reference validator.py:63-77);
       // the capture scan is filtered to violating rows only, so the green
@@ -109,7 +124,7 @@ object Medallion {
         if (passed || checks.isEmpty) Map.empty[String, Seq[String]]
         else Checks.sampleFailures(df,
           checks.filter(c => violations.getOrElse(c.name, 0L) > 0L))
-      results += DomainResult(domain, df.count(), violations, passed, samples)
+      results += DomainResult(domain, nRows, violations, passed, samples)
       if (passed) {
         // dynamic partition overwrite: replace only this domain's
         // partitions — static mode would wipe the other domains' data

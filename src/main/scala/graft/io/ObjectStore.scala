@@ -49,10 +49,26 @@ object ObjectStore {
     cfg.secretKey.foreach(hc.set("fs.s3a.secret.key", _))
     hc.set("fs.s3a.connection.ssl.enabled", cfg.useSsl.toString)
     hc.set("fs.s3a.path.style.access", cfg.pathStyleAccess.toString)
-    // Directory-tree renames are O(files) copies on S3; the magic
-    // committer writes task output to its final key and commits via a
-    // tiny manifest — the correct default for parquet at scale.
     hc.set("fs.s3a.committer.name", "magic")
+    spark
+  }
+
+  /** Route Spark SQL parquet/ORC writes through the S3A magic committer.
+    * Directory-tree renames are O(files) copies on S3; the magic
+    * committer writes task output to its final key and commits via a
+    * tiny manifest. Setting `fs.s3a.committer.name` alone is NOT enough —
+    * Spark SQL picks its committer from these two session confs, and
+    * without them parquet writes silently stay on the rename-based
+    * FileOutputCommitter. Opt-in (separate from [[configureS3a]]) because
+    * the binding classes ship in the `spark-hadoop-cloud` module, which
+    * must be on the cluster classpath; without it the conf setter itself
+    * rejects the class immediately (verified in ObjectStoreSpec), so a
+    * misconfigured deployment fails at configure time, loudly. */
+  def enableMagicCommitter(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.sources.commitProtocolClass",
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+    spark.conf.set("spark.sql.parquet.output.committer.class",
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
     spark
   }
 

@@ -33,7 +33,8 @@ object Registry {
 
   final case class Event(
       model: String, version: Int, stage: String, atMillis: Long,
-      tags: Map[String, String], metrics: Map[String, Double])
+      tags: Map[String, String], metrics: Map[String, Double],
+      seq: Long = -1L)
 
   final case class TransitionRejected(from: String, to: String)
     extends RuntimeException(s"illegal stage transition $from -> $to")
@@ -41,19 +42,42 @@ object Registry {
   /** In-memory event-log registry with the reference's state machine;
     * persisted as JSONL so a Spark job can read it as a table. */
   final class EventLog(path: String) {
+    /** JSON string escape — a model name or tag value carrying a quote,
+      * backslash, or control char must not corrupt the log (one bad line
+      * would parse as a corrupt record and wedge the whole register). */
+    private def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
     private def line(e: Event): String = {
       def m(kv: Map[String, String]) =
-        kv.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+        kv.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+          .mkString("{", ",", "}")
       def md(kv: Map[String, Double]) =
-        kv.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      s"""{"model":"${e.model}","version":${e.version},"stage":"${e.stage}",""" +
-        s""""at_millis":${e.atMillis},"tags":${m(e.tags)},"metrics":${md(e.metrics)}}"""
+        kv.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":$v""" }
+          .mkString("{", ",", "}")
+      s"""{"model":"${esc(e.model)}","version":${e.version},"stage":"${e.stage}",""" +
+        s""""at_millis":${e.atMillis},"seq":${e.seq},""" +
+        s""""tags":${m(e.tags)},"metrics":${md(e.metrics)}}"""
     }
 
     def append(e: Event): Unit = {
       val p = Paths.get(path)
       if (p.getParent != null) Files.createDirectories(p.getParent)
-      Files.writeString(p, line(e) + "\n",
+      // monotonic per-log sequence number: at_millis alone cannot break
+      // ties between events appended within the same millisecond.
+      // O(lines) per append — registry logs are governance-event scale.
+      val seq = if (Files.exists(p)) {
+        val s = Files.lines(p)
+        try s.count() finally s.close()
+      } else 0L
+      Files.writeString(p, line(e.copy(seq = seq)) + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
 
@@ -81,10 +105,12 @@ object Registry {
       append(Event(model, version, toStage, atMillis, Map.empty, Map.empty))
     }
 
-    /** Current state per (model, version): latest event wins. */
+    /** Current state per (model, version): latest event wins — ordered
+      * by (at_millis, seq) so same-millisecond appends resolve in log
+      * order, deterministically. */
     def state(spark: SparkSession): DataFrame = {
       val w = Window.partitionBy("model", "version")
-        .orderBy(col("at_millis").desc)
+        .orderBy(col("at_millis").desc, col("seq").desc)
       spark.read.json(path)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")

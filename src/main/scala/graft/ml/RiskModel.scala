@@ -35,8 +35,13 @@ object RiskModel {
 
   val FeatureCols: Array[String] = Array("AGE", "AE_COUNT", "SEVERE_AE_COUNT")
 
-  /** M3 — assembler → scaler → logistic regression (C=1.0, max_iter=200,
-    * `ml/train.py:233-239`). */
+  /** M3 — assembler → scaler → logistic regression (reference: sklearn
+    * C=1.0 L2, max_iter=200, `ml/train.py:233-239`). Default is
+    * UNREGULARIZED: MLlib's `regParam` is λ on the per-sample-averaged
+    * objective, so sklearn's C=1.0 corresponds to regParam ≈ 1/n — pass
+    * that explicitly to mimic the reference's penalty; the gates compare
+    * metric tolerance, not coefficients (object doc), so the default
+    * favors the simpler objective. */
   def pipeline(maxIter: Int = 200, regParam: Double = 0.0): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(FeatureCols).setOutputCol("rawFeatures")

@@ -40,13 +40,20 @@ final class QueryMetrics extends QueryExecutionListener {
       .flatMap(_.metrics.get(metricName))
       .map(_.value).sum
 
+  /** numOutputRows of the first node (root-down) that carries one — the
+    * ROOT executedPlan is an AQE wrapper (or WholeStageCodegen) with no
+    * such metric, so reading it directly would always report 0. */
+  private def rootOutputRows(qe: QueryExecution): Long =
+    allNodes(qe.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows"))
+      .headOption.map(_.value).getOrElse(0L)
+
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit =
     records.add(Record(
       name = funcName,
       durationMs = durationNs / 1000000L,
-      outputRows = qe.executedPlan.metrics.get("numOutputRows")
-        .map(_.value).getOrElse(0L),
+      outputRows = rootOutputRows(qe),
       scanRows = metricSum(qe, _.toLowerCase.contains("scan"), "numOutputRows"),
       shuffleBytesWritten = metricSum(qe, _.contains("Exchange"), "shuffleBytesWritten"),
       failed = false))

@@ -105,7 +105,16 @@ final class AsOfIndexBuilder(
   extends Serializable {
 
   def build(rows: Array[InternalRow]): AsOfIndex = {
-    val tbOrd = TypeUtils.getInterpretedOrdering(tbType).asInstanceOf[Ordering[Any]]
+    val rawOrd = TypeUtils.getInterpretedOrdering(tbType).asInstanceOf[Ordering[Any]]
+    // null-safe: a null tieBreak sorts FIRST (loses the greatest-wins
+    // tie), matching the window formulation's default nulls-first
+    // ORDER BY — the interpreted ordering alone would NPE on ts ties
+    // with a null tieBreak value
+    val tbOrd: Ordering[Any] = (a: Any, b: Any) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else rawOrd.compare(a, b)
     val byKey = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[(Long, Any, AnyRef)]]()
     rows.foreach { row =>
       if (!row.isNullAt(keyIdx) && !row.isNullAt(tsIdx) && !row.isNullAt(valIdx)) {

@@ -26,6 +26,12 @@ class ObjectStoreSpec extends SparkSpec {
     assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
     assert(hc.get("fs.s3a.path.style.access") == "true")
     assert(hc.get("fs.s3a.committer.name") == "magic")
+    // the Spark-SQL-side committer bindings are a separate opt-in that
+    // requires the spark-hadoop-cloud module; without it on the
+    // classpath (this sandbox) the conf setter itself rejects the class
+    // — failing at configure time, the documented behavior
+    val err = intercept[Throwable](ObjectStore.enableMagicCommitter(spark))
+    assert(err.getMessage.contains("PathOutputCommitProtocol"))
   }
 
   test("ensureRoots + put/get/list round-trip through URI paths") {
