@@ -54,4 +54,21 @@ class UpsertSpec extends SparkSpec {
     assert(once.exceptAll(twice).count() == 0)
     assert(twice.exceptAll(once).count() == 0)
   }
+
+  test("latestPerKey reduces a CDC batch to last-write-wins before merge") {
+    val batch = Seq(
+      (1L, 100L, 1L, "old"), (1L, 200L, 1L, "new"),
+      (2L, 100L, 1L, "a"), (2L, 100L, 2L, "b"), // ts tie -> tieBreak wins
+      (3L, 50L, 1L, "only")
+    ).toDF("k", "ts", "op_id", "v")
+    val latest = Upsert.latestPerKey(batch, "k", "ts", "op_id")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "new"), (2L, "b"), (3L, "only")))
+    // composed with merge: target keys stay unique
+    val t = Seq((1L, 0L, 0L, "t1"), (9L, 0L, 0L, "t9")).toDF("k", "ts", "op_id", "v")
+    val merged = Upsert.merge(t,
+      Upsert.latestPerKey(batch, "k", "ts", "op_id"), "k")
+    assert(merged.count() == 4)
+    assert(merged.select("k").distinct().count() == 4)
+  }
 }
