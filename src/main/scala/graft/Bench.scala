@@ -47,12 +47,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // FULL evaluation of every output column via the noop sink — a bare
+    // count() would let Catalyst prune projections/windows/sorts, so
+    // regex- and window-family queries would time only a row-count scan
+    // and a 10x operator regression would never move the numbers
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // warmup: full sweep, unmeasured — but failures are REPORTED (a query
     // that only breaks during warmup must not hide until the measured run
     // happens to differ)
     var warmupFailures = 0
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(name)
       catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"[bench] warmup failure: $name: ${e.getMessage}")
@@ -61,13 +68,17 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try { run(name); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, ok)
     }
+    // Locale.ROOT: a comma-decimal default locale would print 38,588 and
+    // break the driver's json.load
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
@@ -78,7 +89,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
 
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
       s""""n_errors":${results.count(!_._3)},"errors":$errors,""" +
       s""""n_warmup_failures":$warmupFailures,""" +
       s""""queries":${jmap(headline)},"sf":"$sfDir"}""")

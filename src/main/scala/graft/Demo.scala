@@ -33,7 +33,10 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val steps = run(spark, outDir, nSubjects = 500)
-    println("DEMO_OK " + steps.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    // Locale.ROOT: comma-decimal locales would corrupt the parsed line
+    println("DEMO_OK " + steps.map { case (k, v) =>
+      k + "=" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    }.mkString(" "))
     spark.stop()
   }
 
@@ -50,7 +53,10 @@ object Demo {
 
     val domains = step("generate") {
       val d = standards.SyntheticSdtm.allDomains(spark, nSubjects, 42L)
-      d.values.foreach(_.count()) // materialize generation
+      // cache + count so generation cost lands in THIS step's timing —
+      // a bare count() materializes nothing and every later step would
+      // re-run the generators
+      d.values.foreach(_.cache().count())
       d
     }
     val results = step("bronze") {

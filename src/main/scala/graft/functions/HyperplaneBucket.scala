@@ -49,13 +49,14 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hplanes"
 
-  /** Never null: a NULL vector lands in bucket 0, matching the composed
-    * form (`when(null >= 0, ...).otherwise(0)` sums to 0) and the DuckDB
-    * oracle's `CASE WHEN ... ELSE 0` — NOT the default null-propagating
-    * UnaryExpression behavior, which would silently drop null-vector rows
-    * from LSH candidate sets. An all-zero accumulator also yields bucket
-    * 2^planes−1 for sign-only reasons; bucket VALUES carry no meaning,
-    * only equality does. */
+  /** Never null: degenerate vectors (NULL, empty, or all-null elements)
+    * land in bucket 0, matching the DuckDB oracle — `list_sum` of an
+    * empty/all-NULL list is NULL there, so its `CASE WHEN sum >= 0 ...
+    * ELSE 0` yields 0 for every plane. (The composed per-plane-dot form
+    * differs on these degenerate inputs only: `graft_dot` returns 0.0
+    * for an empty array, whose `>= 0` sets every bit. The fused
+    * expression follows the ORACLE, which is the cross-engine contract;
+    * AnnSpec pins both behaviors.) */
   override def nullable: Boolean = false
 
   private lazy val isFloat = elemType.contains(FloatType)
@@ -66,9 +67,11 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
     val v = raw.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), maxDims)
     val acc = new Array[Double](planes)
+    var contributed = false
     var d = 0
     while (d < n) {
       if (!v.isNullAt(d)) {
+        contributed = true
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
         var p = 0
         while (p < planes) {
@@ -78,6 +81,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
       }
       d += 1
     }
+    if (!contributed) return 0L
     var bucket = 0L
     var p = 0
     while (p < planes) {
@@ -103,21 +107,26 @@ case class HyperplaneBucket(child: Expression, planes: Int, maxDims: Int)
     val value = ctx.freshName("bucket")
     val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
       .javaType(dataType)
+    val contributed = ctx.freshName("contributed")
     val resultCode =
       s"""$jt $value = 0L;
           if (!${childGen.isNull}) {
             java.util.Arrays.fill($acc, 0.0);
+            boolean $contributed = false;
             int $n = java.lang.Math.min(${childGen.value}.numElements(), $maxDims);
             for (int $d = 0; $d < $n; $d++) {
               if (!${childGen.value}.isNullAt($d)) {
+                $contributed = true;
                 double $x = (double) ${childGen.value}.$get($d);
                 for (int $p = 0; $p < $planes; $p++) {
                   $acc[$p] += $x * (($p * 131 + $d * 37) % 7 - 3);
                 }
               }
             }
-            for (int $p = 0; $p < $planes; $p++) {
-              if ($acc[$p] >= 0) $value |= 1L << $p;
+            if ($contributed) {
+              for (int $p = 0; $p < $planes; $p++) {
+                if ($acc[$p] >= 0) $value |= 1L << $p;
+              }
             }
           }"""
     ev.copy(

@@ -52,8 +52,8 @@ object EventQueries {
                      COUNT(*) AS n_events
               FROM (SELECT user_id,
                            CASE WHEN prev_ts IS NULL
-                                 OR epoch(CAST(ts AS TIMESTAMP))
-                                    - epoch(prev_ts) > 1800
+                                 OR floor(epoch(CAST(ts AS TIMESTAMP)))
+                                    - floor(epoch(prev_ts)) > 1800
                                 THEN 1 ELSE 0 END AS new_session
                     FROM (SELECT user_id, ts, event_id,
                                  LAG(CAST(ts AS TIMESTAMP), 1) OVER
@@ -82,8 +82,8 @@ object EventQueries {
         Tables.events(s, d), "ts",
         to_timestamp(lit("2024-03-01 00:00:00"), "yyyy-MM-dd HH:mm:ss")),
       Some("""SELECT CAST(floor((epoch(TIMESTAMP '2024-03-01 00:00:00')
-                                 - epoch(max(CAST(ts AS TIMESTAMP)))) / 60) AS BIGINT)
-                       AS lag_minutes
+                                 - floor(epoch(max(CAST(ts AS TIMESTAMP))))) / 60)
+                       AS BIGINT) AS lag_minutes
               FROM events""")),
 
     // Day-over-day retention: users active on day d AND d+1 (self-join on

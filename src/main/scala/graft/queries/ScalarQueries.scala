@@ -283,10 +283,13 @@ object ScalarQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .groupBy("k_val").agg(count(lit(1)).as("n"))
-        .orderBy("k_val"),
+        // null order pinned: Spark defaults NULLS FIRST, DuckDB NULLS
+        // LAST — a null k_val group (unparseable props) would otherwise
+        // sort differently per engine
+        .orderBy(asc_nulls_first("k_val")),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
                      COUNT(*) AS n
-              FROM events GROUP BY 1 ORDER BY k_val""")),
+              FROM events GROUP BY 1 ORDER BY k_val NULLS FIRST""")),
 
     // F17: explode / lateral flattening as the OUTPUT shape (one row per
     // token of the 50 shortest docs) — DuckDB twin is UNNEST.

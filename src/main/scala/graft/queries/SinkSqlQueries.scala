@@ -16,8 +16,13 @@ import Q.{dsum, sqlDsum}
   */
 object SinkSqlQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sink/$name"
+  /** Per-PROCESS sink root: a fixed shared path would let concurrent
+    * Verify/Bench runs clobber each other's roundtrip output mid-read.
+    * Stable within the process so warmup and measured runs reuse it. */
+  private val sinkRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink_${ProcessHandle.current().pid()}"
+
+  private def tmp(name: String): String = s"$sinkRoot/$name"
 
   val all: Seq[Q] = Seq(
 

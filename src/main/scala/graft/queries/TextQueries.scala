@@ -17,6 +17,24 @@ object TextQueries {
   /** Tokens as the oracle splits them; both sides split trim(text) on \s+. */
   private val sqlTok = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** SQL list literal of [[EnglishStopwords]] — derived, never inlined, so
+    * a stopword edit cannot silently desynchronize an oracle. */
+  private val sqlStopList =
+    EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** SQL twin of [[TextFunctions.qualityScore]] — the ONE definition every
+    * oracle that scores quality interpolates (t2 three times, t13 once). */
+  private val sqlQuality =
+    s"""ROUND(
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+          + greatest(0.0, 0.3 -
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                   AS DOUBLE)
+              / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
+          + least(CAST(len(list_filter($sqlTok, t -> list_contains($sqlStopList, t)))
+              AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
+          6)"""
+
   val all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -56,39 +74,10 @@ object TextQueries {
                         AS BIGINT) AS n_punct,
                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                         AS BIGINT) AS n_digit,
-                      ROUND(
-                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                        + greatest(0.0, 0.3 -
-                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                                 AS DOUBLE)
-                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
-                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
-                            ['the','a','an','and','or','of','to','in','is','it',
-                             'that','this','for','on','with','as','at','by','be','are'], t)))
-                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
-                        6) AS quality,
-                      CASE WHEN ROUND(
-                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                        + greatest(0.0, 0.3 -
-                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                                 AS DOUBLE)
-                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
-                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
-                            ['the','a','an','and','or','of','to','in','is','it',
-                             'that','this','for','on','with','as','at','by','be','are'], t)))
-                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
-                        6) >= 0.6 THEN 'HIGH'
-                      WHEN ROUND(
-                        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                        + greatest(0.0, 0.3 -
-                            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                                 AS DOUBLE)
-                            / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
-                        + least(CAST(len(list_filter($sqlTok, t -> list_contains(
-                            ['the','a','an','and','or','of','to','in','is','it',
-                             'that','this','for','on','with','as','at','by','be','are'], t)))
-                            AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
-                        6) >= 0.3 THEN 'MEDIUM' ELSE 'LOW' END AS band
+                      $sqlQuality AS quality,
+                      CASE WHEN $sqlQuality >= 0.6 THEN 'HIGH'
+                           WHEN $sqlQuality >= 0.3 THEN 'MEDIUM'
+                           ELSE 'LOW' END AS band
                FROM documents ORDER BY doc_id""")),
 
     Q("t3_langid_confusion",
@@ -146,8 +135,7 @@ object TextQueries {
                             FROM documents),
                    sh AS (SELECT DISTINCT doc_id,
                                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                          FROM docs CROSS JOIN range(1, 2000) t(i)
-                          WHERE i <= len(w) - 2),
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
                    rare AS (SELECT shingle FROM sh GROUP BY shingle
                             HAVING COUNT(*) <= 1000),
                    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -182,8 +170,7 @@ object TextQueries {
                             FROM documents),
                    sh AS (SELECT DISTINCT doc_id,
                                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                          FROM docs CROSS JOIN range(1, 2000) t(i)
-                          WHERE i <= len(w) - 2),
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
                    rare AS (SELECT shingle FROM sh GROUP BY shingle
                             HAVING COUNT(*) <= 1000),
                    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -215,8 +202,7 @@ object TextQueries {
                             FROM documents),
                    sh AS (SELECT DISTINCT doc_id,
                                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                          FROM docs CROSS JOIN range(1, 2000) t(i)
-                          WHERE i <= len(w) - 2),
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
                    sig AS (SELECT doc_id, j,
                                   MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
                                       AS BIGINT)) AS mh
@@ -253,8 +239,7 @@ object TextQueries {
                             FROM documents),
                    sh AS (SELECT DISTINCT doc_id,
                                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                          FROM docs CROSS JOIN range(1, 2000) t(i)
-                          WHERE i <= len(w) - 2),
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
                    sig AS (SELECT doc_id, j,
                                   MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
                                       AS BIGINT)) AS mh
@@ -384,17 +369,6 @@ object TextQueries {
     Q("t13_curation_funnel",
       (s, d) => graft.text.Curation.funnel(Tables.documents(s, d), "doc_id", "text"),
       Some {
-        val stop = EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
-        val quality =
-          s"""ROUND(
-                least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                + greatest(0.0, 0.3 -
-                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                         AS DOUBLE)
-                    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0)
-                + least(CAST(len(list_filter($sqlTok, t -> list_contains($stop, t)))
-                    AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
-                6)"""
         val hits = LangMarkers.map { case (lang, ms) =>
           val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
           s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
@@ -404,7 +378,7 @@ object TextQueries {
         val chain = LangMarkers.map { case (l, _) =>
           s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
         }.mkString(" ")
-        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.3),
+        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlQuality >= 0.3),
                  lg AS (SELECT doc_id, text FROM (
                           SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
                           FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
@@ -420,8 +394,7 @@ object TextQueries {
                           FROM ex),
                  sh AS (SELECT DISTINCT doc_id,
                                w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                        FROM docs CROSS JOIN range(1, 2000) t(i)
-                        WHERE i <= len(w) - 2),
+                        FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
                  sig AS (SELECT doc_id, j,
                                 MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
                                     AS BIGINT)) AS mh

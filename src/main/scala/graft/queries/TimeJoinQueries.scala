@@ -35,7 +35,9 @@ object TimeJoinQueries {
                           - floor(epoch(CAST(v.ts AS TIMESTAMP))) AS BIGINT)
                        AS view_to_purchase_secs
               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-              ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ASOF JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) v
                 ON p.user_id = v.user_id AND v.ts <= p.ts
               ORDER BY purchase_id""")),
 
@@ -64,7 +66,9 @@ object TimeJoinQueries {
                           - floor(epoch(CAST(v.ts AS TIMESTAMP))) AS BIGINT)
                        AS view_to_purchase_secs
               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-              ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ASOF JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) v
                 ON p.user_id = v.user_id AND v.ts <= p.ts
               ORDER BY purchase_id""")),
 

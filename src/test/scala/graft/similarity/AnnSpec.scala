@@ -75,18 +75,24 @@ class AnnSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
-  test("graft_hplanes buckets a NULL vector at 0, like the composed form") {
+  test("graft_hplanes buckets degenerate vectors at 0, like the SQL oracle") {
     val withNull = Seq(
       (1L, Array(1.0f, -2.0f, 3.0f)),
-      (2L, null.asInstanceOf[Array[Float]])
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array.empty[Float])
     ).toDF("id", "embedding")
     val rows = withNull.select(col("id"),
       Ann.hyperplaneBucket(col("embedding"), 8).as("fused"),
       Ann.hyperplaneBucketComposed(col("embedding"), 8).as("composed"))
       .orderBy("id").collect()
-    // null vector: fused must be 0 (not NULL) to match composed + oracle
+    // null vector: fused must be 0 (not NULL); composed agrees
     assert(!rows(1).isNullAt(1) && rows(1).getLong(1) == 0L)
     assert(rows(1).getLong(2) == 0L)
+    // empty vector: fused follows the ORACLE (list_sum of empty -> NULL
+    // -> ELSE 0); the composed form diverges here by design (dot = 0.0
+    // sets every sign bit) — pin both so the contract stays visible
+    assert(rows(2).getLong(1) == 0L)
+    assert(rows(2).getLong(2) == 255L)
     assert(rows(0).getLong(1) == rows(0).getLong(2))
   }
 
