@@ -81,6 +81,10 @@ object Checks {
     * both; a separate df.count() would be a second full scan per domain
     * on the green path. Works with an empty suite (count only). */
   def evaluateWithCount(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    // a check literally named "n_rows" would shadow the synthetic count
+    // column and make downstream getAs[Long]("n_rows") resolve ambiguously
+    require(checks.forall(_.name != "n_rows"),
+      "check name 'n_rows' collides with the synthetic row-count column")
     val aggs = count(lit(1)).as("n_rows") +: checks.map(c =>
       coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
     df.agg(aggs.head, aggs.tail: _*)

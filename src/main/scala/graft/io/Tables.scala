@@ -43,10 +43,17 @@ object Tables {
     if (hit != null) return hit
     // maintenance only on miss (the hot path is a plain map get): drop
     // entries of stopped sessions; if 512 LIVE entries remain after the
-    // sweep (50+ concurrent sessions), clearing is the documented last
-    // resort — correctness is unaffected, the next reads just re-list.
+    // sweep (50+ concurrent sessions), evict just enough arbitrary
+    // entries to get under the bound — never the whole map, so a steady
+    // state above the bound degrades to partial re-lists instead of
+    // wiping every session's file index on every miss.
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
-    if (cache.size >= MaxEntries) cache.clear()
+    val excess = cache.size - (MaxEntries - 1)
+    if (excess > 0) {
+      val it = cache.keySet.iterator()
+      var n = excess
+      while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+    }
     cache.computeIfAbsent(key, _ => load(spark, dir, name))
   }
 

@@ -39,6 +39,14 @@ object Registry {
   final case class TransitionRejected(from: String, to: String)
     extends RuntimeException(s"illegal stage transition $from -> $to")
 
+  /** One in-JVM monitor per log file (canonicalized path), so every
+    * EventLog instance over the same file shares the same lock. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def pathLock(path: String): Object =
+    pathLocks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
   /** In-memory event-log registry with the reference's state machine;
     * persisted as JSONL so a Spark job can read it as a table. */
   final class EventLog(path: String) {
@@ -67,18 +75,42 @@ object Registry {
         s""""tags":${m(e.tags)},"metrics":${md(e.metrics)}}"""
     }
 
-    def append(e: Event): Unit = {
+    // Next seq and the file size it was derived at. Guarded by a JVM-wide
+    // per-path lock (two in-process EventLog instances on one file must
+    // serialize BEFORE the FileLock — JVM file locks are per-process and
+    // throw OverlappingFileLockException on in-process overlap); the
+    // exclusive FileLock in append() serializes cross-process writers, and
+    // the size check detects a foreign append (size moved under us →
+    // recount). Steady-state appends are O(1); the O(lines) recount runs
+    // once per instance or after a foreign write.
+    private[this] val lock = Registry.pathLock(path)
+    private[this] var nextSeq = 0L
+    private[this] var knownSize = -1L
+
+    def append(e: Event): Unit = lock.synchronized {
       val p = Paths.get(path)
       if (p.getParent != null) Files.createDirectories(p.getParent)
       // monotonic per-log sequence number: at_millis alone cannot break
       // ties between events appended within the same millisecond.
-      // O(lines) per append — registry logs are governance-event scale.
-      val seq = if (Files.exists(p)) {
-        val s = Files.lines(p)
-        try s.count() finally s.close()
-      } else 0L
-      Files.writeString(p, line(e.copy(seq = seq)) + "\n",
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val ch = java.nio.channels.FileChannel.open(p,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.APPEND)
+      try {
+        val fl = ch.lock()
+        try {
+          val sz = ch.size()
+          if (sz != knownSize) {
+            nextSeq =
+              if (sz == 0L) 0L
+              else { val s = Files.lines(p); try s.count() finally s.close() }
+          }
+          val bytes = (line(e.copy(seq = nextSeq)) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ch.write(java.nio.ByteBuffer.wrap(bytes))
+          nextSeq += 1
+          knownSize = sz + bytes.length
+        } finally fl.release()
+      } finally ch.close()
     }
 
     def register(model: String, version: Int, atMillis: Long,

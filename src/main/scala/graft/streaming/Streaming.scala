@@ -86,14 +86,21 @@ object Streaming {
     * horizon (the streaming twin of `graft.dedup.Dedup.exactDedup` —
     * state holds one entry per distinct key seen inside the watermark,
     * so state size is bounded by arrival rate × horizon, not history).
-    * Key-ONLY dedup (`dropDuplicatesWithinWatermark`): an at-least-once
-    * redelivery that restamps `tsCol` is still dropped — appending ts to
-    * the keys would let every restamped duplicate through. */
+    * Default is key-ONLY dedup (`dropDuplicatesWithinWatermark`): an
+    * at-least-once redelivery that restamps `tsCol` is still dropped.
+    * That is only correct when `keyCols` is a true event identity —
+    * two genuinely distinct events sharing `keyCols` inside the horizon
+    * would be collapsed. Callers whose keys are NOT unique per event must
+    * pass `tsIsIdentity = true` to restore key+ts dedup semantics (at the
+    * cost of letting restamped redeliveries through). The choice is an
+    * explicit parameter so the semantics are visible at every call site. */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", tsIsIdentity: Boolean = false): DataFrame = {
+    val keys = if (tsIsIdentity) keyCols :+ tsCol else keyCols
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+      .dropDuplicatesWithinWatermark(keys)
+  }
 
   /** Stream-stream inner join with bounded state: both sides watermarked,
     * the time-range condition lets Spark evict state older than the

@@ -112,6 +112,26 @@ class MlSpec extends SparkSpec {
     assert(log.currentStage(spark, "risk", 1).contains("Archived"))
   }
 
+  test("M8 registry: concurrent appends get distinct monotonic seqs") {
+    val dir = Files.createTempDirectory("graft-registry-conc").toString
+    val path = s"$dir/events.jsonl"
+    val log = new Registry.EventLog(path)
+    val tags = Map("owner" -> "t", "dataset" -> "d", "training_date" -> "2024-01-01")
+    val threads = (0 until 8).map { i =>
+      new Thread(() => (0 until 25).foreach { j =>
+        log.append(Registry.Event(s"m$i", j, "None", 42L, tags, Map.empty))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // a second instance on the same file (simulated foreign writer) must
+    // observe the existing lines and continue the sequence, not restart it
+    new Registry.EventLog(path)
+      .append(Registry.Event("other", 1, "None", 42L, tags, Map.empty))
+    val seqs = spark.read.json(path).select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.length == 201)
+    assert(seqs.toSeq == (0L until 201L))
+  }
+
   test("M8 registry: required tags and expiry report") {
     val dir = Files.createTempDirectory("graft-registry2").toString
     val log = new Registry.EventLog(s"$dir/events.jsonl")
