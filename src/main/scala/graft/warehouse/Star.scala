@@ -72,7 +72,12 @@ object Star {
       sum(when(col("severity") === "SEVERE", 1L).otherwise(0L)).as("severe_aes"),
       sum(when(col("is_ongoing"), 1L).otherwise(0L)).as("ongoing_aes"),
       max(col("severity_rank")).as("max_severity_rank"),
-      countDistinct(when(col("is_serious"), col("subjid"))).as("has_serious_ae"))
+      // 0/1 any-serious flag. The dbt model spells it COUNT(DISTINCT CASE
+      // WHEN is_serious THEN subjid END), but grouped BY subjid that count
+      // can only be 0 or 1 — MAX over a 0/1 indicator is value-identical
+      // and avoids planting a distinct-aggregate Expand (3x row blowup
+      // before the shuffle) in the hottest agg of the pipeline.
+      max(when(col("is_serious"), 1L).otherwise(0L)).as("has_serious_ae"))
     val lbAgg = stgLb.groupBy("subjid").agg(
       count(lit(1)).as("total_lab_tests"),
       countDistinct(col("test_code")).as("unique_lab_tests"),
