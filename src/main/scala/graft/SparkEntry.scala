@@ -24,6 +24,7 @@ object SparkEntry {
       TextQueries.all ++
       EmbeddingQueries.all ++
       ClinicalQueries.all ++
+      OmopQueries.all ++
       SinkSqlQueries.all ++
       PrivacyMiscQueries.all ++
       TimeJoinQueries.all

@@ -155,11 +155,11 @@ object Omop {
           .when(datediff(col("visit_end_date"), col("visit_start_date")) > 365,
             "Excessive length of stay"))
 
-  /** `mart_patient_summary.sql`: person spine ⟕ visit/condition/measurement
-    * aggregates + complexity score (the OMOP twin of int_subject_summary). */
-  def martPatientSummary(stgPerson: DataFrame, stgVisits: DataFrame,
-      conditions: DataFrame, measurements: DataFrame): DataFrame = {
-    val visitAgg = stgVisits.groupBy("person_id").agg(
+  /** `mart_patient_summary.sql`'s visit_summary CTE: per-person visit
+    * patterns over the staged visits. Exposed on its own (not just inside
+    * the mart) so the aggregate is independently oracle-checkable. */
+  def visitSummary(stgVisits: DataFrame): DataFrame =
+    stgVisits.groupBy("person_id").agg(
       count(lit(1)).as("total_visits"),
       countDistinct(col("visit_concept_id")).as("unique_visit_types"),
       min(col("visit_start_date")).as("first_visit_date"),
@@ -172,6 +172,12 @@ object Omop {
         .as("outpatient_visits"),
       sum(when(col("visit_type_name") === "Emergency Room Visit", 1L).otherwise(0L))
         .as("er_visits"))
+
+  /** `mart_patient_summary.sql`: person spine ⟕ visit/condition/measurement
+    * aggregates + complexity score (the OMOP twin of int_subject_summary). */
+  def martPatientSummary(stgPerson: DataFrame, stgVisits: DataFrame,
+      conditions: DataFrame, measurements: DataFrame): DataFrame = {
+    val visitAgg = visitSummary(stgVisits)
     val condAgg = conditions.groupBy("person_id").agg(
       count(lit(1)).as("total_conditions"),
       countDistinct(col("condition_concept_id")).as("unique_conditions"))
