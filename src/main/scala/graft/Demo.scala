@@ -62,12 +62,19 @@ object Demo {
     val results = step("bronze") {
       // red/green DQ demo like the reference's GE gating: the generator
       // seeds one invalid SEX='X' row (SUBJ0000) — first landing attempt
-      // must FAIL fail-fast, then the quarantined fix lands green.
-      val red = io.Medallion.landToBronze(domains, "STUDY001", s"$outDir/bronze")
+      // must FAIL fail-fast, then the quarantined fix lands green. The DM
+      // rules come from the DECLARATIVE suite document (the reference
+      // declares its gates as GE suite JSON files, not code) — the gate
+      // reads the actual suite file via SuiteLoader.
+      val dmSuite = checks.SuiteLoader.fromResource("graft/suites/dm_suite.json")
+      val suites = io.Medallion.domainChecks.updated("DM", dmSuite.rowChecks)
+      val red = io.Medallion.landToBronze(domains, "STUDY001", s"$outDir/bronze",
+        checkSuites = suites)
       require(red.exists(r => !r.passed), "seeded bad row was not caught")
       val clean = domains.updated("DM",
         domains("DM").filter(col("SUBJID") =!= "SUBJ0000"))
-      io.Medallion.landToBronze(clean, "STUDY001", s"$outDir/bronze")
+      io.Medallion.landToBronze(clean, "STUDY001", s"$outDir/bronze",
+        checkSuites = suites)
     }
     require(results.size == 5 && results.forall(_.passed), "bronze DQ gate failed")
     val dm = domains("DM").filter(col("SUBJID") =!= "SUBJ0000")

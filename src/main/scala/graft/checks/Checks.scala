@@ -31,17 +31,24 @@ final case class NotNull(column: String) extends Check {
   def violation: Column = col(column).isNull
 }
 
-/** V3 — value-in-set, reference `pandera_schemas.py:31,49-51`. */
-final case class InSet(column: String, allowed: Seq[String]) extends Check {
+/** V3 — value-in-set, reference `pandera_schemas.py:31,49-51`. Values may
+  * be strings or numbers (GE `value_set` kwargs carry either). */
+final case class InSet(column: String, allowed: Seq[Any]) extends Check {
   val name = s"${column}_not_in_set"
   def violation: Column = col(column).isNotNull && !col(column).isin(allowed: _*)
 }
 
-/** V4 — numeric range [lo, hi], reference `pandera_schemas.py:33-36`. */
-final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+/** V4 — numeric range [lo, hi], reference `pandera_schemas.py:33-36`.
+  * `strictLo`/`strictHi` exclude the bound itself (GE `strict_min`/
+  * `strict_max` in `visits_suite.json:18`). */
+final case class InRange(column: String, lo: Double, hi: Double,
+    strictLo: Boolean = false, strictHi: Boolean = false) extends Check {
   val name = s"${column}_out_of_range"
-  def violation: Column =
-    col(column).isNotNull && (col(column) < lo || col(column) > hi)
+  def violation: Column = {
+    val belowLo = if (strictLo) col(column) <= lo else col(column) < lo
+    val aboveHi = if (strictHi) col(column) >= hi else col(column) > hi
+    col(column).isNotNull && (belowLo || aboveHi)
+  }
 }
 
 /** V5 — string length bound, reference `pandera_schemas.py:17-25`. */

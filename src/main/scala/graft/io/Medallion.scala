@@ -97,9 +97,13 @@ object Medallion {
 
   /** Land → bronze: validate each domain frame (fail-fast like
     * `ingest_csv.py:128-131` unless `failFast=false`), then write
-    * hive-partitioned parquet (S5). Returns per-domain results. */
+    * hive-partitioned parquet (S5). Returns per-domain results.
+    * `checkSuites` defaults to the built-in [[domainChecks]]; pass a map
+    * built from [[graft.checks.SuiteLoader]] suites to drive the gate from
+    * declarative JSON documents (the reference's GE-suite pattern). */
   def landToBronze(domains: Map[String, DataFrame], studyId: String,
-      bronzeRoot: String, failFast: Boolean = true): Seq[DomainResult] = {
+      bronzeRoot: String, failFast: Boolean = true,
+      checkSuites: Map[String, Seq[Check]] = domainChecks): Seq[DomainResult] = {
     val unknown = domains.keySet -- Sdtm.Domains.toSet
     require(unknown.isEmpty,
       s"unknown domain(s) ${unknown.mkString(",")} — would be silently " +
@@ -110,7 +114,7 @@ object Medallion {
     while (it.hasNext && !aborted) {
       val domain = it.next()
       val df = domains(domain)
-      val checks = domainChecks.getOrElse(domain, Nil)
+      val checks = checkSuites.getOrElse(domain, Nil)
       // one aggregation pass yields the row count AND every violation
       // count — no separate df.count() scan per domain
       val row = Checks.evaluateWithCount(df, checks).collect()(0)

@@ -52,6 +52,25 @@ class MedallionSpec extends SparkSpec {
     assert(all.filter(_.passed).forall(_.samples.isEmpty))
   }
 
+  test("red/green gate driven by the declarative JSON suite document") {
+    val tmp = Files.createTempDirectory("graft-medallion-suite").toString
+    val dmSuite = graft.checks.SuiteLoader.fromResource("graft/suites/dm_suite.json")
+    assert(dmSuite.name == "dm_suite" && dmSuite.rowChecks.size == 6)
+    val suites = Medallion.domainChecks.updated("DM", dmSuite.rowChecks)
+    val domains = SyntheticSdtm.allDomains(spark, 30, 42L) // includes SEX='X'
+    // red: the seeded bad row trips the JSON-declared in-set rule
+    val red = Medallion.landToBronze(domains, "STUDY001", s"$tmp/bronze",
+      checkSuites = suites)
+    val dmRed = red.find(_.domain == "DM").get
+    assert(!dmRed.passed && dmRed.violations("SEX_not_in_set") == 1L)
+    // green: quarantined fix lands cleanly through the same suite
+    val clean = domains.updated("DM",
+      domains("DM").filter(col("SUBJID") =!= "SUBJ0000"))
+    val green = Medallion.landToBronze(clean, "STUDY001", s"$tmp/bronze",
+      checkSuites = suites)
+    assert(green.size == 5 && green.forall(_.passed))
+  }
+
   test("permissive CSV read splits clean rows from corrupt raw lines") {
     import org.apache.spark.sql.types._
     import spark.implicits._
