@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.similarity.Ann
@@ -109,17 +110,58 @@ object EmbeddingQueries {
 
     // IVF (k-means coarse quantizer) ANN — the learned-bucket scale path.
     // No SQL oracle by design: the cells come from a KMeans fit, which
-    // DuckDB cannot reproduce; the driver rows-checks this entry, and the
-    // recall gates live in ScaleSpec ("probing all cells equals brute
-    // force", "recall@10 improves monotonically with nProbe").
+    // DuckDB cannot reproduce. Instead the declared query carries a HARD
+    // recall gate (see ivfIndex below): the first build asserts IVF top-10
+    // recall ≥ 0.6 against the exact brute-force ground truth (emb1's
+    // semantics), so this row is pass/fail, not rows-only. ScaleSpec keeps
+    // the structural gates (all-cells == brute force, probe monotonicity).
     Q("emb6_knn_ivf",
       (s, d) => {
-        val index = graft.similarity.Ivf.build(
-          Tables.embeddings(s, d), "vec_id", "embedding", nCells = 16)
-        graft.similarity.Ivf.knn(index, "vec_id", "embedding",
-            queryId = 0L, k = 10, nProbe = 4)
+        graft.similarity.Ivf.knn(ivfIndex(s, d), "vec_id", "embedding",
+            queryId = 0L, k = 10, nProbe = IvfNProbe)
           .select(col("vec_id"), round(col("score"), 6).as("score"))
       },
       None)
   )
+
+  /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings
+    * are UNCLUSTERED (uniform) — the worst case for a learned coarse
+    * quantizer — so the probe budget is deliberately high; measured
+    * recall@10 for query 0 at nProbe=8: 0.7 / 1.0 / 0.9 at
+    * sf0.001/0.01/0.1 (nProbe=4 dips to 0.4 on uniform data). A clustered
+    * real corpus probes far fewer cells for the same recall. */
+  private val IvfNProbe = 8
+  private val IvfRecallGate = 0.6
+
+  /** IVF index cache: ONE KMeans fit + cell assignment per (session, dir) —
+    * a real deployment builds the inverted file once and serves many
+    * probes; refitting the quantizer inside every measured run conflated
+    * index build with query cost (PERF.md round-3 known issue, closed
+    * round 4). The first build also runs the recall gate: IVF@10 under the
+    * declared probe budget must cover ≥ [[IvfRecallGate]] of the exact
+    * brute-force top-10 for the declared query id, so a quantizer
+    * regression fails the emb6 row instead of silently degrading. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.similarity.Ivf.Index]()
+
+  private def ivfIndex(s: SparkSession, d: String): graft.similarity.Ivf.Index = {
+    val hit = ivfCache.get((s, d))
+    if (hit != null) return hit
+    ivfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfCache.computeIfAbsent((s, d), _ => {
+      val emb = Tables.embeddings(s, d)
+      val index = graft.similarity.Ivf.build(emb, "vec_id", "embedding", nCells = 16)
+      index.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Ann.knnBruteForce(emb, "vec_id", "embedding", 0L, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = graft.similarity.Ivf.knn(index, "vec_id", "embedding",
+          0L, 10, IvfNProbe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = exact.intersect(approx).size / 10.0
+      require(recall >= IvfRecallGate,
+        f"IVF recall gate failed: recall@10 = $recall%.2f < $IvfRecallGate " +
+          s"(nProbe=$IvfNProbe of 16 cells)")
+      index
+    })
+  }
 }
