@@ -151,14 +151,36 @@ object PrivacyMiscQueries {
               FROM documents ORDER BY doc_id""")),
 
     // A6 companion: the approximate sketch itself (reference uses
-    // approx_quantile). Sketches differ across engines by design → no
-    // SQL oracle; the rows-only gate checks it runs and is deterministic.
+    // approx_quantile). Sketch VALUES differ across engines by design, so
+    // the value is not oracle-able — but the sketch's ERROR CONTRACT is:
+    // the GK sketch at accuracy a guarantees the returned median has rank
+    // within n/a of the target rank 0.5·n. The query computes the sketch,
+    // joins it back, and emits the rank-bound verdict per group (±1 extra
+    // slack absorbs the engines' rank-definition ambiguity at even n); the
+    // oracle asserts the verdict is TRUE — a sketch regression outside its
+    // bound hash-fails this row instead of passing rows-only.
     Q("a6b_approx_quantile",
-      (s, d) => Tables.customer(s, d)
-        .groupBy("c_mktsegment")
-        .agg(percentile_approx(col("c_acctbal"), lit(0.5), lit(10000))
-          .as("approx_median_bal"))
-        .orderBy("c_mktsegment"),
-      None)
+      (s, d) => {
+        val acc = 10000
+        val t = Tables.customer(s, d).select("c_mktsegment", "c_acctbal")
+        val sketch = t.groupBy("c_mktsegment")
+          .agg(percentile_approx(col("c_acctbal"), lit(0.5), lit(acc))
+            .as("approx"))
+        t.join(broadcast(sketch), "c_mktsegment")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("c_acctbal") < col("approx"), 1L).otherwise(0L)).as("n_lt"),
+            sum(when(col("c_acctbal") <= col("approx"), 1L).otherwise(0L)).as("n_le"))
+          .select(col("c_mktsegment"), col("n"),
+            (col("n_lt").cast("double") <=
+              col("n").cast("double") * 0.5 + col("n").cast("double") / acc + 1.0
+              && col("n_le").cast("double") >=
+              col("n").cast("double") * 0.5 - col("n").cast("double") / acc - 1.0)
+              .as("rank_within_bound"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n, TRUE AS rank_within_bound
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
