@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (VERDICT r3 item 8): self-generate a 2× copy of the
+  * testdata star in a temp dir and time the most expensive bench queries at
+  * both scales — the cheap empirical check that nothing flips to a global
+  * sort / driver collect / quadratic pair blowup between SFs.
+  *
+  * The doubled copy preserves each operator family's structural density so
+  * ratios are interpretable:
+  *  - facts (customer/orders/lineitem) double via key-shifted copies, FKs
+  *    consistent (custkey/orderkey shifted by the max key);
+  *  - documents double with every token salted in the copy ("x" → "x‿b"),
+  *    so intra-copy near-dup structure is IDENTICAL to the original but no
+  *    cross-copy shingle overlaps exist — pair counts exactly double
+  *    instead of exploding on copy-vs-original exact matches;
+  *  - embeddings double with the copy NEGATED (cos(-a,-b) = cos(a,b), and
+  *    cos(a,-b) = -cos(a,b) ≤ 0), preserving intra-copy kNN/near-dup
+  *    structure while keeping copies out of every original's neighborhood;
+  *  - dims (region/nation/supplier/part) and events are byte-copied
+  *    (a fact-scale rehearsal; the event family was not flagged).
+  *
+  * Usage: runMain graft.ScaleRehearsal [srcDir] [workDir]
+  * Prints one RATIO line per query: sf0.1 vs 2× steady-state seconds.
+  */
+object ScaleRehearsal {
+
+  private val Rehearsed = Seq(
+    "cp3_subject_summary", "cp4_subject_outcomes", "cp5_study_overview",
+    "t3_langid_confusion", "t6_ngram_jaccard_pairs", "t9_neardup_clusters",
+    "t12_lsh_exact_dedup_pairs", "t13_curation_funnel",
+    "j1_star_join_broadcast", "v8_referential_orphans",
+    "emb4_cosine_neardup_pairs", "emb6_knn_ivf")
+
+  def writeDoubled(spark: SparkSession, src: String, dst: String): Unit = {
+    Files.createDirectories(Paths.get(dst))
+    // dims + events: byte-identical copies (events carries TIMESTAMP(NANOS)
+    // parquet that a plain spark.read rejects — never re-encode it)
+    for (t <- Seq("region", "nation", "supplier", "part", "events"))
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dst/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    val (cust, ord, li) = (read("customer"), read("orders"), read("lineitem"))
+    val (custShift, ordShift) = (maxOf(cust, "c_custkey"), maxOf(ord, "o_orderkey"))
+    cust.unionByName(cust.withColumn("c_custkey", col("c_custkey") + custShift))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    ord.unionByName(ord
+        .withColumn("o_orderkey", col("o_orderkey") + ordShift)
+        .withColumn("o_custkey", col("o_custkey") + custShift))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    li.unionByName(li.withColumn("l_orderkey", col("l_orderkey") + ordShift))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    val docs = read("documents")
+    val docShift = maxOf(docs, "doc_id")
+    docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + docShift)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1‿b")))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = read("embeddings")
+    val vecShift = maxOf(emb, "vec_id")
+    emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + vecShift)
+        .withColumn("embedding",
+          transform(col("embedding"), x => -x).cast("array<float>")))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft-sf2x").toString)
+    val dst = s"$work/sf2x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeDoubled(spark, src, dst)
+    println(s"DOUBLED $src -> $dst")
+
+    def time(name: String, dir: String): (Double, Double) = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once() // includes any one-time index/materialization
+      (first, once())    // steady state
+    }
+    Rehearsed.foreach { name =>
+      try {
+        val (f1, s1) = time(name, src)
+        val (f2, s2) = time(name, dst)
+        println(f"RATIO $name%-28s sf1_first=$f1%6.2f sf1=$s1%6.2f " +
+          f"sf2x_first=$f2%6.2f sf2x=$s2%6.2f steady_ratio=${s2 / s1}%5.2f")
+      } catch {
+        case e: Throwable =>
+          println(s"RATIO $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
