@@ -31,7 +31,8 @@ object Bench {
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
     "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "emb1_knn_bruteforce",
     "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
-    "v1_check_suite_events", "cp3_subject_summary")
+    "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
+    "cp5_study_overview", "om3_mart_patient_summary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
