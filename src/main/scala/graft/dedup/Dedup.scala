@@ -39,6 +39,29 @@ object Dedup {
       .unionByName(df.filter(col(textCol).isNull))
   }
 
+  /** Incremental exact dedup — the production shape of a recurring crawl:
+    * drop batch rows whose normalized-content digest already exists in the
+    * HISTORICAL corpus (left-anti join on the digest), then exact-dedup
+    * within the batch itself (keeper = min id). The historical side only
+    * needs digests, so at 100 TB the "seen" input is the slim fingerprint
+    * table each ingest run appends to — one shuffle on the digest, the
+    * full historical text is never read. Null-text rows pass through, as
+    * in [[exactDedup]]. */
+  def dedupAgainstCorpus(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seenDigests = seen
+      .filter(col(textCol).isNotNull)
+      .select(TextFunctions.fingerprint(col(textCol)).as("digest"))
+      .distinct()
+    val fresh = batch.filter(col(textCol).isNotNull)
+      .withColumn("digest", TextFunctions.fingerprint(col(textCol)))
+      .join(seenDigests, Seq("digest"), "left_anti")
+    val keepers = fresh.groupBy("digest").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    fresh.drop("digest").join(keepers, idCol)
+      .unionByName(batch.filter(col(textCol).isNull))
+  }
+
   /** Distinct (id, shingle) pairs of `n` consecutive whitespace tokens. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = TextFunctions.tokens(col(textCol))

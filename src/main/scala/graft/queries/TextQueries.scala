@@ -448,6 +448,66 @@ object TextQueries {
               UNION ALL SELECT '40_near_dup', COUNT(*) FROM nd
               UNION ALL SELECT '50_split_' || split, COUNT(*) FROM sp GROUP BY split
             ) ORDER BY stage"""
-      })
+      }),
+
+    // T14: incremental exact dedup — the recurring-crawl shape: dedup a
+    // new BATCH (odd doc_ids) against the HISTORICAL corpus (even
+    // doc_ids) via anti-join on the content digest, then within-batch
+    // (min-id keeper). The historical side reduces to its digest set, so
+    // at scale the "seen" input is the slim fingerprint table, not the
+    // corpus.
+    Q("t14_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dedupAgainstCorpus(
+            docs.filter(col("doc_id") % 2 === 1),
+            docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH batch AS (SELECT doc_id,
+                                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                                      AS digest
+                             FROM documents
+                             WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+                   seen AS (SELECT DISTINCT
+                                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                                     AS digest
+                            FROM documents
+                            WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+                   fresh AS (SELECT * FROM batch
+                             WHERE digest NOT IN (SELECT digest FROM seen))
+              SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY digest
+              ORDER BY doc_id""")),
+
+    // T15: within-document repetition ratio (the Gopher-family duplicate
+    // n-gram quality rule): fraction of 3-gram occurrences that repeat an
+    // earlier 3-gram in the same doc. Pure Column expression on the Spark
+    // side; the oracle recomputes it with DuckDB list functions.
+    Q("t15_repetition_ratio",
+      (s, d) => {
+        val sh = shingleArray(col("text"), 3)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(sh).cast("long").as("n_shingles"),
+            repetitionRatio(col("text"), 3).as("repetition_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(len(sh) AS BIGINT) AS n_shingles,
+                     CASE WHEN len(sh) > 0
+                          THEN ROUND(CAST(1 AS DOUBLE)
+                                     - CAST(len(list_distinct(sh)) AS DOUBLE)
+                                       / CAST(len(sh) AS DOUBLE), 6)
+                          ELSE 0.0 END AS repetition_ratio
+              FROM (SELECT doc_id,
+                           CASE WHEN len(w) >= 3
+                                THEN list_transform(range(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                ELSE CAST([] AS VARCHAR[]) END AS sh
+                    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                          FROM documents))
+              ORDER BY doc_id"""))
   )
 }

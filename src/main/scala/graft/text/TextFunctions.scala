@@ -100,6 +100,30 @@ object TextFunctions {
     }
   }
 
+  /** Array of `n`-token shingles as a pure Column expression (empty array
+    * when the doc has fewer than `n` tokens). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition ratio (the Gopher-family repetition
+    * quality rule, Rae et al. 2021 §A1.1 — public literature): the
+    * fraction of n-gram OCCURRENCES that are repeats of an earlier n-gram
+    * in the same document, `1 − distinct/total`. 0 for unrepetitive prose,
+    * → 1 for degenerate loops; docs with fewer than `n` tokens score 0.
+    * Pure Column expression — stays in the scan pipeline, no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingleArray(text, n)
+    val total = size(sh).cast("double")
+    when(total > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
+      .otherwise(0.0)
+  }
+
   /** Whitespace-canonical form used for fingerprinting/dedup. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
     assert(composed.contains((1L, 2L)))
   }
 
+  test("incremental dedup: drops corpus-known digests, keeps min-id within batch") {
+    import spark.implicits._
+    val seen = Seq((100L, "the quick brown fox"), (101L, "historic text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "THE  QUICK   brown fox"), // normalizes to a seen digest → dropped
+      (2L, "brand new text"),
+      (3L, "brand  NEW text"),        // in-batch dup of 2 → dropped (min id kept)
+      (4L, null.asInstanceOf[String])) // null text passes through
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(batch, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("jaccardPairs auto-prune path emits the same rows as the all-pairs path") {
     def rows(threshold: Long) =
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3,

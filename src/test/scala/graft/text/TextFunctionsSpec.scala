@@ -66,4 +66,14 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Double].head()
     assert(r == 0.4) // 'the' twice of 5 tokens; 'theory'/'then' excluded
   }
+
+  test("repetitionRatio: 0 for unrepetitive prose, high for loops, 0 below n tokens") {
+    def ratio(s: String): Double = Seq(s).toDF("text")
+      .select(TextFunctions.repetitionRatio(col("text"), 3).as("r"))
+      .as[Double].head()
+    assert(ratio("every token here is different always") == 0.0)
+    // "a b c a b c a b c": 7 shingles, 3 distinct -> 1 - 3/7
+    assert(math.abs(ratio("a b c a b c a b c") - (1.0 - 3.0 / 7.0)) < 1e-6)
+    assert(ratio("too short") == 0.0) // fewer than n tokens
+  }
 }
