@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hplanes"),
       new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "graft_hplanes"),
       (children: Seq[Expression]) => graft.functions.HyperplaneBucket.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
+      new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
+      (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
     // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
     // BroadcastAsOfJoinExec (custom physical as-of join).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -22,6 +22,7 @@ object SparkEntry {
       DqQueries.all ++
       EventQueries.all ++
       TextQueries.all ++
+      CorpusQueries.all ++
       EmbeddingQueries.all ++
       ClinicalQueries.all ++
       OmopQueries.all ++

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Sampling
+import graft.text.{Contamination, Corpus}
+
+/** Corpus-statistics operators over the `documents` table — the second
+  * tranche of the LLM-training-data surface: benchmark decontamination
+  * (train/test n-gram overlap), TF-IDF term weighting, and split
+  * distribution-drift checks. All relational (token/shingle explode +
+  * hash aggregations + dictionary joins); the oracle twins replay the
+  * same math in DuckDB over the same split assignment (t10's portable
+  * md5 bucket scheme).
+  */
+object CorpusQueries {
+
+  /** t10's split cuts — reused so the contamination/drift checks audit
+    * the very same split the pipeline would train on. */
+  private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** SQL twin of `Sampling.bucket(doc_id, seed = 7)`. */
+  private val sqlBucket =
+    "CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+
+  val all: Seq[Q] = Seq(
+
+    // T16: benchmark decontamination (GPT-3 appendix C shape) — for every
+    // TEST-split document, the fraction of its 3-gram shingles that occur
+    // anywhere in the TRAIN split. The train corpus reduces to its
+    // distinct-shingle set and is probed with a left-semi join — no pair
+    // space, both shuffles keyed on the shingle.
+    Q("t16_contamination",
+      (s, d) => {
+        val tagged = Tables.documents(s, d)
+          .withColumn("split", Sampling.splitColumn(col("doc_id"), SplitCuts))
+        Contamination.ngramOverlap(
+            tagged.filter(col("split") === "test"),
+            tagged.filter(col("split") === "train"),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, text, $sqlBucket AS bk FROM documents),
+                    ev AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM b WHERE bk >= 9500),
+                    tr AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM b WHERE bk < 9000),
+                    esh AS (SELECT DISTINCT doc_id,
+                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM ev, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    tsh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM tr, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM esh GROUP BY doc_id),
+                    hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM esh
+                             WHERE shingle IN (SELECT shingle FROM tsh)
+                             GROUP BY doc_id)
+               SELECT s.doc_id, s.n_shingles,
+                      COALESCE(h.n_hit, 0) AS n_hit,
+                      ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                            / CAST(s.n_shingles AS DOUBLE), 6) AS contamination
+               FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+               ORDER BY s.doc_id""")),
+
+    // T17: TF-IDF top terms per language (smoothed sklearn IDF, exact
+    // decimal tf·idf sums — see Corpus.scala's exact-match discipline).
+    Q("t17_tfidf_top_terms",
+      (s, d) => Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text",
+          groupCol = "lang", k = 5)
+        .orderBy("lang", "term_rank"),
+      Some("""WITH tok AS (SELECT lang, doc_id,
+                                  unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                           FROM documents),
+                   tf AS (SELECT lang, doc_id, term, COUNT(*) AS tf
+                          FROM tok GROUP BY 1, 2, 3),
+                   dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+                   n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                   idf AS (SELECT term, df,
+                                  ROUND(ln((CAST(n_docs AS DOUBLE) + 1.0)
+                                           / (CAST(df AS DOUBLE) + 1.0)) + 1.0, 6) AS idf
+                           FROM dfx, n),
+                   scored AS (SELECT lang, tf.term, MAX(idf.df) AS df,
+                                     SUM(tf * CAST(idf AS DECIMAL(18,6))) AS score_dec
+                              FROM tf JOIN idf ON tf.term = idf.term
+                              GROUP BY 1, 2),
+                   ranked AS (SELECT lang, term, df, score_dec,
+                                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY score_dec DESC, term) AS BIGINT)
+                                       AS term_rank
+                              FROM scored)
+              SELECT lang, term_rank, term, CAST(score_dec AS DOUBLE) AS tfidf, df
+              FROM ranked WHERE term_rank <= 5 ORDER BY lang, term_rank""")),
+
+    // T18: split distribution drift — out-of-vocabulary rates of the val
+    // and test splits against the train vocabulary. Exact integer ratios,
+    // one final double division per rate.
+    Q("t18_split_drift",
+      (s, d) => Corpus.splitDrift(Tables.documents(s, d), "text",
+          Sampling.splitColumn(col("doc_id"), SplitCuts))
+        .orderBy("split"),
+      Some(s"""WITH b AS (SELECT text,
+                                 CASE WHEN $sqlBucket < 9000 THEN 'train'
+                                      WHEN $sqlBucket < 9500 THEN 'val'
+                                      ELSE 'test' END AS split
+                          FROM documents),
+                    tok AS (SELECT split,
+                                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                            FROM b),
+                    tv AS (SELECT DISTINCT term FROM tok WHERE split = 'train'),
+                    ev AS (SELECT tok.split, tok.term, tv.term IS NOT NULL AS in_train
+                           FROM tok LEFT JOIN tv ON tok.term = tv.term
+                           WHERE tok.split <> 'train')
+               SELECT split,
+                      COUNT(*) AS n_tokens,
+                      COUNT(DISTINCT term) AS n_terms,
+                      COUNT(DISTINCT CASE WHEN NOT in_train THEN term END) AS n_oov_terms,
+                      CAST(SUM(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_oov_tokens,
+                      ROUND(CAST(COUNT(DISTINCT CASE WHEN NOT in_train THEN term END) AS DOUBLE)
+                            / CAST(COUNT(DISTINCT term) AS DOUBLE), 6) AS oov_term_rate,
+                      ROUND(CAST(SUM(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 6) AS oov_token_rate
+               FROM ev GROUP BY split ORDER BY split"""))
+  )
+}

@@ -108,6 +108,34 @@ object EmbeddingQueries {
                ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id
                LIMIT 10""")),
 
+    // Nearest-centroid assignment (k-means scoring shape): per-label
+    // centroids (emb2's rounded-mean codebook) broadcast against the
+    // corpus, every vector assigned to its max-cosine centroid, confusion
+    // counts out. The codebook is engine-portable (rounded doubles), the
+    // cosine folds are sequential in both engines, so the argmax — and
+    // the full confusion matrix — hash-matches.
+    Q("emb7_centroid_assign",
+      (s, d) => graft.similarity.Ann.centroidAssign(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .orderBy("label", "assigned"),
+      Some(s"""WITH cd AS (SELECT CAST(label AS BIGINT) AS c_label, i,
+                                  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                           FROM embeddings CROSS JOIN range(1, 65) t(i)
+                           GROUP BY 1, 2),
+                    cent AS (SELECT c_label, list(cv ORDER BY i) AS centroid
+                             FROM cd GROUP BY c_label),
+                    scored AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                                      c.c_label,
+                                      ${sqlCosine("e.embedding", "c.centroid")} AS cosv
+                               FROM embeddings e CROSS JOIN cent c),
+                    ranked AS (SELECT vec_id, label, c_label,
+                                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cosv DESC, c_label) AS rn
+                               FROM scored)
+               SELECT label, c_label AS assigned, COUNT(*) AS n
+               FROM ranked WHERE rn = 1
+               GROUP BY 1, 2 ORDER BY label, assigned""")),
+
     // IVF (k-means coarse quantizer) ANN — the learned-bucket scale path.
     // No SQL oracle by design: the cells come from a KMeans fit, which
     // DuckDB cannot reproduce. Instead the declared query carries a HARD

@@ -108,6 +108,25 @@ object JoinQueries {
               WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
               ORDER BY c_custkey""")),
 
+    // J7 (extension): explicit skew-salted join (ops.Scale.saltedJoin) —
+    // the big side takes a random salt, the small side is exploded
+    // salts×, so one pathological key spreads over `salts` reducers. The
+    // oracle is the PLAIN join: salting must be invisible in the result,
+    // and the hash gate proves it.
+    Q("j7_salted_join_skew",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.ops.Scale.saltedJoin(Tables.orders(s, d), cust, "o_custkey", salts = 8)
+          .groupBy("c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment", "o_orderpriority")
+      },
+      Some(s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority""")),
+
     // J6: semi join — existence filter without multiplying rows.
     Q("j6_semi_join",
       (s, d) => Tables.customer(s, d)

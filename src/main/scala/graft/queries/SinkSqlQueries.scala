@@ -42,6 +42,24 @@ object SinkSqlQueries {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
               FROM region ORDER BY r_regionkey""")),
 
+    // S14 (extension): ORC sink then ORC scan — the second columnar
+    // format Spark ships natively (schema travels in the file, no
+    // explicit read schema needed). The oracle computes the same
+    // projection straight from parquet, so ORC's type fidelity is under
+    // the hash gate.
+    Q("s14_orc_roundtrip",
+      (s, d) => {
+        val out = tmp("s14_orc")
+        Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // S11: JSON sink/scan roundtrip of an aggregate.
     Q("s11_json_roundtrip",
       (s, d) => {

@@ -483,15 +483,24 @@ object TextQueries {
 
     // T15: within-document repetition ratio (the Gopher-family duplicate
     // n-gram quality rule): fraction of 3-gram occurrences that repeat an
-    // earlier 3-gram in the same doc. Pure Column expression on the Spark
-    // side; the oracle recomputes it with DuckDB list functions.
+    // earlier 3-gram in the same doc. Computed by the codegen'd
+    // graft_shingle_stats expression (one tokenize + one HashSet pass per
+    // row — the composed shingleArray/array_distinct Column form runs on
+    // the interpreted higher-order-function path and measured 28.7 s at
+    // sf0.1 vs ~1 s for this; ShingleStatsSpec pins their equivalence).
+    // The oracle recomputes the same counts with DuckDB list functions.
     Q("t15_repetition_ratio",
       (s, d) => {
-        val sh = shingleArray(col("text"), 3)
+        graft.functions.ShingleStats.register(s)
+        val st = call_function("graft_shingle_stats", col("text"), lit(3))
         Tables.documents(s, d)
+          .select(col("doc_id"), st.as("st"))
           .select(col("doc_id"),
-            size(sh).cast("long").as("n_shingles"),
-            repetitionRatio(col("text"), 3).as("repetition_ratio"))
+            col("st.n_shingles").as("n_shingles"),
+            when(col("st.n_shingles") > 0,
+              round(lit(1.0) - col("st.n_distinct").cast("double")
+                / col("st.n_shingles").cast("double"), 6))
+              .otherwise(0.0).as("repetition_ratio"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,

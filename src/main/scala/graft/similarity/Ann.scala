@@ -107,6 +107,42 @@ object Ann {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment: compute per-label centroids (the emb2
+    * definition — per-dimension double mean rounded to 6 decimals, so the
+    * codebook is engine-portable), broadcast the codebook, assign every
+    * vector to its max-cosine centroid, and emit the (label, assigned)
+    * confusion counts. The k-means-scoring shape: at 100 TB the codebook
+    * is dim-scale (labels × dims doubles), the corpus is scanned once with
+    * one codegen'd dot per centroid, and the only shuffles are the
+    * centroid aggregation and the per-vector argmax (tiny hash partitions
+    * keyed by vector id — no global sort). Cosine ties break toward the
+    * smaller centroid label so the argmax is total. */
+  def centroidAssign(emb0: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val emb = withRegistry(emb0)
+    val centroids = emb
+      .select(col(labelCol).cast("long").as("c_label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("c_label", "dim")
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+    val scored = emb
+      .select(col(idCol).as("__vid"), col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("__vid"), col("label"), col("c_label"),
+        (dot(col("__v"), col("centroid")) / norm(col("__v"))
+          / norm(col("centroid"))).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__vid").orderBy(col("__cos").desc, col("c_label"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** All pairs with cosine ≥ `minCosine` (embedding near-duplicate
     * detection). Per-row norms are computed once on each side of the join;
     * each pair costs exactly one codegen'd dot. `exact=false` bounds the

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for training-data pipelines: TF-IDF term
+  * weighting and split-distribution drift. Relational throughout — token
+  * explode, two hash aggregations, a broadcastable term-dictionary join —
+  * so every step is a plain shuffle on a bounded key space (the
+  * vocabulary), never a pair space.
+  *
+  * Exact-match discipline (Q.scala): the only irrational step, `ln` in the
+  * IDF, is rounded to 6 decimals the moment it is computed; every
+  * downstream product/sum runs in exact DECIMAL and is cast to double once
+  * at the end, so parallel partial aggregation cannot perturb the result.
+  */
+object Corpus {
+
+  /** Term frequencies per (carried columns, id, term): one row per distinct
+    * term occurrence count. `carry` columns must be functionally dependent
+    * on the id (e.g. the document's language). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cols = (carry :+ idCol).map(col)
+    docs.select(cols :+ explode(TextFunctions.tokens(col(textCol))).as("term"): _*)
+      .groupBy(cols :+ col("term"): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Smoothed IDF (sklearn formulation): ln((N+1)/(df+1)) + 1, rounded to
+    * 6 decimals for engine portability (a 1-ulp `ln` disagreement between
+    * runtimes cannot survive the rounding except exactly on a .5e-6
+    * boundary). */
+  def smoothedIdf(df: Column, nDocs: Column): Column =
+    round(log((nDocs.cast("double") + 1.0) / (df.cast("double") + 1.0)) + 1.0, 6)
+
+  /** Top-`k` terms per `groupCol` by summed TF-IDF:
+    * (group, term_rank, term, tfidf, df). Document frequency is
+    * corpus-wide; the score sums tf·idf over the group's documents in
+    * exact decimal. Ties break on term order so the ranking is total.
+    *
+    * Scale shape: tf agg shuffles on (group, id, term); the df/idf
+    * dictionary is one agg over terms and joins back on the term key; the
+    * final top-k window partitions by group (many small partitions — no
+    * global sort). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, carry = Seq(groupCol))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n_docs"))
+    val idf = dfT.crossJoin(broadcast(n))
+      .select(col("term"), col("df"),
+        smoothedIdf(col("df"), col("__n_docs")).as("idf"))
+    val scored = tf.join(idf, "term")
+      .groupBy(col(groupCol), col("term"))
+      .agg(max(col("df")).as("df"),
+        sum(col("tf") * col("idf").cast("decimal(18,6)")).as("__score_dec"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__score_dec").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col(groupCol), col("term_rank"), col("term"),
+        col("__score_dec").cast("double").as("tfidf"), col("df"))
+  }
+
+  /** Distribution drift of every non-`trainLabel` split against the
+    * training vocabulary: per split, total token occurrences, distinct
+    * terms, out-of-vocabulary terms/occurrences and their rates. The OOV
+    * rate is the first-order "did my split leak a different distribution"
+    * check a pipeline runs right after splitting — a val/test OOV spike
+    * means the split is not exchangeable with train (time skew, source
+    * skew, language skew).
+    *
+    * All outputs are exact integer ratios with a single final double
+    * division — no float accumulation anywhere. */
+  def splitDrift(docs: DataFrame, textCol: String, splitCol: Column,
+      trainLabel: String = "train"): DataFrame = {
+    val tok = docs.select(splitCol.as("split"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val trainVocab = tok.filter(col("split") === trainLabel)
+      .select("term").distinct().withColumn("__in_train", lit(1))
+    tok.filter(col("split") =!= trainLabel)
+      .join(trainVocab, Seq("term"), "left")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(when(col("__in_train").isNull, col("term"))).as("n_oov_terms"),
+        sum(when(col("__in_train").isNull, 1L).otherwise(0L)).as("n_oov_tokens"))
+      .withColumn("oov_term_rate",
+        round(col("n_oov_terms").cast("double") / col("n_terms").cast("double"), 6))
+      .withColumn("oov_token_rate",
+        round(col("n_oov_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+}

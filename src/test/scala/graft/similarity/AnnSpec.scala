@@ -122,6 +122,27 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("centroidAssign: well-separated labels produce a diagonal confusion matrix") {
+    // label 0 clusters on the x axis, label 1 on the y axis
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 1, Array(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val confusion = Ann.centroidAssign(labeled, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getAs[Long]("label"), r.getAs[Long]("assigned")) ->
+        r.getAs[Long]("n")).toMap
+    assert(confusion == Map((0L, 0L) -> 2L, (1L, 1L) -> 2L))
+  }
+
+  test("centroidAssign assigns every vector exactly once") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val total = Ann.centroidAssign(labeled, "vec_id", "embedding", "label")
+      .agg(sum("n")).as[Long].head()
+    assert(total == 5L)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("termFrequencies counts occurrences per (carry, id, term)") {
+    val docs = Seq((1L, "en", "a b a"), (2L, "en", "b b")).toDF("doc_id", "lang", "text")
+    val tf = Corpus.termFrequencies(docs, "doc_id", "text", carry = Seq("lang"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        r.getAs[Long]("tf")).toMap
+    assert(tf((1L, "a")) == 2L && tf((1L, "b")) == 1L && tf((2L, "b")) == 2L)
+  }
+
+  test("tfidfTopTerms: corpus-wide df, smoothed idf, exact decimal sums") {
+    // 3 docs; "common" in all (df=3, idf=ln(4/4)+1=1), "rare" in one (idf=ln(2)+1)
+    val docs = Seq(
+      (1L, "g1", "common rare"),
+      (2L, "g1", "common"),
+      (3L, "g2", "common"))
+      .toDF("doc_id", "grp", "text")
+    val top = Corpus.tfidfTopTerms(docs, "doc_id", "text", "grp", k = 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("term_rank"), r.getAs[Double]("tfidf"), r.getAs[Long]("df"))).toMap
+    // common in g1: tf 2 * idf 1.0 = 2.0 -> rank 1;
+    // rare: tf 1 * idf (ln(4/2)+1 = 1.693147) -> rank 2
+    val idfRare = math.round((math.log(4.0 / 2.0) + 1.0) * 1e6) / 1e6
+    assert(top(("g1", "common"))._1 == 1L && top(("g1", "common"))._2 == 2.0)
+    assert(top(("g1", "rare")) == ((2L, idfRare, 1L)))
+    assert(top(("g2", "common")) == ((1L, 1.0, 3L)))
+  }
+
+  test("tfidfTopTerms keeps only k terms per group, ties broken by term") {
+    val docs = Seq((1L, "g", "a b c d e f")).toDF("doc_id", "grp", "text")
+    val top = Corpus.tfidfTopTerms(docs, "doc_id", "text", "grp", k = 3)
+      .orderBy("term_rank").collect()
+    assert(top.length == 3)
+    // all terms tie on tf*idf -> alphabetical order
+    assert(top.map(_.getAs[String]("term")).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("splitDrift computes exact OOV rates against the train vocabulary") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // train
+      (2L, "alpha beta"),         // train
+      (3L, "alpha novel1 novel1 novel2"))  // test: 4 tokens, 2 oov terms, 3 oov tokens
+      .toDF("doc_id", "text")
+    val split = when(col("doc_id") <= 2, "train").otherwise("test")
+    val drift = Corpus.splitDrift(docs, "text", split).collect()
+    assert(drift.length == 1)
+    val r = drift(0)
+    assert(r.getAs[String]("split") == "test")
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_terms") == 3L)
+    assert(r.getAs[Long]("n_oov_terms") == 2L)
+    assert(r.getAs[Long]("n_oov_tokens") == 3L)
+    assert(r.getAs[Double]("oov_term_rate") == 0.666667)
+    assert(r.getAs[Double]("oov_token_rate") == 0.75)
+  }
+}
