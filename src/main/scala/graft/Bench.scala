@@ -29,8 +29,9 @@ object Bench {
     "o4_top_n", "f16_json_extract", "f18_array_higher_order",
     "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
-    "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "emb1_knn_bruteforce",
-    "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
+    "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "t15_repetition_ratio",
+    "t16_contamination", "t17_tfidf_top_terms", "emb1_knn_bruteforce",
+    "emb4_cosine_neardup_pairs", "emb6_knn_ivf", "emb8_knn_batch",
     "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
     "cp5_study_overview", "om3_mart_patient_summary")
 

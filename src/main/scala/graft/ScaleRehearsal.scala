@@ -34,7 +34,9 @@ object ScaleRehearsal {
     "t3_langid_confusion", "t6_ngram_jaccard_pairs", "t9_neardup_clusters",
     "t12_lsh_exact_dedup_pairs", "t13_curation_funnel",
     "j1_star_join_broadcast", "v8_referential_orphans",
-    "emb4_cosine_neardup_pairs", "emb6_knn_ivf")
+    "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
+    "t15_repetition_ratio", "t16_contamination", "t17_tfidf_top_terms",
+    "emb7_centroid_assign", "emb8_knn_batch")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit = {
     Files.createDirectories(Paths.get(dst))

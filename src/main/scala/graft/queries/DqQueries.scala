@@ -97,6 +97,70 @@ object DqQueries {
                   (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS orphan_orders,
                 (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
                   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
-                  AS orphan_lineitems"""))
+                  AS orphan_lineitems""")),
+
+    // V10 (extension): per-group z-score outlier rate — the numeric
+    // anomaly scan a profiling pass runs before pinning range checks.
+    // Mean/stddev derive from EXACT decimal sums (x and x² summed in
+    // decimal, double math only at the end), so the rate is bit-stable
+    // under partial aggregation and the oracle replays it exactly.
+    Q("v10_outlier_zscore",
+      (s, d) => Profiler.zscoreOutliers(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(18,2)").as("x")),
+          "l_returnflag", "x", sigmas = 3.0)
+        .orderBy("l_returnflag"),
+      Some("""WITH li AS (SELECT l_returnflag,
+                                 CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+                          FROM lineitem),
+                   st AS (SELECT l_returnflag, COUNT(*) AS sn,
+                                 SUM(x) AS s, SUM(x * x) AS s2
+                          FROM li GROUP BY 1)
+              SELECT li.l_returnflag, COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE)
+                                  - CAST(s AS DOUBLE) / CAST(sn AS DOUBLE))
+                                > 3.0 * sqrt((CAST(s2 AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / CAST(sn AS DOUBLE))
+                                  / (CAST(sn AS DOUBLE) - 1.0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                     ROUND(CAST(SUM(CASE WHEN abs(CAST(x AS DOUBLE)
+                                  - CAST(s AS DOUBLE) / CAST(sn AS DOUBLE))
+                                > 3.0 * sqrt((CAST(s2 AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / CAST(sn AS DOUBLE))
+                                  / (CAST(sn AS DOUBLE) - 1.0))
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+              FROM li JOIN st USING (l_returnflag)
+              GROUP BY li.l_returnflag ORDER BY li.l_returnflag""")),
+
+    // V11 (extension): table profiler — per-column row/null/distinct
+    // counts and stringified min/max in ONE aggregation pass (the GE
+    // bootstrap flow: profile first, then pin expectations). The double
+    // price column is cast to decimal first because double→string
+    // formatting is engine-specific; long/string/date/decimal are not.
+    Q("v11_profile",
+      (s, d) => Profiler.profile(
+          Tables.orders(s, d).withColumn("o_totalprice_d",
+            col("o_totalprice").cast("decimal(18,2)")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_totalprice_d"))
+        .orderBy("col_name"),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderdate", "o_totalprice_d")
+        val branches = cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                     COUNT(*) - COUNT($c) AS n_null,
+                     COUNT(DISTINCT $c) AS n_distinct,
+                     CAST(MIN($c) AS VARCHAR) AS min_value,
+                     CAST(MAX($c) AS VARCHAR) AS max_value
+              FROM t"""
+        }.mkString(" UNION ALL ")
+        s"""WITH t AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2))
+                         AS o_totalprice_d FROM orders)
+            $branches ORDER BY col_name"""
+      })
   )
 }

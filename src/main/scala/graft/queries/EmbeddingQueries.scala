@@ -108,6 +108,38 @@ object EmbeddingQueries {
                ORDER BY ${sqlCosine("e.embedding", "q.embedding")} DESC, e.vec_id
                LIMIT 10""")),
 
+    // Batch ANN: 8 query vectors answered by ONE bucketed corpus scan —
+    // the serving shape at scale (per-query scans don't amortize). The
+    // oracle replays the buckets and the per-query top-k; WindowGroupLimit
+    // keeps the Spark-side candidate lists partial-top-k'd before the
+    // shuffle.
+    Q("emb8_knn_batch",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.similarity.Ann.knnBatchLsh(emb,
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, planes = 4)
+          .select(col("query_id"), col("vec_id"), col("rnk"),
+            round(col("score"), 6).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+                                 ${sqlBucket("embedding", 4)} AS bucket
+                          FROM embeddings),
+                    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+                          FROM b WHERE vec_id < 8),
+                    scored AS (SELECT q.query_id, e.vec_id,
+                                      ${sqlCosine("e.embedding", "q.qe")} AS score
+                               FROM b e JOIN q ON e.bucket = q.bucket
+                               WHERE e.vec_id != q.query_id),
+                    ranked AS (SELECT query_id, vec_id, score,
+                                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, vec_id) AS BIGINT)
+                                        AS rnk
+                               FROM scored)
+               SELECT query_id, vec_id, rnk, ROUND(score, 6) AS score
+               FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
     // Nearest-centroid assignment (k-means scoring shape): per-label
     // centroids (emb2's rounded-mean codebook) broadcast against the
     // corpus, every vector assigned to its max-cosine centroid, confusion

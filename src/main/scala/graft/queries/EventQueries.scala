@@ -173,6 +173,46 @@ object EventQueries {
                            MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
                            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
                            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
-                    FROM events GROUP BY user_id)"""))
+                    FROM events GROUP BY user_id)""")),
+
+    // E9 (extension): calendar-spine gap fill — sparse per-user daily
+    // spend regularized to one row per day between the user's first and
+    // last purchase, missing days forward-filled (ops.TimeSeries). The
+    // spine is sequence+explode per key (no driver calendar); the fill
+    // is a per-key window. The oracle replays generate_series +
+    // last_value IGNORE NULLS.
+    Q("e9_gap_fill",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(dsum(col("value"), 6).as("daily_spend"))
+        graft.ops.TimeSeries.gapFillDaily(daily, "user_id", "day", "daily_spend")
+          .select(col("user_id"), col("day"), col("is_observed"),
+            col("daily_spend"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH daily AS (SELECT user_id,
+                                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                                     ${sqlDsum("value", 6)} AS daily_spend
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY 1, 2),
+                    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                               FROM daily GROUP BY user_id),
+                    spine AS (SELECT user_id,
+                                     CAST(UNNEST(generate_series(
+                                       CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+                              FROM bounds)
+               SELECT s.user_id, s.day,
+                      d.daily_spend IS NOT NULL AS is_observed,
+                      last_value(d.daily_spend IGNORE NULLS) OVER (
+                        PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS daily_spend
+               FROM spine s LEFT JOIN daily d
+                 ON s.user_id = d.user_id AND s.day = d.day
+               ORDER BY s.user_id, s.day"""))
   )
 }

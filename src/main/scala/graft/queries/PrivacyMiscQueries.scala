@@ -181,6 +181,46 @@ object PrivacyMiscQueries {
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n, TRUE AS rank_within_bound
-              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // A5 companion: HyperLogLog++ approximate distinct count, gated like
+    // a6b — the sketch VALUE is engine-specific, its ERROR CONTRACT is
+    // not. The query computes both the sketch and the exact distinct in
+    // one aggregate and emits |approx − exact| ≤ 3·rsd·exact per group (a
+    // 3-sigma bound on HLL++'s relative standard deviation; rsd = 0.05,
+    // Spark's default); the oracle asserts TRUE plus the exact count — an
+    // HLL regression outside its advertised error hash-fails this row.
+    Q("a5b_approx_count_distinct",
+      (s, d) => {
+        val rsd = 0.05
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            approx_count_distinct(col("o_custkey"), rsd).as("approx"))
+          .select(col("o_orderstatus"), col("n_exact"),
+            (abs(col("approx").cast("double") - col("n_exact").cast("double"))
+              <= col("n_exact").cast("double") * (3.0 * rsd))
+              .as("within_bound"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+                     TRUE AS within_bound
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // F19 (extension): k-anonymity report over quasi-identifiers — the
+    // aggregate-privacy dual of the PHI redaction/tokenization surface:
+    // a release is k-anonymous when every quasi-identifier combination
+    // matches ≥ k rows. One hash aggregation on the quasi key;
+    // KAnonymity.suppress (spec-tested) is the remediation path.
+    Q("f19_k_anonymity",
+      (s, d) => graft.privacy.KAnonymity.report(Tables.customer(s, d),
+          Seq("c_mktsegment", "c_nationkey"), k = 10)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+                     COUNT(*) AS group_size,
+                     COUNT(*) < 10 AS at_risk
+              FROM customer GROUP BY 1, 2
+              ORDER BY c_mktsegment, c_nationkey"""))
   )
 }

@@ -37,6 +37,16 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** Cosine with precomputed norms and a zero-norm guard: a zero vector
+    * (failed encoder output — they exist in real corpora) has no
+    * direction, so its similarity to anything is defined as 0 rather
+    * than a DIVIDE_BY_ZERO error (ANSI mode) or NaN. The `when` guards
+    * the division itself — the branch is only evaluated when both norms
+    * are positive. Surfaced by the 2× scale rehearsal, whose negated
+    * embedding copies make every label centroid exactly zero. */
+  private[similarity] def cosineOrZero(d: Column, n1: Column, n2: Column): Column =
+    when(n1 > 0.0 && n2 > 0.0, d / n1 / n2).otherwise(lit(0.0))
+
   private def withRegistry(df: DataFrame): DataFrame = {
     ArrayDotProduct.register(df.sparkSession)
     graft.functions.HyperplaneBucket.register(df.sparkSession)
@@ -54,8 +64,8 @@ object Ann {
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        (dot(col(vecCol), col("__qvec")) / norm(col(vecCol)) / col("__qnorm"))
-          .as("score"))
+        cosineOrZero(dot(col(vecCol), col("__qvec")), norm(col(vecCol)),
+          col("__qnorm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -101,10 +111,42 @@ object Ann {
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), Seq("__bucket"))
       .select(col(idCol),
-        (dot(col(vecCol), col("__qvec")) / norm(col(vecCol)) / col("__qnorm"))
-          .as("score"))
+        cosineOrZero(dot(col(vecCol), col("__qvec")), norm(col(vecCol)),
+          col("__qnorm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batch ANN — the production shape of similarity search: MANY query
+    * vectors answered by ONE corpus scan, instead of one scan per query.
+    * Corpus and queries are both bucketed by hyperplane sign; candidates
+    * form only inside shared buckets; per-query top-k comes from a
+    * row_number window partitioned by query id (Catalyst plans the k-limit
+    * as WindowGroupLimit — partial top-k before the shuffle, so the full
+    * candidate list never crosses the wire). The query batch is broadcast
+    * (thousands of queries are still dim-scale); for a query set too big
+    * to broadcast, drop the hint and the same plan shuffles both sides on
+    * the bucket key. */
+  def knnBatchLsh(emb0: DataFrame, queries0: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int): DataFrame = {
+    val emb = withRegistry(emb0)
+    val corpus = emb
+      .withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
+      .select(col(idCol), col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+        col("__bucket"))
+    val q = withRegistry(queries0)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"),
+        hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val scored = corpus.join(broadcast(q), Seq("__bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosineOrZero(dot(col("__cv"), col("__qv")), col("__cn"), col("__qn"))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Nearest-centroid assignment: compute per-label centroids (the emb2
@@ -133,8 +175,8 @@ object Ann {
         col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(centroids))
       .select(col("__vid"), col("label"), col("c_label"),
-        (dot(col("__v"), col("centroid")) / norm(col("__v"))
-          / norm(col("centroid"))).as("__cos"))
+        cosineOrZero(dot(col("__v"), col("centroid")), norm(col("__v")),
+          norm(col("centroid"))).as("__cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__vid").orderBy(col("__cos").desc, col("c_label"))
     scored.withColumn("__rn", row_number().over(w))
@@ -163,7 +205,8 @@ object Ann {
       }
     pairs.filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        (dot(col("v1"), col("v2")) / col("n1") / col("n2")).as("score"))
+        cosineOrZero(dot(col("v1"), col("v2")), col("n1"), col("n2"))
+          .as("score"))
       .filter(col("score") >= minCosine)
       .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
   }

@@ -59,8 +59,9 @@ object Ivf {
       .filter(col("__cell").isin(probeCells.map(Integer.valueOf): _*))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        (Ann.dot(col(vecCol).cast("array<double>"), qVecLit)
-          / Ann.norm(col(vecCol).cast("array<double>")) / lit(qNorm))
+        Ann.cosineOrZero(
+          Ann.dot(col(vecCol).cast("array<double>"), qVecLit),
+          Ann.norm(col(vecCol).cast("array<double>")), lit(qNorm))
           .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

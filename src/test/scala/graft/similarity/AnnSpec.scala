@@ -122,6 +122,46 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors score 0 instead of throwing under ANSI mode") {
+    // failed-encoder rows (all-zero embeddings) exist in real corpora; a
+    // zero centroid also arises when a label's vectors cancel (caught by
+    // the 2x scale rehearsal's negated copies)
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val knn = Ann.knnBruteForce(withZero, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    assert(knn(9L) == 0.0)
+    // a corpus of {v, -v} per label yields an exactly-zero centroid:
+    // every assignment must still resolve (all cosines 0 -> first label)
+    val cancelling = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)), (1L, 0, Array(-1.0f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.0f)), (3L, 1, Array(0.0f, -1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val assigned = Ann.centroidAssign(cancelling, "vec_id", "embedding", "label")
+      .agg(sum("n")).as[Long].head()
+    assert(assigned == 4L)
+  }
+
+  test("knnBatchLsh answers every query with its own bucket-local top-k") {
+    val batch = Ann.knnBatchLsh(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, planes = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk"))
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toSeq)
+      .toMap
+    // both queries answered; no query returns itself; ranks descend by score
+    assert(batch.keySet == Set(0L, 1L))
+    batch.foreach { case (qid, hits) =>
+      assert(!hits.map(_._1).contains(qid))
+      assert(hits.map(_._2) == hits.map(_._2).sorted.reverse)
+    }
+    // per-query results equal the single-query LSH path at the same planes
+    val single = Ann.knnLshBucketed(vecs, "vec_id", "embedding", 0L, 3, planes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toSeq
+    assert(batch(0L) == single)
+  }
+
   test("centroidAssign: well-separated labels produce a diagonal confusion matrix") {
     // label 0 clusters on the x axis, label 1 on the y axis
     val labeled = Seq(
