@@ -119,6 +119,31 @@ object CorpusQueries {
                             / CAST(COUNT(DISTINCT term) AS DOUBLE), 6) AS oov_term_rate,
                       ROUND(CAST(SUM(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS DOUBLE)
                             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_token_rate
-               FROM ev GROUP BY split ORDER BY split"""))
+               FROM ev GROUP BY split ORDER BY split""")),
+
+    // T19: blocked fuzzy record linkage (the patient-matching / MDM
+    // shape), in the composition that survives scale: exact-dedup names
+    // to DISTINCT values (output ∝ vocabulary, not records), then link
+    // distinct values within the first-token blocking key, carrying each
+    // value's record count. Raw pairwise linkage here is quadratic in the
+    // hottest name — part names draw from ~80 strings, so record-level
+    // pairs are O(n²/8) while distinct-level pairs are O(80²/8) at any
+    // SF. The oracle replays the identical dedup + blocking + distance
+    // filter in DuckDB.
+    Q("t19_fuzzy_name_pairs",
+      (s, d) => graft.dedup.Linkage.linkDistinct(Tables.part(s, d),
+          "p_name",
+          blockingKey = split(col("p_name"), " ").getItem(0),
+          maxDistance = 4)
+        .orderBy("name1", "name2"),
+      Some("""WITH p AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk,
+                                COUNT(*) AS n
+                         FROM part GROUP BY 1, 2)
+              SELECT a.p_name AS name1, b.p_name AS name2,
+                     CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance,
+                     a.n AS n1, b.n AS n2
+              FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+              WHERE levenshtein(a.p_name, b.p_name) <= 4
+              ORDER BY name1, name2"""))
   )
 }

@@ -104,4 +104,29 @@ class PropertySpec extends SparkSpec {
         s.trim != s || s.isEmpty))
     }
   }
+
+  test("property: graft_shingle_stats equals the composed Column form on random text") {
+    graft.functions.ShingleStats.register(spark)
+    // whitespace-heavy generator: tokens, runs of spaces/tabs/newlines,
+    // duplicated words — the inputs where tokenizer semantics diverge
+    val wsText = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", "the", "x y", ""),
+      Gen.oneOf(" ", "  ", "\t", "\n"),
+      asciiStr.map(_.take(8)))).map(_.mkString)
+    forAll(Gen.listOfN(12, wsText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val sh = graft.text.TextFunctions.shingleArray(col("text"), 3)
+      val rows = df.select(
+          call_function("graft_shingle_stats", col("text"), lit(3)).as("st"),
+          size(sh).cast("long").as("ref_total"),
+          size(array_distinct(sh)).cast("long").as("ref_distinct"))
+        .collect()
+      rows.foreach { r =>
+        val st = r.getStruct(0)
+        assert(st.getLong(0) == r.getAs[Long]("ref_total"))
+        assert(st.getLong(1) == r.getAs[Long]("ref_distinct"))
+      }
+    }
+  }
 }
