@@ -197,6 +197,29 @@ object AggQueries {
                ORDER BY gid, o_orderstatus ASC NULLS FIRST,
                         o_orderpriority ASC NULLS FIRST""")),
 
+    // A-extension: explicit GROUPING SETS — the general form rollup/cube
+    // specialize ("per-status totals AND per-priority totals AND the grand
+    // total in one pass"). One Expand feeds a single hash aggregate, so
+    // the input is scanned once for all three groupings instead of three
+    // times; same two-phase partial-agg shape as any groupBy at scale.
+    Q("a17_grouping_sets",
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total,
+                      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                           AS BIGINT) AS gid
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                        o_orderpriority ASC NULLS FIRST""")),
+
     // A-extension: CUBE over two dims. Via the SQL entry point: the
     // DataFrame cube() after a join trips Spark's ambiguous-self-join
     // detector (Expand duplicates the joined subtree's dataset-id tags) —

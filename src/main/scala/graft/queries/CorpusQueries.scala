@@ -144,6 +144,60 @@ object CorpusQueries {
                      a.n AS n1, b.n AS n2
               FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
               WHERE levenshtein(a.p_name, b.p_name) <= 4
-              ORDER BY name1, name2"""))
+              ORDER BY name1, name2""")),
+
+    // T20: entity resolution end-to-end — t19's fuzzy pairs closed into
+    // clusters (connected components) with a canonical-survivor flag per
+    // distinct name: the full master-data-management pipeline (match →
+    // cluster → survivorship). Each distinct name gets a deterministic,
+    // oracle-replayable long id (its MIN source key), so the existing
+    // relational CC runs unchanged; singleton names stay their own
+    // canonical cluster via the left join. The oracle replays the pair
+    // build and closes the transitive reachability with a recursive CTE,
+    // exactly as t9 does for document near-dups.
+    Q("t20_entity_clusters",
+      (s, d) => {
+        val parts = Tables.part(s, d)
+        val blk = split(col("p_name"), " ").getItem(0)
+        val names = parts.groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("name_id"),
+            count(lit(1)).as("n_records"))
+        val pairs = graft.dedup.Linkage.linkDistinct(parts, "p_name", blk, 4)
+        val edges = pairs
+          .join(names.select(col("name").as("name1"), col("name_id").as("id1")), "name1")
+          .join(names.select(col("name").as("name2"), col("name_id").as("id2")), "name2")
+          .select("id1", "id2")
+        val cc = graft.dedup.Clusters.connectedComponents(edges, "id1", "id2")
+        names.join(cc, names("name_id") === cc("node"), "left")
+          .select(col("name"),
+            coalesce(col("component"), col("name_id")).as("cluster_id"),
+            col("n_records"),
+            (coalesce(col("component"), col("name_id")) === col("name_id"))
+              .as("is_canonical"))
+          .orderBy("name")
+      },
+      Some("""WITH RECURSIVE
+                   names AS (SELECT p_name AS name,
+                                    string_split(p_name, ' ')[1] AS blk,
+                                    MIN(p_partkey) AS name_id,
+                                    COUNT(*) AS n_records
+                             FROM part GROUP BY 1, 2),
+                   pairs AS (SELECT a.name_id AS id1, b.name_id AS id2
+                             FROM names a JOIN names b
+                               ON a.blk = b.blk AND a.name < b.name
+                             WHERE levenshtein(a.name, b.name) <= 4),
+                   sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+                           UNION SELECT id2, id1 FROM pairs),
+                   reach AS (SELECT a, b FROM sym
+                             UNION
+                             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+                   comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component
+                            FROM reach GROUP BY a)
+              SELECT n.name,
+                     COALESCE(c.component, n.name_id) AS cluster_id,
+                     n.n_records,
+                     COALESCE(c.component, n.name_id) = n.name_id AS is_canonical
+              FROM names n LEFT JOIN comp c ON n.name_id = c.node
+              ORDER BY n.name"""))
   )
 }

@@ -207,6 +207,33 @@ object WindowSortQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    // W-extension: interval-census sweep — items in transit per day (the
+    // occupancy/on-study-census shape). Transit windows are derived
+    // deterministically (ship date + linenumber%7 days — the testdata has
+    // no receipt date) so the oracle replays them exactly. The data-sized
+    // work collapses to per-day net deltas in one map-side-combined
+    // shuffle; the cumulative window then runs over DISTINCT DAYS only
+    // (~2.5k rows for 7 years), so the ordered global window is
+    // dimension-scale by construction — the sweep-line answer to interval
+    // overlap counting without an interval join.
+    Q("w7_interval_census",
+      (s, d) => graft.ops.TimeSeries.intervalCensus(
+          Tables.lineitem(s, d).select(
+            col("l_shipdate").cast("date").as("ship_day"),
+            date_add(col("l_shipdate").cast("date"), col("l_linenumber") % 7)
+              .as("receipt_day")),
+          "ship_day", "receipt_day")
+        .orderBy("day"),
+      Some("""WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS s,
+                                 CAST(l_shipdate AS DATE) + (l_linenumber % 7) AS e
+                          FROM lineitem),
+                   deltas AS (SELECT s AS day, 1 AS d FROM iv
+                              UNION ALL
+                              SELECT e + 1, -1 FROM iv),
+                   net AS (SELECT day, SUM(d) AS net FROM deltas GROUP BY day)
+              SELECT day, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS census
+              FROM net ORDER BY day""")),
+
     Q("u1_union_all",
       (s, d) => {
         val o = Tables.orders(s, d)

@@ -35,4 +35,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(filled.filter(!col("is_observed")).count() == 0)
     assert(filled.count() == 2)
   }
+
+  test("intervalCensus counts covering intervals per change day, ends inclusive") {
+    // [1..3], [2..2], [5..6]: census 1,2 on days 1,2; back to 1 on day 3
+    // (the [2..2] interval ENDS inclusive on day 2); 0 on day 4; 1 on 5.
+    val iv = Seq(
+      (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-03")),
+      (Date.valueOf("2024-01-02"), Date.valueOf("2024-01-02")),
+      (Date.valueOf("2024-01-05"), Date.valueOf("2024-01-06")))
+      .toDF("s", "e")
+    val out = TimeSeries.intervalCensus(iv, "s", "e").orderBy("day").collect()
+      .map(r => r.getAs[Date]("day").toString -> r.getAs[Long]("census"))
+    assert(out.toSeq == Seq(
+      "2024-01-01" -> 1L, "2024-01-02" -> 2L, "2024-01-03" -> 1L,
+      "2024-01-04" -> 0L, "2024-01-05" -> 1L, "2024-01-07" -> 0L))
+  }
+
+  test("intervalCensus drops NULL-bounded intervals and never goes negative") {
+    val iv = Seq(
+      (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-02")),
+      (null.asInstanceOf[Date], Date.valueOf("2024-01-09")),
+      (Date.valueOf("2024-01-05"), null.asInstanceOf[Date]))
+      .toDF("s", "e")
+    val out = TimeSeries.intervalCensus(iv, "s", "e").collect()
+      .map(r => r.getAs[Date]("day").toString -> r.getAs[Long]("census")).toMap
+    assert(out == Map("2024-01-01" -> 1L, "2024-01-03" -> 0L))
+    assert(out.values.forall(_ >= 0))
+  }
 }
