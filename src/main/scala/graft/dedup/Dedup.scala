@@ -98,7 +98,40 @@ object Dedup {
     * filter, sizes); Spark's MEMORY_AND_DISK eviction bounds it. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 1000L,
-      lshPruneThreshold: Long = 100000L): DataFrame = {
+      lshPruneThreshold: Long = 100000L): DataFrame =
+    pairStats(df, idCol, textCol, n, maxShingleDf, lshPruneThreshold)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  /** Containment pairs — the SUB-DOCUMENT duplication detector Jaccard
+    * misses: a short document quoted whole inside a long one has tiny
+    * Jaccard (union is dominated by the long doc) but containment
+    * |A∩B|/|A| ≈ 1. Both directions are emitted; a pair survives when
+    * EITHER direction reaches `minContainment`. Same df-capped shingle
+    * machinery, same auto-scaled pair generation, same filtered-set
+    * consistency argument as [[jaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minContainment: Double, maxShingleDf: Long = 1000L,
+      lshPruneThreshold: Long = 100000L): DataFrame =
+    pairStats(df, idCol, textCol, n, maxShingleDf, lshPruneThreshold)
+      .withColumn("c1_in_2", col("inter").cast("double") / col("sz1").cast("double"))
+      .withColumn("c2_in_1", col("inter").cast("double") / col("sz2").cast("double"))
+      .filter(greatest(col("c1_in_2"), col("c2_in_1")) >= minContainment)
+      .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("c1_in_2"), 6).as("c1_in_2"),
+        round(col("c2_in_1"), 6).as("c2_in_1"))
+
+  /** Shared pair machinery: df-capped shingle sets, auto-scaled pair
+    * generation (exact self-join below `lshPruneThreshold` docs, MinHash
+    * banding above — see [[jaccardPairs]] scaladoc), intersection counts
+    * and per-side filtered sizes. Returns (id1, id2, inter, sz1, sz2)
+    * for every co-shingled (or banded-candidate) pair. */
+  private def pairStats(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleDf: Long, lshPruneThreshold: Long): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
@@ -122,12 +155,6 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"),
-        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash signatures: k independent 60-bit hash functions over word
@@ -142,23 +169,70 @@ object Dedup {
     hashes.groupBy(idCol, "j").agg(min(col("h")).as("mh"))
   }
 
-  /** Banded candidate pairs only (no Jaccard estimate): docs sharing any
-    * band bucket of their MinHash signature. The O(n²) space is never
-    * enumerated — pairs exist only inside buckets. */
-  private def bandedCandidates(sigs: DataFrame, idCol: String,
-      rowsPerBand: Int): DataFrame = {
-    val banded = sigs
+  /** (id, band, band_hash) buckets of a MinHash signature frame: the k
+    * signature slots split into bands of `rowsPerBand`, each band's slots
+    * hashed into one bucket key. */
+  private def bandBuckets(sigs: DataFrame, idCol: String,
+      rowsPerBand: Int): DataFrame =
+    sigs
       .withColumn("band", floor(col("j") / rowsPerBand).cast("long"))
       .groupBy(col(idCol), col("band"))
       .agg(md5(concat_ws(",", transform(
         array_sort(collect_list(struct(col("j"), col("mh")))),
         x => concat_ws(":", x("j"), x("mh")))))
         .as("band_hash"))
+
+  /** Banded candidate pairs only (no Jaccard estimate): docs sharing any
+    * band bucket of their MinHash signature. The O(n²) space is never
+    * enumerated — pairs exist only inside buckets. */
+  private def bandedCandidates(sigs: DataFrame, idCol: String,
+      rowsPerBand: Int): DataFrame = {
+    val banded = bandBuckets(sigs, idCol, rowsPerBand)
     banded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
       .join(banded.select(col(idCol).as("id2"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** Cross-corpus near-dup pairs — the recurring-crawl production shape:
+    * which BATCH documents near-duplicate something already in the
+    * CORPUS. Candidates form only across the two sides (batch docs
+    * sharing a MinHash band bucket with corpus docs — intra-side pairs
+    * are never generated; that's [[jaccardPairs]]' job), then exact
+    * df-uncapped Jaccard verifies each candidate from both sides'
+    * shingle sets. At 100 TB the corpus side's signatures/bands are the
+    * slim precomputable index (k longs per doc); the batch side is the
+    * small new data — the full corpus text is touched only for verified
+    * candidates' shingles. Returns (batch_id, corpus_id, inter, sz1,
+    * sz2, jaccard) with sz1 = batch-doc shingle count. */
+  def crossCorpusPairs(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    val bB = bandBuckets(minhashSignatures(batch, idCol, textCol, n, k), idCol, rowsPerBand)
+      .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    val bC = bandBuckets(minhashSignatures(corpus, idCol, textCol, n, k), idCol, rowsPerBand)
+      .select(col(idCol).as("corpus_id"), col("band"), col("band_hash"))
+    val cands = bB.join(bC, Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val shB = wordShingles(batch, idCol, textCol, n)
+    val shC = wordShingles(corpus, idCol, textCol, n)
+    val szB = shB.groupBy(idCol).agg(count(lit(1)).as("sz1"))
+      .select(col(idCol).as("batch_id"), col("sz1"))
+    val szC = shC.groupBy(idCol).agg(count(lit(1)).as("sz2"))
+      .select(col(idCol).as("corpus_id"), col("sz2"))
+    val inter = cands
+      .join(shB.select(col(idCol).as("batch_id"), col("shingle")), "batch_id")
+      .join(shC.select(col(idCol).as("corpus_id"), col("shingle")),
+        Seq("corpus_id", "shingle"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    inter.join(szB, "batch_id").join(szC, "corpus_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("inter"), col("sz1"),
+        col("sz2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** LSH candidate pairs from MinHash signatures: split the k signature

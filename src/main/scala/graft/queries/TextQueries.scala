@@ -161,6 +161,95 @@ object TextQueries {
               WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2
               ORDER BY id1, id2""")),
 
+    // T21: containment pairs — the sub-document duplication detector.
+    // A short doc quoted whole inside a long one has tiny Jaccard (the
+    // union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1;
+    // training-data pipelines drop exactly these quote-inclusions that
+    // t6 cannot see. Same df-capped shingle machinery and auto-scaled
+    // pair generation as t6 (threshold pinned so the sf0.01 gate runs
+    // the exact path); the oracle replays both directional ratios.
+    Q("t21_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.6, maxShingleDf = 1000L,
+          lshPruneThreshold = 2000L)
+        .orderBy("id1", "id2"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   rare AS (SELECT shingle FROM sh GROUP BY shingle
+                            HAVING COUNT(*) <= 1000),
+                   shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+                   inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+                             FROM shf a JOIN shf b
+                               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2)
+              SELECT id1, id2, inter, s1.sz AS sz1, s2.sz AS sz2,
+                     ROUND(CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE), 6) AS c1_in_2,
+                     ROUND(CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE), 6) AS c2_in_1
+              FROM inter
+              JOIN sizes s1 ON id1 = s1.doc_id
+              JOIN sizes s2 ON id2 = s2.doc_id
+              WHERE GREATEST(CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE),
+                             CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE)) >= 0.6
+              ORDER BY id1, id2""")),
+
+    // T22: cross-corpus near-dup — the recurring-crawl production shape:
+    // which NEW-batch docs (sources src0–src2) near-duplicate something
+    // already in the CORPUS (the rest). Candidates form only ACROSS the
+    // sides via shared MinHash band buckets — intra-side pairs never
+    // exist — then exact Jaccard verifies each candidate. The oracle
+    // replays the per-doc signatures/bands (t7's CTEs) with a side
+    // predicate on the candidate join and t12's exact verification.
+    Q("t22_cross_corpus_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isBatch = col("source").isin("src0", "src1", "src2")
+        Dedup.crossCorpusPairs(docs.filter(isBatch), docs.filter(!isBatch),
+            "doc_id", "text", n = 3, k = 12, rowsPerBand = 3, minJaccard = 0.2)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   sig AS (SELECT doc_id, j,
+                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                      AS BIGINT)) AS mh
+                           FROM sh CROSS JOIN range(0, 12) t(j)
+                           GROUP BY doc_id, j),
+                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                       AS band_hash
+                              FROM sig GROUP BY doc_id, 2),
+                   side AS (SELECT doc_id,
+                                   source IN ('src0', 'src1', 'src2') AS is_batch
+                            FROM documents),
+                   cands AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                             FROM banded a
+                             JOIN side sa ON sa.doc_id = a.doc_id AND sa.is_batch
+                             JOIN banded b ON a.band = b.band
+                                          AND a.band_hash = b.band_hash
+                             JOIN side sb ON sb.doc_id = b.doc_id AND NOT sb.is_batch),
+                   inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
+                             FROM cands c
+                             JOIN sh a ON a.doc_id = c.batch_id
+                             JOIN sh b ON b.doc_id = c.corpus_id
+                                      AND b.shingle = a.shingle
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+              SELECT batch_id, corpus_id, inter, s1.sz AS sz1, s2.sz AS sz2,
+                     ROUND(CAST(inter AS DOUBLE)
+                           / CAST(s1.sz + s2.sz - inter AS DOUBLE), 6) AS jaccard
+              FROM inter
+              JOIN sizes s1 ON batch_id = s1.doc_id
+              JOIN sizes s2 ON corpus_id = s2.doc_id
+              WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2
+              ORDER BY batch_id, corpus_id""")),
+
     // Near-dup CLUSTERING: the t6 pair list folded into connected
     // components (alternating large-star/small-star, Clusters.scala) with
     // one canonical doc per cluster. The oracle recomputes the same pairs

@@ -136,4 +136,42 @@ class DedupSpec extends SparkSpec {
     }
     assert(pruned.contains((1L, 2L)))
   }
+
+  test("containment catches a sub-document Jaccard misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = ("one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      quote) // short doc quoted whole at the end of a long one
+    val dd = Seq((1L, quote), (2L, long)).toDF("doc_id", "text")
+    // jaccard is small (union dominated by the long doc)…
+    assert(Dedup.jaccardPairs(dd, "doc_id", "text", 3, 0.5).count() == 0)
+    // …but containment of the quote in the long doc is 1.0
+    val c = Dedup.containmentPairs(dd, "doc_id", "text", 3, 0.9).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Double]("c1_in_2") == 1.0)
+    assert(c.head.getAs[Double]("c2_in_1") < 0.5)
+  }
+
+  test("cross-corpus pairs form only across sides and carry true jaccard") {
+    import spark.implicits._
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),   // dup of corpus 1
+      (102L, "totally novel content never seen before anywhere"),
+      (103L, "the quick brown fox jumps over the lazy dog"))   // intra-batch dup of 101
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),     // intra-corpus dup of 1
+      (3L, "unrelated corpus material about distributed joins"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusPairs(batch, corpus, "doc_id", "text",
+      n = 3, k = 12, rowsPerBand = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // both identical batch docs hit both identical corpus docs; the
+    // intra-batch (101,103) and intra-corpus (1,2) pairs never appear
+    assert(pairs.keySet == Set((101L, 1L), (101L, 2L), (103L, 1L), (103L, 2L)))
+    assert(pairs.values.forall(_ == 1.0))
+  }
 }
