@@ -146,8 +146,10 @@ object Dedup {
       if (df.count() <= lshPruneThreshold)
         a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
       else {
+        // signatures derive from the already-cached UNCAPPED shingle scan
+        // (t7 semantics: banding sees every shingle, only pairing is capped)
         val cands = bandedCandidates(
-          minhashSignatures(df, idCol, textCol, n, k = 12), idCol, rowsPerBand = 3)
+          signaturesFromShingles(sh, idCol, k = 12), idCol, rowsPerBand = 3)
         cands.join(a, "id1").join(b, Seq("id2", "shingle"))
       }
     val inter = pairSpace
@@ -161,8 +163,14 @@ object Dedup {
     * n-gram shingles; signature j = min over shingles of hash60(j, shingle).
     * Engine-portable hashing (md5-based) — see TextFunctions.hash60. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
+      n: Int, k: Int): DataFrame =
+    signaturesFromShingles(wordShingles(df, idCol, textCol, n), idCol, k)
+
+  /** Signatures from an existing (id, shingle) frame — lets callers that
+    * also need the shingles for exact verification derive both from ONE
+    * (cached) shingle scan instead of re-tokenizing the corpus. */
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val hashes = sh.select(col(idCol),
       posexplode(array((0 until k).map(j =>
         TextFunctions.hash60(col("shingle"), j)): _*)).as(Seq("j", "h")))
@@ -209,14 +217,16 @@ object Dedup {
   def crossCorpusPairs(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
-    val bB = bandBuckets(minhashSignatures(batch, idCol, textCol, n, k), idCol, rowsPerBand)
+    // one cached shingle scan per side feeds both its signatures and the
+    // exact-verification joins
+    val shB = wordShingles(batch, idCol, textCol, n).cache()
+    val shC = wordShingles(corpus, idCol, textCol, n).cache()
+    val bB = bandBuckets(signaturesFromShingles(shB, idCol, k), idCol, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
-    val bC = bandBuckets(minhashSignatures(corpus, idCol, textCol, n, k), idCol, rowsPerBand)
+    val bC = bandBuckets(signaturesFromShingles(shC, idCol, k), idCol, rowsPerBand)
       .select(col(idCol).as("corpus_id"), col("band"), col("band_hash"))
     val cands = bB.join(bC, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
-    val shB = wordShingles(batch, idCol, textCol, n)
-    val shC = wordShingles(corpus, idCol, textCol, n)
     val szB = shB.groupBy(idCol).agg(count(lit(1)).as("sz1"))
       .select(col(idCol).as("batch_id"), col("sz1"))
     val szC = shC.groupBy(idCol).agg(count(lit(1)).as("sz2"))
@@ -263,10 +273,11 @@ object Dedup {
       n: Int, k: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     // banding only — the exact verification below supersedes the slot
     // estimate, so computing est_jaccard for every candidate would be a
-    // wasted k-rows-per-pair shuffle+aggregate stage
+    // wasted k-rows-per-pair shuffle+aggregate stage. One cached shingle
+    // scan feeds both the signatures and the verification joins.
+    val sh = wordShingles(df, idCol, textCol, n).cache()
     val cands = bandedCandidates(
-      minhashSignatures(df, idCol, textCol, n, k), idCol, rowsPerBand)
-    val sh = wordShingles(df, idCol, textCol, n)
+      signaturesFromShingles(sh, idCol, k), idCol, rowsPerBand)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id1"), col("shingle"))
     val b = sh.select(col(idCol).as("id2"), col("shingle"))
