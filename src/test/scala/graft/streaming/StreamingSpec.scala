@@ -34,6 +34,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming hourly rollup equals the batch rollup on real events (kappa parity)") {
+    // the same declarative aggregation must give the same answer whether
+    // the events arrive as a table or as chronological micro-batches —
+    // the property that lets one codebase serve both batch and streaming
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+    val rows = ev.orderBy("ts", "event_type", "user_id").collect()
+      .map(r => Ev(r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val input = MemoryStream[Ev]
+    val query = Streaming.windowedCounts(input.toDF(), "ts").writeStream
+      .format("memory").queryName("parity_counts").outputMode("complete").start()
+    try {
+      // three chronological chunks: watermark advances between batches but
+      // never past data still to come, so nothing is dropped as late
+      rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start").cast("string").as("h"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val streamed = keyed(spark.table("parity_counts"))
+      val batch = keyed(ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")))
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (n, s)) =>
+        val (bn, bs) = batch(k)
+        assert(n == bn, s"count mismatch at $k")
+        // double sums are order-dependent across partitions/micro-batches;
+        // parity is exact counts + numerically-equal sums
+        assert(math.abs(s - bs) <= 1e-9 * math.max(1.0, math.abs(bs)),
+          s"sum mismatch at $k")
+      }
+    } finally query.stop()
+  }
+
   test("freshness status bands follow the 120-minute SLO") {
     assert(Streaming.freshnessStatus(60) == "ok")
     assert(Streaming.freshnessStatus(120) == "ok")
