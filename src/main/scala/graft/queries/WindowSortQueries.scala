@@ -207,6 +207,33 @@ object WindowSortQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    // O-extension: deterministic per-group inspection sample — k docs per
+    // language ranked by a portable seeded hash of the id (the "pull 3
+    // examples per slice for review" shape; hash order makes the sample
+    // stable across runs/engines, unlike TABLESAMPLE). The rank-limit
+    // filter rewrites to WindowGroupLimit (emb8's pattern): each task
+    // keeps only k rows per group BEFORE the shuffle, so no per-group
+    // sort of data-sized partitions ever materializes.
+    Q("o5_deterministic_group_sample",
+      (s, d) => {
+        val h = graft.text.TextFunctions.hash60(
+          col("doc_id").cast("string"), 11)
+        val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id
+              FROM (SELECT lang, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY CAST(('0x' || substr(md5('11|' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                               doc_id) AS rk
+                    FROM documents)
+              WHERE rk <= 3 ORDER BY lang, rk""")),
+
     // W-extension: interval-census sweep — items in transit per day (the
     // occupancy/on-study-census shape). Transit windows are derived
     // deterministically (ship date + linenumber%7 days — the testdata has
