@@ -36,7 +36,13 @@ object ScaleRehearsal {
     "j1_star_join_broadcast", "v8_referential_orphans",
     "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
     "t15_repetition_ratio", "t16_contamination", "t17_tfidf_top_terms",
-    "emb7_centroid_assign", "emb8_knn_batch")
+    "emb7_centroid_assign", "emb8_knn_batch",
+    // round-4 fourth tranche: linkage runs on the part DIM (byte-copied →
+    // expect ~flat), documents-family doubles salted (expect ~2× work,
+    // pair counts exactly 2×), lineitem-family doubles key-shifted
+    "t19_fuzzy_name_pairs", "t20_entity_clusters", "t21_containment_pairs",
+    "t22_cross_corpus_neardup", "t23_corpus_mix", "w7_interval_census",
+    "o5_deterministic_group_sample")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit = {
     Files.createDirectories(Paths.get(dst))

@@ -51,4 +51,40 @@ object Sampling {
       seed: Int = 7, granularity: Int = 10000): DataFrame =
     df.filter(bucket(col(idCol), seed, granularity) <
       math.round(fraction * granularity))
+
+  /** Corpus mixing: downsample strata so the kept corpus matches a target
+    * composition (`Seq("web" -> 0.6, "books" -> 0.4)`) as closely as the
+    * data allows — the training-mix step of an LLM data pipeline. The kept
+    * size is maximized: C = min over strata of n_s / p_s, each stratum
+    * keeps k_s = ⌊C·p_s⌋ rows (the binding stratum is kept whole), chosen
+    * deterministically by hash bucket so membership is stable across
+    * runs/engines and nests across re-mixes at the same seed. Strata
+    * absent from `targets` are dropped (share 0); the keep rule is exact
+    * integer arithmetic (bucket·n_s < granularity·k_s — no floating
+    * thresholds in the row filter).
+    *
+    * 100 TB shape: one group-cardinality count aggregate, targets and
+    * per-stratum thresholds broadcast, then a stateless per-row filter —
+    * no shuffle of the data itself and no driver-side collect. */
+  def mixToTarget(df: DataFrame, strataCol: String, idCol: String,
+      targets: Seq[(String, Double)], seed: Int = 7,
+      granularity: Int = 10000): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0) &&
+      math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target shares must be positive and sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF(strataCol, "__p")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val withP = counts.join(broadcast(t), strataCol)
+    val cap = withP.select(
+      min(col("__n").cast("double") / col("__p")).as("__c"))
+    val thr = withP.crossJoin(broadcast(cap))
+      .select(col(strataCol), col("__n"),
+        floor(col("__c") * col("__p")).cast("long").as("__k"))
+    df.join(broadcast(thr), strataCol)
+      .filter(bucket(col(idCol), seed, granularity) * col("__n") <
+        lit(granularity.toLong) * col("__k"))
+      .drop("__n", "__k")
+  }
 }

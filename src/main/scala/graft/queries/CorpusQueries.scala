@@ -198,6 +198,43 @@ object CorpusQueries {
                      n.n_records,
                      COALESCE(c.component, n.name_id) = n.name_id AS is_canonical
               FROM names n LEFT JOIN comp c ON n.name_id = c.node
-              ORDER BY n.name"""))
+              ORDER BY n.name""")),
+
+    // T23: corpus mixing — downsample language strata to a target
+    // training mix (en 40%, de/fr 20%, es/zh 10%), keeping as much data
+    // as the composition allows (the binding stratum survives whole,
+    // C = min n_s/p_s, k_s = ⌊C·p_s⌋). Membership is the portable hash
+    // bucket, the row filter is exact integer arithmetic, and the oracle
+    // replays counts → cap → thresholds → bucket rule; the hash gate on
+    // kept counts verifies the whole thresholding math end-to-end.
+    Q("t23_corpus_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = Sampling.mixToTarget(docs, "lang", "doc_id",
+          Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        kept.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .join(counts, "lang")
+          .select("lang", "n_docs", "n_kept")
+          .orderBy("lang")
+      },
+      Some("""WITH targets(lang, p) AS (VALUES ('en', 0.4), ('de', 0.2),
+                                               ('fr', 0.2), ('es', 0.1),
+                                               ('zh', 0.1)),
+                   counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                              GROUP BY lang),
+                   cap AS (SELECT MIN(CAST(n AS DOUBLE) / CAST(p AS DOUBLE)) AS c
+                           FROM counts JOIN targets USING (lang)),
+                   thr AS (SELECT lang, n,
+                                  CAST(FLOOR(c * CAST(p AS DOUBLE)) AS BIGINT) AS k
+                           FROM counts JOIN targets USING (lang) CROSS JOIN cap),
+                   kept AS (SELECT d.lang FROM documents d JOIN thr USING (lang)
+                            WHERE (CAST(('0x' || substr(md5('7|' ||
+                                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                                   % 10000) * n < 10000 * k)
+              SELECT kc.lang, t.n AS n_docs, kc.n_kept
+              FROM (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang) kc
+              JOIN thr t USING (lang)
+              ORDER BY kc.lang"""))
   )
 }

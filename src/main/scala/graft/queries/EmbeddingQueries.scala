@@ -181,7 +181,33 @@ object EmbeddingQueries {
             queryId = 0L, k = 10, nProbe = IvfNProbe)
           .select(col("vec_id"), round(col("score"), 6).as("score"))
       },
-      None)
+      None),
+
+    // EMB9: Johnson–Lindenstrauss random projection (64 → 8 components) —
+    // the shrink-then-search preprocessing for corpus-scale ANN: distances
+    // are approximately preserved in 1/8th the bytes, and downstream
+    // brute-force/LSH run on the short vectors. Deterministic integer
+    // plane weights (the emb3 scheme), so the oracle replays every
+    // component exactly; per-vector work is 8 codegen'd graft_dot calls,
+    // no shuffle, no data-sized explode.
+    Q("emb9_random_projection",
+      (s, d) => {
+        graft.functions.ArrayDotProduct.register(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(array(Ann.randomProjection(col("embedding"), 8): _*))
+              .as(Seq("dim", "proj_v")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            round(col("proj_v"), 6).as("proj_v"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""SELECT vec_id, p AS dim,
+                     ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(((p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))),
+                       6) AS proj_v
+              FROM embeddings CROSS JOIN range(0, 8) t(p)
+              ORDER BY vec_id, dim"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

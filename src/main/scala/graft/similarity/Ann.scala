@@ -76,6 +76,22 @@ object Ann {
     * product — hence the bucket — is engine-portable. */
   def planeWeight(p: Int, d: Int): Double = ((p * 131 + d * 37) % 7 - 3).toDouble
 
+  /** Johnson–Lindenstrauss-style random projection: the `dims` plane
+    * dot-products BEFORE the sign — a deterministic dimensionality
+    * reduction (64 → `dims` components) that approximately preserves
+    * pairwise distances, the standard shrink-then-search preprocessing
+    * for ANN at corpus scale. Same integer [[planeWeight]] scheme as the
+    * LSH bucket, so the components are engine-portable exactly like the
+    * emb3 bucket proof. Per-vector cost is dims×maxDims codegen'd
+    * multiply-adds (`graft_dot`), no shuffle, no data-sized explode. */
+  def randomProjection(vec: Column, dims: Int, maxDims: Int = 64): Seq[Column] = {
+    val v = vec.cast("array<double>")
+    (0 until dims).map { p =>
+      val weights = typedlit((0 until maxDims).map(d => planeWeight(p, d)))
+      dot(v, weights)
+    }
+  }
+
   /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0):
     * the single-pass codegen'd [[graft.functions.HyperplaneBucket]]
     * expression (`graft_hplanes`). `maxDims` must be ≥ the vector length

@@ -48,4 +48,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(lit(1L), Seq("a" -> 0.5, "b" -> 0.6))
     }
   }
+
+  test("mixToTarget: binding stratum kept whole, others downsampled to k=⌊C·p⌋") {
+    import spark.implicits._
+    // 100 web, 50 books, 10 wiki; targets 0.5/0.3/0.2 → wiki binds:
+    // C = 10/0.2 = 50 → k = 25/15/10
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 150).map(i => (i.toLong, "books")) ++
+      (151 to 160).map(i => (i.toLong, "wiki"))).toDF("doc_id", "stratum")
+    val kept = Sampling.mixToTarget(docs, "stratum", "doc_id",
+      Seq("web" -> 0.5, "books" -> 0.3, "wiki" -> 0.2))
+    val byStratum = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("wiki") == 10L) // binding stratum survives whole
+    // hash thresholds hit ⌊C·p⌋ only in expectation; bounds are loose but
+    // the determinism/exactness of the rule is pinned by the t23 oracle
+    assert(byStratum("web") >= 15L && byStratum("web") <= 35L)
+    assert(byStratum("books") >= 8L && byStratum("books") <= 22L)
+    // deterministic: same call, same membership
+    val again = Sampling.mixToTarget(docs, "stratum", "doc_id",
+      Seq("web" -> 0.5, "books" -> 0.3, "wiki" -> 0.2))
+    assert(kept.exceptAll(again).count() == 0)
+  }
+
+  test("mixToTarget drops strata absent from the targets") {
+    import spark.implicits._
+    val docs = Seq((1L, "web"), (2L, "spam"), (3L, "web"))
+      .toDF("doc_id", "stratum")
+    val kept = Sampling.mixToTarget(docs, "stratum", "doc_id",
+      Seq("web" -> 1.0))
+    assert(kept.filter(col("stratum") === "spam").count() == 0)
+    assert(kept.count() == 2)
+  }
 }
