@@ -72,6 +72,8 @@ object Sampling {
     require(targets.nonEmpty && targets.forall(_._2 > 0) &&
       math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
       "target shares must be positive and sum to 1")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate stratum in targets") // a dup would double-join its rows
     val spark = df.sparkSession
     import spark.implicits._
     val t = targets.toDF(strataCol, "__p")

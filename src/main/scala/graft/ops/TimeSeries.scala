@@ -48,9 +48,12 @@ object TimeSeries {
     * (years of data ≈ thousands of rows), so the single-partition window
     * is dimension-scale by construction, never data-scale — the same
     * argument as the W3 surrogate-key mint. Rows with a NULL start or end
-    * are dropped (an open interval has no finite census contribution). */
+    * are dropped (an open interval has no finite census contribution), as
+    * are inverted intervals (end < start) — bad data whose deltas would
+    * push the census transiently negative. */
   def intervalCensus(df: DataFrame, startCol: String, endCol: String): DataFrame = {
-    val valid = df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val valid = df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(endCol) >= col(startCol))
     val deltas = valid.select(col(startCol).as("day"), lit(1L).as("__d"))
       .unionAll(valid.select(date_add(col(endCol), 1).as("day"), lit(-1L).as("__d")))
     val net = deltas.groupBy("day").agg(sum(col("__d")).as("__net"))

@@ -105,6 +105,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: blocked fuzzy pairs equal a driver-side levenshtein reference") {
+    // classic full DP as the independent reference for Spark's
+    // thresholded (banded) levenshtein + the length-band prune
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val word = Gen.choose(0, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val twoWords = Gen.zip(Gen.oneOf("x", "y"), word).map { case (b, w) => s"$b $w" }
+    forAll(Gen.listOfN(10, twoWords)) { names =>
+      val df = names.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "name")
+      val blockKey = split(col("name"), " ").getItem(0)
+      val got = graft.dedup.Linkage.fuzzyPairs(df, "id", "name", blockKey, 2)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          r.getAs[Long]("distance")).toMap
+      val want = (for {
+        i <- names.indices; j <- names.indices if i < j
+        if names(i).takeWhile(_ != ' ') == names(j).takeWhile(_ != ' ')
+        d = lev(names(i), names(j)) if d <= 2
+      } yield (i.toLong, j.toLong) -> d.toLong).toMap
+      assert(got == want)
+    }
+  }
+
   test("property: graft_shingle_stats equals the composed Column form on random text") {
     graft.functions.ShingleStats.register(spark)
     // whitespace-heavy generator: tokens, runs of spaces/tabs/newlines,

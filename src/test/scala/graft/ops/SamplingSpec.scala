@@ -71,6 +71,15 @@ class SamplingSpec extends SparkSpec {
     assert(kept.exceptAll(again).count() == 0)
   }
 
+  test("mixToTarget rejects duplicate strata (a dup would double-join rows)") {
+    import spark.implicits._
+    val docs = Seq((1L, "web")).toDF("doc_id", "stratum")
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(docs, "stratum", "doc_id",
+        Seq("web" -> 0.5, "web" -> 0.5))
+    }
+  }
+
   test("mixToTarget drops strata absent from the targets") {
     import spark.implicits._
     val docs = Seq((1L, "web"), (2L, "spam"), (3L, "web"))

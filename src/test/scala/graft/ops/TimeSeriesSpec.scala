@@ -51,6 +51,16 @@ class TimeSeriesSpec extends SparkSpec {
       "2024-01-04" -> 0L, "2024-01-05" -> 1L, "2024-01-07" -> 0L))
   }
 
+  test("intervalCensus drops inverted intervals (end < start)") {
+    val iv = Seq(
+      (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-02")),
+      (Date.valueOf("2024-01-05"), Date.valueOf("2024-01-03"))) // inverted
+      .toDF("s", "e")
+    val out = TimeSeries.intervalCensus(iv, "s", "e").collect()
+      .map(r => r.getAs[Date]("day").toString -> r.getAs[Long]("census")).toMap
+    assert(out == Map("2024-01-01" -> 1L, "2024-01-03" -> 0L))
+  }
+
   test("intervalCensus drops NULL-bounded intervals and never goes negative") {
     val iv = Seq(
       (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-02")),
