@@ -163,6 +163,11 @@ object Privacy {
     "\\b\\d{1,2}/\\d{1,2}/\\d{2,4}\\b",                              // US date
     "(?i)(name|patient|first_name|last_name)\\s*=\\s*[^,;]+")        // kv pairs
 
+  /** Named aliases for the corpus PII-audit scan (t24) — the same
+    * engine-portable patterns the redaction fold applies. */
+  val SsnPattern: String = PhiPatterns(0)
+  val EmailPattern: String = PhiPatterns(4)
+
   val RedactionToken = "[REDACTED]"
 
   /** F12: ordered multi-pattern redaction as a regexp_replace fold — stays

@@ -235,6 +235,63 @@ object CorpusQueries {
               SELECT kc.lang, t.n AS n_docs, kc.n_kept
               FROM (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang) kc
               JOIN thr t USING (lang)
-              ORDER BY kc.lang"""))
+              ORDER BY kc.lang""")),
+
+    // T24: corpus PII-density audit — the pre-release scan of a training
+    // corpus: per-source counts of email/SSN pattern hits and of
+    // documents carrying any hit (the same engine-portable patterns the
+    // f12 redaction fold applies). PII is seeded deterministically onto
+    // the synthetic word-salad docs (doc_id mod rules, f12's precedent)
+    // so both engines scan identical text; the scan itself is a
+    // stateless codegen'd regexp_count per row + one two-phase
+    // aggregation — flat cost per byte at any scale.
+    Q("t24_pii_density",
+      (s, d) => {
+        import graft.privacy.Privacy
+        val synth = Tables.documents(s, d).withColumn("note",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@example.org")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" ssn 123-45-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        synth
+          .select(col("source"),
+            regexp_count(col("note"), lit(Privacy.EmailPattern)).cast("long")
+              .as("n_email"),
+            regexp_count(col("note"), lit(Privacy.SsnPattern)).cast("long")
+              .as("n_ssn"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_email") + col("n_ssn") > 0, 1L).otherwise(0L))
+              .as("n_docs_with_pii"),
+            sum(col("n_email")).as("n_email"),
+            sum(col("n_ssn")).as("n_ssn"))
+          .orderBy("source")
+      },
+      Some("""WITH synth AS (SELECT source,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                                       || '@example.org' ELSE '' END
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN ' ssn 123-45-' ||
+                                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                  ELSE '' END AS note
+                     FROM documents),
+                   hits AS (SELECT source,
+                     len(regexp_extract_all(note,
+                       '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b'))
+                       AS n_email,
+                     len(regexp_extract_all(note, '\b\d{3}-\d{2}-\d{4}\b'))
+                       AS n_ssn
+                     FROM synth)
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN n_email + n_ssn > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_docs_with_pii,
+                     CAST(SUM(n_email) AS BIGINT) AS n_email,
+                     CAST(SUM(n_ssn) AS BIGINT) AS n_ssn
+              FROM hits GROUP BY source ORDER BY source"""))
   )
 }
