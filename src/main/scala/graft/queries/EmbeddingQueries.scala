@@ -207,7 +207,36 @@ object EmbeddingQueries {
                             * CAST(((p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))),
                        6) AS proj_v
               FROM embeddings CROSS JOIN range(0, 8) t(p)
-              ORDER BY vec_id, dim"""))
+              ORDER BY vec_id, dim""")),
+
+    // EMB10: shrink-then-search — emb9's projection composed into the
+    // working pipeline: candidate pairs form on the 8-component
+    // projections (8 multiply-adds per pair, only short vectors flow
+    // through the pair join), then ONLY survivors rejoin the full 64-dim
+    // vectors for the exact cosine rerank. Deterministic projections →
+    // the oracle replays prefilter AND rerank, so the recall trade is
+    // itself hash-checked (emb4's semantics behind a cheaper candidate
+    // stage).
+    Q("emb10_projected_neardup",
+      (s, d) => Ann.projectedNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", minCosine = 0.4, dims = 8,
+          minProjCosine = 0.1)
+        .orderBy("id1", "id2"),
+      Some(s"""WITH pr AS (SELECT vec_id, embedding,
+                     list_transform(range(0, 8), p ->
+                       list_sum(list_transform(range(1, len(embedding) + 1),
+                         i -> CAST(embedding[i] AS DOUBLE)
+                              * CAST(((p * 131 + (i - 1) * 37) % 7) - 3
+                                     AS DOUBLE)))) AS proj
+                     FROM embeddings),
+                   cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                                   a.embedding AS e1, b.embedding AS e2
+                            FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+                            WHERE ${sqlCosine("a.proj", "b.proj")} >= 0.1)
+              SELECT id1, id2, ROUND(${sqlCosine("e1", "e2")}, 6) AS score
+              FROM cand
+              WHERE ${sqlCosine("e1", "e2")} >= 0.4
+              ORDER BY id1, id2"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

@@ -92,6 +92,40 @@ object Ann {
     }
   }
 
+  /** Shrink-then-search near-dup pairs — [[randomProjection]] composed
+    * into a working pipeline: candidate pairs are generated on the short
+    * `dims`-component projections (dims multiply-adds per pair instead
+    * of 64, and only ids + short vectors flow through the pair join),
+    * then ONLY the survivors rejoin the full vectors for the exact
+    * cosine rerank. The projections are deterministic, so the prefilter
+    * is engine-replayable and the composed result stays hash-checkable;
+    * recall vs the unfiltered scan is governed by `minProjCosine`
+    * (set it ≤ −1 to disable pruning — then output ≡ the exact scan,
+    * AnnSpec pins this). */
+  def projectedNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, dims: Int = 8,
+      minProjCosine: Double = 0.0): DataFrame = {
+    val emb = withRegistry(emb0)
+    val proj = emb.select(col(idCol).as("__id"),
+      array(randomProjection(col(vecCol), dims): _*).as("__proj"))
+    val pa = proj.select(col("__id").as("id1"), col("__proj").as("p1"))
+    val pb = proj.select(col("__id").as("id2"), col("__proj").as("p2"))
+    val cands = pa.crossJoin(pb).filter(col("id1") < col("id2"))
+      .filter(cosineOrZero(dot(col("p1"), col("p2")),
+        norm(col("p1")), norm(col("p2"))) >= minProjCosine)
+      .select("id1", "id2")
+    val full1 = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val full2 = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
+    cands.join(full1, "id1").join(full2, "id2")
+      .select(col("id1"), col("id2"),
+        cosineOrZero(dot(col("v1"), col("v2")), col("n1"), col("n2"))
+          .as("score"))
+      .filter(col("score") >= minCosine)
+      .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+  }
+
   /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0):
     * the single-pass codegen'd [[graft.functions.HyperplaneBucket]]
     * expression (`graft_hplanes`). `maxDims` must be ≥ the vector length

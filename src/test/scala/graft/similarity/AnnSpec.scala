@@ -183,6 +183,24 @@ class AnnSpec extends SparkSpec {
     assert(total == 5L)
   }
 
+  test("projected near-dup with pruning disabled equals the exact scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.4)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    val viaProj = Ann.projectedNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, dims = 8, minProjCosine = -1.1) // prune disabled
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    assert(viaProj == exact)
+    // with pruning on, output is a subset of exact with identical scores
+    val pruned = Ann.projectedNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, dims = 8, minProjCosine = 0.1)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    pruned.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
