@@ -261,6 +261,32 @@ object WindowSortQueries {
               SELECT day, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS census
               FROM net ORDER BY day""")),
 
+    // W-extension: cumulative distinct users by day — the "total users
+    // to date" growth curve. COUNT(DISTINCT) under a running window is a
+    // data-scale quadratic trap; the first-seen trick makes it two
+    // group-cardinality aggregations (min day per user, then new-users
+    // per day) and a cumulative sum over DISTINCT DAYS — the same
+    // dimension-scale window argument as w7.
+    Q("w8_cumulative_uniques",
+      (s, d) => {
+        val firstSeen = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(min(col("o_orderdate")).as("day"))
+        firstSeen.groupBy("day").agg(count(lit(1)).as("new_customers"))
+          .withColumn("cum_customers",
+            sum(col("new_customers")).over(Window.orderBy("day")))
+          .select(col("day"), col("new_customers"), col("cum_customers"))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT o_custkey, MIN(o_orderdate) AS day
+                          FROM orders GROUP BY o_custkey),
+                   nu AS (SELECT day, COUNT(*) AS new_customers
+                          FROM fs GROUP BY day)
+              SELECT day, new_customers,
+                     CAST(SUM(new_customers) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_customers
+              FROM nu ORDER BY day""")),
+
     Q("u1_union_all",
       (s, d) => {
         val o = Tables.orders(s, d)
