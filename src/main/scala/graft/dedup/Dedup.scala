@@ -112,12 +112,19 @@ object Dedup {
     * Jaccard (union is dominated by the long doc) but containment
     * |A∩B|/|A| ≈ 1. Both directions are emitted; a pair survives when
     * EITHER direction reaches `minContainment`. Same df-capped shingle
-    * machinery, same auto-scaled pair generation, same filtered-set
-    * consistency argument as [[jaccardPairs]]. */
+    * machinery and filtered-set consistency argument as [[jaccardPairs]].
+    *
+    * Pair generation is ALWAYS the exact df-capped self-join — Jaccard-
+    * tuned MinHash banding is deliberately NOT offered here: banding
+    * capture probability tracks Jaccard, and the low-Jaccard/high-
+    * containment pairs this operator exists to find (containment 1.0 can
+    * mean Jaccard 0.01) are exactly the ones it would drop. The scale
+    * bound is therefore the `maxShingleDf` cap (O(Σ df²) pairs); an
+    * asymmetric containment LSH (banding only the smaller side's
+    * signature) would be the correct future scale path. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      minContainment: Double, maxShingleDf: Long = 1000L,
-      lshPruneThreshold: Long = 100000L): DataFrame =
-    pairStats(df, idCol, textCol, n, maxShingleDf, lshPruneThreshold)
+      minContainment: Double, maxShingleDf: Long = 1000L): DataFrame =
+    pairStats(df, idCol, textCol, n, maxShingleDf, Long.MaxValue)
       .withColumn("c1_in_2", col("inter").cast("double") / col("sz1").cast("double"))
       .withColumn("c2_in_1", col("inter").cast("double") / col("sz2").cast("double"))
       .filter(greatest(col("c1_in_2"), col("c2_in_1")) >= minContainment)

@@ -35,14 +35,21 @@ object Linkage {
       col(textCol).as("t1"))
     val b = df.select(blockingKey.as("__block"), col(idCol).as("id2"),
       col(textCol).as("t2"))
-    a.join(b, "__block")
-      .filter(col("id1") < col("id2"))
-      .filter(abs(length(col("t1")) - length(col("t2"))) <= maxDistance)
-      .withColumn("distance",
-        levenshtein(col("t1"), col("t2"), maxDistance).cast("long"))
-      .filter(col("distance") >= 0) // thresholded form yields -1 above cap
+    prunedDistance(a.join(b, "__block").filter(col("id1") < col("id2")),
+      "t1", "t2", maxDistance)
       .select("id1", "id2", "distance")
   }
+
+  /** The shared match core both entry points apply to their joined pair
+    * frame: length-band prune, thresholded levenshtein, -1-sentinel
+    * filter — one place to tune, both paths stay in lockstep. */
+  private def prunedDistance(pairs: DataFrame, t1: String, t2: String,
+      maxDistance: Int): DataFrame =
+    pairs
+      .filter(abs(length(col(t1)) - length(col(t2))) <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col(t1), col(t2), maxDistance).cast("long"))
+      .filter(col("distance") >= 0) // thresholded form yields -1 above cap
 
   /** The composition that actually survives 100 TB: exact-dedup the text
     * to DISTINCT values first (one shuffle, output ∝ |vocabulary|, not
@@ -61,12 +68,8 @@ object Linkage {
       .agg(count(lit(1)).as("__n"))
     val a = d.select(col("__block"), col("__text").as("name1"), col("__n").as("n1"))
     val b = d.select(col("__block"), col("__text").as("name2"), col("__n").as("n2"))
-    a.join(b, "__block")
-      .filter(col("name1") < col("name2"))
-      .filter(abs(length(col("name1")) - length(col("name2"))) <= maxDistance)
-      .withColumn("distance",
-        levenshtein(col("name1"), col("name2"), maxDistance).cast("long"))
-      .filter(col("distance") >= 0)
+    prunedDistance(a.join(b, "__block").filter(col("name1") < col("name2")),
+      "name1", "name2", maxDistance)
       .select("name1", "name2", "distance", "n1", "n2")
   }
 }

@@ -81,9 +81,15 @@ object Sampling {
     val withP = counts.join(broadcast(t), strataCol)
     val cap = withP.select(
       min(col("__n").cast("double") / col("__p")).as("__c"))
+    // +1e-9 guards the 1-ulp floor underflow: for the binding stratum
+    // C·p equals n exactly in real arithmetic, but the double product can
+    // land at n − 1ulp and floor would silently drop its last keep slot
+    // (or the whole stratum when k would be 1). least(n, ·) re-caps the
+    // epsilon's other direction. The oracle replays identical arithmetic.
     val thr = withP.crossJoin(broadcast(cap))
       .select(col(strataCol), col("__n"),
-        floor(col("__c") * col("__p")).cast("long").as("__k"))
+        least(col("__n"),
+          floor(col("__c") * col("__p") + lit(1e-9)).cast("long")).as("__k"))
     df.join(broadcast(thr), strataCol)
       .filter(bucket(col(idCol), seed, granularity) * col("__n") <
         lit(granularity.toLong) * col("__k"))

@@ -56,7 +56,11 @@ object TimeSeries {
       col(endCol) >= col(startCol))
     val deltas = valid.select(col(startCol).as("day"), lit(1L).as("__d"))
       .unionAll(valid.select(date_add(col(endCol), 1).as("day"), lit(-1L).as("__d")))
+    // net-0 days (starts exactly cancelling ends) would emit a spurious
+    // no-change row, breaking the "one row per day the census CHANGES"
+    // contract consumers may diff against
     val net = deltas.groupBy("day").agg(sum(col("__d")).as("__net"))
+      .filter(col("__net") =!= 0)
     net
       .withColumn("census", sum(col("__net")).over(Window.orderBy("day")))
       .select(col("day"), col("census"))

@@ -226,7 +226,8 @@ object CorpusQueries {
                    cap AS (SELECT MIN(CAST(n AS DOUBLE) / CAST(p AS DOUBLE)) AS c
                            FROM counts JOIN targets USING (lang)),
                    thr AS (SELECT lang, n,
-                                  CAST(FLOOR(c * CAST(p AS DOUBLE)) AS BIGINT) AS k
+                                  LEAST(n, CAST(FLOOR(c * CAST(p AS DOUBLE) + 1e-9)
+                                                AS BIGINT)) AS k
                            FROM counts JOIN targets USING (lang) CROSS JOIN cap),
                    kept AS (SELECT d.lang FROM documents d JOIN thr USING (lang)
                             WHERE (CAST(('0x' || substr(md5('7|' ||

@@ -165,13 +165,13 @@ object TextQueries {
     // A short doc quoted whole inside a long one has tiny Jaccard (the
     // union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1;
     // training-data pipelines drop exactly these quote-inclusions that
-    // t6 cannot see. Same df-capped shingle machinery and auto-scaled
-    // pair generation as t6 (threshold pinned so the sf0.01 gate runs
-    // the exact path); the oracle replays both directional ratios.
+    // t6 cannot see. Pair generation is exact-only by design (Jaccard-
+    // tuned banding would drop precisely the high-containment/low-
+    // Jaccard pairs — see the containmentPairs scaladoc); the oracle
+    // replays both directional ratios.
     Q("t21_containment_pairs",
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minContainment = 0.6, maxShingleDf = 1000L,
-          lshPruneThreshold = 2000L)
+          n = 3, minContainment = 0.6, maxShingleDf = 1000L)
         .orderBy("id1", "id2"),
       Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                             FROM documents),

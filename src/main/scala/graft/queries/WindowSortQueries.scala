@@ -257,7 +257,8 @@ object WindowSortQueries {
                    deltas AS (SELECT s AS day, 1 AS d FROM iv
                               UNION ALL
                               SELECT e + 1, -1 FROM iv),
-                   net AS (SELECT day, SUM(d) AS net FROM deltas GROUP BY day)
+                   net AS (SELECT day, SUM(d) AS net FROM deltas GROUP BY day
+                           HAVING SUM(d) <> 0)
               SELECT day, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS census
               FROM net ORDER BY day""")),
 

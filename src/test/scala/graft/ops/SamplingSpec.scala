@@ -71,6 +71,18 @@ class SamplingSpec extends SparkSpec {
     assert(kept.exceptAll(again).count() == 0)
   }
 
+  test("mixToTarget: binding stratum survives floor's 1-ulp underflow") {
+    import spark.implicits._
+    // C = 1/0.09 = 11.11…; C·0.09 computes to 0.9999999999999999 in
+    // doubles — without the epsilon guard floor drops the binding
+    // stratum's only keep slot and 'a' vanishes from the mix
+    val docs = ((1 to 1).map(i => (i.toLong, "a")) ++
+      (2 to 21).map(i => (i.toLong, "b"))).toDF("doc_id", "stratum")
+    val kept = Sampling.mixToTarget(docs, "stratum", "doc_id",
+      Seq("a" -> 0.09, "b" -> 0.91))
+    assert(kept.filter(col("stratum") === "a").count() == 1L)
+  }
+
   test("mixToTarget rejects duplicate strata (a dup would double-join rows)") {
     import spark.implicits._
     val docs = Seq((1L, "web")).toDF("doc_id", "stratum")

@@ -51,6 +51,18 @@ class TimeSeriesSpec extends SparkSpec {
       "2024-01-04" -> 0L, "2024-01-05" -> 1L, "2024-01-07" -> 0L))
   }
 
+  test("intervalCensus emits no row when a day's starts cancel its ends") {
+    // [1..2] ends as [3..5] starts: day 3's net is 0 — the census holds
+    // at 1, so the change-days contract demands NO row for day 3
+    val iv = Seq(
+      (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-02")),
+      (Date.valueOf("2024-01-03"), Date.valueOf("2024-01-05")))
+      .toDF("s", "e")
+    val out = TimeSeries.intervalCensus(iv, "s", "e").orderBy("day").collect()
+      .map(r => r.getAs[Date]("day").toString -> r.getAs[Long]("census"))
+    assert(out.toSeq == Seq("2024-01-01" -> 1L, "2024-01-06" -> 0L))
+  }
+
   test("intervalCensus drops inverted intervals (end < start)") {
     val iv = Seq(
       (Date.valueOf("2024-01-01"), Date.valueOf("2024-01-02")),
