@@ -57,6 +57,21 @@ final case class MaxLength(column: String, maxLen: Int) extends Check {
   def violation: Column = col(column).isNotNull && length(col(column)) > maxLen
 }
 
+/** V5 — minimum string length (GE length expectations carry both bounds;
+  * min 1 is the common "non-empty" rule). */
+final case class MinLength(column: String, minLen: Int) extends Check {
+  val name = s"${column}_too_short"
+  def violation: Column = col(column).isNotNull && length(col(column)) < minLen
+}
+
+/** Name-disambiguating wrapper: two same-type rules on one column derive
+  * the same report-column name, and a duplicate alias would make one
+  * rule's count silently shadow the other in the aggregation row. The
+  * suite loader wraps later duplicates with a numbered name. */
+final case class Renamed(inner: Check, name: String) extends Check {
+  def violation: Column = inner.violation
+}
+
 /** V5 — regex format, reference `pandera_schemas.py:24-25` (`rlike`). */
 final case class MatchesRegex(column: String, pattern: String) extends Check {
   val name = s"${column}_bad_format"

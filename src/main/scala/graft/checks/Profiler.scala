@@ -66,7 +66,11 @@ object Profiler {
     val s2 = col("__s2").cast("double")
     val mean = s / n
     val std = sqrt((s2 - s * s / n) / (n - 1.0))
-    df.join(broadcast(stats), groupCol)
+    // null-safe join: a NULL group key is a real slice (often the dirty
+    // one an anomaly scan most needs to see) — an equi-join would
+    // silently drop it from the report
+    val statsR = stats.withColumnRenamed(groupCol, "__g")
+    df.join(broadcast(statsR), col(groupCol) <=> col("__g"))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n"),

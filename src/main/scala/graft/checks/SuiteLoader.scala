@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *  - expect_column_values_to_be_in_set          → [[InSet]]
   *  - expect_column_values_to_be_between         → [[InRange]] (strict_min/strict_max honored)
   *  - expect_column_values_to_match_regex        → [[MatchesRegex]]
-  *  - expect_column_value_lengths_to_be_between  → [[MaxLength]] (max_value)
+  *  - expect_column_value_lengths_to_be_between  → [[MinLength]] / [[MaxLength]] (both bounds gate)
   *  - expect_column_values_to_be_unique          → unique column (table-level)
   *  - expect_table_row_count_to_be_between       → row-count bounds (table-level)
   *  - expect_column_to_exist                     → column existence (schema-level)
@@ -43,14 +43,20 @@ object SuiteLoader {
       rowCountBounds: Option[(Long, Long)]) {
 
     /** Every column the suite references (for existence screening). */
-    def referencedColumns: Seq[String] =
-      (columnsMustExist ++ uniqueColumns ++ rowChecks.collect {
-        case NotNull(c) => c
-        case InSet(c, _) => c
-        case InRange(c, _, _, _, _) => c
-        case MaxLength(c, _) => c
-        case MatchesRegex(c, _) => c
-      }).distinct
+    def referencedColumns: Seq[String] = {
+      def colOf(c: Check): Option[String] = c match {
+        case NotNull(c) => Some(c)
+        case InSet(c, _) => Some(c)
+        case InRange(c, _, _, _, _) => Some(c)
+        case MaxLength(c, _) => Some(c)
+        case MinLength(c, _) => Some(c)
+        case MatchesRegex(c, _) => Some(c)
+        case Renamed(inner, _) => colOf(inner)
+        case _ => None
+      }
+      (columnsMustExist ++ uniqueColumns ++
+        rowChecks.flatMap(colOf)).distinct
+    }
   }
 
   final case class SuiteResult(
@@ -88,16 +94,25 @@ object SuiteLoader {
       val kind = e.get("expectation_type").asText
       val kw = e.get("kwargs")
       def column = kw.get("column").asText
+      // GE spells one-sided bounds as explicit JSON null ({"max_value":
+      // null}); NullNode.asDouble() is 0.0, which would silently invert
+      // the check — explicit null must mean ABSENT, not zero
+      def opt(field: String): Option[JsonNode] =
+        Option(kw.get(field)).filterNot(_.isNull)
       def num(field: String, default: Double): Double =
-        Option(kw.get(field)).map(_.asDouble).getOrElse(default)
+        opt(field).map(_.asDouble).getOrElse(default)
       def flag(field: String): Boolean =
-        Option(kw.get(field)).exists(_.asBoolean)
+        opt(field).exists(_.asBoolean)
       kind match {
         case "expect_column_values_to_not_be_null" =>
           rowChecks += NotNull(column)
         case "expect_column_values_to_be_in_set" =>
+          // integral vs fractional must survive the parse: asLong on 0.5
+          // would validate against a silently corrupted set
           val vs = kw.get("value_set").elements().asScala.map { v: JsonNode =>
-            if (v.isNumber) (v.asLong: Any) else (v.asText: Any)
+            if (v.isIntegralNumber) (v.asLong: Any)
+            else if (v.isNumber) (v.asDouble: Any)
+            else (v.asText: Any)
           }.toSeq
           rowChecks += InSet(column, vs)
         case "expect_column_values_to_be_between" =>
@@ -108,11 +123,19 @@ object SuiteLoader {
         case "expect_column_values_to_match_regex" =>
           rowChecks += MatchesRegex(column, kw.get("regex").asText)
         case "expect_column_value_lengths_to_be_between" =>
-          rowChecks += MaxLength(column, kw.get("max_value").asInt)
+          // both bounds gate; a length rule with neither is malformed
+          val lo = opt("min_value").map(_.asInt)
+          val hi = opt("max_value").map(_.asInt)
+          require(lo.nonEmpty || hi.nonEmpty,
+            s"length expectation on '$column' carries no bounds in suite '$name'")
+          lo.foreach(l => rowChecks += MinLength(column, l))
+          hi.foreach(h => rowChecks += MaxLength(column, h))
         case "expect_column_values_to_be_unique" =>
           unique += column
         case "expect_table_row_count_to_be_between" =>
-          bounds = Some((kw.get("min_value").asLong, kw.get("max_value").asLong))
+          bounds = Some((
+            opt("min_value").map(_.asLong).getOrElse(0L),
+            opt("max_value").map(_.asLong).getOrElse(Long.MaxValue)))
         case "expect_column_to_exist" =>
           exists += column
         case other =>
@@ -120,7 +143,15 @@ object SuiteLoader {
             s"unsupported expectation_type '$other' in suite '$name'")
       }
     }
-    Suite(name, rowChecks.result(), unique.result().distinct,
+    // two same-type rules on one column derive the same report-column
+    // name; a duplicate alias would make one count silently shadow the
+    // other in the aggregation row — number later duplicates instead
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val deduped = rowChecks.result().map { c =>
+      val n = seen.updateWith(c.name)(x => Some(x.getOrElse(0) + 1)).get
+      if (n == 1) c else Renamed(c, s"${c.name}_$n")
+    }
+    Suite(name, deduped, unique.result().distinct,
       exists.result().distinct, bounds)
   }
 

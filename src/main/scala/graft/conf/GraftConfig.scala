@@ -142,8 +142,11 @@ object GraftConfig {
       s"unknown env '${c.env}'")
     if (c.env == "staging" || c.env == "prod") {
       require(c.storage.useSsl, s"${c.env} requires use_ssl=true")
-      require(!c.storage.endpoint.contains("localhost"),
-        s"${c.env} cannot point at a localhost object store")
+      // every loopback spelling, not just the literal "localhost" — a
+      // 127.0.0.1/0.0.0.0/[::1] endpoint is the same insecure local store
+      val loopback = Seq("localhost", "127.0.0.1", "0.0.0.0", "::1")
+      require(!loopback.exists(c.storage.endpoint.contains),
+        s"${c.env} cannot point at a loopback object store")
       require(c.piiRedaction, s"${c.env} cannot disable PII redaction")
     }
     require(c.freshnessSloMinutes > 0 && c.shufflePartitions > 0 &&

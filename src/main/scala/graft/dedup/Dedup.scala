@@ -42,20 +42,27 @@ object Dedup {
   /** Incremental exact dedup — the production shape of a recurring crawl:
     * drop batch rows whose normalized-content digest already exists in the
     * HISTORICAL corpus (left-anti join on the digest), then exact-dedup
-    * within the batch itself (keeper = min id). The historical side only
-    * needs digests, so at 100 TB the "seen" input is the slim fingerprint
-    * table each ingest run appends to — one shuffle on the digest, the
-    * full historical text is never read. Null-text rows pass through, as
-    * in [[exactDedup]]. */
+    * within the batch itself (keeper = min id). This overload takes the
+    * historical corpus as raw text and fingerprints it; the production
+    * path at 100 TB is [[dedupAgainstDigests]], which accepts the slim
+    * fingerprint table each ingest run appends to, so the full historical
+    * text is never read. Null-text rows pass through, as in
+    * [[exactDedup]]. */
   def dedupAgainstCorpus(batch: DataFrame, seen: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val seenDigests = seen
-      .filter(col(textCol).isNotNull)
-      .select(TextFunctions.fingerprint(col(textCol)).as("digest"))
-      .distinct()
+      idCol: String, textCol: String): DataFrame =
+    dedupAgainstDigests(batch, idCol, textCol,
+      seen.filter(col(textCol).isNotNull)
+        .select(TextFunctions.fingerprint(col(textCol)).as("digest")))
+
+  /** [[dedupAgainstCorpus]] against a precomputed digest table (one
+    * `digest` column, [[TextFunctions.fingerprint]] scheme) — the
+    * incremental-production API: each ingest run appends its batch's
+    * digests, and subsequent runs anti-join against digests only. */
+  def dedupAgainstDigests(batch: DataFrame, idCol: String, textCol: String,
+      seenDigests: DataFrame): DataFrame = {
     val fresh = batch.filter(col(textCol).isNotNull)
       .withColumn("digest", TextFunctions.fingerprint(col(textCol)))
-      .join(seenDigests, Seq("digest"), "left_anti")
+      .join(seenDigests.select("digest").distinct(), Seq("digest"), "left_anti")
     val keepers = fresh.groupBy("digest").agg(min(col(idCol)).as(idCol))
       .select(idCol)
     fresh.drop("digest").join(keepers, idCol)
@@ -98,8 +105,9 @@ object Dedup {
     * filter, sizes); Spark's MEMORY_AND_DISK eviction bounds it. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDf: Long = 1000L,
-      lshPruneThreshold: Long = 100000L): DataFrame =
-    pairStats(df, idCol, textCol, n, maxShingleDf, lshPruneThreshold)
+      lshPruneThreshold: Long = 100000L,
+      docCount: Option[Long] = None): DataFrame =
+    pairStats(df, idCol, textCol, n, maxShingleDf, lshPruneThreshold, docCount)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"))
@@ -138,7 +146,8 @@ object Dedup {
     * and per-side filtered sizes. Returns (id1, id2, inter, sz1, sz2)
     * for every co-shingled (or banded-candidate) pair. */
   private def pairStats(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxShingleDf: Long, lshPruneThreshold: Long): DataFrame = {
+      maxShingleDf: Long, lshPruneThreshold: Long,
+      docCount: Option[Long] = None): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
@@ -147,10 +156,12 @@ object Dedup {
     val sizes = shF.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = shF.select(col(idCol).as("id1"), col("shingle"))
     val b = shF.select(col(idCol).as("id2"), col("shingle"))
-    // one metadata-cheap count decides the pair-generation strategy; the
-    // threshold is a parameter so declared queries can pin either path
+    // one count job decides the pair-generation strategy (an eager scan
+    // at construction time — callers that already know the corpus size
+    // pass `docCount` to skip it); the threshold is a parameter so
+    // declared queries can pin either path
     val pairSpace =
-      if (df.count() <= lshPruneThreshold)
+      if (docCount.getOrElse(df.count()) <= lshPruneThreshold)
         a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
       else {
         // signatures derive from the already-cached UNCAPPED shingle scan

@@ -132,7 +132,8 @@ object DqQueries {
                                   / (CAST(sn AS DOUBLE) - 1.0))
                               THEN 1 ELSE 0 END) AS DOUBLE)
                            / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
-              FROM li JOIN st USING (l_returnflag)
+              FROM li JOIN st
+                ON li.l_returnflag IS NOT DISTINCT FROM st.l_returnflag
               GROUP BY li.l_returnflag ORDER BY li.l_returnflag""")),
 
     // V11 (extension): table profiler — per-column row/null/distinct

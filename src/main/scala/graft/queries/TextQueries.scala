@@ -568,6 +568,12 @@ object TextQueries {
                    fresh AS (SELECT * FROM batch
                              WHERE digest NOT IN (SELECT digest FROM seen))
               SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY digest
+              UNION ALL
+              -- null-text batch rows pass through dedupAgainstCorpus
+              -- untouched (absent != duplicate); the oracle must carry
+              -- them too or a corpus with null text diverges the gate
+              SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1 AND text IS NULL
               ORDER BY doc_id""")),
 
     // T15: within-document repetition ratio (the Gopher-family duplicate

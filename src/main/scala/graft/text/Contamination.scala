@@ -29,7 +29,11 @@ object Contamination {
     * shingles and are absent from the report (nothing to leak). */
   def ngramOverlap(heldout: DataFrame, train: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val heldSh = Dedup.wordShingles(heldout, idCol, textCol, n)
+    // the held-out shingle derivation (tokenize + explode + distinct
+    // shuffle) feeds two subtrees (sizes and the semi-join); Spark does
+    // not dedupe common subplans, so cache it once — same convention as
+    // jaccardPairs' shingle frame
+    val heldSh = Dedup.wordShingles(heldout, idCol, textCol, n).cache()
     val trainSh = Dedup.wordShingles(train, idCol, textCol, n)
       .select("shingle").distinct()
     val sizes = heldSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))

@@ -44,4 +44,18 @@ class ProfilerSpec extends SparkSpec {
     assert(out("A") == ((101L, 1L)))
     assert(out("B") == ((50L, 0L)))
   }
+
+  test("zscoreOutliers reports the NULL group instead of dropping it") {
+    // missing group labels are often the dirtiest slice — the null-safe
+    // join must keep them in the report
+    val df = ((1 to 20).map(_ => (null.asInstanceOf[String], BigDecimal("10.00"))) :+
+      ((null.asInstanceOf[String], BigDecimal("500.00"))))
+      .toDF("g", "x")
+      .select(col("g"), col("x").cast("decimal(18,2)").as("x"))
+    val out = Profiler.zscoreOutliers(df, "g", "x").collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("g")))
+    assert(out.head.getAs[Long]("n") == 21L)
+    assert(out.head.getAs[Long]("n_outliers") == 1L)
+  }
 }

@@ -50,6 +50,62 @@ class SuiteLoaderSpec extends SparkSpec {
     assert(r.missingColumns == Seq("ghost") && !r.passed)
   }
 
+  test("explicit JSON null bounds mean unbounded, not zero") {
+    import spark.implicits._
+    // GE spells one-sided bounds as explicit null; NullNode.asDouble()=0
+    // would flag every positive value
+    val suite = SuiteLoader.fromJson(
+      """{"expectations":[
+           {"expectation_type":"expect_column_values_to_be_between",
+            "kwargs":{"column":"v","min_value":null,"max_value":100}},
+           {"expectation_type":"expect_table_row_count_to_be_between",
+            "kwargs":{"min_value":1,"max_value":null}}]}""")
+    val r = SuiteLoader.evaluate(Seq(-500.0, 50.0, 150.0).toDF("v"), suite)
+    assert(r.violations("v_out_of_range") == 1L) // only 150 > 100
+    assert(r.violations("row_count_out_of_bounds") == 0L)
+  }
+
+  test("length expectations gate BOTH bounds (min 1 = non-empty rule)") {
+    import spark.implicits._
+    val suite = SuiteLoader.fromJson(
+      """{"expectations":[
+           {"expectation_type":"expect_column_value_lengths_to_be_between",
+            "kwargs":{"column":"id","min_value":1,"max_value":5}}]}""")
+    val r = SuiteLoader.evaluate(Seq("", "ok", "toolong").toDF("id"), suite)
+    assert(r.violations("id_too_short") == 1L)
+    assert(r.violations("id_too_long") == 1L)
+    assert(!r.passed)
+    intercept[IllegalArgumentException] {
+      SuiteLoader.fromJson(
+        """{"expectations":[
+             {"expectation_type":"expect_column_value_lengths_to_be_between",
+              "kwargs":{"column":"id"}}]}""")
+    }
+  }
+
+  test("two same-type rules on one column both gate (no name shadowing)") {
+    import spark.implicits._
+    val suite = SuiteLoader.fromJson(
+      """{"expectations":[
+           {"expectation_type":"expect_column_values_to_be_between",
+            "kwargs":{"column":"age","min_value":0,"max_value":150}},
+           {"expectation_type":"expect_column_values_to_be_between",
+            "kwargs":{"column":"age","min_value":18,"max_value":65}}]}""")
+    val r = SuiteLoader.evaluate(Seq(5.0, 40.0, 200.0).toDF("age"), suite)
+    assert(r.violations("age_out_of_range") == 1L)   // 200 breaks [0,150]
+    assert(r.violations("age_out_of_range_2") == 2L) // 5 and 200 break [18,65]
+  }
+
+  test("fractional value_set entries survive the parse") {
+    import spark.implicits._
+    val suite = SuiteLoader.fromJson(
+      """{"expectations":[
+           {"expectation_type":"expect_column_values_to_be_in_set",
+            "kwargs":{"column":"dose","value_set":[0.5, 1.5]}}]}""")
+    val r = SuiteLoader.evaluate(Seq(0.5, 1.5, 1.0).toDF("dose"), suite)
+    assert(r.violations("dose_not_in_set") == 1L) // only 1.0 is outside
+  }
+
   test("person_suite passes on the OMOP generator output and catches seeded damage") {
     val suite = SuiteLoader.fromResource("graft/suites/person_suite.json")
     val person = Omop.person(spark, 500, 42L)

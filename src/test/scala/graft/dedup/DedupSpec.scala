@@ -137,6 +137,25 @@ class DedupSpec extends SparkSpec {
     assert(pruned.contains((1L, 2L)))
   }
 
+  test("dedupAgainstDigests: the slim fingerprint-table path matches the text path") {
+    import spark.implicits._
+    val seen = Seq((100L, "the quick brown fox"), (101L, "historic text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "THE  QUICK   brown fox"),
+      (2L, "brand new text"),
+      (3L, "brand  NEW text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val digests = seen
+      .select(graft.text.TextFunctions.fingerprint(col("text")).as("digest"))
+    val viaDigests = Dedup.dedupAgainstDigests(batch, "doc_id", "text", digests)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaText = Dedup.dedupAgainstCorpus(batch, seen, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDigests == viaText && viaDigests == Set(2L, 4L))
+  }
+
   test("containment catches a sub-document Jaccard misses") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta"

@@ -55,7 +55,10 @@ class MedallionSpec extends SparkSpec {
   test("red/green gate driven by the declarative JSON suite document") {
     val tmp = Files.createTempDirectory("graft-medallion-suite").toString
     val dmSuite = graft.checks.SuiteLoader.fromResource("graft/suites/dm_suite.json")
-    assert(dmSuite.name == "dm_suite" && dmSuite.rowChecks.size == 6)
+    // 7 row checks: the length expectation now gates BOTH bounds, so
+    // STUDYID carries MinLength(1) (non-empty) alongside MaxLength(50)
+    assert(dmSuite.name == "dm_suite" && dmSuite.rowChecks.size == 7)
+    assert(dmSuite.rowChecks.contains(graft.checks.MinLength("STUDYID", 1)))
     val suites = Medallion.domainChecks.updated("DM", dmSuite.rowChecks)
     val domains = SyntheticSdtm.allDomains(spark, 30, 42L) // includes SEX='X'
     // red: the seeded bad row trips the JSON-declared in-set rule
