@@ -227,11 +227,13 @@ object Dedup {
     * sharing a MinHash band bucket with corpus docs — intra-side pairs
     * are never generated; that's [[jaccardPairs]]' job), then exact
     * df-uncapped Jaccard verifies each candidate from both sides'
-    * shingle sets. At 100 TB the corpus side's signatures/bands are the
-    * slim precomputable index (k longs per doc); the batch side is the
-    * small new data — the full corpus text is touched only for verified
-    * candidates' shingles. Returns (batch_id, corpus_id, inter, sz1,
-    * sz2, jaccard) with sz1 = batch-doc shingle count. */
+    * shingle sets. At 100 TB the corpus side's band buckets AND its
+    * shingle table are the precomputable index an ingest run maintains
+    * (this overload derives both from corpus text; a stored-index
+    * variant would read them as tables, the same evolution
+    * [[dedupAgainstDigests]] gives exact dedup); the batch side is the
+    * small new data. Returns (batch_id, corpus_id, inter, sz1, sz2,
+    * jaccard) with sz1 = batch-doc shingle count. */
   def crossCorpusPairs(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {

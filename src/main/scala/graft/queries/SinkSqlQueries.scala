@@ -60,6 +60,35 @@ object SinkSqlQueries {
                      CAST(n_regionkey AS BIGINT) AS n_regionkey
               FROM nation ORDER BY n_nationkey""")),
 
+    // S15: schema evolution across parquet file generations — the
+    // ingestion reality at 100 TB that yesterday's files lack today's
+    // columns. Two generations of the nation table are written with
+    // different schemas (gen1 without the region key, gen2 with it); the
+    // mergeSchema scan reconciles them, null-filling the column old
+    // files never carried, and the oracle replays the same drift as a
+    // CASE over the source table.
+    Q("s15_schema_evolution",
+      (s, d) => {
+        val out = tmp("s15_evo")
+        val nation = Tables.nation(s, d)
+        nation.filter(col("n_nationkey") < 12)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"))
+          .write.mode("overwrite").parquet(s"$out/gen1")
+        nation.filter(col("n_nationkey") >= 12)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$out/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/gen1", s"$out/gen2")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                     CASE WHEN n_nationkey >= 12
+                          THEN CAST(n_regionkey AS BIGINT) END AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // S11: JSON sink/scan roundtrip of an aggregate.
     Q("s11_json_roundtrip",
       (s, d) => {

@@ -302,6 +302,29 @@ object WindowSortQueries {
               SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
               ORDER BY src, o_orderkey""")),
 
+    // U-extension: union across drifted schemas — a legacy extract
+    // without a column concatenated with a modern one that has it
+    // (unionByName + allowMissingColumns null-fills by NAME, where
+    // positional unionAll would silently misalign).
+    Q("u4_union_schema_drift",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val legacy = o.filter(month(col("o_orderdate")) === 1)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val modern = o.filter(month(col("o_orderdate")) === 2)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        legacy.unionByName(modern, allowMissingColumns = true)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+                     CAST(NULL AS VARCHAR) AS o_orderpriority
+              FROM orders WHERE date_part('month', o_orderdate) = 1
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE date_part('month', o_orderdate) = 2
+              ORDER BY o_orderkey""")),
+
     Q("u2_intersect",
       (s, d) => {
         val o = Tables.orders(s, d)
