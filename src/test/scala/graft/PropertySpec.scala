@@ -136,6 +136,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: intervalCensus is non-negative, bounded by n, and closes to zero") {
+    val interval = Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 20L))
+      .map { case (s, len) => (java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(19000 + s)),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + s + len))) }
+    forAll(Gen.nonEmptyListOf(interval)) { ivs =>
+      val df = ivs.toDF("s", "e")
+      val census = graft.ops.TimeSeries.intervalCensus(df, "s", "e")
+        .orderBy("day").collect().map(_.getAs[Long]("census"))
+      // every interval eventually closes: the curve never dips below 0,
+      // never exceeds the interval count, and its last step lands on 0
+      assert(census.forall(c => c >= 0 && c <= ivs.length))
+      assert(census.lastOption.contains(0L))
+    }
+  }
+
   test("property: graft_shingle_stats equals the composed Column form on random text") {
     graft.functions.ShingleStats.register(spark)
     // whitespace-heavy generator: tokens, runs of spaces/tabs/newlines,
