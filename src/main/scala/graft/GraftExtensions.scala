@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.functions.MinHashAgg(children(0), v)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be an integer literal, got $other")
+      }))
     // Whole-operator extension: plans graft.plans.AsOfJoinPlan as
     // BroadcastAsOfJoinExec (custom physical as-of join).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -186,9 +186,25 @@ object Dedup {
 
   /** Signatures from an existing (id, shingle) frame — lets callers that
     * also need the shingles for exact verification derive both from ONE
-    * (cached) shingle scan instead of re-tokenizing the corpus. */
-  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+    * (cached) shingle scan instead of re-tokenizing the corpus. Uses the
+    * [[graft.functions.MinHashAgg]] custom aggregate: all k slots fold in
+    * one pass with a k-long buffer per group, so no k-rows-per-shingle
+    * blowup is materialized and the shuffle carries one buffer per doc
+    * per partition. Values are bit-identical to the relational
+    * formulation (kept below for the equivalence spec) and the t7 oracle. */
+  private[dedup] def signaturesFromShingles(sh: DataFrame, idCol: String,
       k: Int): DataFrame = {
+    graft.functions.MinHashAgg.register(sh.sparkSession)
+    sh.groupBy(idCol)
+      .agg(call_function("graft_minhash", col("shingle"), lit(k)).as("__sig"))
+      .select(col(idCol), posexplode(col("__sig")).as(Seq("j", "mh")))
+  }
+
+  /** The posexplode/groupBy formulation of [[signaturesFromShingles]] —
+    * retained as the independent reference DedupSpec pins the fused
+    * aggregate against. */
+  private[dedup] def signaturesFromShinglesRelational(sh: DataFrame,
+      idCol: String, k: Int): DataFrame = {
     val hashes = sh.select(col(idCol),
       posexplode(array((0 until k).map(j =>
         TextFunctions.hash60(col("shingle"), j)): _*)).as(Seq("j", "h")))

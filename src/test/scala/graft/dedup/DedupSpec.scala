@@ -137,6 +137,22 @@ class DedupSpec extends SparkSpec {
     assert(pruned.contains((1L, 2L)))
   }
 
+  test("fused MinHash aggregate is bit-identical to the relational formulation") {
+    // the custom TypedImperativeAggregate must reproduce the posexplode/
+    // groupBy signatures exactly — same md5 scheme, same 60-bit parse —
+    // on real corpus text (covers multi-partition partial aggregation)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(7) // force partial buffers to merge across partitions
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("j")) -> r.getAs[Long]("mh"))
+      .toMap
+    val fused = keyed(Dedup.signaturesFromShingles(sh, "doc_id", 12))
+    val relational = keyed(Dedup.signaturesFromShinglesRelational(sh, "doc_id", 12))
+    assert(fused == relational)
+    assert(fused.nonEmpty)
+  }
+
   test("dedupAgainstDigests: the slim fingerprint-table path matches the text path") {
     import spark.implicits._
     val seen = Seq((100L, "the quick brown fox"), (101L, "historic text"))
