@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => graft.functions.SimHashAgg(children(0))))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),
       (children: Seq[Expression]) => children(1) match {

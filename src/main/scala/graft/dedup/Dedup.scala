@@ -334,12 +334,26 @@ object Dedup {
     * hash60) keeps the assembled value positive in a signed 64-bit integer
     * in every engine. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.SimHashAgg.register(df.sparkSession)
     val tok = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tk"))
     val hashed = tok.select(col(idCol), TextFunctions.hash60(col("tk"), 0).as("h"))
-    // one conditional-sum aggregate per bit in a single group-by pass (a
-    // 60× row blowup via posexplode measured 4.6 s at sf0.1; this form is
-    // one shuffle of one row per doc)
+    // one int[60] vote buffer per group (custom TypedImperativeAggregate)
+    // — single pass, map-side combined, no 60-column internal row; the
+    // Column formulation below is the spec-pinned reference
+    hashed.groupBy(idCol)
+      .agg(call_function("graft_simhash", col("h")).as("simhash"))
+  }
+
+  /** The 60-conditional-sum Column formulation — retained as the
+    * independent reference DedupSpec pins [[simhash]]'s custom aggregate
+    * against (and the historical note: a 60× posexplode blowup measured
+    * 4.6 s at sf0.1; this form one shuffle row per doc). */
+  private[dedup] def simhashColumns(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tk"))
+    val hashed = tok.select(col(idCol), TextFunctions.hash60(col("tk"), 0).as("h"))
     val votes = (0 until 60).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         .as(s"v$b"))

@@ -137,6 +137,17 @@ class DedupSpec extends SparkSpec {
     assert(pruned.contains((1L, 2L)))
   }
 
+  test("fused SimHash aggregate is bit-identical to the Column formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(7) // partial vote buffers must merge across partitions
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val fused = keyed(Dedup.simhash(docs, "doc_id", "text"))
+    val columns = keyed(Dedup.simhashColumns(docs, "doc_id", "text"))
+    assert(fused == columns)
+    assert(fused.nonEmpty)
+  }
+
   test("fused MinHash aggregate is bit-identical to the relational formulation") {
     // the custom TypedImperativeAggregate must reproduce the posexplode/
     // groupBy signatures exactly — same md5 scheme, same 60-bit parse —
