@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.functions.HeavyHittersAgg(children(0), v)
+        case other => throw new IllegalArgumentException(
+          s"graft_heavy_hitters k must be an integer literal, got $other")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "graft_simhash"),
       (children: Seq[Expression]) => graft.functions.SimHashAgg(children(0))))

@@ -244,6 +244,42 @@ object AggQueries {
               ORDER BY gid, c_mktsegment ASC NULLS FIRST,
                        o_orderstatus ASC NULLS FIRST""")),
 
+    // A-extension: Misra–Gries heavy hitters under its theorem contract
+    // (the third sketch row alongside the GK quantile and HLL distinct
+    // gates). The candidate SET beyond the guarantee depends on merge
+    // order, so the declared query emits the deterministic facts: how
+    // many TRUE heavy hitters exist (freq > n/(k+1), exact arithmetic)
+    // and whether every one of them appears among the sketch candidates
+    // — which the Misra–Gries bound makes provably TRUE. A seeded
+    // 'whale' key (half of all orders) guarantees the gate is exercised
+    // by a real heavy hitter, not vacuously.
+    Q("a18_heavy_hitters",
+      (s, d) => {
+        graft.functions.HeavyHittersAgg.register(s)
+        val key = when(col("o_orderkey") % 4 < 2, lit("whale"))
+          .otherwise(col("o_custkey").cast("string"))
+        val items = Tables.orders(s, d).select(key.as("item"))
+        val cands = items.agg(
+          call_function("graft_heavy_hitters", col("item"), lit(20)).as("cands"))
+        val counts = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+        val totals = items.agg(count(lit(1)).as("n_total"))
+        val trueHH = counts.crossJoin(totals)
+          .filter(col("cnt").cast("double") * 21.0 > col("n_total").cast("double"))
+        trueHH.crossJoin(cands)
+          .agg(count(lit(1)).as("n_true_hh"),
+            coalesce(min(when(array_contains(col("cands"), col("item")), 1L)
+              .otherwise(0L)), lit(1L)).as("__cap"))
+          .select(col("n_true_hh"), (col("__cap") === 1L).as("all_captured"))
+      },
+      Some("""WITH items AS (SELECT CASE WHEN o_orderkey % 4 < 2 THEN 'whale'
+                                         ELSE CAST(o_custkey AS VARCHAR) END AS item
+                             FROM orders),
+                   counts AS (SELECT item, COUNT(*) AS cnt FROM items GROUP BY item),
+                   hh AS (SELECT item FROM counts
+                          WHERE CAST(cnt AS DOUBLE) * 21.0
+                                > (SELECT CAST(COUNT(*) AS DOUBLE) FROM items))
+              SELECT COUNT(*) AS n_true_hh, TRUE AS all_captured FROM hh""")),
+
     // A13: aggregate over an aggregate (mart → study overview shape).
     Q("a13_two_level_agg",
       (s, d) => {
