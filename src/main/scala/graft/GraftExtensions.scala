@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.Bloom.BloomContains].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        graft.functions.Bloom.BloomContains(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (children: Seq[Expression]) => children(1) match {

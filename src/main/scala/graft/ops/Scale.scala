@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Bloom semi-filter: keep only fact rows whose key MIGHT exist on the
+    * dim side — the explicit runtime semi-join reduction. The dim keys
+    * aggregate into one self-describing bloom bitset
+    * (`graft.functions.Bloom`), broadcast as a scalar; the fact side is
+    * prefiltered by the codegen'd probe BEFORE any join/shuffle. The
+    * output is a superset of the true semi-join (false positives only —
+    * a subsequent real join removes them, so join results are unchanged;
+    * j8's oracle hash-checks exactly that). Sizing: ~10 bits/key at 5
+    * hashes ≈ 1% false-positive rate. */
+  def bloomSemiFilter(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    graft.functions.Bloom.register(fact.sparkSession)
+    // the bloom is an INDEX: build it eagerly (one aggregate action over
+    // dim keys — the IVF-index precedent) and embed the bytes as a
+    // BinaryType literal, so the probe filter stays inside whole-stage
+    // codegen directly on the fact scan. The broadcast-join formulation
+    // ends up as an interpreted BroadcastNestedLoopJoin condition —
+    // measured ~40µs/row, 6.6 s vs 0.4 s for this shape at sf0.1.
+    val bloomBytes = dim.agg(call_function("graft_bloom",
+        col(dimKey).cast("string"), lit(numBits), lit(numHashes)).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    fact.filter(call_function("graft_bloom_contains",
+      lit(bloomBytes), col(factKey).cast("string")))
+  }
+
   /** Two-stage salted aggregation: groupBy (key, salt) partially, then
     * groupBy key to merge. Breaks a hot key across `salts` reducers.
     * `aggs` must be algebraic (sum/count/min/max) — they merge by the same

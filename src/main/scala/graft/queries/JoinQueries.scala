@@ -127,6 +127,29 @@ object JoinQueries {
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority""")),
 
+    // J-extension: Bloom runtime prefilter — the dim side's keys
+    // aggregate into a broadcast bloom bitset and the fact side is
+    // pruned by the codegen'd probe BEFORE the join, so rows that
+    // cannot match never reach the shuffle (the explicit form of AQE's
+    // runtime bloom filters). False positives are removed by the real
+    // join; the oracle is the PLAIN join, and the hash gate proves the
+    // prefilter is invisible in the result.
+    Q("j8_bloom_prefilter_join",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_name")
+        val pre = graft.ops.Scale.bloomSemiFilter(
+          Tables.orders(s, d), "o_custkey", dim, "c_custkey")
+        pre.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              ORDER BY o_orderkey""")),
+
     // J6: semi join — existence filter without multiplying rows.
     Q("j6_semi_join",
       (s, d) => Tables.customer(s, d)
