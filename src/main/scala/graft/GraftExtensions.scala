@@ -29,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[graft.functions.Bloom.BloomAgg].getName,
+        "graft_bloom"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
+            org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(h: Int,
+            org.apache.spark.sql.types.IntegerType)) =>
+          graft.functions.Bloom.BloomAgg(children(0), b, h)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom numBits/numHashes must be integer literals, got $other")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[graft.functions.Bloom.BloomContains].getName,
         "graft_bloom_contains"),

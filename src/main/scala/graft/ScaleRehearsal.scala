@@ -42,7 +42,11 @@ object ScaleRehearsal {
     // pair counts exactly 2×), lineitem-family doubles key-shifted
     "t19_fuzzy_name_pairs", "t20_entity_clusters", "t21_containment_pairs",
     "t22_cross_corpus_neardup", "t23_corpus_mix", "w7_interval_census",
-    "o5_deterministic_group_sample")
+    "o5_deterministic_group_sample",
+    // final tranche: custom aggregates + runtime filter + projections
+    "t8_simhash", "t24_pii_density", "emb9_random_projection",
+    "emb10_projected_neardup", "w8_cumulative_uniques",
+    "j8_bloom_prefilter_join", "a18_heavy_hitters")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit = {
     Files.createDirectories(Paths.get(dst))

@@ -142,11 +142,22 @@ object GraftConfig {
       s"unknown env '${c.env}'")
     if (c.env == "staging" || c.env == "prod") {
       require(c.storage.useSsl, s"${c.env} requires use_ssl=true")
-      // every loopback spelling, not just the literal "localhost" — a
-      // 127.0.0.1/0.0.0.0/[::1] endpoint is the same insecure local store
-      val loopback = Seq("localhost", "127.0.0.1", "0.0.0.0", "::1")
-      require(!loopback.exists(c.storage.endpoint.contains),
-        s"${c.env} cannot point at a loopback object store")
+      // reject the whole loopback space by HOST, not substring: any
+      // 127.0.0.0/8 address, IPv6 ::1 (also IPv4-mapped), 0.0.0.0, and
+      // "localhost" — substring checks both miss 127.0.0.2 and
+      // false-positive on hosts merely containing "0.0.0.0"
+      val endpoint = c.storage.endpoint
+      val host = (try {
+        val withScheme =
+          if (endpoint.contains("://")) endpoint else s"s3://$endpoint"
+        Option(new java.net.URI(withScheme).getHost).getOrElse(endpoint)
+      } catch { case _: Exception => endpoint })
+        .stripPrefix("[").stripSuffix("]")
+      val isLoopback = host.equalsIgnoreCase("localhost") ||
+        host == "0.0.0.0" || host == "::1" || host == "::" ||
+        host.startsWith("127.") || host.startsWith("::ffff:127.")
+      require(!isLoopback,
+        s"${c.env} cannot point at a loopback object store ($host)")
       require(c.piiRedaction, s"${c.env} cannot disable PII redaction")
     }
     require(c.freshnessSloMinutes > 0 && c.shufflePartitions > 0 &&

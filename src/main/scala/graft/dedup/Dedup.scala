@@ -158,10 +158,12 @@ object Dedup {
     val b = shF.select(col(idCol).as("id2"), col("shingle"))
     // one count job decides the pair-generation strategy (an eager scan
     // at construction time — callers that already know the corpus size
-    // pass `docCount` to skip it); the threshold is a parameter so
+    // pass `docCount` to skip it; a MaxValue threshold means "always
+    // exact", so no count runs at all); the threshold is a parameter so
     // declared queries can pin either path
     val pairSpace =
-      if (docCount.getOrElse(df.count()) <= lshPruneThreshold)
+      if (lshPruneThreshold == Long.MaxValue ||
+          docCount.getOrElse(df.count()) <= lshPruneThreshold)
         a.join(b, Seq("shingle")).filter(col("id1") < col("id2"))
       else {
         // signatures derive from the already-cached UNCAPPED shingle scan

@@ -23,6 +23,12 @@ object Scale {
     * hashes ≈ 1% false-positive rate. */
   def bloomSemiFilter(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    // build and probe hash each side's key AS A STRING: mixed key types
+    // would render differently ("7.00" vs "7"), silently breaking the
+    // no-false-negatives contract a join's numeric coercion would hide
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloomSemiFilter key types must match: " +
+        s"${fact.schema(factKey).dataType.sql} vs ${dim.schema(dimKey).dataType.sql}")
     graft.functions.Bloom.register(fact.sparkSession)
     // the bloom is an INDEX: build it eagerly (one aggregate action over
     // dim keys — the IVF-index precedent) and embed the bytes as a

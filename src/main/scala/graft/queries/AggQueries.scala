@@ -262,7 +262,8 @@ object AggQueries {
         val cands = items.agg(
           call_function("graft_heavy_hitters", col("item"), lit(20)).as("cands"))
         val counts = items.groupBy("item").agg(count(lit(1)).as("cnt"))
-        val totals = items.agg(count(lit(1)).as("n_total"))
+        // total derives from the already-grouped counts — no third scan
+        val totals = counts.agg(sum(col("cnt")).as("n_total"))
         val trueHH = counts.crossJoin(totals)
           .filter(col("cnt").cast("double") * 21.0 > col("n_total").cast("double"))
         trueHH.crossJoin(cands)

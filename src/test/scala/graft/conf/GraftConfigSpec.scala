@@ -70,4 +70,21 @@ class GraftConfigSpec extends AnyFunSuite {
       "GRAFT_S3_ENDPOINT" -> "https://s3.example.com"))
     assert(ok.env == "prod" && ok.storage.useSsl)
   }
+
+  test("prod rejects the whole loopback space by host, not substring") {
+    val dir = Files.createTempDirectory("graft-conf-loop").toString
+    // any 127.0.0.0/8 address and IPv6 loopback spellings are refused
+    for (ep <- Seq("https://127.0.0.2:9000", "https://127.99.0.1:9000",
+        "https://[::1]:9000", "https://[::ffff:127.0.0.1]:9000",
+        "https://0.0.0.0:9000")) {
+      intercept[IllegalArgumentException] {
+        GraftConfig.load(dir, Map("GRAFT_ENV" -> "prod",
+          "GRAFT_S3_ENDPOINT" -> ep))
+      }
+    }
+    // a host merely CONTAINING a loopback-like substring is legitimate
+    val ok = GraftConfig.load(dir, Map("GRAFT_ENV" -> "prod",
+      "GRAFT_S3_ENDPOINT" -> "https://bucket-0.0.0.0-metrics.example.com"))
+    assert(ok.env == "prod")
+  }
 }
