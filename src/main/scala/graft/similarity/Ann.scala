@@ -104,13 +104,28 @@ object Ann {
     * AnnSpec pins this). */
   def projectedNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, dims: Int = 8,
-      minProjCosine: Double = 0.0): DataFrame = {
+      minProjCosine: Double = 0.0, bucketed: Boolean = false,
+      planes: Int = 8): DataFrame = {
     val emb = withRegistry(emb0)
     val proj = emb.select(col(idCol).as("__id"),
-      array(randomProjection(col(vecCol), dims): _*).as("__proj"))
-    val pa = proj.select(col("__id").as("id1"), col("__proj").as("p1"))
-    val pb = proj.select(col("__id").as("id2"), col("__proj").as("p2"))
-    val cands = pa.crossJoin(pb).filter(col("id1") < col("id2"))
+      array(randomProjection(col(vecCol), dims): _*).as("__proj"),
+      col(vecCol).as("__vec"))
+    // candidate enumeration: all-pairs (exact recall, O(n²) — fine while
+    // the cheap 8-dim prefilter dominates) or hyperplane-bucketed (the
+    // emb5 composition — pairs exist only inside sign buckets, the
+    // O(n²) space never materializes; recall traded per bucket split)
+    val pairSource =
+      if (!bucketed) {
+        val pa = proj.select(col("__id").as("id1"), col("__proj").as("p1"))
+        val pb = proj.select(col("__id").as("id2"), col("__proj").as("p2"))
+        pa.crossJoin(pb)
+      } else {
+        val b = proj.withColumn("__bucket", hyperplaneBucket(col("__vec"), planes))
+        b.select(col("__id").as("id1"), col("__proj").as("p1"), col("__bucket"))
+          .join(b.select(col("__id").as("id2"), col("__proj").as("p2"),
+            col("__bucket")), Seq("__bucket"))
+      }
+    val cands = pairSource.filter(col("id1") < col("id2"))
       .filter(cosineOrZero(dot(col("p1"), col("p2")),
         norm(col("p1")), norm(col("p2"))) >= minProjCosine)
       .select("id1", "id2")

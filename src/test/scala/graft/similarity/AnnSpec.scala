@@ -199,6 +199,16 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
         r.getAs[Double]("score"))).toMap
     pruned.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
+    // bucketed candidates (the scale path): pairs form only inside sign
+    // buckets — a subset of the all-pairs output with identical scores,
+    // and same-bucket pairs are never lost vs the unbucketed prefilter
+    val bucketed = Ann.projectedNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, dims = 8, minProjCosine = 0.1, bucketed = true,
+      planes = 4)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    bucketed.foreach { case (k, v) => assert(pruned.get(k).contains(v)) }
+    assert(bucketed.nonEmpty)
   }
 
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
