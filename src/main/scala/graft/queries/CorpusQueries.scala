@@ -238,6 +238,80 @@ object CorpusQueries {
               JOIN thr t USING (lang)
               ORDER BY kc.lang""")),
 
+    // T25: split-leakage audit — the check decontamination pipelines run
+    // AFTER splitting: how many near-dup pairs (the t12 LSH-prune +
+    // exact-verify composition) STRADDLE split boundaries. A test doc
+    // near-duplicating a train doc inflates eval scores exactly like
+    // direct contamination; the fix is cluster-aware splitting (assign
+    // whole t20-style components to one split). Composes three audited
+    // pieces — pairs, split assignment, one aggregate — and the oracle
+    // replays all three.
+    Q("t25_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.dedup.Dedup.lshThenExactPairs(docs, "doc_id", "text",
+          n = 3, k = 12, rowsPerBand = 3, minJaccard = 0.2)
+        val splits = docs.select(col("doc_id"),
+          Sampling.splitColumn(col("doc_id"), SplitCuts).as("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("id1"), col("split").as("s1")), "id1")
+          .join(splits.select(col("doc_id").as("id2"), col("split").as("s2")), "id2")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+              .as("n_cross_split"))
+          .select(col("n_pairs"), col("n_cross_split"),
+            when(col("n_pairs") === 0L, lit(0.0))
+              .otherwise(round(col("n_cross_split").cast("double")
+                / col("n_pairs").cast("double"), 6)).as("leakage_rate"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                             FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   sig AS (SELECT doc_id, j,
+                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                      AS BIGINT)) AS mh
+                           FROM sh CROSS JOIN range(0, 12) t(j)
+                           GROUP BY doc_id, j),
+                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                       AS band_hash
+                              FROM sig GROUP BY doc_id, 2),
+                   cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                             FROM banded a JOIN banded b
+                               ON a.band = b.band AND a.band_hash = b.band_hash
+                                  AND a.doc_id < b.doc_id),
+                   inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
+                             FROM cands c
+                             JOIN sh a ON a.doc_id = c.id1
+                             JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                             GROUP BY 1, 2),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   pairs AS (SELECT id1, id2 FROM inter
+                             JOIN sizes s1 ON id1 = s1.doc_id
+                             JOIN sizes s2 ON id2 = s2.doc_id
+                             WHERE CAST(inter AS DOUBLE)
+                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2),
+                   sp AS (SELECT doc_id,
+                                 CASE WHEN $sqlBucket < 9000 THEN 'train'
+                                      WHEN $sqlBucket < 9500 THEN 'val'
+                                      ELSE 'test' END AS split
+                          FROM documents),
+                   tagged AS (SELECT p.id1, p.id2, a.split AS s1, b.split AS s2
+                              FROM pairs p
+                              JOIN sp a ON a.doc_id = p.id1
+                              JOIN sp b ON b.doc_id = p.id2)
+              SELECT COUNT(*) AS n_pairs,
+                     CAST(SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cross_split,
+                     CASE WHEN COUNT(*) = 0 THEN 0.0
+                          ELSE ROUND(CAST(SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END)
+                                          AS DOUBLE)
+                                     / CAST(COUNT(*) AS DOUBLE), 6) END
+                       AS leakage_rate
+              FROM tagged""")),
+
     // T24: corpus PII-density audit — the pre-release scan of a training
     // corpus: per-source counts of email/SSN pattern hits and of
     // documents carrying any hit (the same engine-portable patterns the
