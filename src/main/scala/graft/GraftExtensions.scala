@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hplanes"),
       new ExpressionInfo(classOf[graft.functions.HyperplaneBucket].getName, "graft_hplanes"),
       (children: Seq[Expression]) => graft.functions.HyperplaneBucket.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_bands"),
+      new ExpressionInfo(classOf[graft.functions.BandedHyperplanes].getName, "graft_bands"),
+      (children: Seq[Expression]) => graft.functions.BandedHyperplanes.build(children)))
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))

@@ -34,6 +34,40 @@ object EmbeddingQueries {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / sqrt(${sqlDot(a, a)}) / sqrt(${sqlDot(b, b)})"
 
+  /** SQL twin of one [[Ann.bandedBuckets]] band: bit j of band `t` set iff
+    * the plane p = t·r + j dot is ≥ 0 under the banding weight family
+    * w(p,d) = (((p·1009 + d·613) mod 97) mod 7) − 3 (see
+    * [[graft.functions.BandedHyperplanes]]). */
+  private def sqlBand(vec: String, t: Int, r: Int): String = {
+    val bits = (0 until r).map { j =>
+      val p = t * r + j
+      s"""CASE WHEN list_sum(list_transform(range(1, len($vec) + 1),
+            i -> CAST($vec[i] AS DOUBLE)
+                 * CAST(((($p * 1009 + (i - 1) * 613) % 97) % 7) - 3 AS DOUBLE))) >= 0
+          THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"""
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** Candidate condition replaying the auto-selected enumeration of
+    * [[Ann.cosineNearDupPairs]]/[[Ann.projectedNearDupPairs]]: all pairs
+    * while the corpus is at or below `maxExactDocs` docs, any-shared-band
+    * above. `a`/`b` are aliases of a CTE carrying band0..band{b−1}. */
+  private def sqlAutoCandidates(a: String, b: String, bands: Int,
+      maxExactDocs: Long): String = {
+    val anyBand = (0 until bands)
+      .map(t => s"$a.band$t = $b.band$t").mkString(" OR ")
+    s"((SELECT COUNT(*) FROM embeddings) <= $maxExactDocs OR $anyBand)"
+  }
+
+  /** emb4/emb10 pinned auto-select threshold: sf0.001/sf0.01 (500
+    * vectors) take the exact all-pairs path, sf0.1 (2000) and anything
+    * larger take the banded LSH path — so the tri-scale gate exercises
+    * BOTH enumerations and the bench (sf0.1) measures the scale path. */
+  private val NearDupMaxExactDocs = 1000L
+  private val NearDupPlanesPerBand = 3
+  private val NearDupBands = 8
+
   val all: Seq[Q] = Seq(
 
     Q("emb1_knn_bruteforce",
@@ -79,14 +113,27 @@ object EmbeddingQueries {
                FROM (SELECT ${sqlBucket("embedding", 8)} AS bucket FROM embeddings)
                GROUP BY bucket ORDER BY bucket""")),
 
+    // Candidate enumeration auto-selects on corpus size (the
+    // jaccardPairs treatment): exact all-pairs at/below 1000 docs,
+    // OR-amplified banded LSH (r=3, b=8 — see BandedHyperplanes) above.
+    // The oracle replays the SAME conditional — the band buckets are
+    // deterministic integer math — so the row is hash-exact on whichever
+    // path the scale selects; the sf0.1 bench runs the banded path.
     Q("emb4_cosine_neardup_pairs",
       (s, d) => Ann.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          minCosine = 0.4)
+          minCosine = 0.4, maxExactDocs = NearDupMaxExactDocs,
+          planesPerBand = NearDupPlanesPerBand, bands = NearDupBands)
         .orderBy("id1", "id2"),
-      Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+                      ${(0 until NearDupBands).map(t =>
+                        sqlBand("embedding", t, NearDupPlanesPerBand) +
+                          s" AS band$t").mkString(",\n                      ")}
+                      FROM embeddings)
+               SELECT a.vec_id AS id1, b.vec_id AS id2,
                       ROUND(${sqlCosine("a.embedding", "b.embedding")}, 6) AS score
-               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-               WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
+               FROM v a JOIN v b ON a.vec_id < b.vec_id
+               WHERE ${sqlAutoCandidates("a", "b", NearDupBands, NearDupMaxExactDocs)}
+                 AND ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
                ORDER BY id1, id2""")),
 
     // LSH-bucketed ANN (scale path). The hyperplane bucket is deterministic
@@ -217,22 +264,34 @@ object EmbeddingQueries {
     // the oracle replays prefilter AND rerank, so the recall trade is
     // itself hash-checked (emb4's semantics behind a cheaper candidate
     // stage).
+    // Same auto-selected candidate stage as emb4 (banded LSH above 1000
+    // docs), composed with the deterministic 8-component projection
+    // prefilter: bands bound the pair SPACE, the short projections bound
+    // the per-candidate COST before the full 64-dim rerank. The oracle
+    // replays bands, prefilter, and rerank, so the row stays hash-exact
+    // on both paths.
     Q("emb10_projected_neardup",
       (s, d) => Ann.projectedNearDupPairs(Tables.embeddings(s, d),
           "vec_id", "embedding", minCosine = 0.4, dims = 8,
-          minProjCosine = 0.1)
+          minProjCosine = 0.1, maxExactDocs = NearDupMaxExactDocs,
+          planesPerBand = NearDupPlanesPerBand, bands = NearDupBands)
         .orderBy("id1", "id2"),
       Some(s"""WITH pr AS (SELECT vec_id, embedding,
                      list_transform(range(0, 8), p ->
                        list_sum(list_transform(range(1, len(embedding) + 1),
                          i -> CAST(embedding[i] AS DOUBLE)
                               * CAST(((p * 131 + (i - 1) * 37) % 7) - 3
-                                     AS DOUBLE)))) AS proj
+                                     AS DOUBLE)))) AS proj,
+                     ${(0 until NearDupBands).map(t =>
+                       sqlBand("embedding", t, NearDupPlanesPerBand) +
+                         s" AS band$t").mkString(",\n                     ")}
                      FROM embeddings),
                    cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
                                    a.embedding AS e1, b.embedding AS e2
                             FROM pr a JOIN pr b ON a.vec_id < b.vec_id
-                            WHERE ${sqlCosine("a.proj", "b.proj")} >= 0.1)
+                            WHERE ${sqlAutoCandidates("a", "b", NearDupBands,
+                              NearDupMaxExactDocs)}
+                              AND ${sqlCosine("a.proj", "b.proj")} >= 0.1)
               SELECT id1, id2, ROUND(${sqlCosine("e1", "e2")}, 6) AS score
               FROM cand
               WHERE ${sqlCosine("e1", "e2")} >= 0.4

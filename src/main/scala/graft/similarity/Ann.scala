@@ -50,6 +50,7 @@ object Ann {
   private def withRegistry(df: DataFrame): DataFrame = {
     ArrayDotProduct.register(df.sparkSession)
     graft.functions.HyperplaneBucket.register(df.sparkSession)
+    graft.functions.BandedHyperplanes.register(df.sparkSession)
     df
   }
 
@@ -104,28 +105,34 @@ object Ann {
     * AnnSpec pins this). */
   def projectedNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, dims: Int = 8,
-      minProjCosine: Double = 0.0, bucketed: Boolean = false,
-      planes: Int = 8): DataFrame = {
+      minProjCosine: Double = 0.0, maxExactDocs: Long = 100000L,
+      planesPerBand: Int = 3, bands: Int = 8,
+      docCount: Option[Long] = None): DataFrame = {
     val emb = withRegistry(emb0)
     val proj = emb.select(col(idCol).as("__id"),
-      array(randomProjection(col(vecCol), dims): _*).as("__proj"),
-      col(vecCol).as("__vec"))
-    // candidate enumeration: all-pairs (exact recall, O(n²) — fine while
-    // the cheap 8-dim prefilter dominates) or hyperplane-bucketed (the
-    // emb5 composition — pairs exist only inside sign buckets, the
-    // O(n²) space never materializes; recall traded per bucket split)
+      array(randomProjection(col(vecCol), dims): _*).as("__proj"))
+    // candidate enumeration auto-selects like Dedup.jaccardPairs: the
+    // all-pairs join (exact prefilter recall) while the corpus is at or
+    // below `maxExactDocs`, OR-amplified banded LSH above it (pairs form
+    // only inside shared band buckets — the n² space never materializes;
+    // capture probability 1 − (1 − p^r)^b, see BandedHyperplanes). One
+    // count job decides; callers that know the corpus size pass
+    // `docCount`, and a MaxValue threshold means "always exact" (no
+    // count runs at all).
+    val nDocs =
+      if (maxExactDocs == Long.MaxValue) 0L
+      else docCount.getOrElse(emb.count())
     val pairSource =
-      if (!bucketed) {
+      if (nDocs <= maxExactDocs) {
         val pa = proj.select(col("__id").as("id1"), col("__proj").as("p1"))
         val pb = proj.select(col("__id").as("id2"), col("__proj").as("p2"))
-        pa.crossJoin(pb)
+        pa.crossJoin(pb).filter(col("id1") < col("id2"))
       } else {
-        val b = proj.withColumn("__bucket", hyperplaneBucket(col("__vec"), planes))
-        b.select(col("__id").as("id1"), col("__proj").as("p1"), col("__bucket"))
-          .join(b.select(col("__id").as("id2"), col("__proj").as("p2"),
-            col("__bucket")), Seq("__bucket"))
+        bandedCandidatePairs(emb, idCol, vecCol, planesPerBand, bands)
+          .join(proj.select(col("__id").as("id1"), col("__proj").as("p1")), "id1")
+          .join(proj.select(col("__id").as("id2"), col("__proj").as("p2")), "id2")
       }
-    val cands = pairSource.filter(col("id1") < col("id2"))
+    val cands = pairSource
       .filter(cosineOrZero(dot(col("p1"), col("p2")),
         norm(col("p1")), norm(col("p2"))) >= minProjCosine)
       .select("id1", "id2")
@@ -139,6 +146,50 @@ object Ann {
           .as("score"))
       .filter(col("score") >= minCosine)
       .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+  }
+
+  /** Array of `bands` sign-bucket ids, one per band of `planesPerBand`
+    * independent hyperplanes — the OR-amplified LSH candidate generator
+    * (see [[graft.functions.BandedHyperplanes]] for the weight family and
+    * why [[planeWeight]]'s cannot band). Callers must have registered the
+    * function (every `Ann` entry point does via `withRegistry`). */
+  def bandedBuckets(vec: Column, planesPerBand: Int, bands: Int,
+      maxDims: Int = 64): Column =
+    call_function("graft_bands", vec, lit(planesPerBand), lit(bands), lit(maxDims))
+
+  /** Composed per-plane reference for [[bandedBuckets]] (one `graft_dot`
+    * per plane against a literal weight array): kept as the equivalence
+    * oracle for the fused expression — AnnSpec asserts identical bands. */
+  def bandedBucketsComposed(vec: Column, planesPerBand: Int, bands: Int,
+      maxDims: Int = 64): Column = {
+    val v = vec.cast("array<double>")
+    val bandCols = (0 until bands).map { t =>
+      (0 until planesPerBand).map { j =>
+        val p = t * planesPerBand + j
+        val weights = typedlit((0 until maxDims).map(d =>
+          (((p * 1009 + d * 613) % 97) % 7 - 3).toDouble))
+        when(dot(v, weights) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    array(bandCols: _*)
+  }
+
+  /** Candidate (id1 < id2) pairs sharing ANY band bucket. The pair space
+    * is Σ_bands Σ_buckets C(sz, 2) — bounded per bucket, shuffled on the
+    * (band, bucket) key, AQE-splittable — instead of the n² cartesian;
+    * `distinct` collapses pairs captured by several bands before the
+    * (expensive) exact rerank. */
+  private def bandedCandidatePairs(emb: DataFrame, idCol: String,
+      vecCol: String, planesPerBand: Int, bands: Int): DataFrame = {
+    val bk = emb.select(col(idCol).as("__id"),
+      posexplode(bandedBuckets(col(vecCol), planesPerBand, bands))
+        .as(Seq("__band", "__bkt")))
+    bk.select(col("__id").as("id1"), col("__band"), col("__bkt"))
+      .join(bk.select(col("__id").as("id2"), col("__band"), col("__bkt")),
+        Seq("__band", "__bkt"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
   }
 
   /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0):
@@ -250,25 +301,41 @@ object Ann {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** All pairs with cosine ≥ `minCosine` (embedding near-duplicate
-    * detection). Per-row norms are computed once on each side of the join;
-    * each pair costs exactly one codegen'd dot. `exact=false` bounds the
-    * pair space with LSH buckets (pairs only form inside a bucket). */
+  /** Pairs with cosine ≥ `minCosine` (embedding near-duplicate detection).
+    * Per-row norms are computed once on each side of the join; each pair
+    * costs exactly one codegen'd dot.
+    *
+    * Candidate enumeration auto-selects (the Dedup.jaccardPairs
+    * treatment): the exact all-pairs join while the corpus is at or below
+    * `maxExactDocs` docs, OR-amplified banded LSH candidates above it —
+    * pairs form only inside shared band buckets, so the pair space is
+    * Σ bucket² per band instead of n². Above the threshold recall is the
+    * banding capture probability 1 − (1 − p^r)^b with p = 1 − θ/π: at a
+    * realistic near-dup threshold (cosine 0.9, default r=3 b=8) that is
+    * ≥ 0.999 per pair; at the deliberately hard testdata threshold 0.4
+    * (uniform vectors, no planted dups — pairs sit barely above
+    * background) it is ≈ 0.8, measured and pinned by AnnSpec. Both paths
+    * are deterministic and engine-replayable, so the declared queries
+    * stay hash-exact on whichever path the corpus size selects. */
   def cosineNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, exact: Boolean = true, planes: Int = 8): DataFrame = {
+      minCosine: Double, maxExactDocs: Long = 100000L,
+      planesPerBand: Int = 3, bands: Int = 8,
+      docCount: Option[Long] = None): DataFrame = {
     val emb = withRegistry(emb0)
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       norm(col(vecCol)).as("n1"))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"),
       norm(col(vecCol)).as("n2"))
+    val nDocs =
+      if (maxExactDocs == Long.MaxValue) 0L
+      else docCount.getOrElse(emb.count())
     val pairs =
-      if (exact) a.crossJoin(b)
-      else {
-        val ba = a.withColumn("__bucket", hyperplaneBucket(col("v1"), planes))
-        val bb = b.withColumn("__bucket", hyperplaneBucket(col("v2"), planes))
-        ba.join(bb, Seq("__bucket"))
-      }
-    pairs.filter(col("id1") < col("id2"))
+      if (nDocs <= maxExactDocs)
+        a.crossJoin(b).filter(col("id1") < col("id2"))
+      else
+        bandedCandidatePairs(emb, idCol, vecCol, planesPerBand, bands)
+          .join(a, "id1").join(b, "id2")
+    pairs
       .select(col("id1"), col("id2"),
         cosineOrZero(dot(col("v1"), col("v2")), col("n1"), col("n2"))
           .as("score"))

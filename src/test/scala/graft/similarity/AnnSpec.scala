@@ -38,14 +38,95 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("near-dup pairs: exact quadratic vs bucketed candidates agree on found pairs") {
+  test("near-dup pairs: exact quadratic vs banded candidates agree on found pairs") {
     val exact = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
     assert(exact == Set((0L, 1L))) // only 0~1 are >= 0.9
-    val bucketed = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9,
-      exact = false, planes = 2)
+    // maxExactDocs = 0 forces the banded LSH path regardless of size
+    val banded = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+      maxExactDocs = 0L)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
-    assert(bucketed.subsetOf(exact))
+    assert(banded.subsetOf(exact))
+  }
+
+  test("banded path recall on the declared parameters (pinned measurement)") {
+    // the declared emb4 shape: uniform driver vectors, threshold 0.4 — the
+    // WORST case for LSH (pairs sit barely above background, no planted
+    // dups). Banding capture 1−(1−p³)⁸ predicts ~0.8 here and ≥0.999 at a
+    // realistic 0.9 near-dup threshold; pin the measured floor so a weight-
+    // family regression (e.g. the 7-plane periodicity graft_hplanes has)
+    // shows up as a recall collapse, not silently.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    val banded = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4,
+      maxExactDocs = 0L, planesPerBand = 3, bands = 8)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    // banded output is a subset with identical scores (the rerank is exact)
+    banded.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
+    assert(exact.nonEmpty)
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.70, s"banded recall $recall below pinned floor 0.70")
+  }
+
+  test("fused graft_bands equals the composed per-plane graft_dot form") {
+    graft.functions.ArrayDotProduct.register(spark)
+    graft.functions.BandedHyperplanes.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.select(
+      Ann.bandedBuckets(col("embedding"), 3, 8).as("fused"),
+      Ann.bandedBucketsComposed(col("embedding"), 3, 8).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+  }
+
+  test("graft_bands buckets degenerate vectors at all-zero, like the SQL oracle") {
+    graft.functions.BandedHyperplanes.register(spark)
+    val withNull = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array.empty[Float])
+    ).toDF("id", "embedding")
+    val rows = withNull.select(col("id"),
+      Ann.bandedBuckets(col("embedding"), 3, 8).as("bands"))
+      .orderBy("id").collect()
+    // null and empty vectors: every band bucket 0, never NULL (the oracle's
+    // CASE WHEN list_sum(...) >= 0 ... ELSE 0 yields 0 when the sum is NULL)
+    Seq(1, 2).foreach { i =>
+      assert(!rows(i).isNullAt(1))
+      assert(rows(i).getSeq[Long](1) == Seq.fill(8)(0L))
+    }
+    assert(rows(0).getSeq[Long](1).length == 8)
+  }
+
+  test("graft_bands interpreted eval matches codegen") {
+    graft.functions.BandedHyperplanes.register(spark)
+    val fromCodegen = vecs
+      .select(Ann.bandedBuckets(col("embedding"), 3, 8).as("b"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = vecs
+        .select(Ann.bandedBuckets(col("embedding"), 3, 8).as("b"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(interpreted == fromCodegen)
+    }
+  }
+
+  test("banding weight family has no short period in p (unlike graft_hplanes)") {
+    // graft_hplanes' w(p,d) repeats with period 7 in p — only 7 distinct
+    // hyperplanes, which silently caps OR-amplification. The banding
+    // family must not: check the first 24 planes are pairwise distinct
+    // as weight vectors over 64 dims.
+    def wvec(p: Int): Seq[Int] =
+      (0 until 64).map(d => ((p * 1009 + d * 613) % 97) % 7 - 3)
+    val planes = (0 until 24).map(wvec)
+    assert(planes.distinct.size == 24)
+    // and the legacy family really is periodic (documents WHY graft_bands
+    // exists — if this ever fails, the families diverged)
+    def legacy(p: Int): Seq[Int] = (0 until 64).map(d => (p * 131 + d * 37) % 7 - 3)
+    assert(legacy(0) == legacy(7) && legacy(3) == legacy(10))
   }
 
   test("codegen'd graft_dot is bit-identical to the interpreted fold") {
@@ -199,16 +280,16 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
         r.getAs[Double]("score"))).toMap
     pruned.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
-    // bucketed candidates (the scale path): pairs form only inside sign
-    // buckets — a subset of the all-pairs output with identical scores,
-    // and same-bucket pairs are never lost vs the unbucketed prefilter
-    val bucketed = Ann.projectedNearDupPairs(emb, "vec_id", "embedding",
-      minCosine = 0.4, dims = 8, minProjCosine = 0.1, bucketed = true,
-      planes = 4)
+    // banded candidates (the scale path, forced via maxExactDocs = 0):
+    // pairs form only inside shared band buckets — a subset of the
+    // all-pairs output with identical scores (band prune and projection
+    // prune compose; the rerank stays exact)
+    val banded = Ann.projectedNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.4, dims = 8, minProjCosine = 0.1, maxExactDocs = 0L)
       .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
         r.getAs[Double]("score"))).toMap
-    bucketed.foreach { case (k, v) => assert(pruned.get(k).contains(v)) }
-    assert(bucketed.nonEmpty)
+    banded.foreach { case (k, v) => assert(pruned.get(k).contains(v)) }
+    assert(banded.nonEmpty)
   }
 
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
