@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one unmeasured warmup execution per query (JIT + codegen +
   * file-footer caches — the things a long-lived cluster amortizes away),
-  * then one measured execution. Per-query seconds are steady-state; the
-  * "value" metric is the sum of measured seconds over ALL queries.
+  * immediately followed by that query's measured execution (adjacent, not
+  * sweep-then-sweep, so warm state cannot decay across the suite). Per-query
+  * seconds are steady-state; the "value" metric is the sum of measured
+  * seconds over ALL queries.
   *
   * The printed JSON line is kept SHORT (headline per-query map only) so it
   * survives the driver's bounded tail buffer — round 1's full 94-query map
@@ -56,18 +58,24 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    // warmup: full sweep, unmeasured — but failures are REPORTED (a query
-    // that only breaks during warmup must not hide until the measured run
-    // happens to differ)
+    // warmup is INTERLEAVED: each query's unmeasured warmup runs
+    // immediately before its measured run, not as a separate full sweep.
+    // With sweep-then-sweep, ~148 queries (hundreds of generated classes)
+    // separate a query's warmup from its measurement, so JIT/codegen-cache
+    // state from the warmup can be gone by measure time — measured as the
+    // round-4 j1 anomaly: cold j1 costs ~6 s (Janino + JIT of the 4-way
+    // broadcast star) vs ~1.0 s steady-state, and the driver box recorded
+    // 5.08 s for a measured run that should have been warm. Adjacent
+    // warmup makes the measured number steady-state by construction.
+    // Warmup failures are still REPORTED (a query that only breaks during
+    // warmup must not hide until the measured run happens to differ).
     var warmupFailures = 0
-    names.foreach { name =>
+    val results = names.map { name =>
       try run(name)
       catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"[bench] warmup failure: $name: ${e.getMessage}")
       }
-    }
-    val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { run(name); true }
