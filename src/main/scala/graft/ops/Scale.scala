@@ -84,12 +84,23 @@ object Scale {
     * a join family shares the count. Catalog required: bucketing metadata
     * lives there, hence `saveAsTable`, not a bare path. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: a previous session's managed-table files can
+    // outlive the (in-memory) catalog entry, and saveAsTable refuses to
+    // reuse an existing location it did not create (LOCATION_ALREADY_EXISTS)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Repartition by key then sort within partitions before writing —
     * gives parquet min/max row-group skipping on `sortCol` (the poor

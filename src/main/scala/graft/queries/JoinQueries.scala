@@ -86,6 +86,66 @@ object JoinQueries {
                  ON c_custkey = ia.o_custkey
                ORDER BY c_custkey""")),
 
+    // J2b: the SAME spine as j2 on a bucketed layout — the declared form
+    // of the 100 TB answer PERF.md names for the nightly spine rebuild.
+    // Customer and both aggregate sides are materialized bucketed+sorted
+    // on the join key (ops.Scale.writeBucketed, 8 buckets each side);
+    // Catalyst recognizes the shared HashPartitioning and plans the
+    // three-way left join with ZERO exchanges — asserted in-query on the
+    // join subtree (the final ORDER BY for the oracle adds its own range
+    // exchange, as any ordered output must). The oracle is the PLAIN j2
+    // SQL: bucketing must be invisible in the result, and the hash gate
+    // proves it.
+    Q("j2b_bucketed_spine_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val orderAgg = o.groupBy("o_custkey").agg(
+          count(lit(1)).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        val itemAgg = li.join(o.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey").agg(count(lit(1)).as("item_cnt"))
+        graft.ops.Scale.writeBucketed(
+          c.select("c_custkey", "c_mktsegment"), "graft_j2b_cust", "c_custkey", 8)
+        graft.ops.Scale.writeBucketed(orderAgg, "graft_j2b_ord", "o_custkey", 8)
+        graft.ops.Scale.writeBucketed(itemAgg, "graft_j2b_item", "o_custkey", 8)
+        // hint("merge") pins sort-merge on all sides: at test scale the
+        // planner would otherwise broadcast the small sides (a
+        // BroadcastExchange — correct there, but then the query would not
+        // demonstrate the exchange-free bucketed plan it exists to pin)
+        val cb = s.table("graft_j2b_cust").hint("merge")
+        val ob = s.table("graft_j2b_ord").hint("merge")
+        val ib = s.table("graft_j2b_item").hint("merge")
+        val joined = cb
+          .join(ob, cb("c_custkey") === ob("o_custkey"), "left")
+          .drop("o_custkey")
+          .join(ib, cb("c_custkey") === ib("o_custkey"), "left")
+          .drop("o_custkey")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+            coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+            coalesce(col("item_cnt"), lit(0L)).as("item_cnt"))
+        require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+          "j2b bucketed spine join planned an exchange — bucket layout not used")
+        joined.orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment,
+                      COALESCE(oa.order_cnt, 0) AS order_cnt,
+                      COALESCE(oa.total_spent, 0.0) AS total_spent,
+                      COALESCE(ia.item_cnt, 0) AS item_cnt
+               FROM customer
+               LEFT JOIN (SELECT o_custkey, COUNT(*) AS order_cnt,
+                                 ${sqlDsum("o_totalprice")} AS total_spent
+                          FROM orders GROUP BY o_custkey) oa
+                 ON c_custkey = oa.o_custkey
+               LEFT JOIN (SELECT o_custkey, COUNT(*) AS item_cnt
+                          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          GROUP BY o_custkey) ia
+                 ON c_custkey = ia.o_custkey
+               ORDER BY c_custkey""")),
+
     // J3: natural-key lookup join (surrogate-key resolution shape).
     Q("j3_key_lookup_join",
       (s, d) => Tables.supplier(s, d)
