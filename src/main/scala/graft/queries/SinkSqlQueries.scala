@@ -106,6 +106,45 @@ object SinkSqlQueries {
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
                FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // S5 + S6: the partitioned medallion sink under the oracle gate —
+    // landToBronze writes hive-partitioned study_id=…/domain=… parquet
+    // (the reference's core ingest layout, ingest_csv.py:90,146) and the
+    // read-back reconstructs the partition columns from the DIRECTORY
+    // KEYS. The oracle is a genuine file-level twin: DuckDB reads the
+    // SAME parquet files with hive_partitioning, so partition routing,
+    // directory naming, and row fidelity are all under the hash gate —
+    // not a semantics replay from the source views. Domain frames come
+    // from the deterministic S12 generator, sized from the sfDir so the
+    // row counts stay scale-dependent.
+    Q("s16_partitioned_sink_roundtrip",
+      (s, d) => {
+        val out = tmp("s16_bronze")
+        val nSubjects = math.max(100L, Tables.customer(s, d).count() / 10L).toInt
+        val raw = graft.standards.SyntheticSdtm.allDomains(s, nSubjects, 42L)
+        // the generator seeds one invalid SEX='X' row (SUBJ0000) for the
+        // red/green demo gate; quarantine it like Demo so the landing is
+        // green and the sink actually writes
+        val domains = raw.updated("DM",
+          raw("DM").filter(col("SUBJID") =!= "SUBJ0000"))
+        val results = graft.io.Medallion.landToBronze(domains, "S16", out)
+        require(results.forall(_.passed),
+          s"s16 medallion gate failed: ${results.filterNot(_.passed).map(_.domain)}")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("study_id", "domain")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("SUBJID")).as("n_subj"),
+            min(col("SUBJID")).as("min_subj"),
+            max(col("SUBJID")).as("max_subj"))
+          .orderBy("study_id", "domain")
+      },
+      Some(s"""SELECT study_id, domain, COUNT(*) AS n_rows,
+                      COUNT(DISTINCT SUBJID) AS n_subj,
+                      MIN(SUBJID) AS min_subj, MAX(SUBJID) AS max_subj
+               FROM read_parquet('${tmp("s16_bronze")}/*/*/*.parquet',
+                                 hive_partitioning = true, union_by_name = true)
+               GROUP BY study_id, domain
+               ORDER BY study_id, domain""")),
+
     // S8: the SQL entry point over registered views (CTAS-shaped select).
     // S13 (extension): row-level MERGE/upsert (ops.Upsert) — matched keys
     // take the update's row wholesale, new keys insert, the rest pass
