@@ -83,6 +83,48 @@ object Multimodal {
     } else ("unknown", -1, -1)
   }
 
+  /** Deterministic REAL-container-header payload for a given format and
+    * dimensions — the fixture twin of [[parseImageHeader]]: every byte a
+    * parser inspects (magic, field offsets, endianness) is laid out per
+    * the public container specs, so `parseImageHeader(synthPayload(f, w,
+    * h)) == (f, w, h)` exactly, and the mm2 oracle can replay the
+    * generation arithmetic while Spark runs the full bytes→parse path.
+    * Checksums/compressed streams are omitted (the header parse never
+    * reads them); any other `format` yields a junk payload that must
+    * parse as ("unknown", -1, -1). */
+  def synthPayload(format: String, w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    format match {
+      case "png" =>
+        // signature + IHDR chunk (length 13, type, w, h, bit depth/color/
+        // compression/filter/interlace) — CRC omitted
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 6, 0, 0, 0)
+      case "gif" =>
+        // GIF89a + logical screen descriptor (little-endian w, h) + trailer
+        "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+          Array[Byte](0, 0, 0x3b)
+      case "bmp" =>
+        // BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER prefix: size 40,
+        // then little-endian signed w at 18 and h at 22
+        "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+          le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+      case "jpeg" =>
+        // SOI + SOF0 segment: marker, length 17, precision, then
+        // big-endian HEIGHT before WIDTH (the JPEG field order)
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte) ++
+          be16(17) ++ Array[Byte](8) ++ be16(h) ++ be16(w) ++
+          Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      case _ => "NOT_A_MEDIA_CONTAINER".getBytes("US-ASCII")
+    }
+  }
+
   /** Header metadata over a binary column via one partition-preserving
     * map pass (same batch shape as [[extractFeatures]]). */
   def imageHeaders(media: DataFrame): Dataset[ImageHeader] = {

@@ -150,6 +150,43 @@ object PrivacyMiscQueries {
                      sha256(text) AS payload_sha
               FROM documents ORDER BY doc_id""")),
 
+    // MM2: the REAL image-header parse under the hash gate. Each doc_id
+    // deterministically picks a container format and dimensions; Spark
+    // builds a REAL header payload (Multimodal.synthPayload — bytes laid
+    // out per the PNG/GIF/BMP/JPEG specs) and parses it back through the
+    // production imageHeaders mapPartitions path. The oracle replays only
+    // the generation ARITHMETIC — so the row hash-fails unless
+    // synth→parse round-trips every format, offset, and endianness
+    // exactly (including the unknown-container (-1, -1) contract).
+    Q("mm2_image_headers",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val fmt = (id % 5) match {
+              case 0 => "png"; case 1 => "gif"; case 2 => "bmp"
+              case 3 => "jpeg"; case _ => "unknown"
+            }
+            val w = (id % 1920L).toInt + 1
+            val h = (id * 7L % 1080L).toInt + 1
+            (id, graft.multimodal.Multimodal.synthPayload(fmt, w, h))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.imageHeaders(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                          ELSE 'unknown' END AS format,
+                     CASE WHEN doc_id % 5 = 4 THEN CAST(-1 AS BIGINT)
+                          ELSE doc_id % 1920 + 1 END AS width,
+                     CASE WHEN doc_id % 5 = 4 THEN CAST(-1 AS BIGINT)
+                          ELSE (doc_id * 7) % 1080 + 1 END AS height
+              FROM documents ORDER BY media_id""")),
+
     // A6 companion: the approximate sketch itself (reference uses
     // approx_quantile). Sketch VALUES differ across engines by design, so
     // the value is not oracle-able — but the sketch's ERROR CONTRACT is:

@@ -88,6 +88,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1 == "unknown")
   }
 
+  test("synthPayload round-trips through parseImageHeader at boundary dims") {
+    // the mm2 contract: generation arithmetic == parse result, exactly.
+    // Boundary dims cover sign/endianness traps: 1, field-width maxima
+    // (le16/be16 formats cap at 65535, the mm2 query stays far below),
+    // and the byte-boundary values 255/256 where hi/lo byte swaps show.
+    val dims = Seq(1, 2, 255, 256, 1080, 1919, 1920, 65535)
+    for (f <- Seq("png", "gif", "bmp", "jpeg"); w <- dims; h <- dims)
+      assert(Multimodal.parseImageHeader(Multimodal.synthPayload(f, w, h))
+        == ((f, w, h)), s"round-trip failed for ($f, $w, $h)")
+    assert(Multimodal.parseImageHeader(Multimodal.synthPayload("unknown", 9, 9))
+      == (("unknown", -1, -1)))
+  }
+
   test("frame sampling explodes every k-th frame index") {
     val frames = Multimodal.sampleFrames(Multimodal.extractMeta(media), everyK = 10)
     val byId = frames.groupBy("media_id").agg(
