@@ -77,6 +77,22 @@ object RiskModel {
     Metrics(auc, ap)
   }
 
+  /** M4 — binary log-loss (cross-entropy) with the standard probability
+    * clip at eps = 1e-15 (sklearn's default, which produced the
+    * reference's recorded demo metric
+    * `docs/assets/demo/mlflow/metrics.json: log_loss`). One aggregation
+    * pass over the scored frame. */
+  def logLoss(model: PipelineModel, test: DataFrame): Double = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    val eps = 1e-15
+    model.transform(test)
+      .select(greatest(least(p1, lit(1.0 - eps)), lit(eps)).as("p"),
+        col("label"))
+      .agg(avg(when(col("label") === 1.0, -log(col("p")))
+        .otherwise(-log(lit(1.0) - col("p")))).as("ll"))
+      .head().getDouble(0)
+  }
+
   /** M4 — confusion matrix at `threshold` (`ml/train.py:78-92`,
     * y_pred = y_prob > 0.5): one conditional-aggregate pass over the
     * scored frame, no collect of predictions. */

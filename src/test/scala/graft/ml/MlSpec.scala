@@ -33,6 +33,40 @@ class MlSpec extends SparkSpec {
     assert(!RiskModel.passesGate(RiskModel.Metrics(0.5, 0.5)))
   }
 
+  test("M3-M7 golden-metrics drift gate: pinned-seed run stays within tolerance") {
+    // The reference publishes demo anchors (docs/assets/demo/mlflow/
+    // metrics.json: accuracy 0.9474, log_loss 0.1757) and hard gates
+    // (ml/train.py:336-342: AUC >= 0.65, AP >= 0.60). The clean fixture
+    // is perfectly separable (label derivable from SEVERE_AE_COUNT →
+    // every metric saturates at 1.0, useless for drift detection), so
+    // this gate flips 10% of labels deterministically (seeded SUBJID
+    // hash) to land metrics in the reference's good-but-imperfect band,
+    // then pins the MEASURED goldens of the full pipeline (features →
+    // stratified split → scaler→LR fit → evaluate) at seed 42.
+    // Tolerances (±0.05 rank metrics/accuracy, ±0.10 log-loss) absorb
+    // BLAS/JVM/Spark-version float drift; a real regression — solver
+    // change, split skew, scaling bug, probability miscalibration —
+    // moves these metrics far more than the tolerance.
+    val noisy = features.withColumn("label",
+      when(pmod(xxhash64(col("SUBJID"), lit(7L)), lit(10L)) === 0L,
+        lit(1.0) - col("label")).otherwise(col("label")))
+    val (train, test) = RiskModel.stratifiedSplit(noisy)
+    val model = RiskModel.pipeline().fit(train)
+    val m = RiskModel.evaluate(model, test)
+    val cm = RiskModel.confusionMatrix(model, test)
+    val ll = RiskModel.logLoss(model, test)
+    assert(math.abs(m.auc - 0.900000) <= 0.05, s"auc drifted: ${m.auc}")
+    assert(math.abs(m.averagePrecision - 0.750935) <= 0.05,
+      s"ap drifted: ${m.averagePrecision}")
+    assert(math.abs(cm.accuracy - 0.926829) <= 0.05,
+      s"accuracy drifted: ${cm.accuracy} (reference demo anchor 0.9474)")
+    assert(math.abs(ll - 0.499456) <= 0.10,
+      s"log-loss drifted: $ll (reference demo anchor 0.1757)")
+    // the reference's published promotion gates must also hold on the
+    // noisy problem — they are the weaker check
+    assert(RiskModel.passesGate(m))
+  }
+
   test("M4 completeness: confusion matrix, ROC/PR curves, score dist, importance") {
     val (train, test) = RiskModel.stratifiedSplit(features)
     val model = RiskModel.pipeline().fit(train)
