@@ -137,6 +137,35 @@ object GraftConfig {
   /** Fail-fast on insecure staging/prod settings (the engine twin of
     * `config.py:201-218`): TLS required, no localhost endpoint, and PII
     * redaction may not be disabled outside local/dev. */
+  /** inet_aton-compatible IPv4 literal parse: 1–4 dot-separated parts,
+    * each decimal, octal (leading 0), or hex (0x); the last part fills
+    * the remaining bytes. Returns the 32-bit address for hosts that ARE
+    * such literals, None for DNS names / IPv6 / malformed input. This is
+    * the loosest spelling a libc-based client accepts, which is the
+    * right parser for a deny-gate. */
+  private[conf] def inetAtonLiteral(host: String): Option[Long] = {
+    val parts = host.split("\\.", -1)
+    if (parts.isEmpty || parts.length > 4 || parts.exists(_.isEmpty)) return None
+    def part(p: String): Option[Long] =
+      try {
+        if (p.matches("0[xX][0-9a-fA-F]+"))
+          Some(java.lang.Long.parseLong(p.drop(2), 16))
+        else if (p.length > 1 && p.charAt(0) == '0' && p.matches("[0-7]+"))
+          Some(java.lang.Long.parseLong(p, 8))
+        else if (p.matches("[0-9]+")) Some(java.lang.Long.parseLong(p))
+        else None
+      } catch { case _: NumberFormatException => None }
+    val vals = parts.toSeq.map(part)
+    if (vals.exists(_.isEmpty)) return None
+    val v = vals.map(_.get)
+    val lastBytes = 5 - v.length // bytes covered by the final part
+    val headOk = v.init.forall(x => x >= 0 && x <= 255)
+    val lastMax = (1L << (8 * lastBytes)) - 1
+    if (!headOk || v.last < 0 || v.last > lastMax) return None
+    val head = v.init.zipWithIndex.map { case (x, i) => x << (8 * (3 - i)) }.sum
+    Some(head + v.last)
+  }
+
   private def validated(c: GraftConfig): GraftConfig = {
     require(Seq("local", "dev", "staging", "prod").contains(c.env),
       s"unknown env '${c.env}'")
@@ -147,16 +176,35 @@ object GraftConfig {
       // "localhost" — substring checks both miss 127.0.0.2 and
       // false-positive on hosts merely containing "0.0.0.0"
       val endpoint = c.storage.endpoint
-      val host = (try {
-        val withScheme =
-          if (endpoint.contains("://")) endpoint else s"s3://$endpoint"
-        Option(new java.net.URI(withScheme).getHost).getOrElse(endpoint)
-      } catch { case _: Exception => endpoint })
+      val withScheme =
+        if (endpoint.contains("://")) endpoint else s"s3://$endpoint"
+      // java.net.URI.getHost is null for authorities it deems invalid reg
+      // names (e.g. the partial-form literal "127.1"), so fall back to
+      // manual authority extraction rather than to the raw endpoint string
+      val host = (Option(
+        try new java.net.URI(withScheme).getHost
+        catch { case _: Exception => null })
+        .getOrElse {
+          val auth = withScheme.substring(withScheme.indexOf("://") + 3)
+            .takeWhile(ch => ch != '/' && ch != '?' && ch != '#')
+          val noUser = auth.substring(auth.indexOf('@') + 1)
+          if (noUser.startsWith("[")) noUser.takeWhile(_ != ']')
+          else noUser.takeWhile(_ != ':')
+        })
         .stripPrefix("[").stripSuffix("]")
-      val isLoopback = host.equalsIgnoreCase("localhost") ||
+      val nameIsLoopback = host.equalsIgnoreCase("localhost") ||
         host == "0.0.0.0" || host == "::1" || host == "::" ||
         host.startsWith("127.") || host.startsWith("::ffff:127.")
-      require(!isLoopback,
+      // non-dotted-quad IPv4 spellings (decimal "2130706433", partial
+      // "127.1", hex "0x7f000001", octal "0177.0.0.1") still reach 127/8
+      // through libc-style clients, so parse them the way the LOOSEST
+      // client (inet_aton) would — Java's own parser accepts only some of
+      // these. DNS names are never resolved here: a config validator must
+      // not do network I/O, and a name that happens to resolve to
+      // loopback is a deployment concern, not a config-document fault.
+      val parsedIsLoopback = inetAtonLiteral(host).exists(a =>
+        (a >>> 24) == 127L || a == 0L)
+      require(!nameIsLoopback && !parsedIsLoopback,
         s"${c.env} cannot point at a loopback object store ($host)")
       require(c.piiRedaction, s"${c.env} cannot disable PII redaction")
     }

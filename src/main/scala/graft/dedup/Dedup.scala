@@ -20,6 +20,30 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Cached intermediate frames (shingle scans, signature tables) created
+    * by the pair pipelines. Caching is load-bearing — each cached frame
+    * feeds 2–3 downstream plans within one returned query — but the
+    * frames are module-internal, so callers could never unpersist them.
+    * Long-lived sessions invoking many pair pipelines should call
+    * [[unpersistCaches]] between batches; otherwise Spark's
+    * MEMORY_AND_DISK LRU eviction bounds the footprint (correct, just
+    * later). */
+  private val trackedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private[graft] def tracked(df: DataFrame): DataFrame = {
+    trackedCaches.add(df); df
+  }
+
+  /** Release every cached intermediate this module has created (blocking =
+    * false: eviction proceeds asynchronously). Safe to call mid-session —
+    * an in-flight plan re-caches on next use. */
+  def unpersistCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+
   /** Exact-duplicate groups: digest → group size and keeper (min id).
     * One shuffle on the md5 digest (reference A1-style hash group-by).
     * Null-text rows are excluded — they are ABSENT documents, not
@@ -148,7 +172,7 @@ object Dedup {
   private def pairStats(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDf: Long, lshPruneThreshold: Long,
       docCount: Option[Long] = None): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sh = tracked(wordShingles(df, idCol, textCol, n).cache())
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select("shingle")
@@ -257,8 +281,8 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     // one cached shingle scan per side feeds both its signatures and the
     // exact-verification joins
-    val shB = wordShingles(batch, idCol, textCol, n).cache()
-    val shC = wordShingles(corpus, idCol, textCol, n).cache()
+    val shB = tracked(wordShingles(batch, idCol, textCol, n).cache())
+    val shC = tracked(wordShingles(corpus, idCol, textCol, n).cache())
     val bB = bandBuckets(signaturesFromShingles(shB, idCol, k), idCol, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val bC = bandBuckets(signaturesFromShingles(shC, idCol, k), idCol, rowsPerBand)
@@ -290,7 +314,7 @@ object Dedup {
     * and the estimate join. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
+    val sigs = tracked(minhashSignatures(df, idCol, textCol, n, k).cache())
     val cands = bandedCandidates(sigs, idCol, rowsPerBand)
     val s1 = sigs.select(col(idCol).as("id1"), col("j"), col("mh").as("mh1"))
     val s2 = sigs.select(col(idCol).as("id2"), col("j"), col("mh").as("mh2"))
@@ -313,7 +337,7 @@ object Dedup {
     // estimate, so computing est_jaccard for every candidate would be a
     // wasted k-rows-per-pair shuffle+aggregate stage. One cached shingle
     // scan feeds both the signatures and the verification joins.
-    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sh = tracked(wordShingles(df, idCol, textCol, n).cache())
     val cands = bandedCandidates(
       signaturesFromShingles(sh, idCol, k), idCol, rowsPerBand)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))

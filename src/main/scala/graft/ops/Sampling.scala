@@ -55,10 +55,13 @@ object Sampling {
   /** Corpus mixing: downsample strata so the kept corpus matches a target
     * composition (`Seq("web" -> 0.6, "books" -> 0.4)`) as closely as the
     * data allows — the training-mix step of an LLM data pipeline. The kept
-    * size is maximized: C = min over strata of n_s / p_s, each stratum
-    * keeps k_s = ⌊C·p_s⌋ rows (the binding stratum is kept whole), chosen
-    * deterministically by hash bucket so membership is stable across
-    * runs/engines and nests across re-mixes at the same seed. Strata
+    * size is maximized: C = min over strata of n_s / p_s, and each stratum
+    * keeps ≈k_s = ⌊C·p_s⌋ rows IN EXPECTATION — the hash-bucket filter
+    * admits each row independently, so non-binding strata land within
+    * sampling noise of k_s rather than exactly on it (SamplingSpec's loose
+    * bounds pin this); only the binding stratum, kept whole, is exact.
+    * Membership is deterministic by hash bucket, stable across
+    * runs/engines, and nests across re-mixes at the same seed. Strata
     * absent from `targets` are dropped (share 0); the keep rule is exact
     * integer arithmetic (bucket·n_s < granularity·k_s — no floating
     * thresholds in the row filter).

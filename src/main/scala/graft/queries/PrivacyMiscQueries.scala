@@ -223,10 +223,16 @@ object PrivacyMiscQueries {
     // A5 companion: HyperLogLog++ approximate distinct count, gated like
     // a6b — the sketch VALUE is engine-specific, its ERROR CONTRACT is
     // not. The query computes both the sketch and the exact distinct in
-    // one aggregate and emits |approx − exact| ≤ 3·rsd·exact per group (a
-    // 3-sigma bound on HLL++'s relative standard deviation; rsd = 0.05,
-    // Spark's default); the oracle asserts TRUE plus the exact count — an
-    // HLL regression outside its advertised error hash-fails this row.
+    // one aggregate and emits |approx − exact| ≤ 5·rsd·exact per group
+    // (rsd = 0.05, Spark's default); the oracle asserts TRUE plus the
+    // exact count — an HLL regression outside its advertised error
+    // hash-fails this row. NOTE the bound is probabilistic, not a hard
+    // HLL++ contract: rsd is one standard deviation, so 5σ makes a
+    // legitimate sketch output failing the gate astronomically unlikely
+    // while still catching real regressions (a broken sketch is off by
+    // far more than 25%); for FIXED input the sketch is deterministic,
+    // and the margin is tri-scale verified (observed error ≤ ~1·rsd on
+    // the driver testdata).
     Q("a5b_approx_count_distinct",
       (s, d) => {
         val rsd = 0.05
@@ -237,7 +243,7 @@ object PrivacyMiscQueries {
             approx_count_distinct(col("o_custkey"), rsd).as("approx"))
           .select(col("o_orderstatus"), col("n_exact"),
             (abs(col("approx").cast("double") - col("n_exact").cast("double"))
-              <= col("n_exact").cast("double") * (3.0 * rsd))
+              <= col("n_exact").cast("double") * (5.0 * rsd))
               .as("within_bound"))
           .orderBy("o_orderstatus")
       },

@@ -33,7 +33,8 @@ object Contamination {
     // shuffle) feeds two subtrees (sizes and the semi-join); Spark does
     // not dedupe common subplans, so cache it once — same convention as
     // jaccardPairs' shingle frame
-    val heldSh = Dedup.wordShingles(heldout, idCol, textCol, n).cache()
+    val heldSh = Dedup.tracked(
+      Dedup.wordShingles(heldout, idCol, textCol, n).cache())
     val trainSh = Dedup.wordShingles(train, idCol, textCol, n)
       .select("shingle").distinct()
     val sizes = heldSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))

@@ -74,9 +74,14 @@ class GraftConfigSpec extends AnyFunSuite {
   test("prod rejects the whole loopback space by host, not substring") {
     val dir = Files.createTempDirectory("graft-conf-loop").toString
     // any 127.0.0.0/8 address and IPv6 loopback spellings are refused
+    // …including non-dotted-quad literal spellings that still parse into
+    // 127/8 (decimal, partial-form, hex) — caught by the InetAddress
+    // literal parse, not string prefixes
     for (ep <- Seq("https://127.0.0.2:9000", "https://127.99.0.1:9000",
         "https://[::1]:9000", "https://[::ffff:127.0.0.1]:9000",
-        "https://0.0.0.0:9000")) {
+        "https://0.0.0.0:9000", "https://2130706433:9000",
+        "https://127.1:9000", "https://0x7f000001:9000",
+        "https://0177.0.0.1:9000", "https://0x7f.1:9000")) {
       intercept[IllegalArgumentException] {
         GraftConfig.load(dir, Map("GRAFT_ENV" -> "prod",
           "GRAFT_S3_ENDPOINT" -> ep))
