@@ -48,7 +48,22 @@ object ScaleRehearsal {
     "emb10_projected_neardup", "w8_cumulative_uniques",
     "j8_bloom_prefilter_join", "a18_heavy_hitters")
 
-  def writeDoubled(spark: SparkSession, src: String, dst: String): Unit = {
+  def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
+    writeScaled(spark, src, dst, 2)
+
+  /** Generalized structure-preserving scale-up: `copies` total copies
+    * (1 ≤ copies ≤ 4; the limit is the embedding family, which has four
+    * exactly-structure-preserving transforms). Copy k of the documents
+    * salts every token with a copy-distinct suffix, so intra-copy
+    * near-dup structure is identical and cross-copy shingle overlap is
+    * zero (pair counts scale exactly ×copies). Copy k of the embeddings
+    * applies negate^(k&1) ∘ reverse^(k>>1): cosine within a copy is
+    * preserved exactly (sign flips cancel, reversal is a permutation),
+    * while cross-copy cosines are sign-flipped or decorrelated — below
+    * any near-dup threshold on the uniform driver vectors. */
+  def writeScaled(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    require(copies >= 1 && copies <= 4, s"copies must be in [1,4], got $copies")
     Files.createDirectories(Paths.get(dst))
     // dims + events: byte-identical copies (events carries TIMESTAMP(NANOS)
     // parquet that a plain spark.read rejects — never re-encode it)
@@ -59,39 +74,55 @@ object ScaleRehearsal {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1
+    def stacked(base: DataFrame)(mk: Int => DataFrame): DataFrame =
+      (1 until copies).map(mk).foldLeft(base)(_ unionByName _)
 
     val (cust, ord, li) = (read("customer"), read("orders"), read("lineitem"))
     val (custShift, ordShift) = (maxOf(cust, "c_custkey"), maxOf(ord, "o_orderkey"))
-    cust.unionByName(cust.withColumn("c_custkey", col("c_custkey") + custShift))
+    stacked(cust)(k => cust.withColumn("c_custkey", col("c_custkey") + k * custShift))
       .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    ord.unionByName(ord
-        .withColumn("o_orderkey", col("o_orderkey") + ordShift)
-        .withColumn("o_custkey", col("o_custkey") + custShift))
+    stacked(ord)(k => ord
+        .withColumn("o_orderkey", col("o_orderkey") + k * ordShift)
+        .withColumn("o_custkey", col("o_custkey") + k * custShift))
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    li.unionByName(li.withColumn("l_orderkey", col("l_orderkey") + ordShift))
+    stacked(li)(k => li.withColumn("l_orderkey", col("l_orderkey") + k * ordShift))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     val docs = read("documents")
     val docShift = maxOf(docs, "doc_id")
-    docs.unionByName(docs
-        .withColumn("doc_id", col("doc_id") + docShift)
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1‿b")))
+    val saltChars = Seq("b", "c", "d")
+    stacked(docs)(k => docs
+        .withColumn("doc_id", col("doc_id") + k * docShift)
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1‿" + saltChars(k - 1))))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = read("embeddings")
     val vecShift = maxOf(emb, "vec_id")
-    emb.unionByName(emb
-        .withColumn("vec_id", col("vec_id") + vecShift)
-        .withColumn("embedding",
-          transform(col("embedding"), x => -x).cast("array<float>")))
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    stacked(emb) { k =>
+      val negated =
+        if ((k & 1) == 1) transform(col("embedding"), x => -x)
+        else col("embedding")
+      val transformed =
+        if ((k >> 1) == 1) reverse(negated) else negated
+      emb.withColumn("vec_id", col("vec_id") + k * vecShift)
+        .withColumn("embedding", transformed.cast("array<float>"))
+    }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
+  /** Usage: runMain graft.ScaleRehearsal [srcDir] [workDir] [factor]
+    * [comma-separated query subset] — factor defaults to 2 (the standing
+    * rehearsal); 4 with the pair-family subset is the round-5 deep check
+    * on Σ bucket² growth. */
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse(
-      Files.createTempDirectory("graft-sf2x").toString)
-    val dst = s"$work/sf2x"
+      Files.createTempDirectory("graft-sfNx").toString)
+    val factor = args.lift(2).map(_.toInt).getOrElse(2)
+    val rehearsed = args.lift(3)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Rehearsed)
+    val dst = s"$work/sf${factor}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,8 +133,8 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    writeDoubled(spark, src, dst)
-    println(s"DOUBLED $src -> $dst")
+    writeScaled(spark, src, dst, factor)
+    println(s"SCALED x$factor $src -> $dst")
 
     def time(name: String, dir: String): (Double, Double) = {
       def once(): Double = {
@@ -115,12 +146,12 @@ object ScaleRehearsal {
       val first = once() // includes any one-time index/materialization
       (first, once())    // steady state
     }
-    Rehearsed.foreach { name =>
+    rehearsed.foreach { name =>
       try {
         val (f1, s1) = time(name, src)
         val (f2, s2) = time(name, dst)
         println(f"RATIO $name%-28s sf1_first=$f1%6.2f sf1=$s1%6.2f " +
-          f"sf2x_first=$f2%6.2f sf2x=$s2%6.2f steady_ratio=${s2 / s1}%5.2f")
+          f"sfNx_first=$f2%6.2f sfNx=$s2%6.2f steady_ratio=${s2 / s1}%5.2f")
       } catch {
         case e: Throwable =>
           println(s"RATIO $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
