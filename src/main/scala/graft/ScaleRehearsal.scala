@@ -56,11 +56,17 @@ object ScaleRehearsal {
     * exactly-structure-preserving transforms). Copy k of the documents
     * salts every token with a copy-distinct suffix, so intra-copy
     * near-dup structure is identical and cross-copy shingle overlap is
-    * zero (pair counts scale exactly ×copies). Copy k of the embeddings
-    * applies negate^(k&1) ∘ reverse^(k>>1): cosine within a copy is
-    * preserved exactly (sign flips cancel, reversal is a permutation),
-    * while cross-copy cosines are sign-flipped or decorrelated — below
-    * any near-dup threshold on the uniform driver vectors. */
+    * zero (document pair counts scale exactly ×copies). Copy k of the
+    * embeddings applies negate^(k&1) ∘ reverse^(k>>1): cosine within a
+    * copy is preserved exactly (sign flips cancel, reversal is a
+    * permutation). Cross-copy cosines are sign-flipped (negate) or
+    * decorrelated (reverse) — at a realistic near-dup threshold (≥0.9)
+    * no cross-copy pairs arise, but at the testdata's contrived 0.4
+    * threshold some DO: the negative tail's twins (cos ≤ −0.4 pairs flip
+    * to ≥ 0.4 against a negated copy) and chance reverse-correlations.
+    * The scaled embedding corpus is therefore somewhat DENSER in pairs
+    * than ×copies, and measured pair-family ratios are conservative
+    * upper bounds on engine scaling cost, not exact per-pair costs. */
   def writeScaled(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
     require(copies >= 1 && copies <= 4, s"copies must be in [1,4], got $copies")

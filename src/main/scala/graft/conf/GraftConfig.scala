@@ -204,7 +204,16 @@ object GraftConfig {
       // loopback is a deployment concern, not a config-document fault.
       val parsedIsLoopback = inetAtonLiteral(host).exists(a =>
         (a >>> 24) == 127L || a == 0L)
-      require(!nameIsLoopback && !parsedIsLoopback,
+      // IPv6 literals have their own non-canonical spellings ("0::1",
+      // "0:0:0:0:0:0:0:1", IPv4-mapped hex "::ffff:7f00:1") — a host
+      // containing ':' can only be an IPv6 literal (DNS labels cannot),
+      // so InetAddress.getByName parses it WITHOUT any lookup and the
+      // address class check covers every spelling at once
+      val v6IsLoopback = host.contains(":") && (try {
+        val a = java.net.InetAddress.getByName(host)
+        a.isLoopbackAddress || a.isAnyLocalAddress
+      } catch { case _: Exception => false })
+      require(!nameIsLoopback && !parsedIsLoopback && !v6IsLoopback,
         s"${c.env} cannot point at a loopback object store ($host)")
       require(c.piiRedaction, s"${c.env} cannot disable PII redaction")
     }

@@ -26,23 +26,18 @@ object Dedup {
     * frames are module-internal, so callers could never unpersist them.
     * Long-lived sessions invoking many pair pipelines should call
     * [[unpersistCaches]] between batches; otherwise Spark's
-    * MEMORY_AND_DISK LRU eviction bounds the footprint (correct, just
-    * later). */
-  private val trackedCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+    * MEMORY_AND_DISK LRU eviction bounds the executor-storage footprint
+    * (correct, just later). Delegates to [[graft.ops.Caches]] (shared
+    * with the embedding pair pipelines). */
+  private[graft] def tracked(df: DataFrame): DataFrame =
+    graft.ops.Caches.tracked(df)
 
-  private[graft] def tracked(df: DataFrame): DataFrame = {
-    trackedCaches.add(df); df
-  }
-
-  /** Release every cached intermediate this module has created (blocking =
-    * false: eviction proceeds asynchronously). Safe to call mid-session —
-    * an in-flight plan re-caches on next use. */
-  def unpersistCaches(): Unit = {
-    val it = trackedCaches.iterator()
-    while (it.hasNext) { it.next().unpersist(false); it.remove() }
-  }
+  /** Release every cached intermediate the pair pipelines have created.
+    * Call BETWEEN batches: an unexecuted query built before the call
+    * will recompute (not re-cache) its shared subtrees when it finally
+    * runs — correct, but it pays the duplicated scan the cache existed
+    * to avoid. */
+  def unpersistCaches(): Unit = graft.ops.Caches.unpersistAll()
 
   /** Exact-duplicate groups: digest → group size and keeper (min id).
     * One shuffle on the md5 digest (reference A1-style hash group-by).

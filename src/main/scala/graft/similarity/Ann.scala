@@ -159,7 +159,13 @@ object Ann {
 
   /** Composed per-plane reference for [[bandedBuckets]] (one `graft_dot`
     * per plane against a literal weight array): kept as the equivalence
-    * oracle for the fused expression — AnnSpec asserts identical bands. */
+    * oracle for the fused expression — AnnSpec asserts identical bands on
+    * real vectors. Degenerate inputs (empty / all-null-element arrays)
+    * DIVERGE by design, exactly like [[hyperplaneBucketComposed]]:
+    * `graft_dot` over an empty array is 0.0, whose `>= 0` sets every
+    * bit, while the fused expression and the DuckDB oracle both yield
+    * all-zero buckets (list_sum of an empty list is NULL → ELSE 0).
+    * AnnSpec pins both behaviors so the contract stays visible. */
   def bandedBucketsComposed(vec: Column, planesPerBand: Int, bands: Int,
       maxDims: Int = 64): Column = {
     val v = vec.cast("array<double>")
@@ -181,9 +187,14 @@ object Ann {
     * (expensive) exact rerank. */
   private def bandedCandidatePairs(emb: DataFrame, idCol: String,
       vecCol: String, planesPerBand: Int, bands: Int): DataFrame = {
-    val bk = emb.select(col(idCol).as("__id"),
-      posexplode(bandedBuckets(col(vecCol), planesPerBand, bands))
-        .as(Seq("__band", "__bkt")))
+    // the slim (id, band, bucket) table feeds BOTH sides of the self-join;
+    // Spark does not dedupe common subplans, so cache it once (same
+    // convention as Dedup's shingle frames — tracked, releasable via
+    // Caches.unpersistAll / Dedup.unpersistCaches)
+    val bk = graft.ops.Caches.tracked(
+      emb.select(col(idCol).as("__id"),
+        posexplode(bandedBuckets(col(vecCol), planesPerBand, bands))
+          .as(Seq("__band", "__bkt"))).cache())
     bk.select(col("__id").as("id1"), col("__band"), col("__bkt"))
       .join(bk.select(col("__id").as("id2"), col("__band"), col("__bkt")),
         Seq("__band", "__bkt"))

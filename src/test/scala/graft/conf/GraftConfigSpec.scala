@@ -81,7 +81,9 @@ class GraftConfigSpec extends AnyFunSuite {
         "https://[::1]:9000", "https://[::ffff:127.0.0.1]:9000",
         "https://0.0.0.0:9000", "https://2130706433:9000",
         "https://127.1:9000", "https://0x7f000001:9000",
-        "https://0177.0.0.1:9000", "https://0x7f.1:9000")) {
+        "https://0177.0.0.1:9000", "https://0x7f.1:9000",
+        "https://[0:0:0:0:0:0:0:1]:9000", "https://[0::1]:9000",
+        "https://[::ffff:7f00:1]:9000")) {
       intercept[IllegalArgumentException] {
         GraftConfig.load(dir, Map("GRAFT_ENV" -> "prod",
           "GRAFT_S3_ENDPOINT" -> ep))

@@ -98,6 +98,15 @@ class AnnSpec extends SparkSpec {
       assert(rows(i).getSeq[Long](1) == Seq.fill(8)(0L))
     }
     assert(rows(0).getSeq[Long](1).length == 8)
+    // the composed reference DIVERGES on the empty vector by design
+    // (graft_dot over an empty array is 0.0 → every sign bit set; the
+    // fused form follows the ORACLE) — pin the divergence like the
+    // graft_hplanes test does, so the contract stays visible
+    graft.functions.ArrayDotProduct.register(spark)
+    val composedEmpty = withNull.filter(col("id") === 3L)
+      .select(Ann.bandedBucketsComposed(col("embedding"), 3, 8).as("b"))
+      .collect()(0).getSeq[Long](0)
+    assert(composedEmpty == Seq.fill(8)(7L)) // all 3 bits of every band
   }
 
   test("graft_bands interpreted eval matches codegen") {
