@@ -264,6 +264,36 @@ object EmbeddingQueries {
     // the oracle replays prefilter AND rerank, so the recall trade is
     // itself hash-checked (emb4's semantics behind a cheaper candidate
     // stage).
+    // EMB11: cross-corpus embedding near-dup — the recurring-crawl shape
+    // (t22's embedding twin): every 10th vector plays the NEW batch, the
+    // rest the indexed corpus. ALWAYS banded — the corpus's slim band
+    // table is the precomputable index a crawl probes — candidates form
+    // only across sides, exact rerank on survivors. The oracle replays
+    // bands + rerank, so the banded recall trade is itself hash-checked.
+    Q("emb11_cross_corpus_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Ann.crossCorpusNearDupPairs(
+            emb.filter(col("vec_id") % 10 === 0),
+            emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", minCosine = 0.4,
+            planesPerBand = NearDupPlanesPerBand, bands = NearDupBands)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+                      ${(0 until NearDupBands).map(t =>
+                        sqlBand("embedding", t, NearDupPlanesPerBand) +
+                          s" AS band$t").mkString(",\n                      ")}
+                      FROM embeddings)
+               SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+                      ROUND(${sqlCosine("a.embedding", "b.embedding")}, 6) AS score
+               FROM v a JOIN v b
+                 ON a.vec_id % 10 = 0 AND b.vec_id % 10 != 0
+                AND (${(0 until NearDupBands).map(t =>
+                      s"a.band$t = b.band$t").mkString(" OR ")})
+               WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
+               ORDER BY batch_id, corpus_id""")),
+
     // Same auto-selected candidate stage as emb4 (banded LSH above 1000
     // docs), composed with the deterministic 8-component projection
     // prefilter: bands bound the pair SPACE, the short projections bound

@@ -203,6 +203,41 @@ object Ann {
       .distinct()
   }
 
+  /** Cross-corpus embedding near-dup — the embedding twin of the text
+    * family's recurring-crawl dedup (t22): NEW batch vectors against an
+    * INDEXED corpus. Always banded (that is the point: the corpus side's
+    * slim (id, band, bucket) table is precomputable once and probed by
+    * every subsequent crawl without rescanning corpus vectors), with
+    * candidates forming only ACROSS sides via shared band buckets and
+    * the exact cosine rerank running on survivors. Capture probability
+    * per true pair is the banding 1 − (1 − p^r)^b, as in
+    * [[cosineNearDupPairs]]'s scale path. */
+  def crossCorpusNearDupPairs(batch0: DataFrame, corpus0: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      planesPerBand: Int = 3, bands: Int = 8): DataFrame = {
+    val batch = withRegistry(batch0)
+    val corpus = withRegistry(corpus0)
+    def bandTable(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        posexplode(bandedBuckets(col(vecCol), planesPerBand, bands))
+          .as(Seq("__band", "__bkt")))
+    val cands = bandTable(batch, "batch_id")
+      .join(bandTable(corpus, "corpus_id"), Seq("__band", "__bkt"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
+    cands.join(b, "batch_id").join(c, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        cosineOrZero(dot(col("v1"), col("v2")), col("n1"), col("n2"))
+          .as("score"))
+      .filter(col("score") >= minCosine)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Sign-bucket id from `planes` hyperplanes (bit p = 1 iff dot_p ≥ 0):
     * the single-pass codegen'd [[graft.functions.HyperplaneBucket]]
     * expression (`graft_hplanes`). `maxDims` must be ≥ the vector length

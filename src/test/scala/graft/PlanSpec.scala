@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("aggregate(zip_with"), "interpreted fold in hot path")
   }
 
+  test("emb4 scale path: banded candidates plan equi-joins, never a cartesian") {
+    // above maxExactDocs the candidate stage must be the (band, bucket)
+    // shuffle join — a CartesianProduct or BroadcastNestedLoopJoin in the
+    // plan means the n² space materializes and the 100x story is dead
+    val df = graft.similarity.Ann.cosineNearDupPairs(
+      graft.io.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      minCosine = 0.4, maxExactDocs = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian stage in the banded path:\n$plan")
+    assert(plan.contains("graft_bands"), s"graft_bands missing:\n$plan")
+  }
+
   test("checks suite evaluates as a single aggregation (no joins, one scan)") {
     val df = SparkEntry.queries("v1_check_suite_events")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -123,6 +123,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus near-dup: pairs cross sides only, scores exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val pairs = Ann.crossCorpusNearDupPairs(batch, corpus, "vec_id",
+      "embedding", minCosine = 0.4)
+      .collect().map(r => ((r.getAs[Long]("batch_id"),
+        r.getAs[Long]("corpus_id")), r.getAs[Double]("score"))).toMap
+    assert(pairs.nonEmpty)
+    // sides are respected: batch ids ≡ 0 (mod 10), corpus ids ≢ 0
+    pairs.keys.foreach { case (b, c) =>
+      assert(b % 10 == 0 && c % 10 != 0)
+    }
+    // survivors carry their true cosine: recompute exactly via the
+    // all-pairs scan (threshold low enough that banding is the only
+    // difference — every banded pair must appear there with equal score)
+    val exactAll = Ann.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("score"))).toMap
+    pairs.foreach { case ((b, c), s) =>
+      val key = if (b < c) (b, c) else (c, b)
+      assert(exactAll.get(key).contains(s), s"pair ($b,$c) score $s not exact")
+    }
+  }
+
   test("banding weight family has no short period in p (unlike graft_hplanes)") {
     // graft_hplanes' w(p,d) repeats with period 7 in p — only 7 distinct
     // hyperplanes, which silently caps OR-amplification. The banding
