@@ -125,6 +125,95 @@ object Multimodal {
     }
   }
 
+  final case class AudioHeader(
+      media_id: Long, format: String, channels: Int, sample_rate: Int)
+
+  /** REAL audio-container header decode (no codec needed — pure byte
+    * parsing): WAV walks RIFF chunks to `fmt ` (so files with leading
+    * JUNK/LIST chunks still parse) and reads little-endian channels +
+    * sample rate; FLAC reads the mandatory first STREAMINFO metadata
+    * block's bit-packed fields (20-bit sample rate, 3-bit channels−1).
+    * Unknown/truncated payloads → ("unknown", −1, −1). The sample-decode
+    * step stays behind [[fakeDecode]], exactly like images. */
+  def parseAudioHeader(bytes: Array[Byte]): (String, Int, Int) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    @inline def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    val n = bytes.length
+    if (tag(0, "RIFF") && n >= 12 && tag(8, "WAVE")) {
+      // chunk walk: [id(4) size(4) payload(size, word-aligned)]*
+      var i = 12
+      while (i + 8 <= n) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && size >= 16 && i + 8 + 8 <= n)
+          return ("wav", le16(i + 10), le32(i + 12).toInt)
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+        if (size > Int.MaxValue - 16) return ("unknown", -1, -1)
+      }
+      ("unknown", -1, -1)
+    } else if (tag(0, "fLaC") && n >= 4 + 4 + 18) {
+      // first metadata block must be STREAMINFO (type bits 0-6 of byte 4)
+      if ((u8(4) & 0x7f) != 0) return ("unknown", -1, -1)
+      val si = 8 // STREAMINFO payload start
+      // bytes 10-12 of STREAMINFO: 20-bit sample rate, 3-bit channels-1
+      val rate = (u8(si + 10) << 12) | (u8(si + 11) << 4) | (u8(si + 12) >> 4)
+      val channels = ((u8(si + 12) >> 1) & 0x7) + 1
+      ("flac", channels, rate)
+    } else ("unknown", -1, -1)
+  }
+
+  /** Deterministic REAL-container audio payload — the fixture twin of
+    * [[parseAudioHeader]], mirroring [[synthPayload]] for images: every
+    * byte the parser inspects is laid out per the RIFF/WAVE and FLAC
+    * specs, so `parseAudioHeader(synthAudioPayload(f, ch, sr)) ==
+    * (f, ch, sr)` exactly. The WAV variant deliberately leads with a
+    * JUNK chunk so the chunk WALK (not just offset-12 luck) is what the
+    * round-trip exercises. */
+  def synthAudioPayload(format: String, channels: Int, sampleRate: Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    format match {
+      case "wav" =>
+        val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+          le32(sampleRate.toLong * channels * 2) ++
+          le16(channels * 2) ++ le16(16)
+        val junk = "JUNK".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
+        val data = "data".getBytes("US-ASCII") ++ le32(0)
+        val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmtChunk ++ data
+        "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+      case "flac" =>
+        // STREAMINFO (34 bytes): min/max block size, min/max frame size,
+        // then the bit-packed rate/channels/bits/samples fields
+        val si = new Array[Byte](34)
+        si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0 // block sizes 4096
+        si(10) = ((sampleRate >> 12) & 0xff).toByte
+        si(11) = ((sampleRate >> 4) & 0xff).toByte
+        si(12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1)).toByte
+        "fLaC".getBytes("US-ASCII") ++
+          Array[Byte](0x80.toByte, 0, 0, 34) ++ si // last-block flag + type 0 + len
+      case _ => "NOT_AN_AUDIO_CONTAINER".getBytes("US-ASCII")
+    }
+  }
+
+  /** Audio header metadata over a binary column — same partition-
+    * preserving batch pass as [[imageHeaders]]. */
+  def audioHeaders(media: DataFrame): Dataset[AudioHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, ch, sr) = parseAudioHeader(bytes)
+        AudioHeader(id, fmt, ch, sr)
+      })
+  }
+
   /** Header metadata over a binary column via one partition-preserving
     * map pass (same batch shape as [[extractFeatures]]). */
   def imageHeaders(media: DataFrame): Dataset[ImageHeader] = {

@@ -187,6 +187,37 @@ object PrivacyMiscQueries {
                           ELSE (doc_id * 7) % 1080 + 1 END AS height
               FROM documents ORDER BY media_id""")),
 
+    // MM3: the audio twin of mm2 — REAL WAV (RIFF chunk walk, the synth
+    // payload leads with a JUNK chunk so the walk is exercised) and FLAC
+    // (bit-packed STREAMINFO) header parses under the hash gate, with
+    // the unknown-container (-1,-1) contract on every third payload.
+    Q("mm3_audio_headers",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val fmt = (id % 3) match {
+              case 0 => "wav"; case 1 => "flac"; case _ => "unknown"
+            }
+            val ch = (id % 8L).toInt + 1
+            val sr = 8000 + (id % 6L).toInt * 8000
+            (id, graft.multimodal.Multimodal.synthAudioPayload(fmt, ch, sr))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.audioHeaders(media).toDF()
+          .select(col("media_id"), col("format"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                          ELSE 'unknown' END AS format,
+                     CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                          ELSE doc_id % 8 + 1 END AS channels,
+                     CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                          ELSE 8000 + (doc_id % 6) * 8000 END AS sample_rate
+              FROM documents ORDER BY media_id""")),
+
     // A6 companion: the approximate sketch itself (reference uses
     // approx_quantile). Sketch VALUES differ across engines by design, so
     // the value is not oracle-able — but the sketch's ERROR CONTRACT is:

@@ -101,6 +101,20 @@ class MultimodalSpec extends SparkSpec {
       == (("unknown", -1, -1)))
   }
 
+  test("audio synthPayload round-trips through parseAudioHeader at boundary values") {
+    // channels: 1..8 (FLAC's 3-bit field maximum); sample rates cover the
+    // byte boundaries of WAV's le32 and FLAC's 20-bit packed field
+    val rates = Seq(1, 255, 256, 8000, 44100, 48000, 96000, 1048575)
+    for (f <- Seq("wav", "flac"); ch <- Seq(1, 2, 8); sr <- rates)
+      assert(Multimodal.parseAudioHeader(Multimodal.synthAudioPayload(f, ch, sr))
+        == ((f, ch, sr)), s"round-trip failed for ($f, $ch, $sr)")
+    assert(Multimodal.parseAudioHeader(Multimodal.synthAudioPayload("unknown", 1, 1))
+      == (("unknown", -1, -1)))
+    assert(Multimodal.parseAudioHeader("RIFFxxxxNOPE".getBytes("US-ASCII"))
+      == (("unknown", -1, -1)))
+    assert(Multimodal.parseAudioHeader(Array.emptyByteArray)._1 == "unknown")
+  }
+
   test("frame sampling explodes every k-th frame index") {
     val frames = Multimodal.sampleFrames(Multimodal.extractMeta(media), everyK = 10)
     val byId = frames.groupBy("media_id").agg(
