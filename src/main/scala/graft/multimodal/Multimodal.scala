@@ -201,6 +201,92 @@ object Multimodal {
     }
   }
 
+  final case class VideoHeader(
+      media_id: Long, format: String, timescale: Long, duration: Long)
+
+  /** REAL video-container header decode — ISO-BMFF/MP4 box walk (pure
+    * byte parsing, big-endian): verify the leading `ftyp` box, walk
+    * top-level boxes to `moov`, walk its children to `mvhd`, read
+    * timescale and duration (version 0: 32-bit; version 1: 64-bit).
+    * 64-bit `largesize` boxes (size field 1) are handled in both walks.
+    * Unknown/truncated payloads → ("unknown", −1, −1). Frame decode
+    * stays behind [[fakeDecode]], like images and audio. */
+  def parseVideoHeader(bytes: Array[Byte]): (String, Long, Long) = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    @inline def boxType(i: Int, s: String): Boolean =
+      (0 until 4).forall(k => u8(i + 4 + k) == s.charAt(k))
+    val n = bytes.length
+    if (n < 16 || !boxType(0, "ftyp")) return ("unknown", -1L, -1L)
+    // walk [size type payload]* ; size 1 → 64-bit largesize follows type
+    def walk(from: Int, until: Int, want: String): Int = {
+      var i = from
+      while (i + 8 <= until) {
+        val size0 = be32(i)
+        val (size, hdr) =
+          if (size0 == 1L && i + 16 <= until) (be64(i + 8), 16L) else (size0, 8L)
+        if (size < hdr || size > until - i) return -1
+        if (boxType(i, want)) return i + hdr.toInt
+        i += size.toInt
+      }
+      -1
+    }
+    val moov = walk(0, n, "moov")
+    if (moov < 0) return ("unknown", -1L, -1L)
+    val mvhd = walk(moov, n, "mvhd")
+    if (mvhd < 0 || mvhd + 4 > n) return ("unknown", -1L, -1L)
+    u8(mvhd) match { // version byte
+      case 0 if mvhd + 24 <= n =>
+        ("mp4", be32(mvhd + 12), be32(mvhd + 16))
+      case 1 if mvhd + 32 <= n =>
+        ("mp4", be32(mvhd + 20), be64(mvhd + 24))
+      case _ => ("unknown", -1L, -1L)
+    }
+  }
+
+  /** Deterministic REAL ISO-BMFF payload — fixture twin of
+    * [[parseVideoHeader]]: ftyp + a decoy `free` box (so the top-level
+    * WALK is exercised, like WAV's JUNK) + moov>mvhd with the requested
+    * timescale/duration; `version1 = true` emits the 64-bit mvhd. */
+  def synthVideoPayload(format: String, timescale: Long, duration: Long,
+      version1: Boolean = false): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+    format match {
+      case "mp4" =>
+        val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+          "isom".getBytes("US-ASCII"))
+        val free = box("free", Array[Byte](0, 0, 0, 0))
+        val mvhdPayload =
+          if (!version1)
+            Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+              be32(timescale) ++ be32(duration) ++ new Array[Byte](80)
+          else
+            Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+              be32(timescale) ++ be64(duration) ++ new Array[Byte](80)
+        ftyp ++ free ++ box("moov", box("mvhd", mvhdPayload))
+      case _ => "NOT_A_VIDEO_CONTAINER".getBytes("US-ASCII")
+    }
+  }
+
+  /** Video header metadata over a binary column — same partition-
+    * preserving batch pass as [[imageHeaders]]. */
+  def videoHeaders(media: DataFrame): Dataset[VideoHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, ts, dur) = parseVideoHeader(bytes)
+        VideoHeader(id, fmt, ts, dur)
+      })
+  }
+
   /** Audio header metadata over a binary column — same partition-
     * preserving batch pass as [[imageHeaders]]. */
   def audioHeaders(media: DataFrame): Dataset[AudioHeader] = {

@@ -218,6 +218,36 @@ object PrivacyMiscQueries {
                           ELSE 8000 + (doc_id % 6) * 8000 END AS sample_rate
               FROM documents ORDER BY media_id""")),
 
+    // MM4: the video leg of the triad — ISO-BMFF/MP4 box walk (ftyp
+    // verified, decoy free box skipped, moov>mvhd timescale/duration
+    // read; every 4th mp4 payload uses the version-1 64-bit mvhd so both
+    // layouts are under the gate).
+    Q("mm4_video_headers",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val fmt = if (id % 3 != 2) "mp4" else "unknown"
+            val ts = 600L + (id % 10L) * 100L
+            val dur = ts * ((id % 30L) + 1L)
+            (id, graft.multimodal.Multimodal.synthVideoPayload(fmt, ts, dur,
+              version1 = id % 4 == 0))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.videoHeaders(media).toDF()
+          .select(col("media_id"), col("format"), col("timescale"),
+            col("duration"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 != 2 THEN 'mp4'
+                          ELSE 'unknown' END AS format,
+                     CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                          ELSE 600 + (doc_id % 10) * 100 END AS timescale,
+                     CASE WHEN doc_id % 3 = 2 THEN CAST(-1 AS BIGINT)
+                          ELSE (600 + (doc_id % 10) * 100) * (doc_id % 30 + 1)
+                          END AS duration
+              FROM documents ORDER BY media_id""")),
+
     // A6 companion: the approximate sketch itself (reference uses
     // approx_quantile). Sketch VALUES differ across engines by design, so
     // the value is not oracle-able — but the sketch's ERROR CONTRACT is:

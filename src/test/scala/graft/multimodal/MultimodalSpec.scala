@@ -115,6 +115,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAudioHeader(Array.emptyByteArray)._1 == "unknown")
   }
 
+  test("video synthPayload round-trips through parseVideoHeader, both mvhd versions") {
+    val cases = Seq((600L, 600L), (1L, 1L), (90000L, 0xffffffffL),
+      (0xffffffffL, 123L))
+    for ((ts, dur) <- cases; v1 <- Seq(false, true))
+      assert(Multimodal.parseVideoHeader(
+        Multimodal.synthVideoPayload("mp4", ts, dur, v1)) == (("mp4", ts, dur)),
+        s"round-trip failed for ($ts, $dur, v1=$v1)")
+    // version-1 64-bit duration only representable in the v1 layout
+    val big = 0x1_0000_0000L
+    assert(Multimodal.parseVideoHeader(
+      Multimodal.synthVideoPayload("mp4", 600L, big, version1 = true))
+      == (("mp4", 600L, big)))
+    assert(Multimodal.parseVideoHeader(
+      Multimodal.synthVideoPayload("unknown", 1, 1)) == (("unknown", -1L, -1L)))
+    assert(Multimodal.parseVideoHeader(Array.emptyByteArray)._1 == "unknown")
+    // a truncated moov (mvhd size larger than the remaining bytes) parses
+    // as unknown, not an out-of-bounds read
+    val whole = Multimodal.synthVideoPayload("mp4", 600L, 600L)
+    assert(Multimodal.parseVideoHeader(whole.dropRight(20))._1 == "unknown")
+  }
+
   test("frame sampling explodes every k-th frame index") {
     val frames = Multimodal.sampleFrames(Multimodal.extractMeta(media), everyK = 10)
     val byId = frames.groupBy("media_id").agg(
