@@ -387,6 +387,34 @@ object TextQueries {
                      CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // T26: n-gram boilerplate ratio — the C4-style common-span signal:
+    // shingles in ≥ 20 documents are boilerplate, each doc reports the
+    // fraction of its distinct shingles that are. Cross-document
+    // commonness, vs t15's within-document repetition and t16's
+    // held-out contamination.
+    Q("t26_boilerplate_ratio",
+      (s, d) => graft.text.Corpus.boilerplateRatio(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minDf = 20L)
+        .orderBy("doc_id"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   common AS (SELECT shingle FROM sh GROUP BY shingle
+                              HAVING COUNT(*) >= 20),
+                   sizes AS (SELECT doc_id, COUNT(*) AS n_shingles
+                             FROM sh GROUP BY doc_id),
+                   hits AS (SELECT doc_id, COUNT(*) AS n_boiler
+                            FROM sh JOIN common USING (shingle)
+                            GROUP BY doc_id)
+              SELECT s.doc_id, s.n_shingles,
+                     COALESCE(h.n_boiler, 0) AS n_boiler,
+                     ROUND(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE)
+                           / CAST(s.n_shingles AS DOUBLE), 6) AS boilerplate_ratio
+              FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+              ORDER BY s.doc_id""")),
+
     // T10: deterministic hash-based train/val/test assignment
     // (graft.ops.Sampling) — stable across engines/runs/partitionings,
     // unlike rand() splits. Oracle replays the same md5 bucket scheme.

@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-document boilerplate ratio — the C4-style common-span removal
+    * signal at n-gram granularity: a shingle occurring in ≥ `minDf`
+    * documents is "boilerplate" (templates, navigation chrome, license
+    * headers — content that repeats ACROSS documents), and each document
+    * reports the fraction of its distinct shingles that are boilerplate.
+    * Distinct from t15 (repetition WITHIN a document) and t16
+    * (contamination vs a specific held-out set).
+    *
+    * 100 TB shape: shingle explode → df count (shuffle on the shingle
+    * key) → left-semi probe of the boilerplate set (second shuffle on
+    * the same key, co-partitioned) → per-doc counts (shuffle on id).
+    * No pair space anywhere; the boilerplate dictionary is df-bounded
+    * and never collected. */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val sh = graft.dedup.Dedup.wordShingles(docs, idCol, textCol, n)
+    val common = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(common, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_boiler"))
+    sizes.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("boilerplate_ratio"))
+  }
+
   /** Term frequencies per (carried columns, id, term): one row per distinct
     * term occurrence count. `carry` columns must be functionally dependent
     * on the id (e.g. the document's language). */

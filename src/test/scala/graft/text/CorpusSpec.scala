@@ -59,4 +59,25 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("oov_term_rate") == 0.666667)
     assert(r.getAs[Double]("oov_token_rate") == 0.75)
   }
+
+  test("boilerplateRatio flags cross-document common shingles, not unique content") {
+    // docs 1-3 share the planted template "copyright footer text legal";
+    // doc 4 is entirely unique → ratio 0 (and survives the left join)
+    val docs = Seq(
+      (1L, "alpha beta gamma copyright footer text legal"),
+      (2L, "delta epsilon zeta copyright footer text legal"),
+      (3L, "eta theta iota copyright footer text legal"),
+      (4L, "unique words only nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.boilerplateRatio(docs, "doc_id", "text", n = 3, minDf = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boilerplate_ratio")))).toMap
+    // 7 tokens → 5 distinct 3-gram shingles per doc; exactly the two
+    // shingles fully inside the 4-token template reach df = 3
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id) == ((5L, 2L, 0.4)), s"doc $id: ${out(id)}")
+    }
+    assert(out(4L) == ((6L, 0L, 0.0)))
+  }
 }
