@@ -415,6 +415,28 @@ object TextQueries {
               FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
               ORDER BY s.doc_id""")),
 
+    // T27: character-distribution entropy — the low-entropy junk filter.
+    // Irrational p·ln(p) terms rounded at source and summed in exact
+    // decimal, so the unordered group sum is engine-portable.
+    Q("t27_char_entropy",
+      (s, d) => graft.text.Corpus.charEntropy(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                          FROM documents),
+                   counts AS (SELECT doc_id, ch, COUNT(*) AS c
+                              FROM ch GROUP BY 1, 2),
+                   tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY 1)
+              SELECT counts.doc_id, CAST(n AS BIGINT) AS n_chars,
+                     COUNT(*) AS n_distinct_chars,
+                     ROUND(-CAST(SUM(CAST(ROUND(
+                         (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+              FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+              GROUP BY counts.doc_id, n
+              ORDER BY counts.doc_id""")),
+
     // T10: deterministic hash-based train/val/test assignment
     // (graft.ops.Sampling) — stable across engines/runs/partitionings,
     // unlike rand() splits. Oracle replays the same md5 bucket scheme.

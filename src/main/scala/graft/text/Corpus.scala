@@ -47,6 +47,34 @@ object Corpus {
           col("n_shingles").cast("double"), 6).as("boilerplate_ratio"))
   }
 
+  /** Per-document character-distribution Shannon entropy — the
+    * low-entropy quality filter (Gopher/RefinedWeb-style: repeated-
+    * character and template junk scores near 0, natural text 3.5–4.5
+    * bits-of-e). Exact-match discipline for the irrational terms: each
+    * p·ln(p) is rounded to 9 decimals AT THE TERM and summed in exact
+    * DECIMAL, so the total is independent of aggregation order (the
+    * only way a float Σ over an unordered group can hash-match across
+    * engines — same convention as the IDF rounding above).
+    *
+    * Scale note: the per-character explode multiplies rows ×doc-length;
+    * at corpus scale the fused one-pass counting expression (the
+    * graft_shingle_stats pattern) is the upgrade path — the relational
+    * form here is the oracle-checkable reference. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(idCol).agg(sum("c").as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, idCol :: Nil)
+      .groupBy(idCol, "n")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(round(p * log(p), 9).cast("decimal(28,9)")).as("__s"))
+      .select(col(idCol), col("n").as("n_chars"), col("n_distinct_chars"),
+        round(-col("__s").cast("double"), 6).as("entropy"))
+  }
+
   /** Term frequencies per (carried columns, id, term): one row per distinct
     * term occurrence count. `carry` columns must be functionally dependent
     * on the id (e.g. the document's language). */

@@ -60,6 +60,24 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("oov_token_rate") == 0.75)
   }
 
+  test("charEntropy: 0 for single-char runs, ln(k) for uniform distributions") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),           // degenerate: one symbol, entropy 0
+      (2L, "abababab"),           // uniform over 2 → ln 2
+      (3L, "abcd"))               // uniform over 4 → ln 4
+      .toDF("doc_id", "text")
+    val out = Corpus.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(out(1L) == ((8L, 1L, 0.0)))
+    assert(out(2L)._3 == math.rint(math.log(2) * 1e6) / 1e6) // 0.693147
+    assert(out(3L)._1 == 4L && out(3L)._2 == 4L)
+    assert(math.abs(out(3L)._3 - math.log(4)) < 1e-5)
+    // low-entropy junk scores strictly below varied text
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+  }
+
   test("boilerplateRatio flags cross-document common shingles, not unique content") {
     // docs 1-3 share the planted template "copyright footer text legal";
     // doc 4 is entirely unique → ratio 0 (and survives the left join)
