@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bands"),
       new ExpressionInfo(classOf[graft.functions.BandedHyperplanes].getName, "graft_bands"),
       (children: Seq[Expression]) => graft.functions.BandedHyperplanes.build(children)))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[graft.functions.CharEntropy].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => graft.functions.CharEntropy.build(children)))
     ext.injectFunction((FunctionIdentifier("graft_shingle_stats"),
       new ExpressionInfo(classOf[graft.functions.ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => graft.functions.ShingleStats.build(children)))

@@ -417,9 +417,12 @@ object TextQueries {
 
     // T27: character-distribution entropy — the low-entropy junk filter.
     // Irrational p·ln(p) terms rounded at source and summed in exact
-    // decimal, so the unordered group sum is engine-portable.
+    // decimal, so the unordered group sum is engine-portable. Declared
+    // on the FUSED one-pass expression (no per-character row explosion);
+    // the oracle replays the relational decimal-term pipeline, so the
+    // hash gate proves fused ≡ relational ≡ DuckDB.
     Q("t27_char_entropy",
-      (s, d) => graft.text.Corpus.charEntropy(
+      (s, d) => graft.text.Corpus.charEntropyFused(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -75,6 +75,22 @@ object Corpus {
         round(-col("__s").cast("double"), 6).as("entropy"))
   }
 
+  /** [[charEntropy]]'s fused scale path: the one-pass codegen'd
+    * `graft_char_entropy` expression — no per-character row explosion,
+    * whole-stage codegen intact. Bit-exactly equal to the relational
+    * form (CorpusSpec pins it; the t27 hash gate proves it against
+    * DuckDB). Rows with empty/NULL text are filtered to match the
+    * relational form's emit-no-row behavior. */
+  def charEntropyFused(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.CharEntropy.register(docs.sparkSession)
+    docs.select(col(idCol),
+        call_function("graft_char_entropy", col(textCol)).as("__e"))
+      .select(col(idCol), col("__e.n_chars").as("n_chars"),
+        col("__e.n_distinct_chars").as("n_distinct_chars"),
+        col("__e.entropy").as("entropy"))
+      .filter(col("n_chars") > 0)
+  }
+
   /** Term frequencies per (carried columns, id, term): one row per distinct
     * term occurrence count. `carry` columns must be functionally dependent
     * on the id (e.g. the document's language). */

@@ -78,6 +78,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
   }
 
+  test("fused graft_char_entropy is bit-identical to the relational form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rel = Corpus.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy")))).toMap
+    val fused = Corpus.charEntropyFused(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(fused == rel) // exact, including every rounded entropy double
+    // degenerate inputs: relational emits no row; fused filters to match
+    val edge = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val fusedEdge = Corpus.charEntropyFused(edge, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fusedEdge == Set(3L))
+    // non-ASCII spill path: multi-byte code points count once each
+    val uni = Seq((1L, "éé日")).toDF("doc_id", "text")
+    val r = Corpus.charEntropyFused(uni, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_chars") == 3L && r.getAs[Long]("n_distinct_chars") == 2L)
+  }
+
   test("boilerplateRatio flags cross-document common shingles, not unique content") {
     // docs 1-3 share the planted template "copyright footer text legal";
     // doc 4 is entirely unique → ratio 0 (and survives the left join)
