@@ -120,6 +120,18 @@ object Dedup {
     * (near-dup corpora concentrate mass at high Jaccard, where banding is
     * near-deterministic). Emitted values are identical on both paths:
     * every pair carries its true filtered-set Jaccard.
+    *
+    * Band-sizing audit (vs the embedding family's auto-r,
+    * [[graft.similarity.Ann.planesPerBandFor]]): fixed r here does NOT
+    * degenerate at scale, because the MinHash band key is a CONTENT hash
+    * of r signature slots — the bucket key space is unbounded and the
+    * number of distinct buckets grows with the corpus, so expected
+    * occupancy is set by the near-dup cluster structure rather than a
+    * fixed 2^r key space. Hyperplane-sign banding has exactly 2^r
+    * buckets per band, which is why it needs r to grow with log₂(n) and
+    * this operator does not (measured: text pair family sub-linear at
+    * the 4× rehearsal with r = 3 fixed, embedding family super-linear
+    * until r auto-sizes).
     * The shingle cache is reused by three downstream plans (df-cap,
     * filter, sizes); Spark's MEMORY_AND_DISK eviction bounds it. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,

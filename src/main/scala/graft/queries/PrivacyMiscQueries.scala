@@ -248,6 +248,97 @@ object PrivacyMiscQueries {
                           END AS duration
               FROM documents ORDER BY media_id""")),
 
+    // MM5: metadata-DRIVEN curation — the reason the mm headers exist.
+    // A mixed image/video corpus (real synthesized container bytes) is
+    // routed through the PRODUCTION parsers (imageHeaders sniffs the
+    // container — an mp4 payload comes back "unknown" to the image leg
+    // and vice versa), eligibility is decided on the PARSED metadata
+    // (images ≥ 10,000 px; videos ≤ 15 s via duration/timescale), and
+    // the eligible pool is downsampled to a target format mix with the
+    // t23 quota machinery (Sampling.mixToTarget — deterministic hash
+    // membership). The oracle replays generation arithmetic + quota
+    // math, so the row hash-fails unless bytes→parse→filter→quota all
+    // agree end-to-end. 100 TB shape: one mapPartitions parse pass, one
+    // group-count aggregate, broadcast thresholds, stateless row filter.
+    Q("mm5_media_mix_curation",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            (id % 5) match {
+              case 4 =>
+                val ts = 600L + (id % 10L) * 100L
+                (id, graft.multimodal.Multimodal.synthVideoPayload("mp4",
+                  ts, ts * ((id % 30L) + 1L), version1 = id % 4 == 0))
+              case k =>
+                val fmt = Seq("png", "gif", "bmp", "jpeg")(k.toInt)
+                (id, graft.multimodal.Multimodal.synthPayload(fmt,
+                  (id % 1920L).toInt + 1, (id * 7L % 1080L).toInt + 1))
+            }
+          }.toDF("media_id", "payload")
+        val img = graft.multimodal.Multimodal.imageHeaders(media).toDF()
+          .select(col("media_id"), col("format").as("img_format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+        val vid = graft.multimodal.Multimodal.videoHeaders(media).toDF()
+          .select(col("media_id"), col("format").as("vid_format"),
+            col("timescale"), col("duration"))
+        val meta = img.join(vid, "media_id")
+          .select(col("media_id"),
+            when(col("img_format") =!= "unknown", col("img_format"))
+              .when(col("vid_format") =!= "unknown", col("vid_format"))
+              .otherwise(lit("unknown")).as("format"),
+            col("width"), col("height"), col("timescale"), col("duration"))
+        val eligible = meta.filter(
+          (col("format").isin("png", "gif", "bmp", "jpeg") &&
+            col("width") * col("height") >= 10000L) ||
+          (col("format") === "mp4" &&
+            col("duration") <= col("timescale") * 15L))
+        val kept = graft.ops.Sampling.mixToTarget(eligible, "format",
+          "media_id",
+          Seq("png" -> 0.3, "gif" -> 0.2, "bmp" -> 0.2, "jpeg" -> 0.2,
+            "mp4" -> 0.1))
+        meta.groupBy("format").agg(count(lit(1)).as("n_media"))
+          .join(eligible.groupBy("format").agg(count(lit(1)).as("n_eligible")),
+            "format")
+          .join(kept.groupBy("format").agg(count(lit(1)).as("n_kept")),
+            "format")
+          .orderBy("format")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                     CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg'
+                          ELSE 'mp4' END AS format,
+                     doc_id % 1920 + 1 AS w, (doc_id * 7) % 1080 + 1 AS h,
+                     doc_id % 30 + 1 AS dur_sec
+                   FROM documents),
+                 el AS (SELECT media_id, format FROM m
+                        WHERE (format IN ('png', 'gif', 'bmp', 'jpeg')
+                               AND w * h >= 10000)
+                           OR (format = 'mp4' AND dur_sec <= 15)),
+                 targets(format, p) AS (VALUES ('png', 0.3), ('gif', 0.2),
+                                               ('bmp', 0.2), ('jpeg', 0.2),
+                                               ('mp4', 0.1)),
+                 counts AS (SELECT format, COUNT(*) AS n FROM el
+                            GROUP BY format),
+                 cap AS (SELECT MIN(CAST(n AS DOUBLE) / CAST(p AS DOUBLE)) AS c
+                         FROM counts JOIN targets USING (format)),
+                 thr AS (SELECT format, n,
+                                LEAST(n, CAST(FLOOR(c * CAST(p AS DOUBLE) + 1e-9)
+                                              AS BIGINT)) AS k
+                         FROM counts JOIN targets USING (format) CROSS JOIN cap),
+                 kept AS (SELECT e.format FROM el e JOIN thr USING (format)
+                          WHERE (CAST(('0x' || substr(md5('7|' ||
+                                   CAST(media_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                                 % 10000) * n < 10000 * k),
+                 tot AS (SELECT format, COUNT(*) AS n_media FROM m
+                         GROUP BY format)
+              SELECT t.format, t.n_media, thr.n AS n_eligible, kc.n_kept
+              FROM (SELECT format, COUNT(*) AS n_kept FROM kept
+                    GROUP BY format) kc
+              JOIN thr USING (format) JOIN tot t USING (format)
+              ORDER BY format""")),
+
     // A6 companion: the approximate sketch itself (reference uses
     // approx_quantile). Sketch VALUES differ across engines by design, so
     // the value is not oracle-able — but the sketch's ERROR CONTRACT is:

@@ -137,7 +137,8 @@ object TextQueries {
     Q("t6_ngram_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, minJaccard = 0.2, maxShingleDf = 1000L,
-          lshPruneThreshold = 2000L)
+          lshPruneThreshold = 2000L,
+          docCount = Some(Tables.cachedCount(s, d, "documents")))
         .orderBy("id1", "id2"),
       Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                             FROM documents),
@@ -263,7 +264,8 @@ object TextQueries {
     Q("t9_neardup_clusters",
       (s, d) => {
         val pairs = graft.dedup.Dedup.jaccardPairs(Tables.documents(s, d),
-          "doc_id", "text", n = 3, minJaccard = 0.2, maxShingleDf = 1000L)
+          "doc_id", "text", n = 3, minJaccard = 0.2, maxShingleDf = 1000L,
+          docCount = Some(Tables.cachedCount(s, d, "documents")))
         graft.dedup.Clusters.canonicalAssignment(pairs, "id1", "id2")
           .orderBy("doc_id")
       },

@@ -106,7 +106,7 @@ object Ann {
   def projectedNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, dims: Int = 8,
       minProjCosine: Double = 0.0, maxExactDocs: Long = 100000L,
-      planesPerBand: Int = 3, bands: Int = 8,
+      planesPerBand: Int = AutoPlanes, bands: Int = 8,
       docCount: Option[Long] = None): DataFrame = {
     val emb = withRegistry(emb0)
     val proj = emb.select(col(idCol).as("__id"),
@@ -117,8 +117,10 @@ object Ann {
     // only inside shared band buckets — the n² space never materializes;
     // capture probability 1 − (1 − p^r)^b, see BandedHyperplanes). One
     // count job decides; callers that know the corpus size pass
-    // `docCount`, and a MaxValue threshold means "always exact" (no
-    // count runs at all).
+    // `docCount` (declared queries thread Tables.cachedCount so no
+    // per-invocation count job runs), and a MaxValue threshold means
+    // "always exact" (no count at all). Banding width r auto-sizes with
+    // the same count (planesPerBandFor) unless pinned explicitly.
     val nDocs =
       if (maxExactDocs == Long.MaxValue) 0L
       else docCount.getOrElse(emb.count())
@@ -128,7 +130,8 @@ object Ann {
         val pb = proj.select(col("__id").as("id2"), col("__proj").as("p2"))
         pa.crossJoin(pb).filter(col("id1") < col("id2"))
       } else {
-        bandedCandidatePairs(emb, idCol, vecCol, planesPerBand, bands)
+        val r = if (planesPerBand > 0) planesPerBand else planesPerBandFor(nDocs)
+        bandedCandidatePairs(emb, idCol, vecCol, r, bands)
           .join(proj.select(col("__id").as("id1"), col("__proj").as("p1")), "id1")
           .join(proj.select(col("__id").as("id2"), col("__proj").as("p2")), "id2")
       }
@@ -147,6 +150,37 @@ object Ann {
       .filter(col("score") >= minCosine)
       .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
   }
+
+  /** Pinned banding-width step function (the auto-r rule): the smallest
+    * r ≥ 3 such that the expected bucket occupancy n / 2^r is at most
+    * `targetDocsPerBucket`. With hyperplane-sign LSH the bucket key
+    * space is FIXED at 2^r per band, so at fixed r the per-band pair
+    * space Σ bucket² grows as (n/2^r)²·2^r = n²/2^r — super-linear in n
+    * (measured: the round-5 4× rehearsal went 7.14 s at r=3 and 2.81 s
+    * at r=5). Growing r with log₂(n) keeps expected occupancy — hence
+    * per-bucket pair cost — constant, restoring the sub-linear scale
+    * path. The rule is a pure step function of the corpus count, so the
+    * DuckDB oracle replays the same tier selection from COUNT(*) and
+    * banded query results stay hash-exact on whichever tier the scale
+    * selects. Both round-5 measured points sit on this curve: r(2000)=3,
+    * r(8000)=5 at the default 250-doc target. Capped at 30 (2^30 buckets
+    * per band serves ~270 G docs at the default target; the bucket id
+    * must also stay within a Long's bit budget).
+    *
+    * Recall note: raising r lowers per-band capture p^r, so auto-r
+    * trades recall exactly like manual r — at a realistic near-dup
+    * cosine (≥ 0.9, p ≈ 0.856) eight bands still capture ≥ 0.97 at
+    * r = 5; the knob that restores recall at scale is `bands`, which is
+    * an OR-amplifier and does not change the Σ bucket² shape. */
+  def planesPerBandFor(nDocs: Long, targetDocsPerBucket: Long = 250L): Int = {
+    var r = 3
+    while (r < 30 && nDocs > (targetDocsPerBucket << r)) r += 1
+    r
+  }
+
+  /** Sentinel for `planesPerBand` parameters: ≤ 0 means derive r from
+    * the corpus count via [[planesPerBandFor]]. */
+  val AutoPlanes = 0
 
   /** Array of `bands` sign-bucket ids, one per band of `planesPerBand`
     * independent hyperplanes — the OR-amplified LSH candidate generator
@@ -211,15 +245,22 @@ object Ann {
     * candidates forming only ACROSS sides via shared band buckets and
     * the exact cosine rerank running on survivors. Capture probability
     * per true pair is the banding 1 − (1 − p^r)^b, as in
-    * [[cosineNearDupPairs]]'s scale path. */
+    * [[cosineNearDupPairs]]'s scale path. Banding width r auto-sizes
+    * from `corpusCount` via [[planesPerBandFor]] (the corpus side is
+    * the index whose bucket occupancy must stay bounded) unless pinned;
+    * with neither supplied one count job runs at construction. */
   def crossCorpusNearDupPairs(batch0: DataFrame, corpus0: DataFrame,
       idCol: String, vecCol: String, minCosine: Double,
-      planesPerBand: Int = 3, bands: Int = 8): DataFrame = {
+      planesPerBand: Int = AutoPlanes, bands: Int = 8,
+      corpusCount: Option[Long] = None): DataFrame = {
     val batch = withRegistry(batch0)
     val corpus = withRegistry(corpus0)
+    val r =
+      if (planesPerBand > 0) planesPerBand
+      else planesPerBandFor(corpusCount.getOrElse(corpus.count()))
     def bandTable(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId),
-        posexplode(bandedBuckets(col(vecCol), planesPerBand, bands))
+        posexplode(bandedBuckets(col(vecCol), r, bands))
           .as(Seq("__band", "__bkt")))
     val cands = bandTable(batch, "batch_id")
       .join(bandTable(corpus, "corpus_id"), Seq("__band", "__bkt"))
@@ -357,15 +398,16 @@ object Ann {
     * pairs form only inside shared band buckets, so the pair space is
     * Σ bucket² per band instead of n². Above the threshold recall is the
     * banding capture probability 1 − (1 − p^r)^b with p = 1 − θ/π: at a
-    * realistic near-dup threshold (cosine 0.9, default r=3 b=8) that is
-    * ≥ 0.999 per pair; at the deliberately hard testdata threshold 0.4
+    * realistic near-dup threshold (cosine 0.9, auto-r=3 at 2000 docs,
+    * b=8) that is ≥ 0.999 per pair; at the deliberately hard testdata
+    * threshold 0.4
     * (uniform vectors, no planted dups — pairs sit barely above
     * background) it is ≈ 0.8, measured and pinned by AnnSpec. Both paths
     * are deterministic and engine-replayable, so the declared queries
     * stay hash-exact on whichever path the corpus size selects. */
   def cosineNearDupPairs(emb0: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, maxExactDocs: Long = 100000L,
-      planesPerBand: Int = 3, bands: Int = 8,
+      planesPerBand: Int = AutoPlanes, bands: Int = 8,
       docCount: Option[Long] = None): DataFrame = {
     val emb = withRegistry(emb0)
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"),
@@ -378,9 +420,11 @@ object Ann {
     val pairs =
       if (nDocs <= maxExactDocs)
         a.crossJoin(b).filter(col("id1") < col("id2"))
-      else
-        bandedCandidatePairs(emb, idCol, vecCol, planesPerBand, bands)
+      else {
+        val r = if (planesPerBand > 0) planesPerBand else planesPerBandFor(nDocs)
+        bandedCandidatePairs(emb, idCol, vecCol, r, bands)
           .join(a, "id1").join(b, "id2")
+      }
     pairs
       .select(col("id1"), col("id2"),
         cosineOrZero(dot(col("v1"), col("v2")), col("n1"), col("n2"))

@@ -38,6 +38,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("auto-r step function: pinned tier boundaries and measured anchor points") {
+    // the pinned rule: smallest r >= 3 with n <= 250 * 2^r — constant
+    // expected bucket occupancy. Both round-5 measured points must sit on
+    // the curve (r=3 at 2000 docs, r=5 at the 4x rehearsal's 8000), the
+    // oracle tier boundaries (2000/4000) must be exact, and the cap must
+    // hold for absurd n.
+    assert(Ann.planesPerBandFor(0L) == 3)
+    assert(Ann.planesPerBandFor(250L) == 3)
+    assert(Ann.planesPerBandFor(2000L) == 3)   // sf0.1 bench point
+    assert(Ann.planesPerBandFor(2001L) == 4)   // oracle tier boundary
+    assert(Ann.planesPerBandFor(4000L) == 4)
+    assert(Ann.planesPerBandFor(4001L) == 5)
+    assert(Ann.planesPerBandFor(8000L) == 5)   // 4x rehearsal point
+    assert(Ann.planesPerBandFor(16000L) == 6)  // 8x rehearsal point
+    assert(Ann.planesPerBandFor(1000000L) == 12)
+    assert(Ann.planesPerBandFor(Long.MaxValue) == 30) // cap
+  }
+
   test("near-dup pairs: exact quadratic vs banded candidates agree on found pairs") {
     val exact = Ann.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
