@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal (VERDICT r3 item 8): self-generate a 2× copy of the
@@ -52,24 +52,26 @@ object ScaleRehearsal {
     writeScaled(spark, src, dst, 2)
 
   /** Generalized structure-preserving scale-up: `copies` total copies
-    * (1 ≤ copies ≤ 4; the limit is the embedding family, which has four
+    * (1 ≤ copies ≤ 8; the limit is the embedding family, which has eight
     * exactly-structure-preserving transforms). Copy k of the documents
     * salts every token with a copy-distinct suffix, so intra-copy
     * near-dup structure is identical and cross-copy shingle overlap is
     * zero (document pair counts scale exactly ×copies). Copy k of the
-    * embeddings applies negate^(k&1) ∘ reverse^(k>>1): cosine within a
-    * copy is preserved exactly (sign flips cancel, reversal is a
-    * permutation). Cross-copy cosines are sign-flipped (negate) or
-    * decorrelated (reverse) — at a realistic near-dup threshold (≥0.9)
-    * no cross-copy pairs arise, but at the testdata's contrived 0.4
-    * threshold some DO: the negative tail's twins (cos ≤ −0.4 pairs flip
-    * to ≥ 0.4 against a negated copy) and chance reverse-correlations.
-    * The scaled embedding corpus is therefore somewhat DENSER in pairs
-    * than ×copies, and measured pair-family ratios are conservative
-    * upper bounds on engine scaling cost, not exact per-pair costs. */
+    * embeddings applies negate^(k&1) ∘ perm(k>>1), where perm is one of
+    * four exact dimension permutations (identity, reverse, rotate-by-1,
+    * reverse∘rotate): cosine within a copy is preserved exactly (sign
+    * flips cancel, permutations preserve inner products). Cross-copy
+    * cosines are sign-flipped (negate) or decorrelated (permutation) —
+    * at a realistic near-dup threshold (≥0.9) no cross-copy pairs arise,
+    * but at the testdata's contrived 0.4 threshold some DO: the negative
+    * tail's twins (cos ≤ −0.4 pairs flip to ≥ 0.4 against a negated
+    * copy) and chance permutation-correlations. The scaled embedding
+    * corpus is therefore somewhat DENSER in pairs than ×copies, and
+    * measured pair-family ratios are conservative upper bounds on engine
+    * scaling cost, not exact per-pair costs. */
   def writeScaled(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
-    require(copies >= 1 && copies <= 4, s"copies must be in [1,4], got $copies")
+    require(copies >= 1 && copies <= 8, s"copies must be in [1,8], got $copies")
     Files.createDirectories(Paths.get(dst))
     // dims + events: byte-identical copies (events carries TIMESTAMP(NANOS)
     // parquet that a plain spark.read rejects — never re-encode it)
@@ -96,7 +98,7 @@ object ScaleRehearsal {
 
     val docs = read("documents")
     val docShift = maxOf(docs, "doc_id")
-    val saltChars = Seq("b", "c", "d")
+    val saltChars = Seq("b", "c", "d", "e", "f", "g", "h")
     stacked(docs)(k => docs
         .withColumn("doc_id", col("doc_id") + k * docShift)
         .withColumn("text",
@@ -105,12 +107,18 @@ object ScaleRehearsal {
 
     val emb = read("embeddings")
     val vecShift = maxOf(emb, "vec_id")
+    def rotate1(c: Column): Column =
+      concat(slice(c, lit(2), size(c) - 1), slice(c, lit(1), lit(1)))
     stacked(emb) { k =>
       val negated =
         if ((k & 1) == 1) transform(col("embedding"), x => -x)
         else col("embedding")
-      val transformed =
-        if ((k >> 1) == 1) reverse(negated) else negated
+      val transformed = (k >> 1) match {
+        case 0 => negated
+        case 1 => reverse(negated)
+        case 2 => rotate1(negated)
+        case _ => reverse(rotate1(negated))
+      }
       emb.withColumn("vec_id", col("vec_id") + k * vecShift)
         .withColumn("embedding", transformed.cast("array<float>"))
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
