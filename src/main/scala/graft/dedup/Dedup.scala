@@ -153,23 +153,116 @@ object Dedup {
     * EITHER direction reaches `minContainment`. Same df-capped shingle
     * machinery and filtered-set consistency argument as [[jaccardPairs]].
     *
-    * Pair generation is ALWAYS the exact df-capped self-join — Jaccard-
-    * tuned MinHash banding is deliberately NOT offered here: banding
-    * capture probability tracks Jaccard, and the low-Jaccard/high-
+    * Pair generation auto-scales, but NOT with Jaccard-tuned MinHash
+    * banding — banding capture tracks Jaccard, and the low-Jaccard/high-
     * containment pairs this operator exists to find (containment 1.0 can
-    * mean Jaccard 0.01) are exactly the ones it would drop. The scale
-    * bound is therefore the `maxShingleDf` cap (O(Σ df²) pairs); an
-    * asymmetric containment LSH (banding only the smaller side's
-    * signature) would be the correct future scale path. */
+    * mean Jaccard 0.01) are exactly the ones it would drop. Instead, at
+    * or below `prefixPruneThreshold` documents the exact df-capped
+    * self-join enumerates all co-shingled pairs (O(Σ df²)); above it
+    * PREFIX FILTERING (the PPJoin/AllPairs principle — Xiao et al.,
+    * WWW'08) generates candidates: fix one global total order over
+    * shingles (here ascending df, ties by a pinned md5 hash then the
+    * shingle itself, so rare shingles come first), give each doc the
+    * prefix of its first L = sz − ⌈c·sz⌉ + 1 shingles, and form a
+    * candidate whenever one doc's PREFIX shingle appears in the other
+    * doc's FULL filtered set. This is LOSSLESS for the declared
+    * threshold: a pair with containment ≥ c in direction A has overlap
+    * ≥ ⌈c·szA⌉, and a set missing ALL of A's first szA−⌈c·szA⌉+1
+    * shingles can overlap A in at most ⌈c·szA⌉−1 — so every qualifying
+    * pair shares a prefix shingle, and the output is IDENTICAL to the
+    * exact path (the oracle stays the plain exact SQL on both paths;
+    * DedupSpec pins path equality). Rarest-first ordering makes the
+    * candidate space Σ_docs Σ_{s ∈ prefix} df(s) — the prefix picks
+    * precisely the shingles with the smallest document frequencies, so
+    * boilerplate (high-df) shingles never generate candidates.
+    *
+    * Measured crossover (PERF.md round-6): on SPARSE-df corpora (the
+    * driver testdata — co-shingled pairs overwhelmingly share df ≤ 2
+    * shingles) the exact self-join is the better plan at every
+    * rehearsed scale (1×/4×/8×): its join emits ~one cheap row per
+    * (pair, shared shingle), which is optimal when candidates ≈
+    * co-shingled pairs, and the df cap already bounds it linearly
+    * (Σ df² ≤ maxShingleDf · |filtered shingles|). The prefix path's
+    * win condition is df mass NEAR the cap (footer/boilerplate-heavy
+    * corpora): it avoids the high-df pair-generation blowup (measured:
+    * 21 M avoided join rows on a constructed 6-footer corpus) at the
+    * price of a per-candidate set-intersect verify. Hence the default
+    * threshold keeps corpora ≤ 100k docs exact and deployments on
+    * boilerplate-heavy data lower it. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      minContainment: Double, maxShingleDf: Long = 1000L): DataFrame =
-    pairStats(df, idCol, textCol, n, maxShingleDf, Long.MaxValue)
+      minContainment: Double, maxShingleDf: Long = 1000L,
+      prefixPruneThreshold: Long = 100000L,
+      docCount: Option[Long] = None): DataFrame = {
+    val stats =
+      if (prefixPruneThreshold == Long.MaxValue ||
+          docCount.getOrElse(df.count()) <= prefixPruneThreshold)
+        pairStats(df, idCol, textCol, n, maxShingleDf, Long.MaxValue)
+      else pairStatsPrefix(df, idCol, textCol, n, maxShingleDf, minContainment)
+    stats
       .withColumn("c1_in_2", col("inter").cast("double") / col("sz1").cast("double"))
       .withColumn("c2_in_1", col("inter").cast("double") / col("sz2").cast("double"))
       .filter(greatest(col("c1_in_2"), col("c2_in_1")) >= minContainment)
       .select(col("id1"), col("id2"), col("inter"), col("sz1"), col("sz2"),
         round(col("c1_in_2"), 6).as("c1_in_2"),
         round(col("c2_in_1"), 6).as("c2_in_1"))
+  }
+
+  /** Seed of the prefix order's hash tie-break (pinned; the DuckDB twin
+    * is `md5('41|' || shingle)`). */
+  val ContainmentPrefixSeed = 41
+
+  /** Prefix-filter candidate generation + exact verify for
+    * [[containmentPairs]]' scale path: (id1, id2, inter, sz1, sz2) for
+    * every pair sharing at least one (prefix-shingle → full-set) hit —
+    * a provable superset of the qualifying pairs (see containmentPairs
+    * scaladoc), each verified exactly from the filtered sets. The
+    * prefix length uses ⌈c·sz − 1e-9⌉: the epsilon only guards the
+    * float product landing one ulp HIGH on an exact integer (which
+    * would shrink the prefix below the lossless bound); any upward
+    * slack merely admits extra candidates, never loses one. One
+    * row_number window per doc (shuffle on the doc id), one
+    * shingle-keyed join for candidates, one for verification. */
+  private def pairStatsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Long, minContainment: Double): DataFrame = {
+    val sh = tracked(wordShingles(df, idCol, textCol, n).cache())
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf)
+    val shF = tracked(sh.join(rare, "shingle").cache())
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val prefix = shF
+      .withColumn("__rk", row_number().over(byDoc.orderBy(col("__df"),
+        TextFunctions.hash60(col("shingle"), ContainmentPrefixSeed),
+        col("shingle"))))
+      .withColumn("__sz", count(lit(1)).over(byDoc))
+      .filter(col("__rk") <=
+        col("__sz") - ceil(col("__sz") * lit(minContainment) - lit(1e-9)) + 1)
+      .select(col(idCol), col("shingle"))
+    val cands = prefix.select(col(idCol).as("__pfx_id"), col("shingle"))
+      .join(shF.select(col(idCol).as("__full_id"), col("shingle")), "shingle")
+      .filter(col("__pfx_id") =!= col("__full_id"))
+      .select(least(col("__pfx_id"), col("__full_id")).as("id1"),
+        greatest(col("__pfx_id"), col("__full_id")).as("id2"))
+      .distinct()
+    // verification joins each candidate against the two docs' SET VECTORS
+    // (one array of filtered shingles per doc — dim-scale rows, not an
+    // exploded row per shingle) and intersects in-row: Σ_cands (sz1+sz2)
+    // in-memory set work instead of Σ_cands sz1 SHUFFLED join rows — the
+    // rejoin-the-explode verify was measured 4× slower than the exact
+    // self-join at sf0.1 because candidates × doc-size rows dwarf the
+    // co-shingle join it was supposed to avoid
+    val docSets = tracked(shF.groupBy(idCol)
+      .agg(collect_list(col("shingle")).as("__set"),
+        count(lit(1)).as("sz")).cache())
+    val inter = cands
+      .join(docSets.select(col(idCol).as("id1"), col("__set").as("__s1"),
+        col("sz").as("sz1")), "id1")
+      .join(docSets.select(col(idCol).as("id2"), col("__set").as("__s2"),
+        col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("__s1"), col("__s2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
+    inter
+  }
 
   /** Shared pair machinery: df-capped shingle sets, auto-scaled pair
     * generation (exact self-join below `lshPruneThreshold` docs, MinHash

@@ -166,13 +166,20 @@ object TextQueries {
     // A short doc quoted whole inside a long one has tiny Jaccard (the
     // union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1;
     // training-data pipelines drop exactly these quote-inclusions that
-    // t6 cannot see. Pair generation is exact-only by design (Jaccard-
-    // tuned banding would drop precisely the high-containment/low-
-    // Jaccard pairs — see the containmentPairs scaladoc); the oracle
-    // replays both directional ratios.
+    // t6 cannot see. Pair generation keeps the exact df-capped self-join
+    // at test scale — measured optimal for sparse-df corpora, where its
+    // join rows ≈ co-shingled pairs and Σ df² ≤ cap·|shingles| is
+    // already linear (PERF.md round-6 crossover study) — and
+    // auto-flips to LOSSLESS prefix filtering (provably identical
+    // output; DedupSpec pins path equality, tri-scale hash-verified
+    // against this same oracle) when the corpus outgrows the library
+    // threshold. Jaccard-tuned banding is deliberately not used: it
+    // would drop precisely the high-containment/low-Jaccard pairs this
+    // operator exists to find (see containmentPairs scaladoc).
     Q("t21_containment_pairs",
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, minContainment = 0.6, maxShingleDf = 1000L)
+          n = 3, minContainment = 0.6, maxShingleDf = 1000L,
+          docCount = Some(Tables.cachedCount(s, d, "documents")))
         .orderBy("id1", "id2"),
       Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                             FROM documents),

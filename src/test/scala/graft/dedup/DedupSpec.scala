@@ -199,6 +199,28 @@ class DedupSpec extends SparkSpec {
     assert(c.head.getAs[Double]("c2_in_1") < 0.5)
   }
 
+  test("containment prefix-filter path is LOSSLESS: identical output to exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // prefixPruneThreshold = 0 forces the prefix path; MaxValue pins exact.
+    // The prefix filter is provably lossless, so FULL equality — pairs AND
+    // every verified value — must hold at several thresholds (the prefix
+    // length depends on c, so each threshold exercises a different bound).
+    for (c <- Seq(0.5, 0.6, 0.9)) {
+      val exact = Dedup.containmentPairs(docs, "doc_id", "text", 3, c,
+          prefixPruneThreshold = Long.MaxValue)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          (r.getAs[Long]("inter"), r.getAs[Double]("c1_in_2"),
+            r.getAs[Double]("c2_in_1"))).toMap
+      val prefix = Dedup.containmentPairs(docs, "doc_id", "text", 3, c,
+          prefixPruneThreshold = 0L, docCount = Some(500L))
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          (r.getAs[Long]("inter"), r.getAs[Double]("c1_in_2"),
+            r.getAs[Double]("c2_in_1"))).toMap
+      assert(prefix == exact, s"prefix path diverged at c=$c")
+      assert(exact.nonEmpty || c > 0.8)
+    }
+  }
+
   test("cross-corpus pairs form only across sides and carry true jaccard") {
     import spark.implicits._
     val batch = Seq(
