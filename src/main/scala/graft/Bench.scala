@@ -40,10 +40,11 @@ object Bench {
     "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
     "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
     "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "t15_repetition_ratio",
-    "t16_contamination", "t17_tfidf_top_terms", "emb1_knn_bruteforce",
-    "emb4_cosine_neardup_pairs", "emb6_knn_ivf", "emb8_knn_batch",
+    "t16_contamination", "t17_tfidf_top_terms", "t21_containment_pairs",
+    "emb1_knn_bruteforce", "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
+    "emb8_knn_batch", "emb10_projected_neardup", "emb11_cross_corpus_neardup",
     "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
-    "cp5_study_overview", "om3_mart_patient_summary")
+    "cp5_study_overview", "om3_mart_patient_summary", "mm5_media_mix_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

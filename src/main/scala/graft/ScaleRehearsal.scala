@@ -46,7 +46,10 @@ object ScaleRehearsal {
     // final tranche: custom aggregates + runtime filter + projections
     "t8_simhash", "t24_pii_density", "emb9_random_projection",
     "emb10_projected_neardup", "w8_cumulative_uniques",
-    "j8_bloom_prefilter_join", "a18_heavy_hitters")
+    "j8_bloom_prefilter_join", "a18_heavy_hitters",
+    // round-6 additions: cross-corpus embedding probe (auto-r band index),
+    // metadata-driven media curation (parse + quota over the documents dim)
+    "emb11_cross_corpus_neardup", "mm5_media_mix_curation")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
