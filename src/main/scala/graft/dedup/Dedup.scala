@@ -176,6 +176,11 @@ object Dedup {
     * precisely the shingles with the smallest document frequencies, so
     * boilerplate (high-df) shingles never generate candidates.
     *
+    * NOTE the threshold decision is an EAGER count at construction time
+    * when `docCount` is absent (the jaccardPairs convention): pass the
+    * count you already know, or `prefixPruneThreshold = Long.MaxValue`
+    * to pin the exact path with no count job at all.
+    *
     * Measured crossover (PERF.md round-6): on SPARSE-df corpora (the
     * driver testdata — co-shingled pairs overwhelmingly share df ≤ 2
     * shingles) the exact self-join is the better plan at every
@@ -216,11 +221,16 @@ object Dedup {
     * every pair sharing at least one (prefix-shingle → full-set) hit —
     * a provable superset of the qualifying pairs (see containmentPairs
     * scaladoc), each verified exactly from the filtered sets. The
-    * prefix length uses ⌈c·sz − 1e-9⌉: the epsilon only guards the
-    * float product landing one ulp HIGH on an exact integer (which
-    * would shrink the prefix below the lossless bound); any upward
-    * slack merely admits extra candidates, never loses one. One
-    * row_number window per doc (shuffle on the doc id), one
+    * prefix length uses ⌈c·sz − (1e-9 + sz·1e-15)⌉. The epsilon is
+    * two-part because the filter that ultimately admits a pair computes
+    * fl(inter/sz) ≥ c in DOUBLE arithmetic, which can accept inter as
+    * low as c·sz − c·sz·2⁻⁵² — an absolute 1e-9 alone stops covering
+    * that slack once c·sz > ~4.5e6 (a ~9M-shingle document, plausible
+    * in crawl corpora), silently shrinking the prefix below the
+    * lossless bound. The sz·1e-15 term is ≥ 4× the worst-case division
+    * slack at every size, and upward slack only ever ADMITS extra
+    * candidates — the exact verify discards them — never loses one.
+    * One row_number window per doc (shuffle on the doc id), one
     * shingle-keyed join for candidates, one for verification. */
   private def pairStatsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxShingleDf: Long, minContainment: Double): DataFrame = {
@@ -235,7 +245,8 @@ object Dedup {
         col("shingle"))))
       .withColumn("__sz", count(lit(1)).over(byDoc))
       .filter(col("__rk") <=
-        col("__sz") - ceil(col("__sz") * lit(minContainment) - lit(1e-9)) + 1)
+        col("__sz") - ceil(col("__sz") * lit(minContainment)
+          - (lit(1e-9) + col("__sz") * lit(1e-15))) + 1)
       .select(col(idCol), col("shingle"))
     val cands = prefix.select(col(idCol).as("__pfx_id"), col("shingle"))
       .join(shF.select(col(idCol).as("__full_id"), col("shingle")), "shingle")

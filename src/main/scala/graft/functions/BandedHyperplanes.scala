@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * bucket has bit j set iff Σ_d vec[d]·w(t·r + j, d) ≥ 0 with the
   * independent integer weight family
   *
-  *   w(p, d) = (((p·1009 + d·613) mod 97) mod 7) − 3  ∈ [−3, 3].
+  *   w(p, d) = (((p·1009 + d·613 + p·d·31) mod 9973) mod 7) − 3  ∈ [−3, 3].
   *
   * This is the OR-amplified candidate generator for near-dup pair search:
   * a pair is a candidate iff it shares ANY band's bucket, so capture
@@ -23,9 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * (w = ((p·131 + d·37) mod 7) − 3) is UNUSABLE for banding: it is
   * periodic in p with period 7 (131 ≡ 5 and the modulus is 7), so only 7
   * distinct hyperplanes exist and bands beyond the first repeat them
-  * (measured: recall flat from b=8 to b=12). The mod-97 inner mix breaks
-  * the period (1009 and 613 are coprime to 97·7), giving effectively
-  * independent planes for every p the engine uses.
+  * (measured: recall flat from b=8 to b=12). The mix must stay
+  * collision-free over every plane index the engine can request, or the
+  * silent duplication returns at scale: the original mod-97 inner mix
+  * repeated planes beyond p = 96 — from r = 13 at 8 bands, exactly the
+  * regime [[graft.similarity.Ann.planesPerBandFor]] auto-selects past
+  * ~1M docs — and a plain affine mix under a larger modulus still
+  * collides whenever two planes' offsets differ by a multiple of 7
+  * without crossing a modulus wrap. The p·d·31 BILINEAR term makes the
+  * difference between any two planes vary with d (two planes can no
+  * longer differ by a d-independent constant), and the inner modulus is
+  * the prime 9973 > the maximum plane index r·b − 1 ≤ 3839. AnnSpec
+  * pins the first 240 weight vectors (r = 30 × b = 8)
+  * pairwise-distinct.
   *
   * Engine-portability contract (same argument as [[HyperplaneBucket]]):
   * integer weights make each float·int product exact in double, per-plane
@@ -70,7 +80,7 @@ case class BandedHyperplanes(child: Expression, planesPerBand: Int, bands: Int,
 
   /** w(p, d) — kept in one place so eval, codegen, and the Scaladoc
     * formula cannot drift. */
-  def weight(p: Int, d: Int): Int = ((p * 1009 + d * 613) % 97) % 7 - 3
+  def weight(p: Int, d: Int): Int = ((p * 1009 + d * 613 + p * d * 31) % 9973) % 7 - 3
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val out = new Array[Long](bands)
@@ -131,7 +141,7 @@ case class BandedHyperplanes(child: Expression, planesPerBand: Int, bands: Int,
                 $contributed = true;
                 double $x = (double) ${childGen.value}.$get($d);
                 for (int $p = 0; $p < $totalPlanes; $p++) {
-                  $acc[$p] += $x * ((($p * 1009 + $d * 613) % 97) % 7 - 3);
+                  $acc[$p] += $x * ((($p * 1009 + $d * 613 + $p * $d * 31) % 9973) % 7 - 3);
                 }
               }
             }

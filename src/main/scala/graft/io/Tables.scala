@@ -94,8 +94,24 @@ object Tables {
     val key = (spark, dir, name)
     val hit = countCache.get(key)
     if (hit != null) return hit
+    // same maintenance discipline as the plan cache: sweep stopped
+    // sessions, bound live entries so the map can never pin an unbounded
+    // set of SparkSession references
     countCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    countCache.computeIfAbsent(key, _ => apply(spark, dir, name).count())
+    val excess = countCache.size - (MaxEntries - 1)
+    if (excess > 0) {
+      val it = countCache.keySet.iterator()
+      var n = excess
+      while (n > 0 && it.hasNext) { it.next(); it.remove(); n -= 1 }
+    }
+    // run the count job OUTSIDE any map lock — a Spark job inside
+    // computeIfAbsent's mapping function would hold the bin lock for the
+    // job's whole duration and block unrelated keys hashing to the same
+    // bin. A racing thread may duplicate the (idempotent) count;
+    // putIfAbsent keeps exactly one value.
+    val counted = java.lang.Long.valueOf(apply(spark, dir, name).count())
+    val prev = countCache.putIfAbsent(key, counted)
+    if (prev != null) prev else counted
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

@@ -283,12 +283,18 @@ object PrivacyMiscQueries {
         val vid = graft.multimodal.Multimodal.videoHeaders(media).toDF()
           .select(col("media_id"), col("format").as("vid_format"),
             col("timescale"), col("duration"))
-        val meta = img.join(vid, "media_id")
+        // parsed metadata feeds four downstream plans (n_media, the
+        // eligibility filter, mixToTarget's internal counts, the kept
+        // filter) — cache it so the synth+parse mapPartitions pass runs
+        // once, not once per consumer (tracked like Dedup's shingle
+        // frames, releasable via Caches.unpersistAll)
+        val meta = graft.ops.Caches.tracked(img.join(vid, "media_id")
           .select(col("media_id"),
             when(col("img_format") =!= "unknown", col("img_format"))
               .when(col("vid_format") =!= "unknown", col("vid_format"))
               .otherwise(lit("unknown")).as("format"),
             col("width"), col("height"), col("timescale"), col("duration"))
+          .cache())
         val eligible = meta.filter(
           (col("format").isin("png", "gif", "bmp", "jpeg") &&
             col("width") * col("height") >= 10000L) ||

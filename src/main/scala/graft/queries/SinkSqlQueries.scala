@@ -119,7 +119,8 @@ object SinkSqlQueries {
     Q("s16_partitioned_sink_roundtrip",
       (s, d) => {
         val out = tmp("s16_bronze")
-        val nSubjects = math.max(100L, Tables.customer(s, d).count() / 10L).toInt
+        val nSubjects =
+          math.max(100L, Tables.cachedCount(s, d, "customer") / 10L).toInt
         val raw = graft.standards.SyntheticSdtm.allDomains(s, nSubjects, 42L)
         // the generator seeds one invalid SEX='X' row (SUBJ0000) for the
         // red/green demo gate; quarantine it like Demo so the landing is

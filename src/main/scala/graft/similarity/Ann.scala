@@ -207,7 +207,7 @@ object Ann {
       (0 until planesPerBand).map { j =>
         val p = t * planesPerBand + j
         val weights = typedlit((0 until maxDims).map(d =>
-          (((p * 1009 + d * 613) % 97) % 7 - 3).toDouble))
+          (((p * 1009 + d * 613 + p * d * 31) % 9973) % 7 - 3).toDouble))
         when(dot(v, weights) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce(_ + _)
     }
@@ -247,8 +247,11 @@ object Ann {
     * per true pair is the banding 1 − (1 − p^r)^b, as in
     * [[cosineNearDupPairs]]'s scale path. Banding width r auto-sizes
     * from `corpusCount` via [[planesPerBandFor]] (the corpus side is
-    * the index whose bucket occupancy must stay bounded) unless pinned;
-    * with neither supplied one count job runs at construction. */
+    * the index whose bucket occupancy must stay bounded) unless pinned.
+    * NOTE: with r unpinned and no `corpusCount`, one EAGER count job
+    * runs at construction time — pass the count you already know (the
+    * declared queries thread Tables.cachedCount) or pin `planesPerBand`
+    * explicitly to keep construction fully lazy. */
   def crossCorpusNearDupPairs(batch0: DataFrame, corpus0: DataFrame,
       idCol: String, vecCol: String, minCosine: Double,
       planesPerBand: Int = AutoPlanes, bands: Int = 8,

@@ -169,12 +169,16 @@ class AnnSpec extends SparkSpec {
   test("banding weight family has no short period in p (unlike graft_hplanes)") {
     // graft_hplanes' w(p,d) repeats with period 7 in p — only 7 distinct
     // hyperplanes, which silently caps OR-amplification. The banding
-    // family must not: check the first 24 planes are pairwise distinct
-    // as weight vectors over 64 dims.
+    // family must not, over the FULL plane range auto-r can request:
+    // r <= 30 planes/band x 8 bands = 240 planes (the original mod-97
+    // inner mix repeated beyond p = 96 — i.e. from auto-r = 13 at 8
+    // bands, past ~1M docs — which is why the modulus is now the prime
+    // 9973 > any requestable plane index). Pairwise-distinct weight
+    // vectors over 64 dims for all 240.
     def wvec(p: Int): Seq[Int] =
-      (0 until 64).map(d => ((p * 1009 + d * 613) % 97) % 7 - 3)
-    val planes = (0 until 24).map(wvec)
-    assert(planes.distinct.size == 24)
+      (0 until 64).map(d => ((p * 1009 + d * 613 + p * d * 31) % 9973) % 7 - 3)
+    val planes = (0 until 240).map(wvec)
+    assert(planes.distinct.size == 240)
     // and the legacy family really is periodic (documents WHY graft_bands
     // exists — if this ever fails, the families diverged)
     def legacy(p: Int): Seq[Int] = (0 until 64).map(d => (p * 131 + d * 37) % 7 - 3)
