@@ -28,7 +28,8 @@ object SparkEntry {
       OmopQueries.all ++
       SinkSqlQueries.all ++
       PrivacyMiscQueries.all ++
-      TimeJoinQueries.all
+      TimeJoinQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
