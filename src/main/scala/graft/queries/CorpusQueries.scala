@@ -367,6 +367,79 @@ object CorpusQueries {
                           AS BIGINT) AS n_docs_with_pii,
                      CAST(SUM(n_email) AS BIGINT) AS n_email,
                      CAST(SUM(n_ssn) AS BIGINT) AS n_ssn
-              FROM hits GROUP BY source ORDER BY source"""))
+              FROM hits GROUP BY source ORDER BY source""")),
+
+    // T28: training-sequence packing plan (concat-and-chunk, seqLen 2048)
+    // — per document: token offset interval in the pinned doc_id order
+    // and the sequences it lands in. The global prefix sum runs as the
+    // two-phase distributed scan (graft.text.Packing): range-partition →
+    // partition-local running sums → partition-count-bounded base window
+    // → broadcast back. No single-partition data window anywhere; the
+    // oracle replays the same arithmetic with a plain window cumsum
+    // (DuckDB is single-node — it can afford the global sort).
+    Q("t28_sequence_packing",
+      (s, d) => graft.text.Packing.packingPlan(Tables.documents(s, d),
+          "doc_id", "text", seqLen = 2048L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+                     FROM documents),
+                   o AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS start_offset
+                     FROM t)
+              SELECT doc_id, n_tokens, start_offset,
+                     start_offset // 2048 AS first_seq,
+                     (start_offset + n_tokens - 1) // 2048 AS last_seq,
+                     (start_offset + n_tokens - 1) // 2048
+                       > start_offset // 2048 AS crosses_boundary
+              FROM o ORDER BY doc_id""")),
+
+    // T29: BM25 keyword retrieval (Robertson–Sparck Jones idf, Lucene +1
+    // form, k1=1.2 b=0.75) — top 20 documents for a 3-term query. The
+    // inverted-index probe shape: the explode filters to the query terms
+    // before any aggregation, df/idf/avgdl are broadcast-sized, top-k is
+    // TakeOrderedAndProject. Score components are fixed double trees
+    // rounded to 6 decimals, summed in exact DECIMAL per doc — the
+    // oracle replays every stage.
+    Q("t29_bm25_search",
+      (s, d) => Corpus.bm25TopDocs(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "stream", "window"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some("""WITH lens AS (SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS dl
+                     FROM documents),
+                   stats AS (SELECT CAST(SUM(dl) AS DOUBLE)
+                                      / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                                    COUNT(*) AS n
+                             FROM lens),
+                   tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                     FROM documents),
+                   tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                          FROM tok
+                          WHERE term IN ('spark', 'stream', 'window')
+                          GROUP BY 1, 2),
+                   idf AS (SELECT term,
+                     ROUND(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+                     FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats),
+                   comp AS (SELECT tf.doc_id,
+                     ROUND(idf * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75
+                                + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6) AS comp
+                     FROM tf
+                     JOIN idf USING (term)
+                     JOIN lens ON tf.doc_id = lens.doc_id, stats),
+                   sc AS (SELECT doc_id,
+                            SUM(CAST(comp AS DECIMAL(18,6))) AS score_dec,
+                            COUNT(*) AS n_terms_hit
+                          FROM comp GROUP BY doc_id)
+              SELECT doc_id, CAST(score_dec AS DOUBLE) AS bm25, n_terms_hit
+              FROM sc ORDER BY score_dec DESC, doc_id LIMIT 20"""))
   )
 }

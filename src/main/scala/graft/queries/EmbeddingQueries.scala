@@ -245,6 +245,49 @@ object EmbeddingQueries {
                FROM ranked WHERE rn = 1
                GROUP BY 1, 2 ORDER BY label, assigned""")),
 
+    // EMB12: SemDeDup-shaped semantic dedup — coarse-quantize the corpus
+    // (the emb7 deterministic codebook standing in for the k-means
+    // quantizer), within-cluster cosine near-dup pairs, drop every vector
+    // with a lower-id neighbor ≥ τ in its cluster, survivorship counts
+    // out. The oracle replays codebook, argmax assignment, pair predicate
+    // and the drop rule — the whole curation decision is hash-checked.
+    // Pair space is Σ cluster², co-partitioned on the cluster key (the
+    // bound SemDeDup runs web-scale corpora under; k grows with N).
+    Q("emb12_semantic_dedup",
+      (s, d) => Ann.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", minCosine = 0.3)
+        .orderBy("cluster"),
+      Some(s"""WITH cd AS (SELECT CAST(label AS BIGINT) AS c_label, i,
+                                  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                           FROM embeddings CROSS JOIN range(1, 65) t(i)
+                           GROUP BY 1, 2),
+                    cent AS (SELECT c_label, list(cv ORDER BY i) AS centroid
+                             FROM cd GROUP BY c_label),
+                    scored AS (SELECT e.vec_id, c.c_label,
+                                      ${sqlCosine("e.embedding", "c.centroid")} AS cosv
+                               FROM embeddings e CROSS JOIN cent c),
+                    asg AS (SELECT vec_id, c_label AS cluster
+                            FROM (SELECT vec_id, c_label,
+                                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cosv DESC, c_label) AS rn
+                                  FROM scored)
+                            WHERE rn = 1),
+                    v AS (SELECT a.vec_id, a.cluster, e.embedding
+                          FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id),
+                    dropped AS (SELECT a.cluster,
+                                       COUNT(DISTINCT b.vec_id) AS n_dropped
+                                FROM v a JOIN v b
+                                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                                WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.3
+                                GROUP BY a.cluster),
+                    sizes AS (SELECT cluster, COUNT(*) AS n_vectors
+                              FROM v GROUP BY cluster)
+               SELECT s.cluster, s.n_vectors,
+                      COALESCE(d.n_dropped, 0) AS n_dropped,
+                      s.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept
+               FROM sizes s LEFT JOIN dropped d ON s.cluster = d.cluster
+               ORDER BY s.cluster""")),
+
     // IVF (k-means coarse quantizer) ANN — the learned-bucket scale path.
     // The cells come from a KMeans fit, which DuckDB cannot reproduce, so
     // the VALUES are not oracle-able — but the operator's CONTRACT is

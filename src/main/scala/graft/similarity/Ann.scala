@@ -366,8 +366,16 @@ object Ann {
     * keyed by vector id — no global sort). Cosine ties break toward the
     * smaller centroid label so the argmax is total. */
   def centroidAssign(emb0: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    nearestCentroid(withRegistry(emb0), idCol, vecCol, labelCol)
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-vector max-cosine centroid assignment against the deterministic
+    * rounded-mean codebook: (__vid, label, assigned). Skinny through the
+    * argmax shuffle — vectors rejoin by id downstream when needed. */
+  private def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    val emb = withRegistry(emb0)
     val centroids = emb
       .select(col(labelCol).cast("long").as("c_label"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
@@ -387,8 +395,51 @@ object Ann {
       .partitionBy("__vid").orderBy(col("__cos").desc, col("c_label"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .groupBy(col("label"), col("c_label").as("assigned"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("__vid"), col("label"), col("c_label").as("assigned"))
+  }
+
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): partition the corpus by a coarse quantizer, find
+    * within-cluster cosine near-duplicates, keep one representative per
+    * duplicate neighborhood. The quantizer here is the deterministic
+    * rounded-mean label codebook (the emb7 convention — an MLlib KMeans
+    * fit is not engine-replayable, this codebook is, and the assignment
+    * is already hash-proven by emb7); production swaps in the k-means
+    * centroids with k ∝ N so expected cluster size stays constant.
+    * Survivorship is the deterministic one-pass rule: a vector is
+    * DROPPED iff some lower-id vector in the same cluster has cosine ≥
+    * `minCosine` with it — the "keep first item per neighborhood" rule
+    * of the paper with document id as the pinned scan order.
+    *
+    * Scale shape: the pair join is co-partitioned on the cluster key, so
+    * the pair space is Σ cluster² (bounded by the quantizer's balance,
+    * the same bound SemDeDup runs 100 TB corpora under) and never n²;
+    * the argmax assignment is skinny (id, cluster) and vectors rejoin by
+    * id. Returns per-cluster survivorship accounting. */
+  def semanticDedup(emb0: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minCosine: Double): DataFrame = {
+    val emb = withRegistry(emb0)
+    val assign = nearestCentroid(emb, idCol, vecCol, labelCol)
+      .select(col("__vid"), col("assigned").as("cluster"))
+    val v = emb
+      .select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
+      .join(assign, "__vid")
+      .withColumn("__n", norm(col("__v")))
+    val a = v.select(col("cluster"), col("__vid").as("__id1"),
+      col("__v").as("__v1"), col("__n").as("__n1"))
+    val b = v.select(col("cluster"), col("__vid").as("__id2"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(cosineOrZero(dot(col("__v1"), col("__v2")),
+        col("__n1"), col("__n2")) >= minCosine)
+      .groupBy("cluster")
+      .agg(countDistinct(col("__id2")).as("n_dropped"))
+    v.groupBy("cluster").agg(count(lit(1)).as("n_vectors"))
+      .join(dropped, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vectors"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
   }
 
   /** Pairs with cosine ≥ `minCosine` (embedding near-duplicate detection).

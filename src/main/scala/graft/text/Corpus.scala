@@ -91,6 +91,54 @@ object Corpus {
       .filter(col("n_chars") > 0)
   }
 
+  /** BM25 keyword retrieval: top-`k` documents for a bag of query terms
+    * (Robertson–Sparck Jones idf in the Lucene `+1` form, k1/b the
+    * classic 1.2/0.75). The probe is inverted-index-shaped: the token
+    * explode filters to the QUERY terms before any aggregation, so
+    * nothing vocabulary-wide is materialized — df, idf, and the global
+    * avgdl statistic are all term-count- or scalar-sized broadcasts, and
+    * the only data-sized shuffles are the per-(doc, term) tf aggregation
+    * and the doc-length join. Top-k is orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort).
+    *
+    * Exact-match discipline: per-term score components are fixed
+    * double-expression trees (deterministic IEEE in both engines, the
+    * sqlCosine precedent) rounded to 6 decimals, then summed per
+    * document in exact DECIMAL so partial aggregation order cannot
+    * perturb the total; ordering ties break on doc id. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val stats = lens.agg(sum(col("dl")).as("total"), count(lit(1)).as("n"))
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"))
+    val comp = tf.join(broadcast(idf), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total").cast("double") / col("n").cast("double"))
+      .withColumn("comp", round(
+        col("idf") * (col("tf").cast("double") * 2.2)
+          / (col("tf").cast("double")
+             + lit(1.2) * (lit(1.0) - lit(0.75)
+               + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+        6))
+    comp.groupBy(col(idCol))
+      .agg(sum(col("comp").cast("decimal(18,6)")).as("__score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("__score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__score_dec").cast("double").as("bm25"),
+        col("n_terms_hit"))
+  }
+
   /** Term frequencies per (carried columns, id, term): one row per distinct
     * term occurrence count. `carry` columns must be functionally dependent
     * on the id (e.g. the document's language). */

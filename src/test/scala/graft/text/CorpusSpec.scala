@@ -121,4 +121,19 @@ class CorpusSpec extends SparkSpec {
     }
     assert(out(4L) == ((6L, 0L, 0.0)))
   }
+
+  test("bm25 ranks term-dense short docs first and skips non-matching docs") {
+    val docs = Seq(
+      (1L, "spark spark stream"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val got = Corpus.bm25TopDocs(docs, "doc_id", "text",
+        terms = Seq("spark", "stream"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"))).toMap
+    assert(got.keySet == Set(1L, 2L), s"got $got")       // doc 3 never scores
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L)         // terms hit
+    assert(got(1L)._1 > got(2L)._1)                      // tf + length norm
+    assert(got.values.forall(_._1 > 0.0))
+  }
 }
