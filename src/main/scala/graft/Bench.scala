@@ -44,7 +44,9 @@ object Bench {
     "emb1_knn_bruteforce", "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
     "emb8_knn_batch", "emb10_projected_neardup", "emb11_cross_corpus_neardup",
     "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
-    "cp5_study_overview", "om3_mart_patient_summary", "mm5_media_mix_curation")
+    "cp5_study_overview", "om3_mart_patient_summary", "mm5_media_mix_curation",
+    "st1_stream_hourly_rollup", "emb12_semantic_dedup",
+    "t28_sequence_packing", "t29_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,7 +49,13 @@ object ScaleRehearsal {
     "j8_bloom_prefilter_join", "a18_heavy_hitters",
     // round-6 additions: cross-corpus embedding probe (auto-r band index),
     // metadata-driven media curation (parse + quota over the documents dim)
-    "emb11_cross_corpus_neardup", "mm5_media_mix_curation")
+    "emb11_cross_corpus_neardup", "mm5_media_mix_curation",
+    // round-6 second tranche: cluster-bounded semantic dedup (pair space
+    // Σ cluster² — negated copies make every centroid zero-ish but the
+    // cluster key balance is what's under test), distributed prefix sum,
+    // inverted-index-shaped retrieval, streaming-vs-batch pipeline
+    "emb12_semantic_dedup", "t28_sequence_packing", "t29_bm25_search",
+    "st1_stream_hourly_rollup")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
@@ -110,6 +116,17 @@ object ScaleRehearsal {
 
     val emb = read("embeddings")
     val vecShift = maxOf(emb, "vec_id")
+    // labels shift per copy too: the label space plays the coarse
+    // quantizer for emb2/emb7/emb12, and a shared label space would
+    // average each label's originals with their negated copies into a
+    // ZERO centroid — ties collapse every vector into one cluster and
+    // emb12's within-cluster pair join degenerates to n². Per-copy labels
+    // keep cluster SIZE constant while cluster COUNT grows with the
+    // corpus — exactly the k ∝ N regime cluster-bounded semantic dedup
+    // is designed for (and it un-degenerates the emb7 rehearsal, whose
+    // centroids were all zero before).
+    val labelShift =
+      emb.agg(max(col("label").cast("long"))).head().getLong(0) + 1
     def rotate1(c: Column): Column =
       concat(slice(c, lit(2), size(c) - 1), slice(c, lit(1), lit(1)))
     stacked(emb) { k =>
@@ -123,6 +140,8 @@ object ScaleRehearsal {
         case _ => reverse(rotate1(negated))
       }
       emb.withColumn("vec_id", col("vec_id") + k * vecShift)
+        .withColumn("label",
+          (col("label").cast("long") + k * labelShift).cast("int"))
         .withColumn("embedding", transformed.cast("array<float>"))
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }

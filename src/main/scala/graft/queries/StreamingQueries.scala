@@ -221,6 +221,46 @@ object StreamingQueries {
               FROM islands GROUP BY user_id, session_id
               ORDER BY user_id, session_start""")),
 
+    // ST4: stream-stream attribution join — every (click, purchase) pair
+    // for the same user with the purchase inside 1 hour of the click,
+    // both sides watermarked micro-batch streams over the SAME
+    // chronological source. An inner join emits eagerly, so no flush is
+    // needed; chronological arrival + watermark (120 min) ≥ the match
+    // horizon (60 min) means state eviction can never outrun a pending
+    // match. The oracle is the plain batch self-join — the hash gate
+    // proves the stateful two-stream execution emits exactly the batch
+    // pair set, evicted state and all.
+    Q("st4_stream_attribution_join",
+      (s, d) => {
+        val src = eventSource(s, d)
+        def side(t: String) = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .filter(col("event_type") === t)
+        val joined = graft.streaming.Streaming.attributionJoin(
+            side("click"), side("purchase"),
+            keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+            windowSecs = 3600L, watermark = "120 minutes")
+          .select(col("view_k").as("user_id"), col("view_event"),
+            col("purchase_event"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        runToSink(s, joined, tmp("st4/sink"), tmp("st4/ckpt"))
+          .orderBy("view_event", "purchase_event")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_event,
+                     p.event_id AS purchase_event,
+                     strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                       AS click_ts,
+                     strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                       AS purchase_ts
+              FROM events v JOIN events p
+                ON v.user_id = p.user_id
+               AND v.event_type = 'click' AND p.event_type = 'purchase'
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+               AND CAST(p.ts AS TIMESTAMP)
+                   <= CAST(v.ts AS TIMESTAMP) + INTERVAL 3600 SECONDS
+              ORDER BY view_event, purchase_event""")),
+
     // ST3: streaming exact dedup (the t5/t14 incremental-dedup shape as
     // a live stream): dropDuplicatesWithinWatermark on the content
     // digest. Dedup emits first arrivals immediately (no flush needed);

@@ -117,6 +117,28 @@ object Streaming {
           purchase_ts <= view_ts + interval $windowSecs seconds"""))
   }
 
+  /** Stream-stream attribution join carrying event identities: every
+    * (view, purchase) pair for the same key with the purchase inside
+    * `windowSecs` of the view. Both sides watermarked so join state is
+    * evicted once the watermark clears a row's match horizon; an inner
+    * join emits eagerly (a pair appears as soon as both sides have
+    * arrived), so the emitted set is exactly the batch join — monotone,
+    * no flush event needed. [[streamStreamJoin]] keeps the minimal
+    * (key, ts) shape; this variant is the gate/pipeline form. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, windowSecs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col(keyCol).as("view_k"), col(tsCol).as("view_ts"),
+      col(idCol).as("view_event"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col(keyCol).as("purchase_k"),
+      col(tsCol).as("purchase_ts"), col(idCol).as("purchase_event"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p, expr(
+      s"""view_k = purchase_k AND purchase_ts >= view_ts AND
+          purchase_ts <= view_ts + interval $windowSecs seconds"""))
+  }
+
   /** Streaming medallion landing: a foreachBatch bronze writer with
     * dead-letter routing. The batch path ([[graft.io.Medallion.landToBronze]])
     * fail-fasts on a failed domain like the reference's ingest

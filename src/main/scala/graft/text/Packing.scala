@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,38 +15,65 @@ import org.apache.spark.sql.functions._
   *
   * The core primitive is a GLOBAL prefix sum over the pinned order. A
   * naive `Window.orderBy(id)` funnels the whole corpus through ONE
-  * partition (the w3 smell — fine for a dim table, fatal at 100 TB). This
-  * is the classic two-phase distributed scan instead:
-  *   1. range-partition by the order key; per-partition running sum (a
-  *      partitioned window — parallel, no global sort);
-  *   2. per-partition totals (one row per partition) → cumulative bases
+  * partition (the w3 smell — fine for a dim table, fatal at 100 TB). And
+  * the declarative two-phase variant (partition-local window keyed on the
+  * partition id) costs a SECOND full exchange, because Catalyst cannot
+  * know rows are already clustered by their own partition id — it
+  * hash-shuffles the data again to satisfy the window's required
+  * distribution (measured: two data-sized Exchanges in the plan). So the
+  * local scan is the canonical `mapPartitions` accumulator — the genuine
+  * per-partition imperative case the declarative API cannot express
+  * without a redundant shuffle:
+  *   1. range-partition by the order key, sort within partitions (the
+  *      one unavoidable data-sized exchange);
+  *   2. one forward pass per partition computing local running sums —
+  *      rows never move;
+  *   3. per-partition totals (one row per partition) → cumulative bases
   *      via a window over the partition INDEX (bounded by the partition
   *      count, not the data) → broadcast back.
   * The result is invariant to where the sampled range boundaries fall —
   * the offset of a row is the sum over all smaller keys regardless of the
   * partitioning — so the output is deterministic even though
-  * `repartitionByRange` samples. */
+  * `repartitionByRange` samples (PackingSpec pins both equality with the
+  * single-partition window and partition-count invariance). */
 object Packing {
 
   /** Adds `start_offset` = sum of `nCol` over all rows with a smaller
-    * `idCol` (the exclusive prefix sum), via the two-phase distributed
-    * scan. `parts` bounds phase-2 state (one row per partition). */
+    * `idCol` (the exclusive prefix sum). `idCol` and `nCol` must be
+    * (castable to) BIGINT, ids unique and non-null. `parts` bounds
+    * phase-3 state (one row per partition). */
   def withStartOffsets(df: DataFrame, idCol: String, nCol: String,
       parts: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id().cast("long"))
-    val wLocal = Window.partitionBy("__pid").orderBy(idCol)
-    val local = ranged.withColumn("__run", sum(col(nCol)).over(wLocal))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persisted because BOTH consumers below need it — the per-partition
+    // totals and the final join; without the cache Catalyst re-runs the
+    // scan + range exchange once per branch (measured: two data-sized
+    // Exchanges in the plan). The frame is narrow (four longs per row),
+    // MEMORY_AND_DISK, registered with the weak cache registry
+    val local = graft.ops.Caches.tracked(df
+      .select(col(idCol).cast("long").as("__id"), col(nCol).cast("long").as("__n"))
+      .repartitionByRange(parts, col("__id"))
+      .sortWithinPartitions("__id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId().toLong
+        var acc = 0L
+        it.map { case (id, n) => acc += n; (pid, id, n, acc) }
+      }
+      .toDF("__pid", "__id", "__n", "__run")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one row per partition; the cumulative-base window is bounded by
-    // `parts`, never by the data
+    // `parts`, never by the data (local running sums are monotone, so
+    // the partition total is their max)
     val wPid = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = local.groupBy("__pid").agg(sum(col(nCol)).as("__ptot"))
+    val bases = local.groupBy("__pid").agg(max(col("__run")).as("__ptot"))
       .withColumn("__base", sum(col("__ptot")).over(wPid) - col("__ptot"))
       .select("__pid", "__base")
     local.join(broadcast(bases), "__pid")
-      .withColumn("start_offset", col("__base") + col("__run") - col(nCol))
-      .drop("__pid", "__run", "__base")
+      .select(col("__id").as(idCol), col("__n").as(nCol),
+        (col("__base") + col("__run") - col("__n")).as("start_offset"))
   }
 
   /** Per-document packing plan for sequence length `seqLen`: offset

@@ -31,6 +31,24 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("st4 stream-stream attribution join equals the batch self-join") {
+    val streamed = q(StreamingQueries.all, "st4_stream_attribution_join").collect()
+    val ev = graft.io.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("view_event"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event"), col("ts").as("pts"))
+    val batch = v.join(p, Seq("user_id"))
+      .filter(col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("interval 3600 seconds"))
+      .select(col("user_id"), col("view_event"), col("purchase_event"),
+        date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("view_event", "purchase_event").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("st3 streaming dedup equals global DISTINCT on the digest") {
     val streamed = q(StreamingQueries.all, "st3_stream_dedup").collect()
     val batch = graft.io.Tables.documents(spark, sf)
