@@ -46,7 +46,7 @@ object Bench {
     "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
     "cp5_study_overview", "om3_mart_patient_summary", "mm5_media_mix_curation",
     "st1_stream_hourly_rollup", "emb12_semantic_dedup",
-    "t28_sequence_packing", "t29_bm25_search")
+    "t28_sequence_packing", "t29_bm25_search", "t30_winnowing_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -55,7 +55,10 @@ object ScaleRehearsal {
     // cluster key balance is what's under test), distributed prefix sum,
     // inverted-index-shaped retrieval, streaming-vs-batch pipeline
     "emb12_semantic_dedup", "t28_sequence_packing", "t29_bm25_search",
-    "st1_stream_hourly_rollup")
+    "st1_stream_hourly_rollup",
+    // winnowed fingerprint index: pair cost rides Σ df² over a 2/(w+1)
+    // density index — the df-cap family's scaling, on 40 % of the keys
+    "t30_winnowing_pairs")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -674,6 +674,48 @@ object TextQueries {
                                 ELSE CAST([] AS VARCHAR[]) END AS sh
                     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                           FROM documents))
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // T30: winnowing fingerprint pairs — the MOSS shared-long-span
+    // detector (Schleimer et al. SIGMOD'03; graft.text.Winnowing scaladoc
+    // for the guarantee and the 2/(w+1) density bound). The packed
+    // h32·2^24 + (2^24−1−pos) BIGINT makes "min hash, rightmost tie" a
+    // plain windowed MIN in both engines, so the oracle replays the exact
+    // selection — shingle hash, window, df cap, pair score — stage by
+    // stage. k=3 w=4: any shared run of ≥ 6 tokens is guaranteed caught.
+    Q("t30_winnowing_pairs",
+      (s, d) => graft.text.Winnowing.sharedFingerprintPairs(
+          Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minOverlap = 0.6, maxFpDf = 1000L)
+        .orderBy("id1", "id2"),
+      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents WHERE text IS NOT NULL),
+                   sh AS (SELECT doc_id, i - 1 AS pos, len(w) - 2 AS nsh,
+                                 CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)
+                                      AS BIGINT) AS h32
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   wins AS (SELECT doc_id, pos, nsh,
+                                   MIN(h32 * 16777216 + (16777215 - pos)) OVER
+                                     (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                            FROM sh),
+                   fph AS (SELECT DISTINCT doc_id, m // 16777216 AS fp_hash
+                           FROM wins WHERE pos <= greatest(nsh - 4, 0)),
+                   rare AS (SELECT fp_hash FROM fph GROUP BY fp_hash
+                            HAVING COUNT(*) <= 1000),
+                   kept AS (SELECT fph.doc_id, fph.fp_hash FROM fph JOIN rare USING (fp_hash)),
+                   sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM kept GROUP BY doc_id),
+                   inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+                             FROM kept a JOIN kept b
+                               ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2)
+              SELECT id1, id2, shared, s1.nfp AS nfp1, s2.nfp AS nfp2,
+                     ROUND(CAST(shared AS DOUBLE) /
+                           CAST(least(s1.nfp, s2.nfp) AS DOUBLE), 6) AS overlap
+              FROM inter
+              JOIN sizes s1 ON id1 = s1.doc_id
+              JOIN sizes s2 ON id2 = s2.doc_id
+              WHERE CAST(shared AS DOUBLE) / CAST(least(s1.nfp, s2.nfp) AS DOUBLE) >= 0.6
+              ORDER BY id1, id2"""))
   )
 }
