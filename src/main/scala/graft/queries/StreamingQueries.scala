@@ -221,6 +221,56 @@ object StreamingQueries {
               FROM islands GROUP BY user_id, session_id
               ORDER BY user_id, session_start""")),
 
+    // ST5: stream-static enrichment — the remaining Structured Streaming
+    // join type (st4 covers stream-stream): the event stream inner-joins
+    // the STATIC customer→nation dimension spine (broadcast against each
+    // micro-batch; at 100 TB this is the canonical "enrich facts with a
+    // slowly-changing dim" shape), then flows into a watermarked daily
+    // windowed aggregation per nation. Composition note: the watermark is
+    // set BEFORE the join, so the sentinel advances event time at the
+    // source and flushes the tail windows even though its user_id=-1
+    // never survives the inner join — state eviction is driven by the
+    // global watermark, not by surviving rows. Oracle = plain batch
+    // join + daily rollup.
+    Q("st5_stream_static_enrichment",
+      (s, d) => {
+        val src = eventSource(s, d)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+        // the filter must KEEP the sentinel: Catalyst pushes predicates
+        // below the EventTimeWatermark node, and a sentinel filtered at
+        // the scan never advances the watermark — the tail windows would
+        // sit in state forever. The inner join drops it instead
+        // (user_id=-1 has no dimension row), downstream of the watermark.
+        val stream = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .filter(col("event_type") === "purchase" ||
+            col("event_type") === "__flush")
+          .withWatermark("ts", "120 minutes")
+          .join(broadcast(dim), "user_id")
+        val agg = stream
+          .groupBy(window(col("ts"), "1 day"), col("nation"))
+          .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), 6).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("nation"), col("n_purchases"), col("sum_value"))
+        runToSink(s, agg, tmp("st5/sink"), tmp("st5/ckpt"))
+          .orderBy("day", "nation")
+      },
+      Some(s"""SELECT strftime(date_trunc('day', CAST(e.ts AS TIMESTAMP)),
+                               '%Y-%m-%d') AS day,
+                      n.n_name AS nation, COUNT(*) AS n_purchases,
+                      ${sqlDsum("e.value", 6)} AS sum_value
+               FROM events e
+               JOIN customer c ON e.user_id = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               WHERE e.event_type = 'purchase'
+               GROUP BY 1, 2 ORDER BY day, nation""")),
+
     // ST4: stream-stream attribution join — every (click, purchase) pair
     // for the same user with the purchase inside 1 hour of the click,
     // both sides watermarked micro-batch streams over the SAME

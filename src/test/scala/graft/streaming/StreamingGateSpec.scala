@@ -49,6 +49,23 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("st5 stream-static enrichment equals the batch join + daily rollup") {
+    val streamed = q(StreamingQueries.all, "st5_stream_static_enrichment").collect()
+    val ev = graft.io.Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val dim = graft.io.Tables.customer(spark, sf)
+      .join(graft.io.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    val batch = ev.join(dim, "user_id")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("nation"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.queries.Q.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("day", "nation").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("st3 streaming dedup equals global DISTINCT on the digest") {
     val streamed = q(StreamingQueries.all, "st3_stream_dedup").collect()
     val batch = graft.io.Tables.documents(spark, sf)
