@@ -24,7 +24,57 @@ object SinkSqlQueries {
 
   private def tmp(name: String): String = s"$sinkRoot/$name"
 
+  /** s17's clustered copy of lineitem + manifest, written once per
+    * (session, sfDir) — the table is immutable derived data, so warmup
+    * and measured reps share it (the eventSource/cachedCount discipline). */
+  private val skipDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def clusteredLineitem(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = skipDirCache.get(key)
+    if (hit != null) return hit
+    skipDirCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s17_skip_${Integer.toHexString(d.hashCode)}")
+    graft.ops.DataSkipping.writeClustered(
+      Tables.lineitem(s, d).withColumn("l_shipdate", col("l_shipdate").cast("date")),
+      dir, "l_shipdate", nFiles = 16)
+    skipDirCache.put(key, dir)
+    dir
+  }
+
   val all: Seq[Q] = Seq(
+
+    // S17: manifest-driven data skipping — the zone-map mechanism every
+    // lakehouse format builds on (ops.DataSkipping scaladoc). Lineitem is
+    // written range-clustered by l_shipdate with a per-file min/max
+    // manifest; the read plans ONLY the manifest-selected files for a
+    // one-year predicate, then aggregates. The `pruned` column is the
+    // emb6-style contract gate: it is TRUE only if the scan actually
+    // touched fewer files than the table holds, and the oracle asserts
+    // it — so file skipping itself is under the hash gate, not just the
+    // result values.
+    Q("s17_data_skipping_scan",
+      (s, d) => {
+        val dir = clusteredLineitem(s, d)
+        val (scan, nRead, nTotal) = graft.ops.DataSkipping.prunedRead(
+          s, dir, "l_shipdate",
+          lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date"))
+        scan.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .withColumn("pruned", lit(nRead < nTotal && nRead > 0))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${sqlDsum("l_quantity")} AS sum_qty,
+                      ${sqlDsum("l_extendedprice")} AS sum_price,
+                      TRUE AS pruned
+               FROM lineitem
+               WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                 AND CAST(l_shipdate AS DATE) <= DATE '1996-12-31'
+               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
