@@ -57,23 +57,102 @@ object Tables {
     cache.computeIfAbsent(key, _ => load(spark, dir, name))
   }
 
-  /** Read one testdata table. `events.parquet` stores INT64
-    * TIMESTAMP(NANOS), which Spark's parquet reader rejects outright
-    * (PARQUET_TYPE_ILLEGAL). We read nanos as a plain long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
-    * which is exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does — so
-    * oracle comparisons stay bit-identical.
+  /** Read one testdata table. The `events` table is a LOGICAL table whose
+    * physical `ts` layout has shipped in two different forms across
+    * testdata generations:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects this
+    *    outright (PARQUET_TYPE_ILLEGAL) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` reads the ticks as a plain
+    *    long; we then truncate to microseconds — exactly what DuckDB's
+    *    `CAST(ts_ns AS TIMESTAMP)` does, so oracle comparisons stay
+    *    bit-identical.
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads this
+    *    natively as TIMESTAMP_NTZ; with the session timezone pinned to UTC
+    *    (every entrypoint does), casting to TimestampType is value-identical
+    *    and keeps every downstream operator on the single timestamp type
+    *    they were written against.
+    *
+    * A reader must dispatch on what the FILE says, not on what last
+    * round's files happened to contain — hard-coding one physical layout
+    * for a logical table is exactly the brittleness a 100 TB lakehouse
+    * cannot afford (schema evolution across years of landed files is the
+    * norm, not the exception). So: read the parquet footer first, then
+    * pick the decode path. The legacy-nanos session conf is now set ONLY
+    * when the footer actually shows NANOS — a plain read no longer mutates
+    * session state as a side effect.
     */
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
-    case "events" =>
-      // Leave the conf set for the session: it only affects parquet files
-      // that actually contain nanosecond timestamps (events is the only one),
-      // and execution may consult it again after planning.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case "events" => loadEvents(spark, s"$dir/events.parquet")
     case n =>
       spark.read.parquet(s"$dir/$n.parquet")
+  }
+
+  /** Schema-adaptive events read; see `load`. Public so the layout spec
+    * can drive it against fixture files of both physical layouts. */
+  private[graft] def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (tsFooterIsNanos(spark, path)) {
+      // Nanos files are unreadable without the legacy conf; it must stay
+      // set for the session because the scan consults it at execution
+      // time, not just analysis. It is a no-op for non-nanos files.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case TimestampType => raw
+        case TimestampNTZType =>
+          // session tz is UTC at every entrypoint → cast is value-identical
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType =>
+          // unannotated INT64: the only layout that has ever shipped raw
+          // longs used nanosecond ticks (nanosAsLong set by an earlier
+          // nanos read in this session) — convert as such
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported physical type $other at $path — " +
+              "expected TIMESTAMP(NANOS|MICROS) or INT64")
+      }
+    }
+  }
+
+  /** True iff the parquet footer stores `ts` as INT64 TIMESTAMP(NANOS) —
+    * the one layout Spark's reader cannot ingest without the legacy conf.
+    * One footer read per (session, dir) table load (the plan cache above
+    * makes this once-per-session); on a real deployment this is the table
+    * format's metadata, not a file probe.
+    */
+  private def tsFooterIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    // `path` may be a single file or a directory of part files — any one
+    // data file's footer speaks for the layout (single-writer tables)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName)
+          .headOption
+          .getOrElse(return false)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      val t = schema.getType("ts")
+      t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
+        case _ => false
+      })
+    } finally reader.close()
   }
 
   /** Row-count cache for the immutable testdata tables, keyed like the
