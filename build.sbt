@@ -31,3 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Touch a marker on every successful compile; the pre-commit hook
+// (scripts/pre-commit) compares src/main mtimes against it so unbuilt
+// code cannot be committed silently (round 7 lost the whole board to a
+// committed one-line compile error that was never built).
+Compile / compile := {
+  val analysis = (Compile / compile).value
+  IO.touch(target.value / ".last-good-compile")
+  analysis
+}

@@ -30,23 +30,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Representative queries across operator families: scan, agg, join,
-    * window, top-k, json, validation, text/dedup suite, embeddings. */
+  /** Tiny representative set for the PRINTED line only (one per major
+    * family). The driver captures a bounded tail of stdout: round 6's
+    * 41-query headline + spread maps made the line ~4 KB, the front
+    * (with "metric"/"value") fell off the buffer, and the driver recorded
+    * `parsed: null`. Everything (all queries, all reps, spreads) still
+    * goes to bench_full.json. */
   private val Headline = Seq(
-    "a1_group_count", "a6_median", "a16_pivot_status_counts",
-    "j1_star_join_broadcast", "j2_left_join_spine", "aj3_asof_join_broadcast",
-    "w1_running_count", "w5_scd2_dimension", "w6_rolling_30d_spend",
-    "o4_top_n", "f16_json_extract", "f18_array_higher_order",
-    "s13_merge_upsert", "t2_quality_scores", "t6_ngram_jaccard_pairs",
-    "t7_minhash_lsh_pairs", "t8_simhash", "t9_neardup_clusters",
-    "t12_lsh_exact_dedup_pairs", "t13_curation_funnel", "t15_repetition_ratio",
-    "t16_contamination", "t17_tfidf_top_terms", "t21_containment_pairs",
-    "emb1_knn_bruteforce", "emb4_cosine_neardup_pairs", "emb6_knn_ivf",
-    "emb8_knn_batch", "emb10_projected_neardup", "emb11_cross_corpus_neardup",
-    "v1_check_suite_events", "cp3_subject_summary", "cp4_subject_outcomes",
-    "cp5_study_overview", "om3_mart_patient_summary", "mm5_media_mix_curation",
-    "st1_stream_hourly_rollup", "emb12_semantic_dedup",
-    "t28_sequence_packing", "t29_bm25_search", "t30_winnowing_pairs")
+    "a1_group_count", "j1_star_join_broadcast", "w1_running_count",
+    "w6_rolling_30d_spend", "t6_ngram_jaccard_pairs", "t28_sequence_packing",
+    "emb6_knn_ivf", "emb12_semantic_dedup", "e1_hourly_rollup",
+    "st1_stream_hourly_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,7 +55,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset (builder-side perf attribution;
+    // the driver's env has no SPARK_GRAFT_BENCH_ONLY so it times all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // FULL evaluation of every output column via the noop sink — a bare
     // count() would let Catalyst prune projections/windows/sorts, so
     // regex- and window-family queries would time only a row-count scan
@@ -124,14 +123,17 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
 
-    // headline spreads print as integer percent to keep the line short
-    val spreads = headline.map(r => "\"" + r._1 + "\":" + math.round(r._3))
-      .mkString("{", ",", "}")
+    // printed line stays SHORT: totals + error COUNT + a ~10-query
+    // representative map. The full error list, per-query map, spreads and
+    // raw reps live in bench_full.json only — an error-bearing run must
+    // not blow the line past the driver's tail buffer again.
+    val errNames = results.collect { case (k, _, _, _, false) => k }
+    val errPreview = errNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
-      s""""n_errors":${results.count(!_._5)},"errors":$errors,""" +
+      s""""n_errors":${errNames.size},"errors":$errPreview,""" +
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +
-      s""""spread_pct":$spreads,"sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

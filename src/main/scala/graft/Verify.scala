@@ -18,15 +18,50 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+
+    // ---- preflight: print each testdata table's PHYSICAL parquet schema
+    // (footer message type, one line per table). Rounds 6/7 lost 22 queries
+    // to a silent testdata-layout change (events.ts NANOS → MICROS);
+    // absence-of-row read as pass. This makes the physical layout visible
+    // in every round's log, and the dumped/declared accounting below makes
+    // a shrinking board loud instead of silent.
+    for (t <- graft.io.Tables.names) {
+      val line = try {
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new HPath(s"$sfDir/$t.parquet")
+        val fs = p.getFileSystem(conf)
+        val file =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).map(_.getPath)
+              .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+              .sortBy(_.getName).head
+          else p
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try r.getFooter.getFileMetaData.getSchema.toString
+          .replaceAll("\\s+", " ").trim
+        finally r.close()
+      } catch { case e: Throwable => s"UNREADABLE: ${e.getMessage}" }
+      System.err.println(s"[preflight] $t: $line")
+    }
+
+    val declared = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    var failed = List.empty[String]
+    declared.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    System.err.println(
+      s"[preflight] dumped ${declared.size - failed.size} of ${declared.size} " +
+        s"declared queries" +
+        (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(",")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -107,14 +107,18 @@ object Tables {
           // session tz is UTC at every entrypoint → cast is value-identical
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case LongType =>
-          // unannotated INT64: the only layout that has ever shipped raw
-          // longs used nanosecond ticks (nanosAsLong set by an earlier
-          // nanos read in this session) — convert as such
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // unannotated INT64 with a footer that does NOT say NANOS: the
+          // tick unit is unknowable from metadata. Guessing nanos would
+          // silently collapse unannotated-micros data to ~1970 timestamps;
+          // fail loudly instead (true NANOS files are handled by the
+          // footer-dispatch branch above, which never reaches here).
+          throw new IllegalStateException(
+            s"events.ts is unannotated INT64 at $path — tick unit unknown; " +
+              "refusing to guess (annotate as TIMESTAMP(NANOS|MICROS))")
         case other =>
           throw new IllegalStateException(
             s"events.ts has unsupported physical type $other at $path — " +
-              "expected TIMESTAMP(NANOS|MICROS) or INT64")
+              "expected TIMESTAMP(NANOS|MICROS)")
       }
     }
   }
@@ -147,7 +151,9 @@ object Tables {
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       if (!schema.containsField("ts")) return false
-      val t = schema.getType("ts")
+      // int-index overload: getType(String) is ambiguous in Scala 2.13
+      // between MessageType.getType(String*) and GroupType.getType(String)
+      val t = schema.getType(schema.getFieldIndex("ts"))
       t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
         case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
         case _ => false
