@@ -440,6 +440,49 @@ object CorpusQueries {
                             COUNT(*) AS n_terms_hit
                           FROM comp GROUP BY doc_id)
               SELECT doc_id, CAST(score_dec AS DOUBLE) AS bm25, n_terms_hit
-              FROM sc ORDER BY score_dec DESC, doc_id LIMIT 20"""))
+              FROM sc ORDER BY score_dec DESC, doc_id LIMIT 20""")),
+
+    // T31: DSIR hashed importance weighting (Xie et al. 2023) — score
+    // every document by the log-likelihood ratio of its hashed
+    // unigram+bigram features under target (lang='en') vs whole-corpus
+    // bucket models. Weights are exact integer nano-units (one ln per
+    // BUCKET, never per row; per-doc sums are order-independent BIGINT) —
+    // see graft.text.Dsir for the determinism + 100 TB argument.
+    Q("t31_dsir_importance",
+      (s, d) => graft.text.Dsir.importanceWeights(
+          Tables.documents(s, d), col("lang") === "en")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+                SELECT doc_id, (lang = 'en') AS tgt,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, tgt,
+                       unnest(list_concat(toks,
+                         list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM d),
+              fb AS (
+                SELECT doc_id, tgt,
+                       CAST(('0x' || substr(md5('31|' || feat), 1, 15)) AS BIGINT)
+                         % 1024 AS b
+                FROM f),
+              db AS (SELECT doc_id, tgt, b, COUNT(*) AS n FROM fb GROUP BY 1, 2, 3),
+              bs AS (SELECT b, SUM(n) AS c_s,
+                            SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t
+                     FROM db GROUP BY b),
+              tot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM bs),
+              lr AS (SELECT b,
+                       CAST(ROUND(ln(
+                         (CAST(c_t AS DOUBLE) + 1.0) * (CAST(n_s AS DOUBLE) + 1024.0) /
+                         ((CAST(c_s AS DOUBLE) + 1.0) * (CAST(n_t AS DOUBLE) + 1024.0)))
+                         * 1e9) AS BIGINT) AS lr_nano
+                     FROM bs, tot)
+              SELECT db.doc_id,
+                     CAST(SUM(db.n) AS BIGINT) AS n_feats,
+                     CAST(SUM(db.n * lr.lr_nano) AS BIGINT) AS weight_nano
+              FROM db JOIN lr USING (b)
+              GROUP BY db.doc_id
+              ORDER BY db.doc_id"""))
   )
 }
