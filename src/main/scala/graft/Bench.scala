@@ -120,7 +120,9 @@ object Bench {
       s""""reps":${results.map(r => "\"" + r._1 + "\":[" +
         r._4.map(fmt).mkString(",") + "]").mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    // subset runs (perf attribution) must not clobber the full-board artifact
+    val fullPath = if (only.isEmpty) "bench_full.json" else "bench_subset.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))
 
     // printed line stays SHORT: totals + error COUNT + a ~10-query

@@ -75,6 +75,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_bands"), s"graft_bands missing:\n$plan")
   }
 
+  test("t31: model joins broadcast off a local table; weight agg has map-side partial") {
+    val plan = planString("t31_dsir_importance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lr model not broadcast-joined:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"lr model should be a driver-built local table, not a recomputed subtree:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "model join fell back to SMJ")
+    assert(plan.contains("partial_count"), s"no map-side partial counts:\n$plan")
+    // the corpus subtree must appear exactly once in the weight job (the
+    // naive dependent-subtree formulation re-expanded it under every
+    // consumer — three scans)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 parquet scan in the weight job, got $scans:\n$plan")
+  }
+
   test("checks suite evaluates as a single aggregation (no joins, one scan)") {
     val df = SparkEntry.queries("v1_check_suite_events")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
