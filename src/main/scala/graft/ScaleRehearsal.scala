@@ -58,7 +58,11 @@ object ScaleRehearsal {
     "st1_stream_hourly_rollup",
     // winnowed fingerprint index: pair cost rides Σ df² over a 2/(w+1)
     // density index — the df-cap family's scaling, on 40 % of the keys
-    "t30_winnowing_pairs")
+    "t30_winnowing_pairs",
+    // round-8: DSIR importance weighting — explode + two linear
+    // aggregation passes; the salted copies shift bucket counts but the
+    // work shape (tokens × 2 features, B-row model) is what's timed
+    "t31_dsir_importance")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
@@ -85,8 +89,10 @@ object ScaleRehearsal {
       copies: Int): Unit = {
     require(copies >= 1 && copies <= 8, s"copies must be in [1,8], got $copies")
     Files.createDirectories(Paths.get(dst))
-    // dims + events: byte-identical copies (events carries TIMESTAMP(NANOS)
-    // parquet that a plain spark.read rejects — never re-encode it)
+    // dims + events: byte-identical copies (events' physical ts layout has
+    // shipped as both TIMESTAMP(NANOS) and MICROS-NTZ across testdata
+    // generations; byte-copying preserves whatever layout is on disk and
+    // lets Tables.loadEvents' footer dispatch handle it — never re-encode)
     for (t <- Seq("region", "nation", "supplier", "part", "events"))
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dst/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)

@@ -123,11 +123,15 @@ object Tables {
     }
   }
 
-  /** True iff the parquet footer stores `ts` as INT64 TIMESTAMP(NANOS) —
+  /** True iff the parquet footers store `ts` as INT64 TIMESTAMP(NANOS) —
     * the one layout Spark's reader cannot ingest without the legacy conf.
-    * One footer read per (session, dir) table load (the plan cache above
-    * makes this once-per-session); on a real deployment this is the table
-    * format's metadata, not a file probe.
+    * For a directory, EVERY data file's footer is probed and disagreement
+    * is a loud error: a mixed NANOS/MICROS directory would otherwise be
+    * silently misdecoded by whichever branch the first file selected
+    * (multi-writer schema drift — exactly what a 100 TB lakehouse sees).
+    * Footer reads happen once per (session, dir) table load (the plan
+    * cache above makes this once-per-session); on a real deployment this
+    * is the table format's metadata, not a per-file probe.
     */
   private def tsFooterIsNanos(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -137,28 +141,35 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    // `path` may be a single file or a directory of part files — any one
-    // data file's footer speaks for the layout (single-writer tables)
-    val file =
+    val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).map(_.getPath)
           .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
           .sortBy(_.getName)
-          .headOption
-          .getOrElse(return false)
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      if (!schema.containsField("ts")) return false
-      // int-index overload: getType(String) is ambiguous in Scala 2.13
-      // between MessageType.getType(String*) and GroupType.getType(String)
-      val t = schema.getType(schema.getFieldIndex("ts"))
-      t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
-        case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
-        case _ => false
-      })
-    } finally reader.close()
+          .toSeq
+      else Seq(p)
+    if (files.isEmpty) return false
+    def probe(file: HPath): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) return false
+        // int-index overload: getType(String) is ambiguous in Scala 2.13
+        // between MessageType.getType(String*) and GroupType.getType(String)
+        val t = schema.getType(schema.getFieldIndex("ts"))
+        t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
+          case _ => false
+        })
+      } finally reader.close()
+    }
+    val verdicts = files.map(probe)
+    if (verdicts.distinct.size > 1)
+      throw new IllegalStateException(
+        s"events at $path mixes TIMESTAMP(NANOS) and non-NANOS part files " +
+          s"(${verdicts.count(identity)} of ${files.size} are NANOS) — " +
+          "refusing to decode a mixed-layout directory with one rule")
+    verdicts.head
   }
 
   /** Row-count cache for the immutable testdata tables, keyed like the

@@ -454,19 +454,17 @@ object CorpusQueries {
         .orderBy("doc_id"),
       Some("""WITH d AS (
                 SELECT doc_id, (lang = 'en') AS tgt,
-                       regexp_split_to_array(trim(text), '\s+') AS toks
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                         t -> CAST(('0x' || substr(md5('31|' || t), 1, 15)) AS BIGINT)
+                              % 1073741824) AS h
                 FROM documents),
-              f AS (
-                SELECT doc_id, tgt,
-                       unnest(list_concat(toks,
-                         list_transform(generate_series(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i + 1]))) AS feat
-                FROM d),
               fb AS (
                 SELECT doc_id, tgt,
-                       CAST(('0x' || substr(md5('31|' || feat), 1, 15)) AS BIGINT)
-                         % 1024 AS b
-                FROM f),
+                       unnest(list_concat(
+                         list_transform(h, x -> x % 1024),
+                         list_transform(generate_series(1, len(h) - 1),
+                           i -> ((h[i] * 31 + h[i + 1]) % 1073741824) % 1024))) AS b
+                FROM d),
               db AS (SELECT doc_id, tgt, b, COUNT(*) AS n FROM fb GROUP BY 1, 2, 3),
               bs AS (SELECT b, SUM(n) AS c_s,
                             SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t

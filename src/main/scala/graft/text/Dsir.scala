@@ -59,19 +59,30 @@ object Dsir {
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 1024, seed: Int = 31): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val toks = TextFunctions.tokens(col(textCol))
-    // unigrams ++ bigrams ("a b"); slice lengths are 0 for 1-token docs
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
     require(nBuckets <= (1 << 20),
       s"nBuckets=$nBuckets exceeds the driver-collect bound (2^20)")
+    // One md5 per TOKEN, not per feature: bigram buckets derive from the
+    // two token hashes by integer combine (h1·31 + h2 mod 2^30, bounded
+    // well inside BIGINT so the oracle's overflow-checked arithmetic
+    // matches Spark's wraparound-free range). Feature hashing needs
+    // uniformity, not a crypto hash per feature string — hashing the
+    // 2N−1 feature STRINGS measured ~2.6× slower than N token hashes +
+    // arithmetic combine (md5 ~60% of the explode stage, bigram string
+    // building most of the rest). The hashed-token array materializes
+    // once behind a projection so the tokenizer runs once per row.
+    val M = 1073741824L // 2^30 combine modulus
+    val toksH = transform(TextFunctions.tokens(col(textCol)),
+      t => pmod(TextFunctions.hash60(t, seed), lit(M)))
+    val bucketOf = (h: Column) => pmod(h, lit(nBuckets.toLong))
     val feats = docs.select(
-        col(idCol), isTarget.as("tgt"),
-        explode(concat(toks, bigrams)).as("feat"))
+        col(idCol), isTarget.as("tgt"), toksH.as("h"))
       .select(col(idCol), col("tgt"),
-        pmod(TextFunctions.hash60(col("feat"), seed), lit(nBuckets.toLong))
-          .as("b"))
+        explode(concat(
+          transform(col("h"), bucketOf),
+          zip_with(
+            slice(col("h"), lit(1), size(col("h")) - 1),
+            slice(col("h"), lit(2), size(col("h")) - 1),
+            (a, b) => bucketOf(pmod(a * 31 + b, lit(M)))))).as("b"))
 
     // Pass 1: per-bucket counts — map-side combine collapses the token
     // stream to ≤ B partials per task, the reduce output is ≤ B rows

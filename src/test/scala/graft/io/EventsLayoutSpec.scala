@@ -117,6 +117,19 @@ class EventsLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
+  test("mixed NANOS/MICROS directory: refused loudly, not first-file-decoded") {
+    val dir = s"${tmpDir()}/events.parquet"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    writeRaw(s"$dir/part-00000.parquet",
+      eventsSchema(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)),
+      Seq((nanoTicks, 1L)))
+    writeRaw(s"$dir/part-00001.parquet",
+      eventsSchema(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)),
+      Seq((wantMicros, 2L)))
+    val e = intercept[IllegalStateException](Tables.loadEvents(spark, dir))
+    assert(e.getMessage.contains("mixes"))
+  }
+
   test("footer probe: directory of part files dispatches like a single file") {
     // Spark writes a DIRECTORY; the NANOS test above covers the single-file
     // probe path. This pins the directory path: an NTZ directory must NOT
