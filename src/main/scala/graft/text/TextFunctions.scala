@@ -90,14 +90,28 @@ object TextFunctions {
     size(filter(tokens(text), t => array_contains(typedlit(markers), t))).cast("long")
 
   /** Language-ID heuristic: argmax of marker hits, ties broken by language
-    * code order, "und" (undetermined) when no marker hits at all. */
+    * code order, "und" (undetermined) when no marker hits at all.
+    *
+    * Single pass by construction: one tokenizer split, one `aggregate`
+    * over the tokens accumulating all five marker counts at once, argmax
+    * computed inside the finish lambda. The previous formulation composed
+    * `markerHits` columns into a greatest + when-chain tree — every
+    * reference re-evaluated the interpreted split+filter subtree (no CSE
+    * for interpreted higher-order functions), costing ~10+ tokenizer
+    * passes per row and measuring 3.6× super-linear on the 2× rehearsal's
+    * longer salted tokens. `array_position` keeps the first-language-wins
+    * tie-break (first index of the max). */
   def detectLang(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
-    val maxScore = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    // argmax with first-language-wins tie-break; "und" when zero hits
-    scored.reverse.foldLeft(lit("und")) { case (el, (lang, s)) =>
-      when(s === maxScore && s > 0, lit(lang)).otherwise(el)
-    }
+    val langs = LangMarkers.map(_._1)
+    val zero = array(LangMarkers.map(_ => lit(0)): _*)
+    aggregate(tokens(text), zero,
+      (acc, t) => array(LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+        element_at(acc, i + 1) +
+          when(array_contains(typedlit(ms), t), 1).otherwise(0)
+      }: _*),
+      acc => when(array_max(acc) > 0,
+        element_at(typedlit(langs), array_position(acc, array_max(acc)).cast("int")))
+        .otherwise(lit("und")))
   }
 
   /** Array of `n`-token shingles as a pure Column expression (empty array
