@@ -62,7 +62,10 @@ object ScaleRehearsal {
     // round-8: DSIR importance weighting — explode + two linear
     // aggregation passes; the salted copies shift bucket counts but the
     // work shape (tokens × 2 features, B-row model) is what's timed
-    "t31_dsir_importance")
+    "t31_dsir_importance",
+    // round-8: hashed bigram LM perplexity — persisted data-bounded
+    // model, corpus-sized scoring join on (b1,b2)
+    "t32_lm_perplexity")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

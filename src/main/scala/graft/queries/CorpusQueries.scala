@@ -481,6 +481,56 @@ object CorpusQueries {
                      CAST(SUM(db.n * lr.lr_nano) AS BIGINT) AS weight_nano
               FROM db JOIN lr USING (b)
               GROUP BY db.doc_id
-              ORDER BY db.doc_id"""))
+              ORDER BY db.doc_id""")),
+
+    // T32: hashed bigram LM perplexity (CCNet-shape quality filter,
+    // Wenzek et al. 2020) — train p(b2|b1) on the lang='en' subset over
+    // hashed token-bucket bigrams (add-one smoothing, B=4096), score
+    // EVERY document's cross-entropy under it. Model log-probs are
+    // integer nano-units per model ENTRY; per-doc sums exact BIGINT —
+    // see graft.text.NgramLm for the determinism + 100 TB argument.
+    Q("t32_lm_perplexity",
+      (s, d) => graft.text.NgramLm.crossEntropy(
+          Tables.documents(s, d), col("lang") === "en")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+                SELECT doc_id, lang,
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                         t -> CAST(('0x' || substr(md5('37|' || t), 1, 15)) AS BIGINT)
+                              % 1073741824) AS h
+                FROM documents),
+              pairs AS (
+                SELECT doc_id, lang, p[1] AS b1, p[2] AS b2
+                FROM (SELECT doc_id, lang,
+                        unnest(list_transform(generate_series(1, len(h) - 1),
+                          i -> [h[i] % 4096, h[i + 1] % 4096])) AS p
+                      FROM d)),
+              model0 AS (SELECT b1, b2, COUNT(*) AS n_pair FROM pairs
+                         WHERE lang = 'en' GROUP BY 1, 2),
+              model AS (SELECT b1, b2, n_pair,
+                               SUM(n_pair) OVER (PARTITION BY b1) AS n_ctx
+                        FROM model0),
+              modlp AS (SELECT b1, b2,
+                          CAST(ROUND(ln((CAST(n_pair AS DOUBLE) + 1.0) /
+                            (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9) AS BIGINT)
+                            AS lp_nano
+                        FROM model),
+              ctx AS (SELECT DISTINCT b1,
+                        CAST(ROUND(ln(1.0 / (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9)
+                          AS BIGINT) AS lp0_nano
+                      FROM model),
+              sc AS (SELECT pairs.doc_id, COUNT(*) AS n_bigrams,
+                            SUM(COALESCE(modlp.lp_nano, ctx.lp0_nano,
+                              CAST(ROUND(ln(1.0 / 4096.0) * 1e9) AS BIGINT))) AS s
+                     FROM pairs
+                     LEFT JOIN modlp USING (b1, b2)
+                     LEFT JOIN ctx USING (b1)
+                     GROUP BY 1)
+              SELECT dd.doc_id,
+                     CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     ROUND((0 - CAST(sc.s AS DOUBLE)) / 1e9 /
+                           CAST(sc.n_bigrams AS DOUBLE), 6) AS ce
+              FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id
+              ORDER BY dd.doc_id"""))
   )
 }
