@@ -20,13 +20,14 @@ import org.apache.spark.sql.functions._
   * that look like the target get positive weights; downstream selection
   * is a top-k or threshold over this column.
   *
-  * 100 TB design: one explode pass over the corpus feeds ONE shuffle
-  * keyed (doc_id, bucket) with map-side partial counts; the bucket
-  * statistics table is at most B rows (constant, B=1024 default) and the
-  * scalar totals one row — both broadcast back, so the per-doc weight
-  * aggregation is the only other data-sized shuffle. Nothing in the plan
-  * grows faster than the token count, and no driver-side state exists
-  * beyond the B-row broadcast.
+  * 100 TB design: TWO corpus scans. Pass 1 aggregates the token stream
+  * to the ≤ B-row bucket-statistics table (map-side combine collapses
+  * each task to ≤ B partials) and builds the log-ratio model driver-side
+  * from that bounded collect. Pass 2 is the one data-sized shuffle —
+  * per-(doc, bucket) counts broadcast-joined to the B-row model, then
+  * the per-doc weight aggregation. Nothing in the plan grows faster
+  * than the token count, and no driver-side state exists beyond the
+  * B-row model.
   *
   * Determinism across engines (the oracle gate compares EXACTLY): the
   * per-bucket log-ratio is computed once per bucket from exact integer
