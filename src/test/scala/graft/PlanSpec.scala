@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 parquet scan in the weight job, got $scans:\n$plan")
   }
 
+  test("t32: LM model is persisted (training scanned once) with broadcast context fallback") {
+    val plan = planString("t32_lm_perplexity")
+    assert(plan.contains("InMemoryTableScan"),
+      s"fitted model not persisted — training subtree would re-expand per consumer:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"context-fallback table should be a driver-built local table:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial counts:\n$plan")
+  }
+
   test("checks suite evaluates as a single aggregation (no joins, one scan)") {
     val df = SparkEntry.queries("v1_check_suite_events")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
