@@ -187,6 +187,58 @@ object RiskModel {
       .select(col("STUDYID"), col("SUBJID"), p1.as("RISK"))
   }
 
+  /** A frozen scoring artifact: the saved scaler statistics + LR weights of
+    * a trained pipeline, as plain numbers. The reference's inference path
+    * loads a pickled sklearn pipeline (`ml/infer.py:15-26`); this is the
+    * same artifact shape with MLlib's (assembler → StandardScaler(withMean,
+    * withStd) → LogisticRegression) parameters made explicit, so scoring
+    * is pure closed-form arithmetic — deterministic, engine-replayable, and
+    * broadcastable (the artifact is O(#features), never data-sized). */
+  final case class FrozenRiskModel(
+      means: Array[Double], stds: Array[Double],
+      coefficients: Array[Double], intercept: Double) {
+    require(means.length == FeatureCols.length &&
+      stds.length == FeatureCols.length &&
+      coefficients.length == FeatureCols.length,
+      s"frozen artifact must carry ${FeatureCols.length} per-feature params")
+  }
+
+  /** Extract the frozen artifact from a fitted pipeline — the "save the
+    * model" half of the infer path (MlSpec proves transform ≡ frozen). */
+  def freeze(model: PipelineModel): FrozenRiskModel = {
+    val scaler = model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    FrozenRiskModel(scaler.mean.toArray, scaler.std.toArray,
+      lr.coefficients.toArray, lr.intercept)
+  }
+
+  /** The demo's pinned production model: stands in for the registry's
+    * current Production artifact so batch scoring is oracle-exact (the
+    * driver's DuckDB gate replays this arithmetic; a freshly-fitted model's
+    * weights could not appear in a static oracle). Values are round numbers
+    * on the scale of a fitted run, not a fit. */
+  val Frozen: FrozenRiskModel = FrozenRiskModel(
+    means = Array(43.5, 10.0, 3.0),
+    stds = Array(17.25, 6.5, 2.5),
+    coefficients = Array(0.02, 0.12, 0.45),
+    intercept = -1.5)
+
+  /** M7 via the frozen artifact: z = b0 + Σ bᵢ·(xᵢ−mᵢ)/sᵢ, RISK = σ(z).
+    * Identical arithmetic to `scoreBatch` over a pipeline with these
+    * parameters (equivalence pinned in MlSpec); one narrow projection, no
+    * ML runtime on the scoring path — at 100 TB this is a map-only stage
+    * with the artifact folded into the codegen'd expression. */
+  def scoreBatchFrozen(features: DataFrame,
+      m: FrozenRiskModel = Frozen): DataFrame = {
+    val z = FeatureCols.zipWithIndex.map { case (c, i) =>
+      lit(m.coefficients(i)) * ((col(c) - lit(m.means(i))) / lit(m.stds(i)))
+    }.foldLeft(lit(m.intercept): org.apache.spark.sql.Column)(_ + _)
+    features.select(col("STUDYID"), col("SUBJID"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("RISK"))
+  }
+
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
 }

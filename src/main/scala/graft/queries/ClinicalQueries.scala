@@ -353,6 +353,34 @@ object ClinicalQueries {
                           GROUP BY subjid) sc ON d.subjid = sc.subjid
                ORDER BY d.subjid""")),
 
+    // M7: the batch-scoring inference path (`ml/infer.py:15-26`) under the
+    // hash gate. The model is the pinned Frozen artifact (RiskModel.Frozen:
+    // scaler means/stds + LR weights as constants — the saved-pipeline
+    // analog, since a freshly fitted model's weights cannot appear in a
+    // static oracle); MlSpec proves scoreBatchFrozen ≡ scoreBatch over a
+    // real PipelineModel carrying the same parameters. round(6) absorbs
+    // the libm-exp last-ulp difference between engines (f14 precedent).
+    Q("m7_batch_score",
+      (s, d) => {
+        val feats = graft.ml.RiskModel.subjectFeatures(dmFrom(s, d), aeFrom(s, d))
+        graft.ml.RiskModel.scoreBatchFrozen(feats)
+          .select(col("SUBJID"), round(col("RISK"), 6).as("risk"))
+          .orderBy("SUBJID")
+      },
+      Some(s"""SELECT d.subjid AS "SUBJID",
+                      ROUND(1.0 / (1.0 + exp(-(
+                        -1.5
+                        + 0.02 * ((d.age - 43.5) / 17.25)
+                        + 0.12 * ((COALESCE(ac.n, 0) - 10.0) / 6.5)
+                        + 0.45 * ((COALESCE(sc.n, 0) - 3.0) / 2.5)))), 6) AS risk
+               FROM ($sqlDm) d
+               LEFT JOIN (SELECT subjid, COUNT(*) AS n FROM ($sqlAe)
+                          GROUP BY subjid) ac ON d.subjid = ac.subjid
+               LEFT JOIN (SELECT subjid, COUNT(*) AS n FROM ($sqlAe)
+                          WHERE aesev IN ('SEVERE','SERIOUS')
+                          GROUP BY subjid) sc ON d.subjid = sc.subjid
+               ORDER BY d.subjid""")),
+
     // CP7: ADaM ADSL (reference standards/adam/build_adsl.py) — the wide
     // subject-level analysis table: full DM plus zero-filled AE counts
     // and the severe-AE dropout-risk flag.

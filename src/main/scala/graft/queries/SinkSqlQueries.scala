@@ -44,6 +44,48 @@ object SinkSqlQueries {
     dir
   }
 
+  /** Pinned registry event history for m8/m9: every legal state-machine
+    * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
+    * the log's monotonic seq. Built through the REAL Registry.EventLog
+    * (illegal transitions would throw at build time) into a per-process
+    * JSONL the oracle reads back file-level. Idempotent rebuild under a
+    * lock so warmup + measured reps share one file. */
+  private val registryPath: String = tmp("m8_registry") + "/events.jsonl"
+  private val registryBuildLock = new Object
+  private def registryLog(s: org.apache.spark.sql.SparkSession)
+      : graft.ml.Registry.EventLog = registryBuildLock.synchronized {
+    val p = java.nio.file.Paths.get(registryPath)
+    val log = new graft.ml.Registry.EventLog(registryPath)
+    if (!java.nio.file.Files.exists(p)) {
+      val tags = Map("owner" -> "clinical-ml", "dataset" -> "study001",
+        "training_date" -> "2023-11-14")
+      val metrics = Map("auc" -> 0.9474, "average_precision" -> 0.1757)
+      // risk_model: v1 promoted to Production; v2 in Staging; v3 freshly
+      // registered (None).
+      log.register("risk_model", 1, 1700000000000L, tags, metrics)
+      log.transition(s, "risk_model", 1, "Staging", 1700000100000L)
+      log.transition(s, "risk_model", 1, "Production", 1700000200000L)
+      log.register("risk_model", 2, 1700000300000L, tags,
+        Map("auc" -> 0.9510))
+      log.transition(s, "risk_model", 2, "Staging", 1700000400000L)
+      log.register("risk_model", 3, 1700000500000L, tags, Map.empty)
+      // churn_model v1: full lifecycle incl. Production→Staging rollback
+      // and terminal Archived; registered long enough ago to be expired
+      // against the injected m9 clock (2024-02-03).
+      log.register("churn_model", 1, 1690000000000L,
+        tags.updated("training_date", "2023-07-22"), Map("auc" -> 0.88))
+      log.transition(s, "churn_model", 1, "Staging", 1690000100000L)
+      log.transition(s, "churn_model", 1, "Production", 1690000200000L)
+      log.transition(s, "churn_model", 1, "Staging", 1690000300000L)
+      log.transition(s, "churn_model", 1, "Archived", 1690000400000L)
+      // baseline v1: register + promote in the SAME millisecond — only
+      // the monotonic seq orders these two events.
+      log.register("baseline", 1, 1700000600000L, tags, Map.empty)
+      log.transition(s, "baseline", 1, "Staging", 1700000600000L)
+    }
+    log
+  }
+
   val all: Seq[Q] = Seq(
 
     // S17: manifest-driven data skipping — the zone-map mechanism every
@@ -240,6 +282,57 @@ object SinkSqlQueries {
                       ${sqlDsum("o_totalprice")} AS total
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // M8: the registry current-state derivation (`ml/registry.py:99-142`
+    // state machine) under the hash gate. A pinned event history exercises
+    // every legal transition — linear promotion, Production→Staging
+    // rollback, archive-from-anywhere, a same-millisecond append pair
+    // (seq breaks the tie) — through the REAL Registry.EventLog (state
+    // machine enforced at append time), and the oracle replays the
+    // latest-event-wins window over the SAME JSONL file DuckDB-side.
+    Q("m8_registry_state",
+      (s, d) => {
+        val log = registryLog(s)
+        log.state(s)
+          .select(col("model"), col("version"), col("stage"), col("at_millis"))
+          .orderBy("model", "version")
+      },
+      Some(s"""SELECT model, version, stage, at_millis
+               FROM (SELECT model, version, stage, at_millis,
+                            ROW_NUMBER() OVER (PARTITION BY model, version
+                              ORDER BY at_millis DESC, seq DESC) AS rn
+                     FROM read_json('${registryPath}', format='newline_delimited'))
+               WHERE rn = 1
+               ORDER BY model, version""")),
+
+    // M8b: the governance report (`ml/registry.py:361-468`) — age vs an
+    // injected clock (F9 discipline: never wall-clock), 90-day expiry flag.
+    Q("m9_registry_governance",
+      (s, d) => {
+        val log = registryLog(s)
+        log.governanceReport(s, nowMillis = 1707000000000L)
+          .select(col("model"), col("version"), col("stage"),
+            col("registered_at"), col("age_days"), col("expired"))
+          .orderBy("model", "version")
+      },
+      Some(s"""WITH ev AS (SELECT * FROM read_json('${registryPath}',
+                                                   format='newline_delimited')),
+                    cur AS (SELECT model, version, stage
+                            FROM (SELECT model, version, stage,
+                                         ROW_NUMBER() OVER (PARTITION BY model, version
+                                           ORDER BY at_millis DESC, seq DESC) AS rn
+                                  FROM ev)
+                            WHERE rn = 1),
+                    reg AS (SELECT model, version, MIN(at_millis) AS registered_at
+                            FROM ev GROUP BY model, version)
+               SELECT c.model, c.version, c.stage, r.registered_at,
+                      CAST(FLOOR((1707000000000 - r.registered_at) / 86400000.0) AS BIGINT)
+                        AS age_days,
+                      CAST(FLOOR((1707000000000 - r.registered_at) / 86400000.0) AS BIGINT) > 90
+                        AS expired
+               FROM cur c JOIN reg r
+                 ON c.model = r.model AND c.version = r.version
+               ORDER BY c.model, c.version""")),
 
     // W-extension: rank + lag with deterministic tie-breaks.
     Q("w4_rank_lag",

@@ -127,6 +127,28 @@ class MlSpec extends SparkSpec {
     assert(risks.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("M7 frozen-artifact scoring ≡ MLlib pipeline transform (m7 oracle chain)") {
+    // The m7_batch_score oracle gates scoreBatchFrozen's closed-form
+    // arithmetic; this test closes the chain by proving that arithmetic IS
+    // the MLlib scoring path: fit a real pipeline, freeze its scaler
+    // stats + LR weights, and require frozen scores to match transform's
+    // probabilities to float-noise tolerance on every subject.
+    val model = RiskModel.pipeline().fit(features)
+    val frozen = RiskModel.freeze(model)
+    val a = RiskModel.scoreBatch(model, features)
+      .select(col("SUBJID"), col("RISK").as("r_ml"))
+    val b = RiskModel.scoreBatchFrozen(features, frozen)
+      .select(col("SUBJID"), col("RISK").as("r_fr"))
+    val joined = a.join(b, "SUBJID")
+      .select(abs(col("r_ml") - col("r_fr")).as("d"))
+      .agg(max(col("d")).as("maxd")).collect()(0).getDouble(0)
+    assert(joined < 1e-9, s"frozen vs transform max |Δrisk| = $joined")
+    // and the pinned demo artifact stays a valid probability emitter
+    val pinned = RiskModel.scoreBatchFrozen(features)
+      .select("RISK").collect().map(_.getDouble(0))
+    assert(pinned.forall(r => r > 0.0 && r < 1.0))
+  }
+
   test("M8 registry: state machine enforces the reference's transitions") {
     val dir = Files.createTempDirectory("graft-registry").toString
     val log = new Registry.EventLog(s"$dir/events.jsonl")
