@@ -135,6 +135,12 @@ object Bench {
       s""""n_errors":${errNames.size},"errors":$errPreview,""" +
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +
+      // headline spreads on the PRINTED line (r8 VERDICT item 4): a
+      // contended driver box shows up as large spread_pct right in
+      // BENCH_r{N}.json instead of re-litigating "regression or noise"
+      // each round. ~10 entries ≈ 300 bytes — safely inside the tail
+      // buffer that the full per-query map overflowed in r1/r6.
+      s""""spread_pct":${jmap(headline.map(r => (r._1, r._3)))},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

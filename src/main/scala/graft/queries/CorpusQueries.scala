@@ -487,11 +487,15 @@ object CorpusQueries {
     // Wenzek et al. 2020) — train p(b2|b1) on the lang='en' subset over
     // hashed token-bucket bigrams (add-one smoothing, B=4096), score
     // EVERY document's cross-entropy under it. Model log-probs are
-    // integer nano-units per model ENTRY; per-doc sums exact BIGINT —
+    // integer nano-units per model ENTRY; per-doc sums exact BIGINT.
+    // The gated surface is the INTEGER nll_nano sum, not the derived ce
+    // double (r8 ADVICE: Spark round(x,6) vs DuckDB ROUND(double,6)
+    // disagree in the last ulp on ties — integers remove the flake) —
     // see graft.text.NgramLm for the determinism + 100 TB argument.
     Q("t32_lm_perplexity",
       (s, d) => graft.text.NgramLm.crossEntropy(
           Tables.documents(s, d), col("lang") === "en")
+        .select("doc_id", "n_bigrams", "nll_nano")
         .orderBy("doc_id"),
       Some("""WITH d AS (
                 SELECT doc_id, lang,
@@ -528,8 +532,7 @@ object CorpusQueries {
                      GROUP BY 1)
               SELECT dd.doc_id,
                      CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                     ROUND((0 - CAST(sc.s AS DOUBLE)) / 1e9 /
-                           CAST(sc.n_bigrams AS DOUBLE), 6) AS ce
+                     CAST(0 - sc.s AS BIGINT) AS nll_nano
               FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id
               ORDER BY dd.doc_id"""))
   )

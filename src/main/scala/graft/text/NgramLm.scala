@@ -31,19 +31,32 @@ import org.apache.spark.storage.StorageLevel
   *
   * Cross-engine exactness (the oracle gate compares EXACTLY): each model
   * row's log-probability is rounded to integer NANO-units once per model
-  * ENTRY (never per occurrence), per-doc sums are order-independent
-  * BIGINT aggregations, and the final ce does one deterministic IEEE
-  * divide + round per output row. The only float surface is one ln per
-  * model entry on identical integer inputs — the t31 determinism
-  * argument verbatim.
+  * ENTRY (never per occurrence), and per-doc sums are order-independent
+  * BIGINT aggregations — so the gate-compared surface (`nll_nano`) is
+  * pure integers end to end. The only float surface is one ln per model
+  * entry on identical integer inputs — the t31 determinism argument
+  * verbatim. The derived `ce` double (nll_nano / 1e9 / n) is for human
+  * consumption; gates should compare `nll_nano` + `n_bigrams` (r8 ADVICE:
+  * Spark round(x,6) and DuckDB ROUND(double,6) use different tie
+  * algorithms, a per-row last-ulp flake if a rounded double is gated).
   */
 object NgramLm {
+
+  // last persisted model, unpersisted on the next fit (r8 ADVICE: a bench
+  // run invokes this 4x per query and each fit left a cached relation to
+  // ContextCleaner GC; bounded, but explicit release keeps a long session
+  // flat). The returned DataFrame is lazy, so the CURRENT model must stay
+  // persisted until the next call.
+  private var lastModel: Option[DataFrame] = None
 
   /** Per-document cross-entropy under a bigram model trained on
     * `trainFilter` rows.
     *
-    * @return (idCol, n_bigrams BIGINT, ce DOUBLE) — ce is NULL for docs
-    *         with fewer than two tokens (no bigrams to score)
+    * @return (idCol, n_bigrams BIGINT, nll_nano BIGINT, ce DOUBLE) —
+    *         nll_nano is the EXACT total negative log-likelihood in
+    *         nano-units (the cross-engine-comparable surface); ce is the
+    *         derived per-bigram double for human consumption. Both NULL
+    *         for docs with fewer than two tokens (no bigrams to score).
     */
   def crossEntropy(docs: DataFrame, trainFilter: Column,
       idCol: String = "doc_id", textCol: String = "text",
@@ -77,6 +90,10 @@ object NgramLm {
         round(log((col("n_pair").cast("double") + 1.0) /
           (col("n_ctx").cast("double") + bD)) * 1e9, 0).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    NgramLm.synchronized {
+      lastModel.foreach(_.unpersist(blocking = false))
+      lastModel = Some(model)
+    }
 
     // unseen-pair fallback per KNOWN context: ln(1/(c(b1·)+B)); ≤ B rows
     val spark = docs.sparkSession
@@ -100,11 +117,12 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("lp_nano"), col("lp0_nano"), lit(lp00))).as("s"))
 
-    // every doc gets a row; <2-token docs have no bigrams → ce NULL
+    // every doc gets a row; <2-token docs have no bigrams → NULL scores
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (lit(0L) - col("s")).as("nll_nano"),
         round((lit(0L) - col("s")).cast("double") / 1e9 /
           col("n_bigrams").cast("double"), 6).as("ce"))
   }

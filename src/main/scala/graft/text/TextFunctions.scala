@@ -100,18 +100,22 @@ object TextFunctions {
     * for interpreted higher-order functions), costing ~10+ tokenizer
     * passes per row and measuring 3.6× super-linear on the 2× rehearsal's
     * longer salted tokens. `array_position` keeps the first-language-wins
-    * tie-break (first index of the max). */
+    * tie-break (first index of the max).
+    *
+    * NULL text folds to "und" (not NULL): `aggregate` over a NULL token
+    * array is NULL, while the pre-r8 when-chain fell through to 'und' —
+    * the coalesce pins the original contract (r8 ADVICE). */
   def detectLang(text: Column): Column = {
     val langs = LangMarkers.map(_._1)
     val zero = array(LangMarkers.map(_ => lit(0)): _*)
-    aggregate(tokens(text), zero,
+    coalesce(aggregate(tokens(text), zero,
       (acc, t) => array(LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
         element_at(acc, i + 1) +
           when(array_contains(typedlit(ms), t), 1).otherwise(0)
       }: _*),
       acc => when(array_max(acc) > 0,
         element_at(typedlit(langs), array_position(acc, array_max(acc)).cast("int")))
-        .otherwise(lit("und")))
+        .otherwise(lit("und"))), lit("und"))
   }
 
   /** Array of `n`-token shingles as a pure Column expression (empty array

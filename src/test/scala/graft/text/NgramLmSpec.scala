@@ -22,7 +22,7 @@ class NgramLmSpec extends SparkSpec {
   ).toDF("doc_id", "text", "is_train")
 
   private def ce = NgramLm.crossEntropy(corpus, col("is_train"))
-    .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+    .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
     .toMap
 
   test("in-distribution documents score lower cross-entropy than OOD") {
@@ -33,14 +33,27 @@ class NgramLmSpec extends SparkSpec {
     assert(w(1L).get < w(5L).get)
   }
 
-  test("docs without bigrams get NULL ce and n_bigrams = 0") {
+  test("docs without bigrams get NULL scores and n_bigrams = 0") {
     val rows = NgramLm.crossEntropy(corpus, col("is_train"))
       .filter(col("doc_id") >= 6L).orderBy("doc_id")
       .collect()
     assert(rows.length == 2)
     rows.foreach { r =>
       assert(r.getLong(1) == 0L, s"n_bigrams: $r")
-      assert(r.isNullAt(2), s"ce should be NULL: $r")
+      assert(r.isNullAt(2), s"nll_nano should be NULL: $r")
+      assert(r.isNullAt(3), s"ce should be NULL: $r")
+    }
+  }
+
+  test("ce is exactly the derived nll_nano / 1e9 / n_bigrams, rounded") {
+    NgramLm.crossEntropy(corpus, col("is_train"))
+      .filter(col("n_bigrams") > 0).collect().foreach { r =>
+      // BigDecimal.valueOf (shortest-repr) — Spark's Round semantics,
+      // NOT new BigDecimal(double) (exact binary expansion)
+      val derived = java.math.BigDecimal
+        .valueOf(r.getLong(2).toDouble / 1e9 / r.getLong(1))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getDouble(3) == derived, s"ce vs derived: $r")
     }
   }
 
