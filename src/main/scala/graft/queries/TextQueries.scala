@@ -716,6 +716,193 @@ object TextQueries {
               JOIN sizes s1 ON id1 = s1.doc_id
               JOIN sizes s2 ON id2 = s2.doc_id
               WHERE CAST(shared AS DOUBLE) / CAST(least(s1.nfp, s2.nfp) AS DOUBLE) >= 0.6
-              ORDER BY id1, id2"""))
+              ORDER BY id1, id2""")),
+
+    // T33: the COMPLETE curation pipeline as ONE declared query — quality
+    // → langid → exact dedup → LSH near-dup survivorship → split → 5-gram
+    // benchmark decontamination (any-collision) → DSIR top-half selection
+    // (target: quality ≥ 0.6) → bigram-LM perplexity head+middle keep →
+    // sequence packing. Every stage is the already-oracle-gated operator
+    // (t13/t16/t31/t32/t28); this row proves their COMPOSITION is
+    // hash-exact end to end. Selection stages are rank-based with id
+    // tie-break (total order, integer ceil arithmetic) — see
+    // graft.text.Curation.pipeline for the scale + determinism argument.
+    Q("t33_curation_pipeline",
+      (s, d) => graft.text.Curation.pipeline(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val hits = LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
+        }.mkString(", ")
+        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
+          .reduceRight((a, b) => s"greatest($a, $b)")
+        val chain = LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        // the t13 funnel prefix (quality → lang → exact dedup → LSH
+        // near-dup) verbatim, then the five new stages
+        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlQuality >= 0.3),
+                 lg AS (SELECT doc_id, text FROM (
+                          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
+                          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
+                        WHERE predicted IN ('en')),
+                 ex AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
+                          SELECT MIN(doc_id)
+                          FROM (SELECT doc_id,
+                                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                         AS fp
+                                FROM lg)
+                          GROUP BY fp)),
+                 docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                          FROM ex),
+                 sh AS (SELECT DISTINCT doc_id,
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                        FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                 sig AS (SELECT doc_id, j,
+                                MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                    AS BIGINT)) AS mh
+                         FROM sh CROSS JOIN range(0, 12) t(j)
+                         GROUP BY doc_id, j),
+                 banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                   md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                     AS band_hash
+                            FROM sig GROUP BY doc_id, 2),
+                 cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                           FROM banded a JOIN banded b
+                             ON a.band = b.band AND a.band_hash = b.band_hash
+                                AND a.doc_id < b.doc_id),
+                 inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
+                           FROM cands c
+                           JOIN sh a ON a.doc_id = c.id1
+                           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                           GROUP BY 1, 2),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                 drops AS (SELECT DISTINCT id2 FROM inter
+                           JOIN sizes s1 ON id1 = s1.doc_id
+                           JOIN sizes s2 ON id2 = s2.doc_id
+                           WHERE CAST(inter AS DOUBLE)
+                                 / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+                 nd AS (SELECT doc_id, text FROM ex
+                        WHERE doc_id NOT IN (SELECT id2 FROM drops)),
+                 spl AS (SELECT doc_id, text,
+                                CAST(('0x' || substr(md5('7|' ||
+                                       CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) % 10000 AS bk
+                         FROM nd),
+                 trn AS (SELECT doc_id, text FROM spl WHERE bk < 9000),
+                 trw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                         FROM trn),
+                 t5 AS (SELECT DISTINCT doc_id,
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                 w[i+3] || ' ' || w[i+4] AS shingle
+                        FROM trw, UNNEST(range(1, len(w) - 3)) AS t(i)),
+                 b5 AS (SELECT DISTINCT
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                 w[i+3] || ' ' || w[i+4] AS shingle
+                        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                              FROM spl WHERE bk >= 9500),
+                             UNNEST(range(1, len(w) - 3)) AS t(i)),
+                 cdrop AS (SELECT DISTINCT doc_id FROM t5
+                           WHERE shingle IN (SELECT shingle FROM b5)),
+                 clean AS (SELECT doc_id, text, ($sqlQuality >= 0.6) AS tgt
+                           FROM trn
+                           WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+                 dh AS (SELECT doc_id, tgt,
+                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> CAST(('0x' || substr(md5('31|' || t), 1, 15))
+                                      AS BIGINT) % 1073741824) AS h
+                        FROM clean),
+                 dfb AS (SELECT doc_id, tgt,
+                                unnest(list_concat(
+                                  list_transform(h, x -> x % 1024),
+                                  list_transform(generate_series(1, len(h) - 1),
+                                    i -> ((h[i] * 31 + h[i + 1]) % 1073741824) % 1024)))
+                                  AS b
+                         FROM dh),
+                 ddb AS (SELECT doc_id, tgt, b, COUNT(*) AS n FROM dfb GROUP BY 1, 2, 3),
+                 dbs AS (SELECT b, SUM(n) AS c_s,
+                                SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t
+                         FROM ddb GROUP BY b),
+                 dtot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM dbs),
+                 dlr AS (SELECT b,
+                                CAST(ROUND(ln(
+                                  (CAST(c_t AS DOUBLE) + 1.0) * (CAST(n_s AS DOUBLE) + 1024.0) /
+                                  ((CAST(c_s AS DOUBLE) + 1.0) * (CAST(n_t AS DOUBLE) + 1024.0)))
+                                  * 1e9) AS BIGINT) AS lr_nano
+                         FROM dbs, dtot),
+                 dw AS (SELECT ddb.doc_id,
+                               CAST(SUM(ddb.n * dlr.lr_nano) AS BIGINT) AS weight_nano
+                        FROM ddb JOIN dlr USING (b) GROUP BY 1),
+                 dsel AS (SELECT doc_id, weight_nano FROM (
+                            SELECT doc_id, weight_nano,
+                                   ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id) AS rk,
+                                   COUNT(*) OVER () AS cnt
+                            FROM dw)
+                          WHERE rk <= (cnt * 1 + 1) // 2),
+                 sel AS (SELECT c.doc_id, c.text, c.tgt, s.weight_nano
+                         FROM clean c JOIN dsel s USING (doc_id)),
+                 lh AS (SELECT doc_id, tgt,
+                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> CAST(('0x' || substr(md5('37|' || t), 1, 15))
+                                      AS BIGINT) % 1073741824) AS h
+                        FROM sel),
+                 lpr AS (SELECT doc_id, tgt, p[1] AS b1, p[2] AS b2
+                         FROM (SELECT doc_id, tgt,
+                                 unnest(list_transform(generate_series(1, len(h) - 1),
+                                   i -> [h[i] % 4096, h[i + 1] % 4096])) AS p
+                               FROM lh)),
+                 m0 AS (SELECT b1, b2, COUNT(*) AS n_pair FROM lpr
+                        WHERE tgt GROUP BY 1, 2),
+                 m1 AS (SELECT b1, b2, n_pair,
+                               SUM(n_pair) OVER (PARTITION BY b1) AS n_ctx
+                        FROM m0),
+                 mlp AS (SELECT b1, b2,
+                                CAST(ROUND(ln((CAST(n_pair AS DOUBLE) + 1.0) /
+                                  (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9) AS BIGINT)
+                                  AS lp_nano
+                         FROM m1),
+                 mctx AS (SELECT DISTINCT b1,
+                                 CAST(ROUND(ln(1.0 / (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9)
+                                   AS BIGINT) AS lp0_nano
+                          FROM m1),
+                 lsc AS (SELECT lpr.doc_id, COUNT(*) AS n_bigrams,
+                                SUM(COALESCE(mlp.lp_nano, mctx.lp0_nano,
+                                  CAST(ROUND(ln(1.0 / 4096.0) * 1e9) AS BIGINT))) AS s
+                         FROM lpr
+                         LEFT JOIN mlp USING (b1, b2)
+                         LEFT JOIN mctx USING (b1)
+                         GROUP BY 1),
+                 lkeep AS (SELECT doc_id, n_bigrams, nll_nano FROM (
+                             SELECT doc_id, n_bigrams,
+                                    CAST(0 - s AS BIGINT) AS nll_nano,
+                                    ROW_NUMBER() OVER (ORDER BY
+                                      CAST(0 - s AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+                                      doc_id) AS rk,
+                                    COUNT(*) OVER () AS cnt
+                             FROM lsc WHERE n_bigrams > 0)
+                           WHERE rk <= (cnt * 2 + 2) // 3),
+                 kept AS (SELECT sel.doc_id, sel.text, sel.weight_nano,
+                                 k.n_bigrams, k.nll_nano
+                          FROM sel JOIN lkeep k USING (doc_id)),
+                 pt AS (SELECT doc_id, weight_nano, n_bigrams, nll_nano,
+                               CAST(len(regexp_extract_all(text,
+                                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                                 AS n_tokens
+                        FROM kept),
+                 po AS (SELECT doc_id, weight_nano, n_bigrams, nll_nano, n_tokens,
+                               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                 - n_tokens AS BIGINT) AS start_offset
+                        FROM pt)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 2048 AS first_seq,
+                   (start_offset + n_tokens - 1) // 2048 AS last_seq,
+                   (start_offset + n_tokens - 1) // 2048
+                     > start_offset // 2048 AS crosses_boundary,
+                   weight_nano, n_bigrams, nll_nano
+            FROM po ORDER BY doc_id"""
+      })
   )
 }

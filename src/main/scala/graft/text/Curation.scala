@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.ops.Sampling
@@ -94,5 +95,155 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .select(concat(lit("50_split_"), col("s")).as("stage"), col("n_docs"))
     stageCounts.unionAll(splitCounts).orderBy("stage")
+  }
+
+  /** Knobs for the stages [[pipeline]] adds on top of [[Config]].
+    *
+    * The contamination cut is RATIONAL by design (`n_hit * contamDen >=
+    * n_shingles * contamNum` is an exact BIGINT comparison in both
+    * engines), and the DSIR/perplexity stages select by RANK, not by an
+    * absolute score threshold: measured at sf0.1, `weight_nano > 0`
+    * keeps 7 documents of ~3800 — as corpus counts outgrow the bucket
+    * smoothing constants, absolute log-ratio/perplexity cuts drift with
+    * scale, while "top ⌈n·num/den⌉ by score" selects the same FRACTION
+    * at every corpus size (and is what the papers do: DSIR resamples
+    * proportionally to weight, CCNet keeps the head/middle perplexity
+    * buckets). Rank ties are broken by id, so selection is total-order
+    * deterministic in both engines.
+    */
+  final case class PipelineConfig(
+      base: Config = Config(),
+      /** decontamination shingle width. 3-grams are template-common
+        * (measured: median 31% train↔test 3-gram containment on the
+        * synthetic corpus — an absolute cut over them drops 95% at
+        * sf0.1 and ~1% at sf0.001), so the default follows the public
+        * practice of long-n-gram collision (GPT-3 13-gram, scaled to
+        * these ~70-token docs): 5-grams. */
+      contamN: Int = 5,
+      /** drop when n_hit > 0 AND n_hit/n_shingles ≥ contamNum/contamDen.
+        * The default 0/1 is the any-collision rule (one shared benchmark
+        * 5-gram disqualifies the doc — GPT-3 appendix-C shape). */
+      contamNum: Int = 0,
+      contamDen: Int = 1,
+      /** DSIR target set: quality ≥ this ([[TextFunctions.qualityBand]]'s
+        * HIGH band by default). */
+      dsirTargetQuality: Double = 0.6,
+      /** DSIR stage keeps the top ⌈n·num/den⌉ docs by weight_nano
+        * (default: top half). */
+      dsirSelNum: Int = 1,
+      dsirSelDen: Int = 2,
+      /** perplexity stage keeps the lowest-⌈n·num/den⌉ docs by
+        * per-bigram cross-entropy (default: CCNet's head+middle ≈ 2/3). */
+      ceKeepNum: Int = 2,
+      ceKeepDen: Int = 3,
+      seqLen: Long = 2048L)
+
+  /** The COMPLETE curation pipeline a training-data team ships — every
+    * stage is the already-audited operator, composed over ONE corpus
+    * argument:
+    *
+    *   quality ≥ minQuality → lang ∈ langs → exact dedup → near-dup
+    *   survivorship (LSH-pruned greedy) → split assignment → benchmark
+    *   DECONTAMINATION of the train split against the held-out test
+    *   split (GPT-3 appendix-C shape, the t16 operator) → DSIR
+    *   importance SELECTION toward the high-quality target (Xie et al.
+    *   2023; top-fraction by hashed-feature importance weight) →
+    *   bigram-LM PERPLEXITY filter (CCNet shape, trained on the target
+    *   subset; keeps the head+middle fraction) → sequence PACKING plan
+    *   at `seqLen`.
+    *
+    * Returns one row per packed training document: the packing plan
+    * (n_tokens, start_offset, first_seq, last_seq, crosses_boundary)
+    * plus the integer audit columns that prove the selection stages
+    * (weight_nano, n_bigrams, nll_nano).
+    *
+    * Stage-reuse discipline (the cp3/cp4 lesson — no re-derivation):
+    * every frame consumed by ≥2 downstream subtrees is materialized
+    * ONCE — `ex`/`nd` inside [[stages]], the train-split shingles inside
+    * `Contamination.ngramOverlap`, the fitted LM inside
+    * `NgramLm.crossEntropy`, and here `clean` (DSIR's two passes +
+    * selection join), `sel` (LM train + score + final join) and `kept`
+    * (packing + audit join).
+    *
+    * The three pipeline-level boundaries use `localCheckpoint` (eager),
+    * NOT `persist`: a persist keeps the full LOGICAL lineage, and in a
+    * composition this deep the lineage tree is multiplicative — every
+    * stage embeds its upstream plan several times (self-joins, LSH
+    * banding, model+score), so by the packing stage the plan TREE is
+    * shared-DAG-small but its rendered form is exponential. Anything
+    * that stringifies the plan (cache naming, explain, UI) then
+    * allocates gigabytes and kills the driver — observed, not
+    * hypothesized. Truncating lineage at each materialized boundary
+    * keeps every downstream plan one-stage deep; blocks live
+    * MEMORY_AND_DISK and are GC'd with the frame (ContextCleaner). The
+    * trade is fault-tolerance: a lost executor cannot recompute a
+    * truncated stage, so a persisted 100 TB deployment writes each
+    * boundary as a parquet stage table instead — same topology, durable
+    * blocks; this in-session form is the interactive equivalent.
+    */
+  def pipeline(df: DataFrame, idCol: String, textCol: String,
+      pcfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val cfg = pcfg.base
+    val nd = stages(df, idCol, textCol, cfg).nearDup
+    val withSplit = nd.withColumn("split",
+      Sampling.splitColumn(col(idCol), cfg.splits, cfg.splitSeed))
+    val train = withSplit.filter(col("split") === "train").drop("split")
+    val benchDocs = withSplit.filter(col("split") === "test").drop("split")
+    // decontamination: the TRAIN side is scored against the held-out
+    // shingle set; ≥ contamNum/contamDen 3-gram containment drops the doc
+    val contamDrops = Contamination
+      .ngramOverlap(train, benchDocs, idCol, textCol, pcfg.contamN)
+      .filter(col("n_hit") > 0 &&
+        col("n_hit") * pcfg.contamDen >= col("n_shingles") * pcfg.contamNum)
+      .select(idCol)
+    val clean = train.join(contamDrops, Seq(idCol), "left_anti")
+      .withColumn("tgt",
+        TextFunctions.qualityScore(col(textCol)) >= pcfg.dsirTargetQuality)
+      .localCheckpoint()
+    val dsir = Dsir.importanceWeights(clean, col("tgt"), idCol, textCol)
+    val sel = clean.join(
+        topFraction(dsir, col("weight_nano").desc, idCol,
+            pcfg.dsirSelNum, pcfg.dsirSelDen)
+          .select(col(idCol), col("weight_nano")),
+        Seq(idCol))
+      .localCheckpoint()
+    val lm = NgramLm.crossEntropy(sel, col("tgt"), idCol, textCol)
+    // per-bigram cross-entropy ordering: the IEEE double ratio is
+    // identical in any engine (one divide on exact integers), ties
+    // broken by id — total order, no rounding surface
+    val lmRanked = topFraction(
+      lm.filter(col("n_bigrams") > 0)
+        .withColumn("ce_rank",
+          col("nll_nano").cast("double") / col("n_bigrams").cast("double")),
+      col("ce_rank").asc, idCol, pcfg.ceKeepNum, pcfg.ceKeepDen)
+    val kept = sel.join(
+        lmRanked.select(col(idCol), col("n_bigrams"), col("nll_nano")),
+        Seq(idCol))
+      .localCheckpoint()
+    Packing.packingPlan(kept, idCol, textCol, pcfg.seqLen)
+      .join(kept.select(col(idCol), col("weight_nano"), col("n_bigrams"),
+        col("nll_nano")), Seq(idCol))
+  }
+
+  /** The top ⌈n·num/den⌉ rows of `df` under `order`, ties broken by
+    * `idCol` ascending — a TOTAL order, so the kept set is deterministic
+    * and engine-independent; the fraction is computed in exact integer
+    * arithmetic (`rk ≤ (n·num + den−1) div den`), no float boundary.
+    *
+    * Rank-fraction selection is inherently a global sort; the
+    * single-partition window here is the score-frame formulation (one
+    * slim row per document — id + score, not the corpus). At
+    * billions-of-docs scale the same selection runs as a range-partition
+    * on the score + per-partition counts + prefix-sum of partition
+    * totals (the Packing.withStartOffsets construction) — same result,
+    * no single-task sort. */
+  private def topFraction(df: DataFrame, order: Column, idCol: String,
+      num: Int, den: Int): DataFrame = {
+    val byScore = Window.orderBy(order, col(idCol))
+    df.withColumn("__rk", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(expr(s"__rk <= (__n * $num + ${den - 1}) DIV $den"))
+      .drop("__rk", "__n")
   }
 }

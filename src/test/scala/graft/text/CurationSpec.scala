@@ -34,6 +34,60 @@ class CurationSpec extends SparkSpec {
     assert(out.select("doc_id", "split").except(again).isEmpty)
   }
 
+  test("pipeline: packed corpus is contiguous, audited, and deterministic") {
+    val out = Curation.pipeline(docs, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    // packing invariant: offsets are the exclusive prefix sum in id order
+    var expected = 0L
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("start_offset")) == expected, s"$r")
+      expected += r.getLong(r.fieldIndex("n_tokens"))
+    }
+    // audit columns present and scored (selection stages actually ran)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_bigrams")) > 0)
+      assert(!r.isNullAt(r.fieldIndex("weight_nano")))
+      assert(!r.isNullAt(r.fieldIndex("nll_nano")))
+    }
+    // deterministic end to end (hash splits + rank selection, no RNG)
+    val again = Curation.pipeline(docs, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("pipeline: final plan reads materialized stage boundaries, not " +
+      "a re-derived funnel (lineage truncated at each localCheckpoint)") {
+    val out = Curation.pipeline(docs, "doc_id", "text")
+    // every upstream stage ran eagerly at construction; the returned
+    // frame's plan must bottom out in checkpointed RDD scans with ZERO
+    // parquet re-scans — the no-re-derivation guarantee, and the reason
+    // plan stringification stays O(stage) instead of exponential
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Relation") || !plan.contains("parquet"),
+      s"final plan must not re-scan source parquet:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected checkpointed scan leaves:\n$plan")
+  }
+
+  test("topFraction keeps ceil(n*num/den) rows by rank with id tie-break") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 20L), (5L, 5L))
+      .toDF("doc_id", "score")
+    def ids(num: Int, den: Int): Set[Long] = {
+      val m = Curation.getClass.getDeclaredMethods
+        .find(_.getName == "topFraction").get
+      m.setAccessible(true)
+      m.invoke(Curation, df, col("score").desc, "doc_id",
+          Int.box(num), Int.box(den))
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+        .select("doc_id").as[Long].collect().toSet
+    }
+    // top ceil(5*1/2)=3 by score desc: 30(id2), 30(id3), 20(id4)
+    assert(ids(1, 2) == Set(2L, 3L, 4L))
+    // top ceil(5*2/3)=4 adds 10(id1)
+    assert(ids(2, 3) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("near-dup stage drops a planted near-duplicate, keeps the original") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "the fox runs away to the forest where it is safe and sound today"
