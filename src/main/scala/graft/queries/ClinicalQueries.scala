@@ -405,6 +405,24 @@ object ClinicalQueries {
                           GROUP BY subjid) sc ON d.subjid = sc.subjid
                ORDER BY d.subjid""")),
 
+    // P7: the subject-browse API surface (`api/endpoints.py:373-390`) —
+    // optional boolean-mask filters composed with deterministic
+    // pagination, run against the REAL outcomes mart (cp4's frame). One
+    // filter is deliberately None so the optional-predicate fold is
+    // exercised, not just the all-filters path; offset+limit land inside
+    // the filtered set at every scale (arm ≈ 1/5 of subjects, age ≥ 30 ≈
+    // 72% of the 14–73 uniform).
+    Q("p7_subject_page",
+      (s, d) => graft.analytics.ClinicalAnalytics.subjectPage(
+          Star.factSubjectOutcomes(summary(s, d), runTs),
+          arm = Some("BUILDING"), riskCategory = None, minAge = Some(30),
+          offset = 10, limit = 25)
+        .select("subjid", "treatment_arm", "safety_risk_category", "age"),
+      Some(s"""SELECT subjid, treatment_arm, safety_risk_category, age
+               FROM ($sqlSummary)
+               WHERE treatment_arm = 'BUILDING' AND age >= 30
+               ORDER BY subjid LIMIT 25 OFFSET 10""")),
+
     Q("cp1_stg_demographics",
       (s, d) => Sdtm.stgDemographics(dmFrom(s, d), "STUDY001", runTs)
         .select("subjid", "treatment_arm", "sex", "age", "age_group", "sex_desc")

@@ -134,6 +134,40 @@ object SinkSqlQueries {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
               FROM region ORDER BY r_regionkey""")),
 
+    // S2: CSV scan with AUTO type inference — the reference's ingest
+    // front door (header sniff + dtype lattice, public_cdm.py:134-194
+    // semantics). A 5-type CSV (BIGINT/DOUBLE/DATE/BOOLEAN/VARCHAR) is
+    // written, then read back through Medallion.readCsv's unknown-domain
+    // branch (header + inferSchema). The require() pins the INFERRED
+    // lattice itself — inference drift fails loudly, not as a silent
+    // dtype mismatch — and the oracle is a file-level twin: DuckDB
+    // read_csv sniffs the SAME files, so both engines' inference must
+    // land on the same lattice points AND the same values. The id column
+    // is offset past 2^31 so both engines commit to 64-bit integers
+    // (small ints would legitimately infer INT vs BIGINT and the gate
+    // would flag honest disagreement, not a bug).
+    Q("s2_csv_inferschema",
+      (s, d) => {
+        val out = tmp("s2_csv")
+        Tables.orders(s, d).select(
+            (col("o_orderkey").cast("long") + 3000000000L).as("id"),
+            col("o_totalprice").cast("double").as("amount"),
+            col("o_orderdate").cast("date").as("odate"),
+            (col("o_orderkey") % 2 === 0).as("flag"),
+            col("o_orderpriority").as("label"))
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val inferred = graft.io.Medallion.readCsv(s, out, domain = None)
+        val got = inferred.schema.fields.map(f => f.name -> f.dataType.typeName)
+        val want = Seq("id" -> "long", "amount" -> "double", "odate" -> "date",
+          "flag" -> "boolean", "label" -> "string")
+        require(got.toSeq == want, s"inferSchema lattice drift: ${got.toSeq}")
+        inferred.orderBy("id")
+      },
+      Some(s"""SELECT id, amount, odate, flag, label
+               FROM read_csv('${tmp("s2_csv")}/*.csv', header = true)
+               ORDER BY id""")),
+
     // S14 (extension): ORC sink then ORC scan — the second columnar
     // format Spark ships natively (schema travels in the file, no
     // explicit read schema needed). The oracle computes the same

@@ -21,13 +21,22 @@ import Q.{dsum, sqlDsum}
   *
   * Determinism under micro-batching, by construction:
   *  - the source dir is written as one file per calendar month with
-  *    strictly increasing modification times, so `maxFilesPerTrigger=1`
-  *    replays the stream in CHRONOLOGICAL month batches (the file source
-  *    processes oldest-mtime first). Cross-batch data is therefore never
-  *    late: watermark ≤ maxTs(months ≤ m) − delay < min ts(month m+1), so
-  *    a 120-minute watermark drops nothing while still advancing and
-  *    EVICTING window state batch by batch — the real production shape,
-  *    not a one-shot batch in streaming clothes.
+  *    strictly increasing modification times, so `maxFilesPerTrigger=k`
+  *    replays the stream in CHRONOLOGICAL k-month batches (the file
+  *    source processes oldest-mtime first). Cross-batch data is
+  *    therefore never late: watermark ≤ maxTs(batch b) − delay <
+  *    min ts(batch b+1), so a 120-minute watermark drops nothing while
+  *    still advancing and EVICTING window state batch by batch — the
+  *    real production shape, not a one-shot batch in streaming clothes.
+  *    The FINAL emitted set is invariant in k (only emission timing
+  *    moves), because the no-late-data inequality above holds for any
+  *    chronological grouping and the sentinel flushes every real
+  *    window. k = 4 (10+ batches over the ~41 files) keeps the
+  *    multi-batch state handoff under test while quartering the
+  *    per-run fixed cost — each micro-batch pays a constant
+  *    checkpoint-commit (offset log + commit log + state snapshot
+  *    fsyncs), which at 41 batches dominated these declared runs
+  *    (~10% of the whole driver board, PERF.md r9).
   *  - windows are flushed by a sentinel row 7 days past the last real
   *    event (event_type='__flush', user_id=-1): Append mode only emits a
   *    window once the watermark passes its end, so without a flush event
@@ -162,7 +171,7 @@ object StreamingQueries {
       (s, d) => {
         val src = eventSource(s, d)
         val stream = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
+          .option("maxFilesPerTrigger", 4).parquet(src)
         val agg = stream
           .withWatermark("ts", "120 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -188,7 +197,7 @@ object StreamingQueries {
       (s, d) => {
         val src = eventSource(s, d)
         val stream = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
+          .option("maxFilesPerTrigger", 4).parquet(src)
         val agg = stream
           .withWatermark("ts", "120 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -247,7 +256,7 @@ object StreamingQueries {
         // sit in state forever. The inner join drops it instead
         // (user_id=-1 has no dimension row), downstream of the watermark.
         val stream = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
+          .option("maxFilesPerTrigger", 4).parquet(src)
           .filter(col("event_type") === "purchase" ||
             col("event_type") === "__flush")
           .withWatermark("ts", "120 minutes")
@@ -284,7 +293,7 @@ object StreamingQueries {
       (s, d) => {
         val src = eventSource(s, d)
         def side(t: String) = s.readStream.schema(eventSchema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
+          .option("maxFilesPerTrigger", 4).parquet(src)
           .filter(col("event_type") === t)
         val joined = graft.streaming.Streaming.attributionJoin(
             side("click"), side("purchase"),
