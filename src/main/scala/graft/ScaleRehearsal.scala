@@ -65,7 +65,11 @@ object ScaleRehearsal {
     "t31_dsir_importance",
     // round-8: hashed bigram LM perplexity — persisted data-bounded
     // model, corpus-sized scoring join on (b1,b2)
-    "t32_lm_perplexity")
+    "t32_lm_perplexity",
+    // round-9: the composed curation pipeline — every stage boundary
+    // localCheckpointed, rank selections are global sorts over slim
+    // score frames; the rehearsal watches the whole funnel's shape
+    "t33_curation_pipeline")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
