@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"no map-side partial counts:\n$plan")
   }
 
+  test("p7: filtered pagination plans as TakeOrderedAndProject with offset, " +
+      "filters pushed into the cached mart scan") {
+    val plan = planString("p7_subject_page")
+    // top-(offset+limit) heap per partition + single merge — the API
+    // pagination shape; a global Sort here would materialize the whole
+    // filtered mart to serve one page
+    assert(plan.contains("TakeOrderedAndProject(limit=35, offset=10"),
+      s"expected offset-carrying TakeOrderedAndProject:\n$plan")
+    // scope to the page-serving prefix: the one-time mart BUILD below
+    // InMemoryRelation may legitimately sort-merge; the per-page path
+    // above it must not
+    val pagePath = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!pagePath.contains("Sort "),
+      s"no global sort on the page-serving path:\n$pagePath")
+    // the optional-filter fold must land IN the InMemoryTableScan
+    // predicate list, not as a post-scan residual only
+    assert(plan.contains("InMemoryTableScan") &&
+      plan.contains("(treatment_arm"),
+      s"arm/age filters should reach the cached scan:\n$plan")
+  }
+
   test("checks suite evaluates as a single aggregation (no joins, one scan)") {
     val df = SparkEntry.queries("v1_check_suite_events")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
