@@ -483,6 +483,26 @@ object CorpusQueries {
               GROUP BY db.doc_id
               ORDER BY db.doc_id""")),
 
+    // T34: BPE vocabulary induction's distributed primitive — the
+    // frequency-weighted adjacent symbol-pair count the tokenizer-
+    // training merge loop recomputes each iteration (Sennrich et al.
+    // 2016; symbols = characters on iteration one). Corpus collapses to
+    // the word-frequency table before any pair work, so the pair stage
+    // is vocabulary-bounded, not corpus-bounded; top-k cut is a total
+    // order (n desc, pair asc) — deterministic boundary in both engines.
+    Q("t34_bpe_merge_candidates",
+      (s, d) => Corpus.bpeMergeCandidates(Tables.documents(s, d), "text", k = 50),
+      Some("""WITH wf AS (SELECT w, COUNT(*) AS freq
+                          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                                FROM documents)
+                          WHERE length(w) >= 2 GROUP BY w)
+              SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS n
+              FROM (SELECT freq,
+                      unnest(list_transform(generate_series(1, length(w) - 1),
+                        i -> substr(w, i, 2))) AS p
+                    FROM wf)
+              GROUP BY p ORDER BY n DESC, pair LIMIT 50""")),
+
     // T32: hashed bigram LM perplexity (CCNet-shape quality filter,
     // Wenzek et al. 2020) — train p(b2|b1) on the lang='en' subset over
     // hashed token-bucket bigrams (add-one smoothing, B=4096), score

@@ -214,4 +214,33 @@ object Corpus {
       .withColumn("oov_token_rate",
         round(col("n_oov_tokens").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /** BPE vocabulary induction's distributed primitive (Sennrich et al.
+    * 2016 §3.2, public method): frequency-weighted counts of ADJACENT
+    * symbol pairs over the word-frequency table — the statistic the
+    * tokenizer-training merge loop recomputes every iteration (here the
+    * first iteration: symbols = characters, so a pair is a 2-char
+    * substring). The top-k rows are the next k greedy merge candidates.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table FIRST
+    * (the classic word-count shuffle, map-side combined,
+    * vocabulary-bounded output); the pair explode then runs over
+    * DISTINCT WORDS weighted by freq — ≤ |vocab|·avg-word-length rows,
+    * independent of corpus size — and the pair aggregation is bounded by
+    * the observed symbol-pair space. Top-k is TakeOrderedAndProject with
+    * a total order (count desc, pair asc), so the boundary cut is
+    * deterministic in any engine; all counts are exact BIGINT.
+    */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2) // 1-char words contribute no pairs
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -122,6 +122,28 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) == ((6L, 0L, 0.0)))
   }
 
+  test("bpeMergeCandidates: frequency-weighted pair counts, greedy order") {
+    // "abab" ×3 occurrences, "ab" ×2, "cd" ×1, "x" contributes nothing
+    val docs = Seq(
+      (1L, "abab ab x"),
+      (2L, "abab ab cd"),
+      (3L, "abab")).toDF("doc_id", "text")
+    val got = Corpus.bpeMergeCandidates(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // abab: ab,ba,ab → ab twice + ba once, ×3 words; ab word: ab ×2
+    val expected = Map("ab" -> 8L, "ba" -> 3L, "cd" -> 1L)
+    assert(got.toMap == expected, s"got ${got.toSeq}")
+    // greedy merge order: count desc, pair asc
+    assert(got.map(_._1).toSeq == Seq("ab", "ba", "cd"))
+  }
+
+  test("bpeMergeCandidates: deterministic top-k boundary on count ties") {
+    val docs = Seq((1L, "xy zw xy zw")).toDF("doc_id", "text")
+    val got = Corpus.bpeMergeCandidates(docs, "text", k = 1).collect()
+    assert(got.length == 1 && got(0).getString(0) == "xy" &&
+      got(0).getLong(1) == 2L, s"tie must cut by pair asc: ${got.toSeq}")
+  }
+
   test("bm25 ranks term-dense short docs first and skips non-matching docs") {
     val docs = Seq(
       (1L, "spark spark stream"),
