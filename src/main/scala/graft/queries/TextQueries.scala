@@ -35,6 +35,171 @@ object TextQueries {
               AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
           6)"""
 
+  /** Shared CTE chain of the composed curation pipeline (t33 + t33b):
+    * the t13 funnel prefix (quality -> lang -> exact dedup -> LSH
+    * near-dup) verbatim, then split, 5-gram decontamination, DSIR
+    * top-half selection, LM perplexity head+middle keep -- ending at
+    * the `kept` CTE. Consumers append their own final SELECT (t33:
+    * packing; t33b: per-stage counts), so the two oracles can never
+    * drift apart stage-wise. */
+  private def sqlPipelineCtes: String = {
+
+        val hits = LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
+        }.mkString(", ")
+        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
+          .reduceRight((a, b) => s"greatest($a, $b)")
+        val chain = LangMarkers.map { case (l, _) =>
+          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
+        }.mkString(" ")
+        // the t13 funnel prefix (quality → lang → exact dedup → LSH
+        // near-dup) verbatim, then the five new stages
+    s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlQuality >= 0.3),
+                 lg AS (SELECT doc_id, text FROM (
+                          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
+                          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
+                        WHERE predicted IN ('en')),
+                 ex AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
+                          SELECT MIN(doc_id)
+                          FROM (SELECT doc_id,
+                                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                         AS fp
+                                FROM lg)
+                          GROUP BY fp)),
+                 docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                          FROM ex),
+                 sh AS (SELECT DISTINCT doc_id,
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                        FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                 sig AS (SELECT doc_id, j,
+                                MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                    AS BIGINT)) AS mh
+                         FROM sh CROSS JOIN range(0, 12) t(j)
+                         GROUP BY doc_id, j),
+                 banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                   md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                     AS band_hash
+                            FROM sig GROUP BY doc_id, 2),
+                 cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                           FROM banded a JOIN banded b
+                             ON a.band = b.band AND a.band_hash = b.band_hash
+                                AND a.doc_id < b.doc_id),
+                 inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
+                           FROM cands c
+                           JOIN sh a ON a.doc_id = c.id1
+                           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                           GROUP BY 1, 2),
+                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                 drops AS (SELECT DISTINCT id2 FROM inter
+                           JOIN sizes s1 ON id1 = s1.doc_id
+                           JOIN sizes s2 ON id2 = s2.doc_id
+                           WHERE CAST(inter AS DOUBLE)
+                                 / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+                 nd AS (SELECT doc_id, text FROM ex
+                        WHERE doc_id NOT IN (SELECT id2 FROM drops)),
+                 spl AS (SELECT doc_id, text,
+                                CAST(('0x' || substr(md5('7|' ||
+                                       CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) % 10000 AS bk
+                         FROM nd),
+                 trn AS (SELECT doc_id, text FROM spl WHERE bk < 9000),
+                 trw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                         FROM trn),
+                 t5 AS (SELECT DISTINCT doc_id,
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                 w[i+3] || ' ' || w[i+4] AS shingle
+                        FROM trw, UNNEST(range(1, len(w) - 3)) AS t(i)),
+                 b5 AS (SELECT DISTINCT
+                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                 w[i+3] || ' ' || w[i+4] AS shingle
+                        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                              FROM spl WHERE bk >= 9500),
+                             UNNEST(range(1, len(w) - 3)) AS t(i)),
+                 cdrop AS (SELECT DISTINCT doc_id FROM t5
+                           WHERE shingle IN (SELECT shingle FROM b5)),
+                 clean AS (SELECT doc_id, text, ($sqlQuality >= 0.6) AS tgt
+                           FROM trn
+                           WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+                 dh AS (SELECT doc_id, tgt,
+                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> CAST(('0x' || substr(md5('31|' || t), 1, 15))
+                                      AS BIGINT) % 1073741824) AS h
+                        FROM clean),
+                 dfb AS (SELECT doc_id, tgt,
+                                unnest(list_concat(
+                                  list_transform(h, x -> x % 1024),
+                                  list_transform(generate_series(1, len(h) - 1),
+                                    i -> ((h[i] * 31 + h[i + 1]) % 1073741824) % 1024)))
+                                  AS b
+                         FROM dh),
+                 ddb AS (SELECT doc_id, tgt, b, COUNT(*) AS n FROM dfb GROUP BY 1, 2, 3),
+                 dbs AS (SELECT b, SUM(n) AS c_s,
+                                SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t
+                         FROM ddb GROUP BY b),
+                 dtot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM dbs),
+                 dlr AS (SELECT b,
+                                CAST(ROUND(ln(
+                                  (CAST(c_t AS DOUBLE) + 1.0) * (CAST(n_s AS DOUBLE) + 1024.0) /
+                                  ((CAST(c_s AS DOUBLE) + 1.0) * (CAST(n_t AS DOUBLE) + 1024.0)))
+                                  * 1e9) AS BIGINT) AS lr_nano
+                         FROM dbs, dtot),
+                 dw AS (SELECT ddb.doc_id,
+                               CAST(SUM(ddb.n * dlr.lr_nano) AS BIGINT) AS weight_nano
+                        FROM ddb JOIN dlr USING (b) GROUP BY 1),
+                 dsel AS (SELECT doc_id, weight_nano FROM (
+                            SELECT doc_id, weight_nano,
+                                   ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id) AS rk,
+                                   COUNT(*) OVER () AS cnt
+                            FROM dw)
+                          WHERE rk <= (cnt * 1 + 1) // 2),
+                 sel AS (SELECT c.doc_id, c.text, c.tgt, s.weight_nano
+                         FROM clean c JOIN dsel s USING (doc_id)),
+                 lh AS (SELECT doc_id, tgt,
+                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> CAST(('0x' || substr(md5('37|' || t), 1, 15))
+                                      AS BIGINT) % 1073741824) AS h
+                        FROM sel),
+                 lpr AS (SELECT doc_id, tgt, p[1] AS b1, p[2] AS b2
+                         FROM (SELECT doc_id, tgt,
+                                 unnest(list_transform(generate_series(1, len(h) - 1),
+                                   i -> [h[i] % 4096, h[i + 1] % 4096])) AS p
+                               FROM lh)),
+                 m0 AS (SELECT b1, b2, COUNT(*) AS n_pair FROM lpr
+                        WHERE tgt GROUP BY 1, 2),
+                 m1 AS (SELECT b1, b2, n_pair,
+                               SUM(n_pair) OVER (PARTITION BY b1) AS n_ctx
+                        FROM m0),
+                 mlp AS (SELECT b1, b2,
+                                CAST(ROUND(ln((CAST(n_pair AS DOUBLE) + 1.0) /
+                                  (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9) AS BIGINT)
+                                  AS lp_nano
+                         FROM m1),
+                 mctx AS (SELECT DISTINCT b1,
+                                 CAST(ROUND(ln(1.0 / (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9)
+                                   AS BIGINT) AS lp0_nano
+                          FROM m1),
+                 lsc AS (SELECT lpr.doc_id, COUNT(*) AS n_bigrams,
+                                SUM(COALESCE(mlp.lp_nano, mctx.lp0_nano,
+                                  CAST(ROUND(ln(1.0 / 4096.0) * 1e9) AS BIGINT))) AS s
+                         FROM lpr
+                         LEFT JOIN mlp USING (b1, b2)
+                         LEFT JOIN mctx USING (b1)
+                         GROUP BY 1),
+                 lkeep AS (SELECT doc_id, n_bigrams, nll_nano FROM (
+                             SELECT doc_id, n_bigrams,
+                                    CAST(0 - s AS BIGINT) AS nll_nano,
+                                    ROW_NUMBER() OVER (ORDER BY
+                                      CAST(0 - s AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
+                                      doc_id) AS rk,
+                                    COUNT(*) OVER () AS cnt
+                             FROM lsc WHERE n_bigrams > 0)
+                           WHERE rk <= (cnt * 2 + 2) // 3),
+                 kept AS (SELECT sel.doc_id, sel.text, sel.weight_nano,
+                                 k.n_bigrams, k.nll_nano
+                          FROM sel JOIN lkeep k USING (doc_id))"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -731,161 +896,7 @@ object TextQueries {
       (s, d) => graft.text.Curation.pipeline(Tables.documents(s, d),
           "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val hits = LangMarkers.map { case (lang, ms) =>
-          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
-          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
-        }.mkString(", ")
-        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
-          .reduceRight((a, b) => s"greatest($a, $b)")
-        val chain = LangMarkers.map { case (l, _) =>
-          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
-        }.mkString(" ")
-        // the t13 funnel prefix (quality → lang → exact dedup → LSH
-        // near-dup) verbatim, then the five new stages
-        s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlQuality >= 0.3),
-                 lg AS (SELECT doc_id, text FROM (
-                          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
-                          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
-                        WHERE predicted IN ('en')),
-                 ex AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
-                          SELECT MIN(doc_id)
-                          FROM (SELECT doc_id,
-                                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                                         AS fp
-                                FROM lg)
-                          GROUP BY fp)),
-                 docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                          FROM ex),
-                 sh AS (SELECT DISTINCT doc_id,
-                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                        FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
-                 sig AS (SELECT doc_id, j,
-                                MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
-                                    AS BIGINT)) AS mh
-                         FROM sh CROSS JOIN range(0, 12) t(j)
-                         GROUP BY doc_id, j),
-                 banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
-                                   md5(string_agg(j || ':' || mh, ',' ORDER BY j))
-                                     AS band_hash
-                            FROM sig GROUP BY doc_id, 2),
-                 cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                           FROM banded a JOIN banded b
-                             ON a.band = b.band AND a.band_hash = b.band_hash
-                                AND a.doc_id < b.doc_id),
-                 inter AS (SELECT c.id1, c.id2, COUNT(*) AS inter
-                           FROM cands c
-                           JOIN sh a ON a.doc_id = c.id1
-                           JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-                           GROUP BY 1, 2),
-                 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-                 drops AS (SELECT DISTINCT id2 FROM inter
-                           JOIN sizes s1 ON id1 = s1.doc_id
-                           JOIN sizes s2 ON id2 = s2.doc_id
-                           WHERE CAST(inter AS DOUBLE)
-                                 / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
-                 nd AS (SELECT doc_id, text FROM ex
-                        WHERE doc_id NOT IN (SELECT id2 FROM drops)),
-                 spl AS (SELECT doc_id, text,
-                                CAST(('0x' || substr(md5('7|' ||
-                                       CAST(doc_id AS VARCHAR)), 1, 15))
-                                     AS BIGINT) % 10000 AS bk
-                         FROM nd),
-                 trn AS (SELECT doc_id, text FROM spl WHERE bk < 9000),
-                 trw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                         FROM trn),
-                 t5 AS (SELECT DISTINCT doc_id,
-                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-                                 w[i+3] || ' ' || w[i+4] AS shingle
-                        FROM trw, UNNEST(range(1, len(w) - 3)) AS t(i)),
-                 b5 AS (SELECT DISTINCT
-                               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-                                 w[i+3] || ' ' || w[i+4] AS shingle
-                        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
-                              FROM spl WHERE bk >= 9500),
-                             UNNEST(range(1, len(w) - 3)) AS t(i)),
-                 cdrop AS (SELECT DISTINCT doc_id FROM t5
-                           WHERE shingle IN (SELECT shingle FROM b5)),
-                 clean AS (SELECT doc_id, text, ($sqlQuality >= 0.6) AS tgt
-                           FROM trn
-                           WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
-                 dh AS (SELECT doc_id, tgt,
-                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                 t -> CAST(('0x' || substr(md5('31|' || t), 1, 15))
-                                      AS BIGINT) % 1073741824) AS h
-                        FROM clean),
-                 dfb AS (SELECT doc_id, tgt,
-                                unnest(list_concat(
-                                  list_transform(h, x -> x % 1024),
-                                  list_transform(generate_series(1, len(h) - 1),
-                                    i -> ((h[i] * 31 + h[i + 1]) % 1073741824) % 1024)))
-                                  AS b
-                         FROM dh),
-                 ddb AS (SELECT doc_id, tgt, b, COUNT(*) AS n FROM dfb GROUP BY 1, 2, 3),
-                 dbs AS (SELECT b, SUM(n) AS c_s,
-                                SUM(CASE WHEN tgt THEN n ELSE 0 END) AS c_t
-                         FROM ddb GROUP BY b),
-                 dtot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM dbs),
-                 dlr AS (SELECT b,
-                                CAST(ROUND(ln(
-                                  (CAST(c_t AS DOUBLE) + 1.0) * (CAST(n_s AS DOUBLE) + 1024.0) /
-                                  ((CAST(c_s AS DOUBLE) + 1.0) * (CAST(n_t AS DOUBLE) + 1024.0)))
-                                  * 1e9) AS BIGINT) AS lr_nano
-                         FROM dbs, dtot),
-                 dw AS (SELECT ddb.doc_id,
-                               CAST(SUM(ddb.n * dlr.lr_nano) AS BIGINT) AS weight_nano
-                        FROM ddb JOIN dlr USING (b) GROUP BY 1),
-                 dsel AS (SELECT doc_id, weight_nano FROM (
-                            SELECT doc_id, weight_nano,
-                                   ROW_NUMBER() OVER (ORDER BY weight_nano DESC, doc_id) AS rk,
-                                   COUNT(*) OVER () AS cnt
-                            FROM dw)
-                          WHERE rk <= (cnt * 1 + 1) // 2),
-                 sel AS (SELECT c.doc_id, c.text, c.tgt, s.weight_nano
-                         FROM clean c JOIN dsel s USING (doc_id)),
-                 lh AS (SELECT doc_id, tgt,
-                               list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                 t -> CAST(('0x' || substr(md5('37|' || t), 1, 15))
-                                      AS BIGINT) % 1073741824) AS h
-                        FROM sel),
-                 lpr AS (SELECT doc_id, tgt, p[1] AS b1, p[2] AS b2
-                         FROM (SELECT doc_id, tgt,
-                                 unnest(list_transform(generate_series(1, len(h) - 1),
-                                   i -> [h[i] % 4096, h[i + 1] % 4096])) AS p
-                               FROM lh)),
-                 m0 AS (SELECT b1, b2, COUNT(*) AS n_pair FROM lpr
-                        WHERE tgt GROUP BY 1, 2),
-                 m1 AS (SELECT b1, b2, n_pair,
-                               SUM(n_pair) OVER (PARTITION BY b1) AS n_ctx
-                        FROM m0),
-                 mlp AS (SELECT b1, b2,
-                                CAST(ROUND(ln((CAST(n_pair AS DOUBLE) + 1.0) /
-                                  (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9) AS BIGINT)
-                                  AS lp_nano
-                         FROM m1),
-                 mctx AS (SELECT DISTINCT b1,
-                                 CAST(ROUND(ln(1.0 / (CAST(n_ctx AS DOUBLE) + 4096.0)) * 1e9)
-                                   AS BIGINT) AS lp0_nano
-                          FROM m1),
-                 lsc AS (SELECT lpr.doc_id, COUNT(*) AS n_bigrams,
-                                SUM(COALESCE(mlp.lp_nano, mctx.lp0_nano,
-                                  CAST(ROUND(ln(1.0 / 4096.0) * 1e9) AS BIGINT))) AS s
-                         FROM lpr
-                         LEFT JOIN mlp USING (b1, b2)
-                         LEFT JOIN mctx USING (b1)
-                         GROUP BY 1),
-                 lkeep AS (SELECT doc_id, n_bigrams, nll_nano FROM (
-                             SELECT doc_id, n_bigrams,
-                                    CAST(0 - s AS BIGINT) AS nll_nano,
-                                    ROW_NUMBER() OVER (ORDER BY
-                                      CAST(0 - s AS DOUBLE) / CAST(n_bigrams AS DOUBLE),
-                                      doc_id) AS rk,
-                                    COUNT(*) OVER () AS cnt
-                             FROM lsc WHERE n_bigrams > 0)
-                           WHERE rk <= (cnt * 2 + 2) // 3),
-                 kept AS (SELECT sel.doc_id, sel.text, sel.weight_nano,
-                                 k.n_bigrams, k.nll_nano
-                          FROM sel JOIN lkeep k USING (doc_id)),
+      Some(s"""$sqlPipelineCtes,
                  pt AS (SELECT doc_id, weight_nano, n_bigrams, nll_nano,
                                CAST(len(regexp_extract_all(text,
                                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
@@ -902,7 +913,27 @@ object TextQueries {
                    (start_offset + n_tokens - 1) // 2048
                      > start_offset // 2048 AS crosses_boundary,
                    weight_nano, n_bigrams, nll_nano
-            FROM po ORDER BY doc_id"""
-      })
+            FROM po ORDER BY doc_id""")),
+
+    // T33b: the same pipeline's per-stage survivor counts -- the
+    // "where did my data go" funnel over all nine stages, sharing the
+    // t33 CTE chain verbatim so stage accounting and the packed output
+    // are provably the same derivation. Each count is a cached scan of
+    // an already-materialized stage boundary on the Spark side.
+    Q("t33b_curation_funnel",
+      (s, d) => graft.text.Curation.pipelineFunnel(Tables.documents(s, d),
+          "doc_id", "text"),
+      Some(s"""$sqlPipelineCtes
+            SELECT stage, n_docs FROM (
+              SELECT '00_raw' AS stage, COUNT(*) AS n_docs FROM documents
+              UNION ALL SELECT '10_quality', COUNT(*) FROM q
+              UNION ALL SELECT '20_lang', COUNT(*) FROM lg
+              UNION ALL SELECT '30_exact_dedup', COUNT(*) FROM ex
+              UNION ALL SELECT '40_near_dup', COUNT(*) FROM nd
+              UNION ALL SELECT '50_train_split', COUNT(*) FROM trn
+              UNION ALL SELECT '60_decontaminated', COUNT(*) FROM clean
+              UNION ALL SELECT '70_dsir_selected', COUNT(*) FROM sel
+              UNION ALL SELECT '80_perplexity_kept', COUNT(*) FROM kept
+            ) ORDER BY stage"""))
   )
 }

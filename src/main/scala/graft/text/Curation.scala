@@ -183,8 +183,24 @@ object Curation {
     */
   def pipeline(df: DataFrame, idCol: String, textCol: String,
       pcfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val st = pipelineStages(df, idCol, textCol, pcfg)
+    Packing.packingPlan(st.kept, idCol, textCol, pcfg.seqLen)
+      .join(st.kept.select(col(idCol), col("weight_nano"), col("n_bigrams"),
+        col("nll_nano")), Seq(idCol))
+  }
+
+  /** Every pipeline intermediate, for inspection/reporting — the t33b
+    * funnel and any stage-level audit read these instead of re-deriving.
+    * `clean`/`selected`/`kept` are already materialized (localCheckpoint),
+    * so counting them costs a cached scan, not a recompute. */
+  final case class PipelineStages(base: Stages, train: DataFrame,
+      clean: DataFrame, selected: DataFrame, kept: DataFrame)
+
+  def pipelineStages(df: DataFrame, idCol: String, textCol: String,
+      pcfg: PipelineConfig = PipelineConfig()): PipelineStages = {
     val cfg = pcfg.base
-    val nd = stages(df, idCol, textCol, cfg).nearDup
+    val base = stages(df, idCol, textCol, cfg)
+    val nd = base.nearDup
     val withSplit = nd.withColumn("split",
       Sampling.splitColumn(col(idCol), cfg.splits, cfg.splitSeed))
     val train = withSplit.filter(col("split") === "train").drop("split")
@@ -220,9 +236,26 @@ object Curation {
         lmRanked.select(col(idCol), col("n_bigrams"), col("nll_nano")),
         Seq(idCol))
       .localCheckpoint()
-    Packing.packingPlan(kept, idCol, textCol, pcfg.seqLen)
-      .join(kept.select(col(idCol), col("weight_nano"), col("n_bigrams"),
-        col("nll_nano")), Seq(idCol))
+    PipelineStages(base, train, clean, sel, kept)
+  }
+
+  /** Per-stage survivor counts for the FULL pipeline — the "where did my
+    * data go" report over all nine stages (the [[funnel]] shape extended
+    * through decontamination, DSIR selection and the perplexity keep). */
+  def pipelineFunnel(df: DataFrame, idCol: String, textCol: String,
+      pcfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val ps = pipelineStages(df, idCol, textCol, pcfg)
+    Seq(
+      "00_raw" -> ps.base.raw, "10_quality" -> ps.base.quality,
+      "20_lang" -> ps.base.lang, "30_exact_dedup" -> ps.base.exactDedup,
+      "40_near_dup" -> ps.base.nearDup, "50_train_split" -> ps.train,
+      "60_decontaminated" -> ps.clean, "70_dsir_selected" -> ps.selected,
+      "80_perplexity_kept" -> ps.kept)
+      .map { case (name, d) =>
+        d.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_.unionAll(_)).orderBy("stage")
   }
 
   /** The top ⌈n·num/den⌉ rows of `df` under `order`, ties broken by

@@ -70,6 +70,19 @@ class CurationSpec extends SparkSpec {
       s"expected checkpointed scan leaves:\n$plan")
   }
 
+  test("pipelineFunnel: nine monotone stages consistent with the packed output") {
+    val f = Curation.pipelineFunnel(docs, "doc_id", "text")
+      .as[(String, Long)].collect()
+    assert(f.map(_._1).toSeq == Seq("00_raw", "10_quality", "20_lang",
+      "30_exact_dedup", "40_near_dup", "50_train_split", "60_decontaminated",
+      "70_dsir_selected", "80_perplexity_kept"))
+    val counts = f.map(_._2).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel must shrink monotonically: $counts")
+    // the terminal stage is exactly the packed corpus
+    assert(counts.last == Curation.pipeline(docs, "doc_id", "text").count())
+  }
+
   test("topFraction keeps ceil(n*num/den) rows by rank with id tie-break") {
     val df = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 20L), (5L, 5L))
       .toDF("doc_id", "score")
