@@ -206,7 +206,8 @@ object Curation {
     val train = withSplit.filter(col("split") === "train").drop("split")
     val benchDocs = withSplit.filter(col("split") === "test").drop("split")
     // decontamination: the TRAIN side is scored against the held-out
-    // shingle set; ≥ contamNum/contamDen 3-gram containment drops the doc
+    // shingle set; any hit with ≥ contamNum/contamDen n-gram containment
+    // drops the doc (default: any collision at all)
     val contamDrops = Contamination
       .ngramOverlap(train, benchDocs, idCol, textCol, pcfg.contamN)
       .filter(col("n_hit") > 0 &&
