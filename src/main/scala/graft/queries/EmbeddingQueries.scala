@@ -436,7 +436,47 @@ object EmbeddingQueries {
               SELECT id1, id2, ROUND(${sqlCosine("e1", "e2")}, 6) AS score
               FROM cand
               WHERE ${sqlCosine("e1", "e2")} >= 0.4
-              ORDER BY id1, id2"""))
+              ORDER BY id1, id2""")),
+
+    // EMB13: symmetric per-vector int8 scalar quantization (FAISS-SQ8
+    // shape) — the BYTES side of 100 TB embedding handling (IVF/LSH cut
+    // comparisons, quantization cuts memory 4x). Per-vector stats pin
+    // the whole quantized vector (integer L1 checksum + q range) plus
+    // the reconstruction-error contract `within_bound` the oracle
+    // asserts. Rounding is floor(y + 0.5) — exact IEEE in both engines,
+    // no ROUND tie surface — and every double tree is mirrored
+    // operand-for-operand, so raw doubles hash-match bit-exactly.
+    Q("emb13_int8_quantization",
+      (s, d) => Ann.int8QuantizationStats(Tables.embeddings(s, d),
+          "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+                     FROM embeddings),
+                   sc AS (SELECT vec_id, xd,
+                     list_max(list_transform(xd, x -> abs(x))) AS scale
+                     FROM v),
+                   qv AS (SELECT vec_id, xd, scale,
+                     CASE WHEN scale = 0.0
+                          THEN list_transform(xd, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(xd,
+                            x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+                     END AS q
+                     FROM sc),
+                   er AS (SELECT vec_id, xd, scale, q,
+                     CASE WHEN scale = 0.0 THEN 0.0
+                          ELSE list_max(list_transform(range(1, len(xd) + 1),
+                            i -> abs(xd[i] - CAST(q[i] AS DOUBLE) * scale / 127.0)))
+                     END AS max_abs_err
+                     FROM qv)
+              SELECT vec_id, CAST(len(xd) AS BIGINT) AS n_dims, scale,
+                     CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
+                       AS q_l1,
+                     CAST(list_min(q) AS BIGINT) AS q_min,
+                     CAST(list_max(q) AS BIGINT) AS q_max,
+                     max_abs_err,
+                     max_abs_err <= scale * 0.5 / 127.0 AS within_bound
+              FROM er ORDER BY vec_id"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

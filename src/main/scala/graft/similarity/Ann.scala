@@ -486,4 +486,49 @@ object Ann {
       .filter(col("score") >= minCosine)
       .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
   }
+
+  /** Symmetric per-vector int8 scalar quantization (the FAISS-SQ8 shape,
+    * public method) with its reconstruction contract:
+    *
+    *   scale = max_i |x_i|,  q_i = ⌊x_i·127/scale + 0.5⌋ ∈ [−127, 127],
+    *   x̂_i = q_i·scale/127,  |x_i − x̂_i| ≤ scale/254
+    *
+    * — the memory side of 100 TB embedding handling (4× smaller vectors,
+    * SIMD-friendly int8 distance kernels downstream; IVF/LSH here cut
+    * COMPARISONS, quantization cuts BYTES). Per-vector stats instead of
+    * 64 int columns: n_dims, scale, the integer L1 checksum of the
+    * quantized vector (pins every q_i without emitting them), q range,
+    * the max reconstruction error, and the a5b-style `within_bound`
+    * contract the oracle asserts.
+    *
+    * Determinism: rounding is ⌊y + 0.5⌋ — `floor` is exact IEEE in every
+    * engine, unlike ROUND whose tie algorithm differs between Spark
+    * (BigDecimal HALF_UP) and DuckDB (away-from-zero) — and every double
+    * expression tree is mirrored operand-for-operand in the oracle, so
+    * doubles compare bit-equal. Zero vectors quantize to all-zero with
+    * zero error (no 0/0). Everything is a per-row sequential fold — no
+    * parallel float aggregation, no shuffle at all before the final
+    * projection. */
+  def int8QuantizationStats(emb0: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    emb0.select(col(idCol), xd.as("xd"))
+      .withColumn("scale", array_max(transform(col("xd"), x => abs(x))))
+      .withColumn("q",
+        when(col("scale") === 0.0, transform(col("xd"), _ => lit(0L)))
+          .otherwise(transform(col("xd"),
+            x => floor(x * 127.0 / col("scale") + 0.5).cast("long"))))
+      .withColumn("max_abs_err",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(array_max(zip_with(col("xd"), col("q"),
+            (x, q) => abs(x - q.cast("double") * col("scale") / 127.0)))))
+      .select(col(idCol),
+        size(col("xd")).cast("long").as("n_dims"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        col("max_abs_err"),
+        (col("max_abs_err") <= col("scale") * 0.5 / 127.0).as("within_bound"))
+  }
 }

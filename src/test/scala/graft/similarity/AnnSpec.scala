@@ -348,6 +348,33 @@ class AnnSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("int8 quantization: range, checksum, bound, and zero-vector guard") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),          // zero vector
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.int8QuantizationStats(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // v1: scale 1.0 → q = [127, -63 (floor(-63.5+0.5)), 32 (floor(32.25)), 0]
+    val r1 = byId(1L)
+    assert(r1.getAs[Double]("scale") == 1.0)
+    assert(r1.getAs[Long]("q_l1") == 127L + 63L + 32L)
+    assert(r1.getAs[Long]("q_min") == -63L && r1.getAs[Long]("q_max") == 127L)
+    // zero vector: all-zero quantization, zero error, bound holds
+    val r2 = byId(2L)
+    assert(r2.getAs[Double]("scale") == 0.0 && r2.getAs[Long]("q_l1") == 0L)
+    assert(r2.getAs[Double]("max_abs_err") == 0.0 && r2.getAs[Boolean]("within_bound"))
+    // every vector satisfies the half-step reconstruction bound and the
+    // int8 range
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"$r")
+      assert(r.getAs[Long]("q_min") >= -127L && r.getAs[Long]("q_max") <= 127L)
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
