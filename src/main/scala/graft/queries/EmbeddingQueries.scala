@@ -476,7 +476,43 @@ object EmbeddingQueries {
                      CAST(list_max(q) AS BIGINT) AS q_max,
                      max_abs_err,
                      max_abs_err <= scale * 0.5 / 127.0 AS within_bound
-              FROM er ORDER BY vec_id"""))
+              FROM er ORDER BY vec_id""")),
+
+    // EMB14: asymmetric quantized k-NN (FAISS ADC shape) — the SEARCH
+    // half of the emb13 story: full-precision query against the
+    // dequantized int8 corpus, top-k by quantized score with the exact
+    // score and the in-exact-topk recall marker in the same rows. Raw
+    // doubles throughout — every expression tree operand-mirrored, so
+    // the quantized RANKING itself is under the hash gate.
+    Q("emb14_quantized_knn",
+      (s, d) => Ann.quantizedKnn(Tables.embeddings(s, d),
+          "vec_id", "embedding", queryId = 0L, k = 10),
+      Some(s"""WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+                     FROM embeddings),
+                   sc AS (SELECT vec_id, xd,
+                     list_max(list_transform(xd, x -> abs(x))) AS scale
+                     FROM v),
+                   dq AS (SELECT vec_id, xd,
+                     CASE WHEN scale = 0.0 THEN list_transform(xd, x -> 0.0)
+                          ELSE list_transform(xd,
+                            x -> CAST(CAST(floor(x * 127.0 / scale + 0.5)
+                                 AS BIGINT) AS DOUBLE) * scale / 127.0)
+                     END AS xhat
+                     FROM sc),
+                   q AS (SELECT xd AS qvec, sqrt(${sqlDot("xd", "xd")}) AS qnorm
+                         FROM v WHERE vec_id = 0),
+                   scored AS (SELECT d.vec_id,
+                     ${sqlDot("d.xhat", "q.qvec")}
+                       / sqrt(${sqlDot("d.xhat", "d.xhat")}) / q.qnorm AS q_score,
+                     ${sqlDot("d.xd", "q.qvec")}
+                       / sqrt(${sqlDot("d.xd", "d.xd")}) / q.qnorm AS exact_score
+                     FROM dq d, q WHERE d.vec_id != 0),
+                   extop AS (SELECT vec_id FROM scored
+                             ORDER BY exact_score DESC, vec_id LIMIT 10)
+              SELECT vec_id, q_score, exact_score,
+                     vec_id IN (SELECT vec_id FROM extop) AS in_exact_topk
+              FROM scored ORDER BY q_score DESC, vec_id LIMIT 10"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

@@ -509,6 +509,47 @@ object Ann {
     * zero error (no 0/0). Everything is a per-row sequential fold — no
     * parallel float aggregation, no shuffle at all before the final
     * projection. */
+  /** Asymmetric quantized k-NN (the FAISS ADC shape): the FULL-precision
+    * query scores the DEQUANTIZED ([[int8QuantizationStats]]'s x̂) corpus —
+    * asymmetric distance loses half the quantization error vs
+    * quantized-vs-quantized, at zero extra memory. Emits both the
+    * quantized and the exact score per hit plus `in_exact_topk`, so the
+    * oracle hash-checks the quantized RANKING and its recall against the
+    * exact top-k in one row set. Same no-shuffle scan shape as
+    * [[knnBruteForce]]: broadcast query row, one dot per corpus row,
+    * TakeOrderedAndProject. In production the int8 vectors are the
+    * stored table and this is the search path over them. */
+  def quantizedKnn(emb0: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val emb = withRegistry(emb0)
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val base = emb.select(col(idCol), xd.as("xd"))
+      .withColumn("scale", array_max(transform(col("xd"), x => abs(x))))
+      .withColumn("xhat",
+        when(col("scale") === 0.0, transform(col("xd"), _ => lit(0.0)))
+          .otherwise(transform(col("xd"),
+            x => floor(x * 127.0 / col("scale") + 0.5).cast("long")
+              .cast("double") * col("scale") / 127.0)))
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("xd").as("__qvec"), norm(col("xd")).as("__qnorm"))
+    val scored = base.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosineOrZero(dot(col("xhat"), col("__qvec")), norm(col("xhat")),
+          col("__qnorm")).as("q_score"),
+        cosineOrZero(dot(col("xd"), col("__qvec")), norm(col("xd")),
+          col("__qnorm")).as("exact_score"))
+    val exactTop = scored
+      .orderBy(col("exact_score").desc, col(idCol)).limit(k)
+      .select(col(idCol)).withColumn("__hit", lit(true))
+    scored
+      .orderBy(col("q_score").desc, col(idCol)).limit(k)
+      .join(broadcast(exactTop), Seq(idCol), "left")
+      .select(col(idCol), col("q_score"), col("exact_score"),
+        coalesce(col("__hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("q_score").desc, col(idCol))
+  }
+
   def int8QuantizationStats(emb0: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val xd = transform(col(vecCol), x => x.cast("double"))

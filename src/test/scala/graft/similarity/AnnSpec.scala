@@ -375,6 +375,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("quantized knn: ranking tracks exact on separated vectors, recall marked") {
+    import spark.implicits._
+    // query 0 aligned with 1, orthogonal-ish to 2, opposed to 3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.2f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.quantizedKnn(emb, "vec_id", "embedding", queryId = 0L, k = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { r =>
+      // int8 on 4 dims: quantized cosine within a loose absolute band
+      assert(math.abs(r.getAs[Double]("q_score") -
+        r.getAs[Double]("exact_score")) < 0.02, s"$r")
+      assert(r.getAs[Boolean]("in_exact_topk")) // k = corpus size here
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
