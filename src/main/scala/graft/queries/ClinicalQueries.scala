@@ -358,21 +358,27 @@ object ClinicalQueries {
     // scaler means/stds + LR weights as constants — the saved-pipeline
     // analog, since a freshly fitted model's weights cannot appear in a
     // static oracle); MlSpec proves scoreBatchFrozen ≡ scoreBatch over a
-    // real PipelineModel carrying the same parameters. round(6) absorbs
-    // the libm-exp last-ulp difference between engines (f14 precedent).
+    // real PipelineModel carrying the same parameters. The gated surface
+    // is integer micro-units via floor(x*1e6 + 0.5): the 1e-6
+    // granularity absorbs the libm-exp last-ulp difference between
+    // engines (the f14 rationale), and floor — unlike ROUND, whose tie
+    // algorithm differs between Spark (decimal HALF_UP) and DuckDB
+    // (binary away-from-zero) — is exact IEEE in both (r9 review).
     Q("m7_batch_score",
       (s, d) => {
         val feats = graft.ml.RiskModel.subjectFeatures(dmFrom(s, d), aeFrom(s, d))
         graft.ml.RiskModel.scoreBatchFrozen(feats)
-          .select(col("SUBJID"), round(col("RISK"), 6).as("risk"))
+          .select(col("SUBJID"),
+            floor(col("RISK") * 1e6 + 0.5).cast("long").as("risk_micro"))
           .orderBy("SUBJID")
       },
       Some(s"""SELECT d.subjid AS "SUBJID",
-                      ROUND(1.0 / (1.0 + exp(-(
+                      CAST(floor((1.0 / (1.0 + exp(-(
                         -1.5
                         + 0.02 * ((d.age - 43.5) / 17.25)
                         + 0.12 * ((COALESCE(ac.n, 0) - 10.0) / 6.5)
-                        + 0.45 * ((COALESCE(sc.n, 0) - 3.0) / 2.5)))), 6) AS risk
+                        + 0.45 * ((COALESCE(sc.n, 0) - 3.0) / 2.5))))) * 1e6 + 0.5)
+                        AS BIGINT) AS risk_micro
                FROM ($sqlDm) d
                LEFT JOIN (SELECT subjid, COUNT(*) AS n FROM ($sqlAe)
                           GROUP BY subjid) ac ON d.subjid = ac.subjid

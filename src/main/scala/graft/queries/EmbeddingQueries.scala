@@ -503,10 +503,16 @@ object EmbeddingQueries {
                    q AS (SELECT xd AS qvec, sqrt(${sqlDot("xd", "xd")}) AS qnorm
                          FROM v WHERE vec_id = 0),
                    scored AS (SELECT d.vec_id,
-                     ${sqlDot("d.xhat", "q.qvec")}
-                       / sqrt(${sqlDot("d.xhat", "d.xhat")}) / q.qnorm AS q_score,
-                     ${sqlDot("d.xd", "q.qvec")}
-                       / sqrt(${sqlDot("d.xd", "d.xd")}) / q.qnorm AS exact_score
+                     CASE WHEN sqrt(${sqlDot("d.xhat", "d.xhat")}) > 0.0
+                               AND q.qnorm > 0.0
+                          THEN ${sqlDot("d.xhat", "q.qvec")}
+                            / sqrt(${sqlDot("d.xhat", "d.xhat")}) / q.qnorm
+                          ELSE 0.0 END AS q_score,
+                     CASE WHEN sqrt(${sqlDot("d.xd", "d.xd")}) > 0.0
+                               AND q.qnorm > 0.0
+                          THEN ${sqlDot("d.xd", "q.qvec")}
+                            / sqrt(${sqlDot("d.xd", "d.xd")}) / q.qnorm
+                          ELSE 0.0 END AS exact_score
                      FROM dq d, q WHERE d.vec_id != 0),
                    extop AS (SELECT vec_id FROM scored
                              ORDER BY exact_score DESC, vec_id LIMIT 10)

@@ -91,7 +91,10 @@ object NgramLm {
           (col("n_ctx").cast("double") + bD)) * 1e9, 0).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     NgramLm.synchronized {
-      lastModel.foreach(_.unpersist(blocking = false))
+      // the previous model may belong to an already-stopped session
+      // (the Caches.unpersistAll defensive pattern)
+      lastModel.foreach(m => try m.unpersist(blocking = false)
+        catch { case _: Exception => () })
       lastModel = Some(model)
     }
 

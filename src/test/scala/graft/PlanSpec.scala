@@ -110,7 +110,9 @@ class PlanSpec extends SparkSpec {
     // scope to the page-serving prefix: the one-time mart BUILD below
     // InMemoryRelation may legitimately sort-merge; the per-page path
     // above it must not
-    val pagePath = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    val imrAt = plan.indexOf("InMemoryRelation")
+    assert(imrAt >= 0, s"expected a cached mart under the page path:\n$plan")
+    val pagePath = plan.substring(0, imrAt)
     assert(!pagePath.contains("Sort "),
       s"no global sort on the page-serving path:\n$pagePath")
     // the optional-filter fold must land IN the InMemoryTableScan
