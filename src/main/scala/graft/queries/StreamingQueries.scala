@@ -320,6 +320,57 @@ object StreamingQueries {
                    <= CAST(v.ts AS TIMESTAMP) + INTERVAL 3600 SECONDS
               ORDER BY view_event, purchase_event""")),
 
+    // ST6: stream-stream LEFT OUTER attribution join — the remaining
+    // join semantic after st4's inner: unmatched views emit with a NULL
+    // purchase side, and that emission rides state EVICTION (a view is
+    // releasable only once both watermarks prove no match can still
+    // arrive), not eager match output. Both sides keep the '__flush'
+    // sentinel through their pre-watermark filter (the st5 pushdown
+    // lesson) so the final watermark passes every real view's match
+    // horizon and the tail views' null rows actually emit; the sentinel
+    // pair is dropped from the BATCH read-back (the st1 convention), NOT
+    // on the streaming side — a streaming-side `view_event != -1` filter
+    // pushes below the LEFT stream's watermark node, the left watermark
+    // stalls at max-real-click − delay, and the last unmatched click's
+    // null row never emits (observed: deterministically one row short at
+    // sf0.001 before the filter moved). Oracle = the batch LEFT JOIN
+    // with the purchase predicates in the ON clause — the hash gate
+    // proves eviction-driven null emission reproduces batch outer-join
+    // semantics exactly.
+    Q("st6_stream_attribution_outer",
+      (s, d) => {
+        val src = eventSource(s, d)
+        def side(t: String) = s.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 4).parquet(src)
+          .filter(col("event_type") === t || col("event_type") === "__flush")
+        val joined = graft.streaming.Streaming.attributionJoinOuter(
+            side("click"), side("purchase"),
+            keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+            windowSecs = 3600L, watermark = "120 minutes")
+          .select(col("view_k").as("user_id"), col("view_event"),
+            col("purchase_event"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("purchase_ts"))
+        runToSink(s, joined, tmp("st6/sink"), tmp("st6/ckpt"))
+          .filter(col("view_event") =!= -1L)
+          .orderBy("view_event", "purchase_event")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_event,
+                     p.event_id AS purchase_event,
+                     strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                       AS click_ts,
+                     strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                       AS purchase_ts
+              FROM events v LEFT JOIN events p
+                ON v.user_id = p.user_id
+               AND p.event_type = 'purchase'
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+               AND CAST(p.ts AS TIMESTAMP)
+                   <= CAST(v.ts AS TIMESTAMP) + INTERVAL 3600 SECONDS
+              WHERE v.event_type = 'click'
+              ORDER BY view_event, purchase_event""")),
+
     // ST3: streaming exact dedup (the t5/t14 incremental-dedup shape as
     // a live stream): dropDuplicatesWithinWatermark on the content
     // digest. Dedup emits first arrivals immediately (no flush needed);

@@ -139,6 +139,31 @@ object Streaming {
           purchase_ts <= view_ts + interval $windowSecs seconds"""))
   }
 
+  /** LEFT OUTER [[attributionJoin]] — the unconverted-view funnel: every
+    * (view, purchase) pair PLUS every view with no purchase inside
+    * `windowSecs`, emitted with a null purchase side. Unlike the inner
+    * join's eager monotone emission, an unmatched left row can only be
+    * emitted once BOTH watermarks prove no match can still arrive
+    * (watermark > view_ts + window), i.e. null-emission rides state
+    * EVICTION — the semantics under test. The caller must ensure the
+    * event-time high-water mark advances past every real row's match
+    * horizon (the st-family flush sentinel) or tail views sit in state
+    * unemitted forever. */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, windowSecs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col(keyCol).as("view_k"), col(tsCol).as("view_ts"),
+      col(idCol).as("view_event"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col(keyCol).as("purchase_k"),
+      col(tsCol).as("purchase_ts"), col(idCol).as("purchase_event"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p, expr(
+      s"""view_k = purchase_k AND purchase_ts >= view_ts AND
+          purchase_ts <= view_ts + interval $windowSecs seconds"""),
+      "left_outer")
+  }
+
   /** Streaming medallion landing: a foreachBatch bronze writer with
     * dead-letter routing. The batch path ([[graft.io.Medallion.landToBronze]])
     * fail-fasts on a failed domain like the reference's ingest
