@@ -475,7 +475,11 @@ object EmbeddingQueries {
                      CAST(list_min(q) AS BIGINT) AS q_min,
                      CAST(list_max(q) AS BIGINT) AS q_max,
                      max_abs_err,
-                     max_abs_err <= scale * 0.5 / 127.0 AS within_bound
+                     CASE WHEN scale = 0.0 THEN TRUE
+                          ELSE list_max(list_transform(range(1, len(xd) + 1),
+                            i -> abs(xd[i] * 127.0 / scale
+                                     - CAST(q[i] AS DOUBLE)))) <= 0.5
+                     END AS within_bound
               FROM er ORDER BY vec_id""")),
 
     // EMB14: asymmetric quantized k-NN (FAISS ADC shape) — the SEARCH

@@ -145,7 +145,12 @@ object SinkSqlQueries {
     // land on the same lattice points AND the same values. The id column
     // is offset past 2^31 so both engines commit to 64-bit integers
     // (small ints would legitimately infer INT vs BIGINT and the gate
-    // would flag honest disagreement, not a bug).
+    // would flag honest disagreement, not a bug). The oracle recomputes
+    // from the source orders table (s14 pattern, r9 ADVICE): an
+    // oracle-only replay or scale switch never depends on CSV files a
+    // prior Spark execution left behind — and the hash gate now also
+    // proves the CSV print→sniff round trip is value-lossless, while the
+    // require() pins the inferred lattice on the Spark side.
     Q("s2_csv_inferschema",
       (s, d) => {
         val out = tmp("s2_csv")
@@ -164,9 +169,12 @@ object SinkSqlQueries {
         require(got.toSeq == want, s"inferSchema lattice drift: ${got.toSeq}")
         inferred.orderBy("id")
       },
-      Some(s"""SELECT id, amount, odate, flag, label
-               FROM read_csv('${tmp("s2_csv")}/*.csv', header = true)
-               ORDER BY id""")),
+      Some("""SELECT CAST(o_orderkey AS BIGINT) + 3000000000 AS id,
+                     CAST(o_totalprice AS DOUBLE) AS amount,
+                     CAST(o_orderdate AS DATE) AS odate,
+                     (o_orderkey % 2 = 0) AS flag,
+                     o_orderpriority AS label
+              FROM orders ORDER BY id""")),
 
     // S14 (extension): ORC sink then ORC scan — the second columnar
     // format Spark ships natively (schema travels in the file, no

@@ -532,13 +532,19 @@ object Ann {
               .cast("double") * col("scale") / 127.0)))
     val q = base.filter(col(idCol) === queryId)
       .select(col("xd").as("__qvec"), norm(col("xd")).as("__qnorm"))
-    val scored = base.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col(idCol),
-        cosineOrZero(dot(col("xhat"), col("__qvec")), norm(col("xhat")),
-          col("__qnorm")).as("q_score"),
-        cosineOrZero(dot(col("xd"), col("__qvec")), norm(col("xd")),
-          col("__qnorm")).as("exact_score"))
+    // The slim (id, q_score, exact_score) frame feeds BOTH rankings —
+    // Spark does not dedupe common subplans, so without a persist the
+    // dequantization and both per-row dots would run twice per query
+    // (r9 ADVICE). Tracked in the shared weak-cache registry.
+    val scored = graft.ops.Caches.tracked(
+      base.filter(col(idCol) =!= queryId)
+        .crossJoin(broadcast(q))
+        .select(col(idCol),
+          cosineOrZero(dot(col("xhat"), col("__qvec")), norm(col("xhat")),
+            col("__qnorm")).as("q_score"),
+          cosineOrZero(dot(col("xd"), col("__qvec")), norm(col("xd")),
+            col("__qnorm")).as("exact_score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val exactTop = scored
       .orderBy(col("exact_score").desc, col(idCol)).limit(k)
       .select(col(idCol)).withColumn("__hit", lit(true))
@@ -570,6 +576,14 @@ object Ann {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"),
         col("max_abs_err"),
-        (col("max_abs_err") <= col("scale") * 0.5 / 127.0).as("within_bound"))
+        // contract asserted in QUANTIZED units: q = floor(y+0.5) with
+        // y = x·127/scale makes |y − q| ≤ 0.5 hold EXACTLY (ties give
+        // |y−q| = 0.5, not one-ulp-above as the rescaled scale·0.5/127
+        // comparison could report under a different fp evaluation path —
+        // r9 ADVICE). Zero vectors trivially satisfy the contract.
+        when(col("scale") === 0.0, lit(true))
+          .otherwise(array_max(zip_with(col("xd"), col("q"),
+            (x, q) => abs(x * 127.0 / col("scale") - q.cast("double"))))
+            <= 0.5).as("within_bound"))
   }
 }

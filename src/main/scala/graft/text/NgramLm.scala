@@ -42,13 +42,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object NgramLm {
 
-  // last persisted model, unpersisted on the next fit (r8 ADVICE: a bench
-  // run invokes this 4x per query and each fit left a cached relation to
-  // ContextCleaner GC; bounded, but explicit release keeps a long session
-  // flat). The returned DataFrame is lazy, so the CURRENT model must stay
-  // persisted until the next call.
-  private var lastModel: Option[DataFrame] = None
-
   /** Per-document cross-entropy under a bigram model trained on
     * `trainFilter` rows.
     *
@@ -90,13 +83,13 @@ object NgramLm {
         round(log((col("n_pair").cast("double") + 1.0) /
           (col("n_ctx").cast("double") + bD)) * 1e9, 0).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    NgramLm.synchronized {
-      // the previous model may belong to an already-stopped session
-      // (the Caches.unpersistAll defensive pattern)
-      lastModel.foreach(m => try m.unpersist(blocking = false)
-        catch { case _: Exception => () })
-      lastModel = Some(model)
-    }
+    // Registered with the shared weak-cache registry rather than a static
+    // last-fit slot (r9 ADVICE: unpersisting the PREVIOUS fit here could
+    // yank the cache out from under an earlier call's still-lazy result —
+    // lineage keeps that correct but silently refits). Callers release
+    // between batches via Caches.unpersistAll; otherwise ContextCleaner
+    // collects the plan when the result graph is garbage.
+    graft.ops.Caches.tracked(model)
 
     // unseen-pair fallback per KNOWN context: ln(1/(c(b1·)+B)); ≤ B rows
     val spark = docs.sparkSession
