@@ -522,7 +522,64 @@ object EmbeddingQueries {
                              ORDER BY exact_score DESC, vec_id LIMIT 10)
               SELECT vec_id, q_score, exact_score,
                      vec_id IN (SELECT vec_id FROM extop) AS in_exact_topk
-              FROM scored ORDER BY q_score DESC, vec_id LIMIT 10"""))
+              FROM scored ORDER BY q_score DESC, vec_id LIMIT 10""")),
+
+    // EMB15: the COMPOSED FAISS serving shape — IVF coarse quantizer
+    // (emb6's cells) + int8 scalar-quantized storage (emb13) + asymmetric
+    // distance scoring (emb14) + exact refine: probe nProbe cells,
+    // ADC-score the probed slice, rerank the top `10k` candidates with
+    // the exact cosine, emit top-k. This is the 100 TB ANN architecture
+    // the three pieces exist for. KMeans cells are not DuckDB-replayable,
+    // so like emb6 the CONTRACT is under the gate (a5b/a6b precedent):
+    //   recall_ge_gate  — IVF-ADC top-10 at nProbe=8 covers >= 0.6 of the
+    //                     exact brute-force top-10;
+    //   probe_monotone  — widening the probe (4 -> 8) never loses recall;
+    //   all_cells_exact — probing ALL cells reproduces brute force
+    //                     EXACTLY (ids + rounded scores): quantization
+    //                     error is fully absorbed by the refine stage;
+    //   quantization_within_bound — every corpus vector satisfies the
+    //                     emb13 reconstruction contract (|y - q| <= 0.5
+    //                     in quantized units), corpus-wide AND.
+    Q("emb15_ivf_adc_knn",
+      (s, d) => {
+        val idx = ivfIndex(s, d)
+        val emb = Tables.embeddings(s, d)
+        val k = 10
+        def adc(nProbe: Int) =
+          graft.similarity.Ivf.adcKnn(idx, "vec_id", "embedding",
+            queryId = 0L, k = k, nProbe = nProbe, rerank = 10 * k)
+        val exact = graft.ops.Caches.tracked(
+          graft.similarity.Ann.knnBruteForce(emb, "vec_id",
+              "embedding", queryId = 0L, k = k)
+            .select(col("vec_id"), round(col("score"), 6).as("score"))
+            .cache())
+        val adc8 = graft.ops.Caches.tracked(
+          adc(IvfNProbe).select(col("vec_id")).cache())
+        val adcAll = adc(16)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+        val h8 = adc8.join(exact.select("vec_id"), "vec_id")
+          .agg(count(lit(1)).as("h8"))
+        val h4 = adc(4).select(col("vec_id"))
+          .join(exact.select("vec_id"), "vec_id")
+          .agg(count(lit(1)).as("h4"))
+        val hAll = adcAll.join(exact, Seq("vec_id", "score"))
+          .agg(count(lit(1)).as("h_all"))
+        val wb = Ann.int8QuantizationStats(emb, "vec_id", "embedding")
+          .agg(min(col("within_bound").cast("int")).as("wb"))
+        val n = adc8.agg(count(lit(1)).as("n_results"))
+        h8.crossJoin(h4).crossJoin(hAll).crossJoin(wb).crossJoin(n)
+          .select(
+            (col("h8").cast("double") >= lit(10.0 * IvfRecallGate))
+              .as("recall_ge_gate"),
+            (col("h4") <= col("h8")).as("probe_monotone"),
+            (col("h_all") === 10L).as("all_cells_exact"),
+            (col("wb") === 1).as("quantization_within_bound"),
+            col("n_results"))
+      },
+      Some("""SELECT TRUE AS recall_ge_gate, TRUE AS probe_monotone,
+                     TRUE AS all_cells_exact,
+                     TRUE AS quantization_within_bound,
+                     CAST(10 AS BIGINT) AS n_results"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

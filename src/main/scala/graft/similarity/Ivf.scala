@@ -66,4 +66,67 @@ object Ivf {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF-ADC k-NN — the composed FAISS IVF-SQ8 serving shape (coarse
+    * quantizer + int8 scalar-quantized storage + asymmetric distance +
+    * exact refine, all public method): probe the `nProbe` cells nearest
+    * the query, ADC-score the probed vectors (full-precision query vs
+    * the DEQUANTIZED int8 corpus — [[Ann.quantizedKnn]]'s asymmetric
+    * trick, half the error of symmetric at zero extra memory), keep the
+    * top `rerank` candidates by ADC order, then refine those few rows
+    * with the EXACT cosine and emit the top k (FAISS `RefineFlat`,
+    * k_factor = rerank/k).
+    *
+    * This is the 100 TB ANN architecture in one operator: the index cuts
+    * COMPARISONS to nProbe/nCells of the corpus, int8 cuts BYTES 4x (the
+    * stored table is (cell, id, q[], scale) — quantization here is
+    * inline only because the bench corpus is the raw table), and the
+    * refine stage caps the quantization error's effect at rank-(rerank)
+    * displacement. One corpus-partition probe, two TakeOrderedAndProject
+    * passes (the second over `rerank` rows), no shuffle.
+    *
+    * @return (idCol, adc_score, score) — `score` is the exact refined
+    *         cosine, expression-identical to [[knn]]/[[Ann.knnBruteForce]]
+    *         so rounded scores join across operators. */
+  def adcKnn(index: Index, idCol: String, vecCol: String, queryId: Long,
+      k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = index.assigned.sparkSession
+    graft.functions.ArrayDotProduct.register(spark)
+    val qRow = index.assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"), col("__cell")).head()
+    val qVec = qRow.getSeq[Double](0).toArray
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d2 = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d2)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val qVecLit = typedlit(qVec.toSeq)
+    // int8 SQ on the probed slice (the Ann.int8QuantizationStats scheme:
+    // scale = max|x|, q = floor(x·127/scale + 0.5), x̂ = q·scale/127)
+    val probed = index.assigned
+      .filter(col("__cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__xd"))
+      .withColumn("__scale", array_max(transform(col("__xd"), x => abs(x))))
+      .withColumn("__xhat",
+        when(col("__scale") === 0.0, transform(col("__xd"), _ => lit(0.0)))
+          .otherwise(transform(col("__xd"),
+            x => floor(x * 127.0 / col("__scale") + 0.5).cast("long")
+              .cast("double") * col("__scale") / 127.0)))
+    val adcTop = probed
+      .select(col(idCol), col("__xd"),
+        Ann.cosineOrZero(Ann.dot(col("__xhat"), qVecLit),
+          Ann.norm(col("__xhat")), lit(qNorm)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(rerank)
+    adcTop
+      .select(col(idCol), col("adc_score"),
+        Ann.cosineOrZero(Ann.dot(col("__xd"), qVecLit),
+          Ann.norm(col("__xd")), lit(qNorm)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -98,4 +98,29 @@ class ScaleSpec extends SparkSpec {
     assert(r8 >= r2)
     assert(r8 >= 0.5)
   }
+
+  test("IVF-ADC knn: full probe + exact refine reproduces brute force; " +
+      "ADC order stays near exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.similarity.Ivf.build(emb, "vec_id", "embedding", nCells = 4)
+    val brute = graft.similarity.Ann.knnBruteForce(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score"))
+    // all cells probed, generous refine window: the exact-refine stage must
+    // fully absorb int8 quantization error (the emb15 all_cells_exact gate)
+    val adc = graft.similarity.Ivf.adcKnn(index, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 4, rerank = 100)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[Double]("adc_score")))
+    assert(adc.map(_._1).toSeq == brute.map(_._1).toSeq)
+    adc.zip(brute).foreach { case ((_, refined, adcScore), (_, exact)) =>
+      assert(math.abs(refined - exact) < 1e-12) // refine IS the exact cosine
+      assert(math.abs(adcScore - exact) < 0.02) // int8 ADC error band
+    }
+    // narrow probe returns k rows ranked by refined score descending
+    val adc1 = graft.similarity.Ivf.adcKnn(index, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 1, rerank = 40)
+      .collect().map(_.getAs[Double]("score")).toSeq
+    assert(adc1.nonEmpty && adc1 == adc1.sorted.reverse)
+  }
 }
