@@ -44,6 +44,28 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s18's nation-partitioned copy of customer, written once per
+    * (session, sfDir) — same immutable-derived-data discipline as
+    * [[clusteredLineitem]], so warmup and measured reps share one write. */
+  private val dppDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def partitionedCustomer(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = dppDirCache.get(key)
+    if (hit != null) return hit
+    dppDirCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s18_dpp_${Integer.toHexString(d.hashCode)}")
+    Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_nationkey").cast("int").as("c_nationkey"))
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    dppDirCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -117,6 +139,39 @@ object SinkSqlQueries {
                WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
                  AND CAST(l_shipdate AS DATE) <= DATE '1996-12-31'
                GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // S18: DYNAMIC partition pruning — the mechanism a 100x star schema
+    // lives on (the reference's partition-pruning demo,
+    // sql/performance_examples.sql:22-26, covers STATIC pruning via j6 +
+    // s17; this is the runtime half): the fact is written hive-partitioned
+    // by nation key, the ONLY filter sits on the dim side (region 1), and
+    // Spark's DPP injects the dim-join subquery into the fact scan's
+    // PartitionFilters at runtime — the fact reads ~5 of 25 partitions
+    // without any literal fact predicate. `dpp_planned` pins the
+    // mechanism IN the gated row: it is TRUE only if the pre-AQE physical
+    // plan carries a `dynamicpruning` partition filter on the fact scan,
+    // so a regression that silently falls back to a full fact scan
+    // hash-fails the row (PlanSpec asserts the same marker + the runtime
+    // partition count). The oracle replays the join from source tables.
+    Q("s18_dynamic_partition_pruning",
+      (s, d) => {
+        val fact = s.read.parquet(partitionedCustomer(s, d))
+        val dim = Tables.nation(s, d).filter(col("n_regionkey") === 1)
+          .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+        val joined = fact.join(dim, fact("c_nationkey") === dim("nk"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_acctbal"))
+          .orderBy("n_name")
+        val planned = joined.queryExecution.sparkPlan.toString
+          .contains("dynamicpruning")
+        joined.withColumn("dpp_planned", lit(planned))
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n_cust,
+                      ${sqlDsum("c_acctbal")} AS total_acctbal,
+                      TRUE AS dpp_planned
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               WHERE n.n_regionkey = 1
+               GROUP BY n_name ORDER BY n_name""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

@@ -129,4 +129,35 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"check suite should scan once, got $scans")
   }
+
+  test("s18: dim-side filter drives runtime partition pruning of the fact scan") {
+    val df = SparkEntry.queries("s18_dynamic_partition_pruning")(spark, sf)
+    // plan-level: the fact scan carries a dynamicpruning partition filter
+    // (the dim join's subquery duplicated/reused as a runtime predicate)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    // runtime-level: after execution, the fact scan's partition metric
+    // shows a strict subset of the 25 nation partitions was read
+    df.collect() // execute THIS queryExecution so its scan metrics populate
+    // AQE wraps materialized stages in QueryStageExec whose subtree hangs
+    // off .plan, not .children — recurse through both to reach the scans
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: allNodes(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: allNodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("s18_dpp")) => f
+    }
+    assert(scans.nonEmpty, "fact scan not found in executed plan")
+    val read = scans.head.metrics("numPartitions").value
+    assert(read > 0 && read < 25,
+      s"expected a pruned fact read (0 < partitions < 25), got $read")
+  }
 }
