@@ -14,6 +14,44 @@ import graft.text.TextFunctions._
   */
 object TextQueries {
 
+  /** Per-process shard sink root (the SinkSqlQueries discipline: a fixed
+    * shared path would let concurrent Verify/Bench runs clobber each
+    * other mid-read; stable within the process so warmup and measured
+    * reps share one write). */
+  private val sinkRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_text_${ProcessHandle.current().pid()}"
+
+  /** t35's shipped-shard directory: FIXED per process (the s16_bronze
+    * convention) because the static oracle SQL interpolates it. The
+    * shardCache below is keyed by (session, sfDir), so a scale switch
+    * inside one process re-ships (overwrite) before either engine reads. */
+  private val t35ShardDir: String = s"$sinkRoot/t35_shards"
+
+  /** One shipShards write per (session, sfDir): the artifact is immutable
+    * derived data (the s17/s18 discipline), so warmup and measured reps
+    * read the same files instead of re-running the nine-stage pipeline
+    * plus three writes per rep. */
+  private val shardCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def shippedShards(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = shardCache.get(key)
+    if (hit != null) return hit
+    shardCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = t35ShardDir
+    val stats = graft.text.Curation.shipShards(Tables.documents(s, d),
+      "doc_id", "text", dir)
+    require(stats.get("train").exists(_.nDocs > 0),
+      s"t35 shipped an empty train shard: $stats")
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_manifest.json")),
+      "t35 manifest missing after ship")
+    shardCache.put(key, dir)
+    dir
+  }
+
   /** Tokens as the oracle splits them; both sides split trim(text) on \s+. */
   private val sqlTok = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -934,6 +972,38 @@ object TextQueries {
               UNION ALL SELECT '60_decontaminated', COUNT(*) FROM clean
               UNION ALL SELECT '70_dsir_selected', COUNT(*) FROM sel
               UNION ALL SELECT '80_perplexity_kept', COUNT(*) FROM kept
-            ) ORDER BY stage"""))
+            ) ORDER BY stage""")),
+
+    // T35: t33's pipeline shipped as the ON-DISK artifact (VERDICT r9
+    // item 5) — hive-partitioned split=train|val|test parquet shards
+    // (train = packed nine-stage survivors with text + packing plan +
+    // integer audit columns; val/test = post-near-dup docs of those
+    // splits, untouched) plus a _manifest.json (config, funnel, per-split
+    // doc/token/sequence counts, all computed from the written files;
+    // write fidelity require()d at ship time). The gate is s16-style
+    // FILE-LEVEL: both engines read the SAME shard files — Spark via the
+    // hive-partition read-back, DuckDB via read_parquet(glob,
+    // hive_partitioning) — and compare one row per shipped document
+    // (split routing, packing integers, md5 of the shipped text). So
+    // directory naming, partition routing, schema-per-split union and
+    // row fidelity are all under the hash; nothing is replayed from the
+    // source table.
+    Q("t35_curated_shard_sink",
+      (s, d) => {
+        val dir = shippedShards(s, d)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select(col("doc_id"), col("split"), col("n_tokens"),
+            md5(col("text")).as("text_md5"), col("start_offset"),
+            col("first_seq"), col("last_seq"), col("crosses_boundary"),
+            col("weight_nano"), col("n_bigrams"), col("nll_nano"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, split, n_tokens, md5(text) AS text_md5,
+                      start_offset, first_seq, last_seq, crosses_boundary,
+                      weight_nano, n_bigrams, nll_nano
+               FROM read_parquet('$t35ShardDir/*/*.parquet',
+                                 hive_partitioning = true,
+                                 union_by_name = true)
+               ORDER BY doc_id"""))
   )
 }
