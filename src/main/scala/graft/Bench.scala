@@ -152,6 +152,12 @@ object Bench {
     val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _, true) => v }.sum
+    // split the board by execution model so the streaming family's fixed
+    // per-run cost reads separately from the batch engine number
+    // (r9 VERDICT item 6): st* queries run real StreamingQuery executions
+    val streamTotal =
+      results.collect { case (k, v, _, _, true) if k.startsWith("st") => v }.sum
+    val batchTotal = total - streamTotal
     val headline = results.filter(r => Headline.contains(r._1))
     val drifts = names.indices.map(qi => (names(qi), driftPct(qi)))
     val driftByName = drifts.toMap
@@ -178,6 +184,7 @@ object Bench {
     val errNames = results.collect { case (k, _, _, _, false) => k }
     val errPreview = errNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
+      s""""batch_s":${fmt(batchTotal)},"stream_s":${fmt(streamTotal)},""" +
       s""""n_errors":${errNames.size},"errors":$errPreview,""" +
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +

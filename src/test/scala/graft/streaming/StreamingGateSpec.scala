@@ -66,6 +66,18 @@ class StreamingGateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("warm checkpoint resume is exactly-once: a re-run appends nothing " +
+      "and returns the identical table") {
+    // first invocation in this (session, sink) replays the full history;
+    // the second resumes the committed checkpoint, finds no new files,
+    // and must leave the sink byte-identical — a duplicate-appending
+    // restart would change the row multiset here (and the Verify hash)
+    val r1 = q(StreamingQueries.all, "st1_stream_hourly_rollup").collect()
+    val r2 = q(StreamingQueries.all, "st1_stream_hourly_rollup").collect()
+    assert(r1.nonEmpty)
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("st3 streaming dedup equals global DISTINCT on the digest") {
     val streamed = q(StreamingQueries.all, "st3_stream_dedup").collect()
     val batch = graft.io.Tables.documents(spark, sf)
