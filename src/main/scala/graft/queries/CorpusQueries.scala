@@ -503,6 +503,47 @@ object CorpusQueries {
                     FROM wf)
               GROUP BY p ORDER BY n DESC, pair LIMIT 50""")),
 
+    // T34b: the BPE merge LOOP (VERDICT r9 item 7) — t34 emits iteration
+    // one's candidates; real tokenizer training folds the winner back in
+    // and re-pairs. Five full iterations: count pairs -> pick top
+    // (n desc, a, b — total order) -> literal space-bounded replace
+    // (" a b " -> " ab ", left-to-right non-overlapping = BPE's merge
+    // rule in both engines) -> repeat. The oracle replays all five
+    // iterations as a generated CTE chain, so the gated surface is the
+    // k-merge vocabulary in training order, not one pair table.
+    Q("t34b_bpe_merge_loop",
+      (s, d) => Corpus.bpeMerges(Tables.documents(s, d), "text",
+        iterations = 5),
+      Some {
+        val wf0 =
+          s"""WITH wfw AS (SELECT w, COUNT(*) AS freq
+                    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                          FROM documents)
+                    WHERE length(w) >= 2 GROUP BY w),
+               wf0 AS (SELECT ' ' || array_to_string(
+                                list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)), ' ') || ' ' AS seg,
+                              freq
+                       FROM wfw)"""
+        val iters = (1 to 5).map { i =>
+          val prev = if (i == 1) "wf0" else s"w${i - 1}"
+          s"""s$i AS (SELECT regexp_split_to_array(trim(seg), ' ') AS s, freq
+                      FROM $prev),
+              p$i AS (SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS n
+                      FROM s$i, UNNEST(range(1, len(s))) AS t(j)
+                      GROUP BY 1, 2),
+              b$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p$i
+                      ORDER BY n DESC, a, b LIMIT 1),
+              w$i AS (SELECT replace(seg, ' ' || a || ' ' || b || ' ',
+                                     ' ' || a || b || ' ') AS seg, freq
+                      FROM $prev, b$i)"""
+        }.mkString(",\n")
+        val unions = (1 to 5).map { i =>
+          s"SELECT CAST($i AS BIGINT) AS iter, a, b, a || b AS merged, n FROM b$i"
+        }.mkString("\nUNION ALL ")
+        s"$wf0,\n$iters\n$unions\nORDER BY iter"
+      }),
+
     // T32: hashed bigram LM perplexity (CCNet-shape quality filter,
     // Wenzek et al. 2020) — train p(b2|b1) on the lang='en' subset over
     // hashed token-bucket bigrams (add-one smoothing, B=4096), score

@@ -243,4 +243,73 @@ object Corpus {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** The BPE merge LOOP (Sennrich et al. 2016 algorithm 1, public
+    * method): fold the winning merge back into the vocabulary and
+    * re-pair, `iterations` times. Each iteration (a) counts
+    * frequency-weighted adjacent symbol pairs over the current
+    * segmentation, (b) picks THE top pair under the total order
+    * (n desc, a asc, b asc), (c) merges its adjacent occurrences
+    * left-to-right non-overlapping. Returns one row per iteration —
+    * (iter, a, b, merged, n) — the k-merge vocabulary in training order.
+    *
+    * Segmentations are symbols joined by single spaces with one space of
+    * padding (`" a b c "`), so a merge is a LITERAL string replace of
+    * `" a b "` with `" ab "` — `replace` scans left to right and resumes
+    * after each replacement, which is exactly BPE's non-overlapping rule
+    * (`" a a a "` → `" aa a "`), and the space padding makes symbol
+    * boundaries unambiguous (symbols never contain whitespace: words are
+    * \s+-split tokens). The same literal-replace semantics exist in
+    * DuckDB, so the whole loop is oracle-replayable as one CTE chain per
+    * iteration — no regex, no engine-specific fold.
+    *
+    * Scale shape: everything after the word-frequency collapse is
+    * vocabulary-bounded (the [[bpeMergeCandidates]] argument); the loop
+    * adds k sequential vocab-scale jobs. Each iteration's table is
+    * eagerly localCheckpoint'd — the segmentation frame feeds both the
+    * pair count and the next merge, and k chained two-consumer stages
+    * would otherwise render an exponential plan (the t33 lineage
+    * lesson). `best` is a 1-row broadcast — the merge is applied
+    * distributively, never by driver string surgery. */
+  def bpeMerges(docs: DataFrame, textCol: String, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 64, s"iterations: $iterations")
+    var wf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), " "),
+          lit(" ")).as("seg"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (it <- 1 to iterations) {
+      val syms = split(trim(col("seg")), " ")
+      val pairs = wf
+        .select(col("freq"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(lit(it.toLong).as("iter"), col("a"), col("b"), col("n"))
+        .localCheckpoint()
+      merges += best
+      wf = wf
+        .crossJoin(broadcast(
+          best.select(col("a").as("__a"), col("b").as("__b"))))
+        .select(replace(col("seg"),
+            concat(lit(" "), col("__a"), lit(" "), col("__b"), lit(" ")),
+            concat(lit(" "), col("__a"), col("__b"), lit(" "))).as("seg"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    merges.result()
+      .map(b => b.select(col("iter"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n")))
+      .reduce(_.unionAll(_))
+      .orderBy("iter")
+  }
 }
