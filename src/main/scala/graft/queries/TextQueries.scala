@@ -34,6 +34,32 @@ object TextQueries {
   private val shardCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), String]()
 
+  /** ONE nine-stage pipeline derivation per (session, sfDir), shared by
+    * the DERIVED-ARTIFACT queries t33b (funnel report) and t35 (shard
+    * sink): both are reports/sinks over the same derivation, and
+    * re-running the pipeline inside each is the cp3/cp4 re-derivation
+    * smell at query level. The stage boundaries are eager
+    * localCheckpoints, so the cached value is a set of materialized
+    * frames, valid for the session's lifetime. t33 itself DOES NOT use
+    * this cache — its bench number is the measured cost of running the
+    * composed pipeline, and caching there would quietly turn the
+    * flagship measurement into a read-back. */
+  private val pipelineCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    graft.text.Curation.PipelineStages]()
+
+  private def cachedPipelineStages(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.text.Curation.PipelineStages = {
+    val key = (s, d)
+    val hit = pipelineCache.get(key)
+    if (hit != null) return hit
+    pipelineCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val ps = graft.text.Curation.pipelineStages(Tables.documents(s, d),
+      "doc_id", "text")
+    val prev = pipelineCache.putIfAbsent(key, ps)
+    if (prev != null) prev else ps
+  }
+
   private def shippedShards(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val key = (s, d)
@@ -41,8 +67,8 @@ object TextQueries {
     if (hit != null) return hit
     shardCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val dir = t35ShardDir
-    val stats = graft.text.Curation.shipShards(Tables.documents(s, d),
-      "doc_id", "text", dir)
+    val stats = graft.text.Curation.shipShards(cachedPipelineStages(s, d),
+      "doc_id", "text", dir, graft.text.Curation.PipelineConfig())
     require(stats.get("train").exists(_.nDocs > 0),
       s"t35 shipped an empty train shard: $stats")
     require(java.nio.file.Files.exists(
@@ -959,8 +985,7 @@ object TextQueries {
     // are provably the same derivation. Each count is a cached scan of
     // an already-materialized stage boundary on the Spark side.
     Q("t33b_curation_funnel",
-      (s, d) => graft.text.Curation.pipelineFunnel(Tables.documents(s, d),
-          "doc_id", "text"),
+      (s, d) => graft.text.Curation.funnelOf(cachedPipelineStages(s, d)),
       Some(s"""$sqlPipelineCtes
             SELECT stage, n_docs FROM (
               SELECT '00_raw' AS stage, COUNT(*) AS n_docs FROM documents

@@ -247,7 +247,11 @@ object Curation {
       pcfg: PipelineConfig = PipelineConfig()): DataFrame =
     funnelOf(pipelineStages(df, idCol, textCol, pcfg))
 
-  private def funnelOf(ps: PipelineStages): DataFrame = {
+  /** Funnel over ALREADY-derived stages — callers that hold a
+    * [[PipelineStages]] (e.g. a shared per-session derivation) report
+    * from it instead of re-running the nine stages (the cp3/cp4
+    * no-re-derivation discipline at the query level). */
+  def funnelOf(ps: PipelineStages): DataFrame = {
     Seq(
       "00_raw" -> ps.base.raw, "10_quality" -> ps.base.quality,
       "20_lang" -> ps.base.lang, "30_exact_dedup" -> ps.base.exactDedup,
@@ -289,10 +293,17 @@ object Curation {
     * the ≤3-row split aggregate, bounded by construction. */
   def shipShards(df: DataFrame, idCol: String, textCol: String,
       outDir: String, pcfg: PipelineConfig = PipelineConfig())
-      : Map[String, SplitStats] = {
-    val spark = df.sparkSession
+      : Map[String, SplitStats] =
+    shipShards(pipelineStages(df, idCol, textCol, pcfg), idCol, textCol,
+      outDir, pcfg)
+
+  /** [[shipShards]] over an already-derived [[PipelineStages]] — the
+    * share-one-derivation entry point (t33b/t35 report and ship from the
+    * same stage frames instead of re-running the pipeline). */
+  def shipShards(ps: PipelineStages, idCol: String, textCol: String,
+      outDir: String, pcfg: PipelineConfig): Map[String, SplitStats] = {
+    val spark = ps.kept.sparkSession
     val cfg = pcfg.base
-    val ps = pipelineStages(df, idCol, textCol, pcfg)
     val packed = Packing.packingPlan(ps.kept, idCol, textCol, pcfg.seqLen)
       .join(ps.kept.select(col(idCol), col(textCol), col("weight_nano"),
         col("n_bigrams"), col("nll_nano")), Seq(idCol))
