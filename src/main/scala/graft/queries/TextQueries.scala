@@ -1029,6 +1029,69 @@ object TextQueries {
                FROM read_parquet('$t35ShardDir/*/*.parquet',
                                  hive_partitioning = true,
                                  union_by_name = true)
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // T36: Gopher rule-based quality filter (Rae et al. 2021 Appendix A,
+    // public heuristics; the RedPajama/Dolma/FineWeb hard-rule battery) —
+    // the INTERPRETABLE complement to the continuous t2 score: seven
+    // structural rules per document, the packed rule bitmask, and the
+    // conjunction keep flag. Every threshold is integer-cross-multiplied
+    // (no float surface at all), so the oracle replays each rule
+    // bit-exactly. One projection over the scan — no shuffle, the
+    // cheapest possible 100 TB pre-filter.
+    Q("t36_gopher_rules",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id") +:
+          graft.text.QualityRules.verdictColumns(col("text")): _*)
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (
+                 SELECT doc_id,
+                        $sqlTok AS w,
+                        string_split(text, chr(10)) AS ln
+                 FROM documents),
+               m AS (
+                 SELECT doc_id,
+                        CAST(len(w) AS BIGINT) AS n,
+                        CAST(list_sum(list_transform(w, t -> length(t)))
+                             AS BIGINT) AS sumlen,
+                        CAST(len(list_filter(w, t -> contains(t, '#')
+                               OR contains(t, '…'))) AS BIGINT) AS nsym,
+                        CAST(len(list_filter(w,
+                               t -> regexp_matches(t, '[A-Za-z]')))
+                             AS BIGINT) AS nalpha,
+                        CAST(len(ln) AS BIGINT) AS nlines,
+                        CAST(len(list_filter(ln, l -> ltrim(l) LIKE '- %'
+                               OR ltrim(l) LIKE '* %'
+                               OR ltrim(l) LIKE '•%')) AS BIGINT) AS nbullet,
+                        CAST(len(list_distinct(ln)) AS BIGINT) AS ndln,
+                        CAST(len(list_intersect(
+                               list_distinct(list_transform(w, t -> lower(t))),
+                               ['the','be','to','of','and','that','have','with']))
+                             AS BIGINT) AS nstop
+                 FROM f),
+               r AS (
+                 SELECT doc_id,
+                        (n >= 50 AND n <= 100000) AS r_wordcount,
+                        (sumlen >= n * 3 AND sumlen <= n * 10) AS r_meanwordlen,
+                        (nsym * 10 <= n) AS r_symbolratio,
+                        (nalpha * 5 >= n * 4) AS r_alphawords,
+                        (nbullet * 10 <= nlines * 9) AS r_bulletlines,
+                        ((nlines - ndln) * 10 <= nlines * 3) AS r_duplines,
+                        (nstop >= 2) AS r_stopwords
+                 FROM m)
+              SELECT doc_id, r_wordcount, r_meanwordlen, r_symbolratio,
+                     r_alphawords, r_bulletlines, r_duplines, r_stopwords,
+                     CAST(CASE WHEN r_wordcount THEN 1 ELSE 0 END
+                        + CASE WHEN r_meanwordlen THEN 2 ELSE 0 END
+                        + CASE WHEN r_symbolratio THEN 4 ELSE 0 END
+                        + CASE WHEN r_alphawords THEN 8 ELSE 0 END
+                        + CASE WHEN r_bulletlines THEN 16 ELSE 0 END
+                        + CASE WHEN r_duplines THEN 32 ELSE 0 END
+                        + CASE WHEN r_stopwords THEN 64 ELSE 0 END
+                        AS BIGINT) AS rule_mask,
+                     (r_wordcount AND r_meanwordlen AND r_symbolratio
+                      AND r_alphawords AND r_bulletlines AND r_duplines
+                      AND r_stopwords) AS keep
+              FROM r ORDER BY doc_id"""))
   )
 }
