@@ -579,7 +579,63 @@ object EmbeddingQueries {
       Some("""SELECT TRUE AS recall_ge_gate, TRUE AS probe_monotone,
                      TRUE AS all_cells_exact,
                      TRUE AS quantization_within_bound,
-                     CAST(10 AS BIGINT) AS n_results"""))
+                     CAST(10 AS BIGINT) AS n_results""")),
+
+    // EMB16: Maximal Marginal Relevance diversity rerank (Carbonell &
+    // Goldstein 1998) — the standard post-ANN diversity pass: greedy
+    // k=5 selection from the exact top-20 maximizing
+    // lambda*rel - (1-lambda)*max-sim-to-selected (lambda = 0.7). The
+    // oracle replays the ENTIRE greedy trajectory as a five-step CTE
+    // chain (the t34b pattern) with every double operand-mirrored
+    // (division order, lambda arithmetic incl. the folded 1.0 - 0.7), so
+    // the selection ORDER and raw scores are under the hash gate.
+    Q("emb16_mmr_rerank",
+      (s, d) => Ann.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, nCandidates = 20, k = 5, lambda = 0.7),
+      Some {
+        val prelude =
+          s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                         FROM embeddings WHERE vec_id = 0),
+                e AS (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings WHERE vec_id != 0),
+                cand AS (SELECT vec_id, v,
+                                CASE WHEN sqrt(${sqlDot("v", "v")}) > 0.0
+                                          AND sqrt(${sqlDot("qv", "qv")}) > 0.0
+                                     THEN ${sqlDot("v", "qv")}
+                                          / sqrt(${sqlDot("v", "v")})
+                                          / sqrt(${sqlDot("qv", "qv")})
+                                     ELSE 0.0 END AS rel
+                         FROM e, q
+                         ORDER BY rel DESC, vec_id LIMIT 20),
+                sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+                                rel * 0.7 AS mmr_score, v
+                         FROM cand ORDER BY rel * 0.7 DESC, vec_id LIMIT 1)"""
+        val steps = (2 to 5).map { i =>
+          val prev = s"sel${i - 1}"
+          s"""ms$i AS (SELECT r.vec_id,
+                              MAX(CASE WHEN sqrt(${sqlDot("r.v", "r.v")}) > 0.0
+                                            AND sqrt(${sqlDot("s.v", "s.v")}) > 0.0
+                                       THEN ${sqlDot("r.v", "s.v")}
+                                            / sqrt(${sqlDot("r.v", "r.v")})
+                                            / sqrt(${sqlDot("s.v", "s.v")})
+                                       ELSE 0.0 END) AS msim
+                       FROM cand r, $prev s
+                       WHERE r.vec_id NOT IN (SELECT vec_id FROM $prev)
+                       GROUP BY r.vec_id),
+              b$i AS (SELECT CAST($i AS BIGINT) AS rank, c.vec_id, c.rel,
+                             c.rel * 0.7 - m.msim *
+                               (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                               AS mmr_score,
+                             c.v
+                      FROM cand c JOIN ms$i m ON c.vec_id = m.vec_id
+                      ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+              sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM b$i)"""
+        }.mkString(",\n")
+        s"""$prelude,
+            $steps
+            SELECT rank, vec_id, rel, mmr_score FROM sel5 ORDER BY rank"""
+      })
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

@@ -71,6 +71,61 @@ object Ann {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    * public method — the standard diversity pass over an ANN result):
+    * from the exact top-`nCandidates` by cosine to the query, greedily
+    * select k items maximizing
+    *
+    *   mmr(i) = λ·rel(i) − (1−λ)·max_{j ∈ selected} sim(i, j)
+    *
+    * (max over the empty set = 0, so step one is argmax λ·rel). Returns
+    * (rank, idCol, rel, mmr_score) in selection order.
+    *
+    * Scale shape: the candidate pool is the ANN front-end's top-N — the
+    * greedy loop runs over N rows REGARDLESS of corpus size (k·N pair
+    * sims, each one codegen'd dot on a ≤N-row frame; the corpus is
+    * touched once, by the brute-force/ANN scan). Each step's argmax is a
+    * total order (mmr desc, id asc) and every double expression —
+    * λ-arithmetic included — is operand-mirrored by the emb16 oracle, so
+    * the greedy TRAJECTORY itself is engine-replayable. Per-step frames
+    * are eagerly localCheckpoint'd: the selected set feeds both the
+    * anti-join and the sim join next step (two consumers — the t33
+    * lineage rule). */
+  def mmrRerank(emb0: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, nCandidates: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= nCandidates, s"k=$k, nCandidates=$nCandidates")
+    val emb = withRegistry(emb0)
+    val cand = knnBruteForce(emb, idCol, vecCol, queryId, nCandidates)
+      .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+        Seq(idCol))
+      .select(col(idCol), col("score").as("rel"), col("__v"))
+      .localCheckpoint()
+    var selected = cand
+      .orderBy((col("rel") * lambda).desc, col(idCol)).limit(1)
+      .select(lit(1L).as("rank"), col(idCol), col("rel"),
+        (col("rel") * lambda).as("mmr_score"), col("__v"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val rem = cand.join(selected.select(col(idCol)), Seq(idCol), "left_anti")
+      val ms = rem
+        .crossJoin(broadcast(selected.select(col("__v").as("__sv"))))
+        .select(col(idCol),
+          cosineOrZero(dot(col("__v"), col("__sv")),
+            norm(col("__v")), norm(col("__sv"))).as("__sim"))
+        .groupBy(col(idCol)).agg(max(col("__sim")).as("__ms"))
+      val best = rem.join(ms, Seq(idCol))
+        .select(col(idCol), col("rel"), col("__v"),
+          (col("rel") * lambda - col("__ms") * (lit(1.0) - lambda))
+            .as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col(idCol)).limit(1)
+        .select(lit(step.toLong).as("rank"), col(idCol), col("rel"),
+          col("mmr_score"), col("__v"))
+      selected = selected.unionAll(best).localCheckpoint()
+    }
+    selected.select(col("rank"), col(idCol), col("rel"), col("mmr_score"))
+      .orderBy("rank")
+  }
+
   /** Deterministic integer-weight "random" hyperplane: weight of plane p at
     * dimension d is ((p*131 + d*37) mod 7) − 3 ∈ [−3, 3]. Integer weights
     * make the float·int products exact in double, so the sign of the dot

@@ -395,6 +395,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("MMR rerank: first pick is the relevance top-1, later picks trade " +
+      "relevance for diversity") {
+    val out = Ann.mmrRerank(vecs, "vec_id", "embedding", queryId = 0L,
+      nCandidates = 4, k = 3, lambda = 0.5).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val picks = out.map(_.getAs[Long]("vec_id")).toSeq
+    // rel order is 1 (0.994) > 4 (0.707) > 2 (0.0) > 3 (−1): pure
+    // relevance would pick (1, 4, 2). MMR at λ=0.5 picks 1, then 3 (the
+    // opposite vector — max-sim to the selected set is −0.994, the most
+    // diverse choice), then 4 — the diversity trade in action.
+    assert(picks == Seq(1L, 3L, 4L), s"got $picks")
+    // rank-1 mmr is λ·rel with an empty selected set
+    val r1 = out.head
+    assert(math.abs(r1.getAs[Double]("mmr_score") -
+      0.5 * r1.getAs[Double]("rel")) < 1e-12)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
