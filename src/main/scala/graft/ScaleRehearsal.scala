@@ -69,7 +69,15 @@ object ScaleRehearsal {
     // round-9: the composed curation pipeline — every stage boundary
     // localCheckpointed, rank selections are global sorts over slim
     // score frames; the rehearsal watches the whole funnel's shape
-    "t33_curation_pipeline")
+    "t33_curation_pipeline",
+    // round-10 additions: DPP star (partitioned write + runtime-pruned
+    // read), BPE loop (vocab-bounded — expect sub-linear), Gopher rule
+    // battery (pure scan — expect ~linear), IVF-ADC and MMR (fixed-k
+    // serving ops — expect ~flat modulo the corpus scan), shipped shards
+    // (pipeline + write — the t33 shape plus output bytes)
+    "s18_dynamic_partition_pruning", "t34b_bpe_merge_loop",
+    "t36_gopher_rules", "emb15_ivf_adc_knn", "emb16_mmr_rerank",
+    "t35_curated_shard_sink")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
