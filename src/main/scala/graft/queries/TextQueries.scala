@@ -1092,6 +1092,38 @@ object TextQueries {
                      (r_wordcount AND r_meanwordlen AND r_symbolratio
                       AND r_alphawords AND r_bulletlines AND r_duplines
                       AND r_stopwords) AS keep
-              FROM r ORDER BY doc_id"""))
+              FROM r ORDER BY doc_id""")),
+
+    // T37: intra-document REPAIR — where t15/t26 DETECT repetition, this
+    // emits the corrected corpus: adjacent duplicate-token runs collapse
+    // to one occurrence (the within-doc stutter scrub; the line-granular
+    // RefinedWeb/FineWeb dedup is vacuous on a one-line corpus). Gated
+    // surface: per-doc kept/removed counts + md5 of the CLEANED text —
+    // the repaired content itself is under the hash, and both engines
+    // rebuild it token-position by token-position.
+    Q("t37_repetition_scrub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          dedupAdjacentKeptCount(col("text")).as("n_kept"),
+          (tokenCount(col("text")) - dedupAdjacentKeptCount(col("text")))
+            .as("n_removed"),
+          (dedupAdjacentKeptCount(col("text")) < tokenCount(col("text")))
+            .as("changed"),
+          md5(dedupAdjacentTokens(col("text"))).as("clean_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (SELECT doc_id, $sqlTok AS t FROM documents),
+                    k AS (SELECT doc_id, t,
+                                 list_filter(range(1, len(t) + 1),
+                                   i -> i = 1 OR t[i] != t[i - 1]) AS kp
+                          FROM f)
+               SELECT doc_id,
+                      CAST(len(t) AS BIGINT) AS n_tokens,
+                      CAST(len(kp) AS BIGINT) AS n_kept,
+                      CAST(len(t) - len(kp) AS BIGINT) AS n_removed,
+                      len(kp) < len(t) AS changed,
+                      md5(array_to_string(list_transform(kp, i -> t[i]), ' '))
+                        AS clean_md5
+               FROM k ORDER BY doc_id"""))
   )
 }

@@ -161,4 +161,27 @@ object TextFunctions {
   def hash60(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
       .cast("long")
+
+  /** Token positions (1-based) surviving adjacent-duplicate collapse:
+    * position i is kept iff i = 1 or token(i) ≠ token(i−1). The shared
+    * primitive behind [[dedupAdjacentTokens]] and its kept-count. */
+  private def keptTokenPositions(toks: Column): Column =
+    filter(sequence(lit(1), size(toks)),
+      i => i === 1 || element_at(toks, i) =!= element_at(toks, i - 1))
+
+  /** REPAIR twin of the repetition DETECTORS (t15/t26): collapse runs of
+    * the same adjacent token to one occurrence ("a a the" → "a the") and
+    * re-join on single spaces — the intra-document stutter scrub
+    * (the within-doc cousin of RefinedWeb/FineWeb duplicate-line
+    * removal, line-granularity being vacuous on one-line corpora). Pure
+    * per-row array work: no shuffle, engine-replayable exactly. */
+  def dedupAdjacentTokens(text: Column): Column = {
+    val toks = tokens(text)
+    array_join(
+      transform(keptTokenPositions(toks), i => element_at(toks, i)), " ")
+  }
+
+  /** Count of tokens surviving [[dedupAdjacentTokens]]. */
+  def dedupAdjacentKeptCount(text: Column): Column =
+    size(keptTokenPositions(tokens(text))).cast("long")
 }
