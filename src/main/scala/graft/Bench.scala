@@ -137,10 +137,15 @@ object Bench {
     }
     canaries(names.size) = canaryOnce()
     // drift vs the session-best canary (the steady cost this box is
-    // capable of); per-query drift = worse bracket of its neighborhood
+    // capable of). Per-query drift = the BETTER of its two bracketing
+    // samples: external contention (the r6/r8/r9 class this exists for)
+    // is sustained, so it inflates both brackets and survives the min,
+    // while a heavy query's SELF-induced inflation (JIT/GC pressure from
+    // its own warmup or reps — measured 4x on t33's neighborhood on a
+    // quiet box) usually hits one bracket and is correctly discounted.
     val cBase = if (canaries.nonEmpty) canaries.min else 1.0
     def driftPct(qi: Int): Double =
-      (math.max(canaries(qi), canaries(qi + 1)) - cBase) / cBase * 100.0
+      (math.min(canaries(qi), canaries(qi + 1)) - cBase) / cBase * 100.0
     val canaryMaxDrift =
       if (names.nonEmpty) names.indices.map(driftPct).max else 0.0
     // Locale.ROOT: a comma-decimal default locale would print 38,588 and

@@ -163,25 +163,25 @@ object TextFunctions {
       .cast("long")
 
   /** Token positions (1-based) surviving adjacent-duplicate collapse:
-    * position i is kept iff i = 1 or token(i) ≠ token(i−1). The shared
-    * primitive behind [[dedupAdjacentTokens]] and its kept-count. */
-  private def keptTokenPositions(toks: Column): Column =
+    * position i is kept iff i = 1 or token(i) ≠ token(i−1) — the REPAIR
+    * twin of the repetition DETECTORS (t15/t26): re-joining the kept
+    * positions collapses stutter runs ("a a the" → "a the"), the
+    * within-doc cousin of RefinedWeb/FineWeb duplicate-line removal
+    * (line granularity is vacuous on a one-line corpus).
+    *
+    * `toks` MUST be a materialized column REFERENCE (project
+    * `tokens(text)` into a named column first), never the split
+    * expression inline: lambda bodies re-evaluate their inlined inputs
+    * per element, so an inline split turns this O(n) scan into O(n²)
+    * re-tokenizations per row — measured as a 22 s bench row before the
+    * projection discipline (round 10). */
+  def keptAdjacentPositions(toks: Column): Column =
     filter(sequence(lit(1), size(toks)),
       i => i === 1 || element_at(toks, i) =!= element_at(toks, i - 1))
 
-  /** REPAIR twin of the repetition DETECTORS (t15/t26): collapse runs of
-    * the same adjacent token to one occurrence ("a a the" → "a the") and
-    * re-join on single spaces — the intra-document stutter scrub
-    * (the within-doc cousin of RefinedWeb/FineWeb duplicate-line
-    * removal, line-granularity being vacuous on one-line corpora). Pure
-    * per-row array work: no shuffle, engine-replayable exactly. */
-  def dedupAdjacentTokens(text: Column): Column = {
-    val toks = tokens(text)
-    array_join(
-      transform(keptTokenPositions(toks), i => element_at(toks, i)), " ")
-  }
-
-  /** Count of tokens surviving [[dedupAdjacentTokens]]. */
-  def dedupAdjacentKeptCount(text: Column): Column =
-    size(keptTokenPositions(tokens(text))).cast("long")
+  /** Kept positions (`kept` = [[keptAdjacentPositions]] output column)
+    * re-joined into the cleaned text. Both arguments must be column
+    * references (see [[keptAdjacentPositions]]). */
+  def joinKeptTokens(toks: Column, kept: Column): Column =
+    array_join(transform(kept, i => element_at(toks, i)), " ")
 }
