@@ -40,7 +40,8 @@ object Bench {
     "a1_group_count", "j1_star_join_broadcast", "w1_running_count",
     "w6_rolling_30d_spend", "t6_ngram_jaccard_pairs", "t28_sequence_packing",
     "emb6_knn_ivf", "emb12_semantic_dedup", "e1_hourly_rollup",
-    "st1_stream_hourly_rollup", "t33_curation_pipeline")
+    "st1_stream_hourly_rollup", "t33_curation_pipeline",
+    "emb15_ivf_adc_knn", "t35_curated_shard_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
