@@ -1,0 +1,93 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Manifest-based snapshot versioning over plain parquet — the minimal
+  * Spark-first form of the lakehouse time-travel mechanism (Delta's
+  * transaction log / Iceberg's snapshot manifests, public designs):
+  * every commit writes its rows as a NEW immutable file group under
+  * `data/` and records a manifest listing the file groups visible at
+  * that version. Readers plan ONLY the groups in their version's
+  * manifest, so:
+  *
+  *  - historical versions stay byte-stable forever (time travel);
+  *  - an append never rewrites existing data (file groups are the unit
+  *    of addition, exactly Iceberg's add-files commit);
+  *  - a failed write is invisible (the manifest is published LAST, via
+  *    atomic temp-file rename — no manifest, no version).
+  *
+  * Manifests live under `_manifests/` (underscore: invisible to Spark's
+  * file index, so a naive `spark.read.parquet(dir)` of the table root
+  * cannot half-read metadata). At 100 TB the same layout holds — the
+  * manifest grows with file-group count, not rows, and a read is one
+  * manifest fetch + a planned multi-path parquet scan. What this
+  * deliberately omits from the real systems: concurrent-writer conflict
+  * resolution (optimistic re-try on the latest pointer) and file-level
+  * statistics in the manifest (compose with [[DataSkipping]] for that).
+  */
+object Versioned {
+
+  private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
+  private def manifestPath(dir: String, v: Int): Path =
+    manifestDir(dir).resolve(s"v$v.json")
+
+  /** Largest committed version, or 0 if the table does not exist yet. */
+  def latestVersion(dir: String): Int = {
+    val md = manifestDir(dir)
+    if (!Files.isDirectory(md)) return 0
+    Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def readManifest(dir: String, v: Int): Seq[String] = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"no manifest for version $v at $p")
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // groups are commit-dir names (no quotes/commas inside by construction)
+    "\"groups\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Commit `df` as the next version. `overwrite = false` (append)
+    * makes the new version = parent's file groups + the new group;
+    * `overwrite = true` makes it the new group alone. Returns the
+    * committed version number. The data write happens fully BEFORE the
+    * manifest is published (atomic rename), so readers can never see a
+    * partial commit. */
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int = {
+    val parent = latestVersion(dir)
+    val v = parent + 1
+    val group = s"c$v"
+    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    val groups =
+      (if (overwrite || parent == 0) Seq.empty
+       else readManifest(dir, parent)) :+ group
+    Files.createDirectories(manifestDir(dir))
+    val json =
+      s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
+        s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]}"""
+    val tmp = manifestDir(dir).resolve(s".v$v.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read a specific version (time travel), or the latest when `version`
+    * is 0. Plans only the file groups in that version's manifest. */
+  def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    require(groups.nonEmpty, s"version $v has an empty manifest")
+    spark.read.parquet(groups.map(g => s"$dir/data/$g"): _*)
+  }
+}

@@ -66,6 +66,33 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s19's two-commit versioned table, built once per (session, sfDir)
+    * (immutable derived data — the s17/s18 discipline). Any stale dir
+    * from a crashed build is cleared before committing. */
+  private val versionedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def versionedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = versionedCache.get(key)
+    if (hit != null) return hit
+    versionedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s19_versioned_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val v1 = graft.ops.Versioned.commit(
+      o.filter(col("o_orderkey") % 2 === 0), dir)
+    val v2 = graft.ops.Versioned.commit(
+      o.filter(col("o_orderkey") % 2 =!= 0), dir) // append
+    require(v1 == 1 && v2 == 2, s"unexpected versions ($v1, $v2)")
+    versionedCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -172,6 +199,31 @@ object SinkSqlQueries {
                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                WHERE n.n_regionkey = 1
                GROUP BY n_name ORDER BY n_name""")),
+
+    // S19: snapshot versioning + TIME TRAVEL (ops.Versioned — the
+    // manifest-log mechanism of Delta/Iceberg in its minimal Spark-first
+    // form): commit 1 writes the even-key half of orders, commit 2
+    // APPENDS the odd half as a new immutable file group + manifest.
+    // The query time-travels: reading v1 AFTER v2 was committed must
+    // still see only the even half (historical versions are byte-stable
+    // — the property the manifest log exists for), and v2 sees the full
+    // table. The oracle replays both versions' predicates from the
+    // source table, so version isolation itself is under the hash gate.
+    Q("s19_versioned_time_travel",
+      (s, d) => {
+        val dir = versionedOrders(s, d)
+        def snap(v: Int) = graft.ops.Versioned.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+        snap(1).unionAll(snap(2)).orderBy("version")
+      },
+      Some(s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders
+               ORDER BY version""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
