@@ -82,6 +82,21 @@ object Versioned {
     v
   }
 
+  /** MERGE INTO the versioned table (the Delta/Iceberg row-level MERGE
+    * shape over this manifest log): read the latest snapshot, merge
+    * `updates` by `key` ([[Upsert.merge]] semantics — matched rows take
+    * the update wholesale, new keys insert, the rest pass through), and
+    * commit the result as a new OVERWRITE version. Historical versions
+    * stay readable — an auditor can diff pre- and post-merge snapshots
+    * forever. One key-shuffle of each side + one rewrite of the merged
+    * table; at 100 TB the rewrite narrows to the touched partitions
+    * (compose with a partition-pruned read + dynamic partition
+    * overwrite). Returns the committed version. */
+  def mergeCommit(updates: DataFrame, dir: String, key: String): Int = {
+    val merged = Upsert.merge(read(updates.sparkSession, dir), updates, key)
+    commit(merged, dir, overwrite = true)
+  }
+
   /** Read a specific version (time travel), or the latest when `version`
     * is 0. Plans only the file groups in that version's manifest. */
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {

@@ -93,6 +93,34 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s20's merged versioned table: v1 = even-key orders, v2 = MERGE of
+    * an update batch (price bump on keys ≡ 0 mod 10, inserts on keys
+    * ≡ 1 mod 10). Built once per (session, sfDir). */
+  private val mergedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def mergedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = mergedCache.get(key)
+    if (hit != null) return hit
+    mergedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s20_merge_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    val updates = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      .unionAll(o.filter(col("o_orderkey") % 10 === 1))
+    val v2 = graft.ops.Versioned.mergeCommit(updates, dir, "o_orderkey")
+    require(v2 == 2, s"unexpected merge version $v2")
+    mergedCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -223,6 +251,37 @@ object SinkSqlQueries {
                UNION ALL
                SELECT CAST(2 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
                FROM orders
+               ORDER BY version""")),
+
+    // S20: row-level MERGE INTO the versioned table — the Delta/Iceberg
+    // MERGE shape over the s19 manifest log: v1 = the even-key half of
+    // orders; v2 = mergeCommit of an update batch (+1000.00 on keys
+    // divisible by 10, INSERTs for keys ≡ 1 mod 10) as a new OVERWRITE
+    // version. The gated rows read BOTH snapshots after the merge: v1
+    // must still show the pre-merge table (audit diff-ability — the
+    // reason the log keeps history) and v2 the exact merge semantics
+    // (update wins wholesale, inserts present, unmatched pass through),
+    // all replayed by the oracle from the source table.
+    Q("s20_versioned_merge",
+      (s, d) => {
+        val dir = mergedOrders(s, d)
+        def snap(v: Int) = graft.ops.Versioned.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+        snap(1).unionAll(snap(2)).orderBy("version")
+      },
+      Some(s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), COUNT(*),
+                      CAST(SUM(CAST(
+                        CASE WHEN o_orderkey % 10 = 0
+                             THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+                             ELSE CAST(o_totalprice AS DOUBLE) END
+                        AS DECIMAL(18,2))) AS DOUBLE)
+               FROM orders
+               WHERE o_orderkey % 2 = 0 OR o_orderkey % 10 = 1
                ORDER BY version""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
