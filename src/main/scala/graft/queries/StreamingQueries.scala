@@ -424,6 +424,73 @@ object StreamingQueries {
           .orderBy("digest")
       },
       Some("""SELECT DISTINCT md5(text) AS digest
-              FROM documents ORDER BY digest"""))
+              FROM documents ORDER BY digest""")),
+
+    // ST7: streaming ingest INTO the version log (s19's ops.Versioned) —
+    // the streaming→lakehouse landing shape: each micro-batch commits as
+    // one immutable file group + manifest via foreachBatch, so the table
+    // is time-travelable PER MICRO-BATCH (an auditor can replay ingest
+    // history commit by commit). The gate reads the LATEST snapshot and
+    // must reproduce the batch aggregate exactly — multi-batch commit
+    // proven by the `multi_batch` contract column (foreachBatch is
+    // at-least-once under retries; one AvailableNow pass per session is
+    // retry-free, and a production deployment keys idempotence on the
+    // batchId, which Versioned's manifest would carry). Ingest runs once
+    // per (session, sfDir) — the s17/shippedShards immutable-derived
+    // discipline; the first run (Verify's path) executes the real
+    // StreamingQuery.
+    Q("st7_stream_versioned_ingest",
+      (s, d) => {
+        val dir = versionedIngest(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .filter(col("event_type") =!= "__flush")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+          .withColumn("multi_batch",
+            lit(graft.ops.Versioned.latestVersion(dir) >= 2))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                      ${sqlDsum("value", 6)} AS sum_value,
+                      TRUE AS multi_batch
+               FROM events GROUP BY event_type ORDER BY event_type"""))
   )
+
+  /** st7's versioned ingest table: the month-file event stream landed
+    * commit-per-micro-batch via foreachBatch, once per (session, sfDir). */
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def versionedIngest(s: SparkSession, d: String): String = {
+    val key = (s, d)
+    val hit = ingestCache.get(key)
+    if (hit != null) return hit
+    ingestCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = eventSource(s, d)
+    val dir = tmp(s"st7/table_${Integer.toHexString(d.hashCode)}")
+    val ckpt = tmp(s"st7/ckpt_${Integer.toHexString(d.hashCode)}")
+    clean(s, dir, ckpt)
+    // small scales emit few month files (sf0.001: one month + sentinel =
+    // 2 files) — size the trigger so the ingest is ALWAYS multi-batch,
+    // since per-micro-batch commit granularity is the property under test
+    val nFiles = fs(s).listStatus(new Path(src))
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val perTrigger = if (nFiles >= 8) 4 else 1
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", perTrigger).parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.ops.Versioned.commit(batch, dir); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { if (q.isActive) q.stop() }
+    require(graft.ops.Versioned.latestVersion(dir) >= 2,
+      "expected a multi-batch versioned ingest")
+    ingestCache.put(key, dir)
+    dir
+  }
 }
