@@ -58,13 +58,28 @@ object Versioned {
       .getOrElse(Seq.empty)
   }
 
+  private def readStats(dir: String, v: Int): Map[String, (Long, Long)] = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"no manifest for version $v at $p")
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    "\"(c[0-9]+)\":\\[(-?[0-9]+),(-?[0-9]+)\\]".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+  }
+
   /** Commit `df` as the next version. `overwrite = false` (append)
     * makes the new version = parent's file groups + the new group;
     * `overwrite = true` makes it the new group alone. Returns the
     * committed version number. The data write happens fully BEFORE the
     * manifest is published (atomic rename), so readers can never see a
-    * partial commit. */
-  def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int = {
+    * partial commit.
+    *
+    * `statsCol` (a LONG column — cast dates to epoch-day etc. at the
+    * caller) records the new group's min/max in the manifest — the
+    * Iceberg-manifest statistics that let [[prunedRead]] plan only
+    * intersecting groups. Parent groups keep whatever stats their own
+    * commits recorded. */
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
+      statsCol: Option[String] = None): Int = {
     val parent = latestVersion(dir)
     val v = parent + 1
     val group = s"c$v"
@@ -72,14 +87,53 @@ object Versioned {
     val groups =
       (if (overwrite || parent == 0) Seq.empty
        else readManifest(dir, parent)) :+ group
+    val parentStats =
+      if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
+      else readStats(dir, parent)
+    val newStats = statsCol.flatMap { c =>
+      // stats come from the WRITTEN files, not the input plan — the
+      // manifest must describe what is on disk
+      val row = df.sparkSession.read.parquet(s"$dir/data/$group")
+        .selectExpr(s"min($c)", s"max($c)").head()
+      if (row.isNullAt(0)) None else Some(group -> (row.getLong(0), row.getLong(1)))
+    }
+    val stats = parentStats ++ newStats
     Files.createDirectories(manifestDir(dir))
+    val statsJson =
+      if (stats.isEmpty) ""
+      else s""","stats":{${stats.toSeq.sortBy(_._1).map { case (g, (lo, hi)) =>
+        s""""$g":[$lo,$hi]""" }.mkString(",")}}"""
     val json =
       s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
-        s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]}"""
+        s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
+        statsJson + "}"
     val tmp = manifestDir(dir).resolve(s".v$v.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Statistics-pruned snapshot read: plan only the file groups whose
+    * recorded [min,max] of `statsCol` intersects [lo,hi] (a group
+    * without stats is conservatively read), then apply the residual
+    * predicate. Returns (frame, groupsPlanned, groupsTotal) — the
+    * manifest-planning half of an Iceberg scan over this log. */
+  def prunedRead(spark: SparkSession, dir: String, statsCol: String,
+      lo: Long, hi: Long, version: Int = 0): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    val stats = readStats(dir, v)
+    val planned = groups.filter(g =>
+      stats.get(g).forall { case (glo, ghi) => ghi >= lo && glo <= hi })
+    val df =
+      if (planned.isEmpty)
+        read(spark, dir, v).filter(col(statsCol) >= lo && col(statsCol) <= hi)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else
+        spark.read.parquet(planned.map(g => s"$dir/data/$g"): _*)
+          .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+    (df, planned.size, groups.size)
   }
 
   /** MERGE INTO the versioned table (the Delta/Iceberg row-level MERGE

@@ -121,6 +121,34 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s21's statistics-carrying versioned table: four year-bucket commits
+    * of orders, each with min/max epoch-day stats in the manifest. */
+  private val statsTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def versionedByYear(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = statsTableCache.get(key)
+    if (hit != null) return hit
+    statsTableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s21_stats_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val yr = year(date_add(lit("1970-01-01").cast("date"),
+      col("od").cast("int")))
+    Seq(yr <= 1993, yr === 1994 || yr === 1995, yr === 1996, yr >= 1997)
+      .foreach(cond => graft.ops.Versioned.commit(o.filter(cond), dir,
+        statsCol = Some("od")))
+    statsTableCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -283,6 +311,30 @@ object SinkSqlQueries {
                FROM orders
                WHERE o_orderkey % 2 = 0 OR o_orderkey % 10 = 1
                ORDER BY version""")),
+
+    // S21: manifest-STATISTICS pruning over the version log — the
+    // Iceberg planning path composed from s19's manifests and s17's
+    // zone-map idea: each of four year-bucket commits records its
+    // epoch-day min/max in the manifest, and the snapshot read plans
+    // ONLY the groups intersecting the predicate range (1996 → 1 of 4
+    // groups) before applying the residual filter. `pruned` is the
+    // s17-style contract column (planned strictly between 0 and total)
+    // the oracle asserts TRUE; values replay from the source table.
+    Q("s21_versioned_stats_pruning",
+      (s, d) => {
+        val dir = versionedByYear(s, d)
+        val (lo, hi) = (java.time.LocalDate.of(1996, 1, 1).toEpochDay,
+          java.time.LocalDate.of(1996, 12, 31).toEpochDay)
+        val (scan, nPlanned, nTotal) =
+          graft.ops.Versioned.prunedRead(s, dir, "od", lo, hi)
+        scan.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pruned", lit(nPlanned < nTotal && nPlanned > 0))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS pruned
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                 AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

@@ -37,6 +37,27 @@ class VersionedSpec extends SparkSpec {
       == Seq(1L, 2L))
   }
 
+  test("manifest stats prune non-intersecting groups; pruned read equals " +
+      "full-scan filter") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10L), (2L, 19L)).toDF("id", "k"), dir,
+      statsCol = Some("k"))
+    Versioned.commit(Seq((3L, 20L), (4L, 29L)).toDF("id", "k"), dir,
+      statsCol = Some("k"))
+    Versioned.commit(Seq((5L, 30L), (6L, 39L)).toDF("id", "k"), dir,
+      statsCol = Some("k"))
+    val (df, planned, total) = Versioned.prunedRead(spark, dir, "k", 20L, 25L)
+    assert((planned, total) == (1, 3))
+    assert(df.select("id").as[Long].collect().toSeq == Seq(3L))
+    val full = Versioned.read(spark, dir)
+      .filter(col("k") >= 20L && col("k") <= 25L)
+      .select("id").as[Long].collect().toSeq
+    assert(full == Seq(3L))
+    // disjoint range: zero groups planned, empty result
+    val (edf, p0, _) = Versioned.prunedRead(spark, dir, "k", 100L, 200L)
+    assert(p0 == 0 && edf.count() == 0L)
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)
