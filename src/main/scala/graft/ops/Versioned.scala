@@ -151,6 +151,28 @@ object Versioned {
     commit(merged, dir, overwrite = true)
   }
 
+  /** OPTIMIZE: rewrite the latest snapshot's (possibly many, possibly
+    * small) file groups into ONE compacted group published as a new
+    * overwrite version — the lakehouse compaction verb (Delta OPTIMIZE /
+    * Iceberg rewrite_data_files). Content is invariant by construction
+    * (the new group is a read of the old ones); history stays readable,
+    * so the pre-compaction layout remains auditable. `statsCol` re-records
+    * manifest statistics for the compacted group (compaction must not
+    * lose the planning metadata). Returns the new version. */
+  def compact(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None): Int = {
+    val v = latestVersion(dir)
+    require(v > 0, s"nothing to compact at $dir")
+    commit(read(spark, dir, v).coalesce(1), dir, overwrite = true,
+      statsCol = statsCol)
+  }
+
+  /** File-group count of a version's manifest (layout observability). */
+  def groupCount(dir: String, version: Int = 0): Int = {
+    val v = if (version == 0) latestVersion(dir) else version
+    readManifest(dir, v).size
+  }
+
   /** Read a specific version (time travel), or the latest when `version`
     * is 0. Plans only the file groups in that version's manifest. */
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {

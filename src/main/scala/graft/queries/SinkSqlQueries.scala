@@ -149,6 +149,38 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s22's compacted table: the s21 four-commit shape in its own dir
+    * (compacting s21's table would break its pruning contract), then
+    * one OPTIMIZE pass. */
+  private val compactedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def compactedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = compactedCache.get(key)
+    if (hit != null) return hit
+    compactedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s22_compact_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val yr = year(date_add(lit("1970-01-01").cast("date"),
+      col("od").cast("int")))
+    Seq(yr <= 1993, yr === 1994 || yr === 1995, yr === 1996, yr >= 1997)
+      .foreach(cond => graft.ops.Versioned.commit(o.filter(cond), dir,
+        statsCol = Some("od")))
+    require(graft.ops.Versioned.groupCount(dir) == 4,
+      "expected 4 pre-compaction groups")
+    graft.ops.Versioned.compact(s, dir, statsCol = Some("od"))
+    compactedCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -335,6 +367,30 @@ object SinkSqlQueries {
                FROM orders
                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
                  AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'""")),
+
+    // S22: OPTIMIZE/compaction on the version log — the remaining
+    // lakehouse verb (Delta OPTIMIZE / Iceberg rewrite_data_files): an
+    // s21-shaped four-group table is compacted into ONE group published
+    // as a new overwrite version. Gated contracts: content invariance
+    // (the post-compaction aggregate must equal the source-table replay
+    // — compaction may move bytes, never rows), `compacted` (4 groups →
+    // 1), and `stats_preserved` (the compacted manifest still carries
+    // min/max — a disjoint-range pruned read plans ZERO groups, so the
+    // planning metadata survived the rewrite).
+    Q("s22_versioned_compaction",
+      (s, d) => {
+        val dir = compactedOrders(s, d)
+        val nGroups = graft.ops.Versioned.groupCount(dir)
+        val (_, p0, _) = graft.ops.Versioned.prunedRead(
+          s, dir, "od", 100000L, 200000L)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("compacted", lit(nGroups == 1))
+          .withColumn("stats_preserved", lit(p0 == 0))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS compacted, TRUE AS stats_preserved
+               FROM orders""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
