@@ -77,7 +77,11 @@ object ScaleRehearsal {
     // (pipeline + write — the t33 shape plus output bytes)
     "s18_dynamic_partition_pruning", "t34b_bpe_merge_loop",
     "t36_gopher_rules", "emb15_ivf_adc_knn", "emb16_mmr_rerank",
-    "t35_curated_shard_sink")
+    "t35_curated_shard_sink",
+    // round-10 lakehouse family: the version-log table builds + the
+    // stats-pruned snapshot read (first run = 4 commits + manifest IO,
+    // steady = planned-group scan), and the repair scrub (pure scan)
+    "s21_versioned_stats_pruning", "t37_repetition_scrub")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
