@@ -23,6 +23,40 @@ object CorpusQueries {
   private val sqlBucket =
     "CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
 
+  /** Shared BPE-training CTE chain (t34b + t34c): word-frequency table →
+    * character segmentation → k iterations of pair-count → best merge
+    * (b$i) → literal space-bounded merge (w$i). The word key `w` is
+    * carried through every iteration so appliers (t34c) can join the
+    * final segmentation back to the corpus; the merge frames b$i read
+    * only (a, b, n), so carrying w cannot change t34b's gated output. */
+  private def sqlBpeChain(k: Int): String = {
+    val wf0 =
+      s"""WITH wfw AS (SELECT w, COUNT(*) AS freq
+                FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                      FROM documents)
+                WHERE length(w) >= 2 GROUP BY w),
+           wf0 AS (SELECT w,
+                          ' ' || array_to_string(
+                            list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), ' ') || ' ' AS seg,
+                          freq
+                   FROM wfw)"""
+    val iters = (1 to k).map { i =>
+      val prev = if (i == 1) "wf0" else s"w${i - 1}"
+      s"""s$i AS (SELECT regexp_split_to_array(trim(seg), ' ') AS s, freq
+                  FROM $prev),
+          p$i AS (SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS n
+                  FROM s$i, UNNEST(range(1, len(s))) AS t(j)
+                  GROUP BY 1, 2),
+          b$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p$i
+                  ORDER BY n DESC, a, b LIMIT 1),
+          w$i AS (SELECT w, replace(seg, ' ' || a || ' ' || b || ' ',
+                                 ' ' || a || b || ' ') AS seg, freq
+                  FROM $prev, b$i)"""
+    }.mkString(",\n")
+    s"$wf0,\n$iters"
+  }
+
   val all: Seq[Q] = Seq(
 
     // T16: benchmark decontamination (GPT-3 appendix C shape) — for every
@@ -515,34 +549,51 @@ object CorpusQueries {
       (s, d) => Corpus.bpeMerges(Tables.documents(s, d), "text",
         iterations = 5),
       Some {
-        val wf0 =
-          s"""WITH wfw AS (SELECT w, COUNT(*) AS freq
-                    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-                          FROM documents)
-                    WHERE length(w) >= 2 GROUP BY w),
-               wf0 AS (SELECT ' ' || array_to_string(
-                                list_transform(range(1, length(w) + 1),
-                                  i -> substr(w, i, 1)), ' ') || ' ' AS seg,
-                              freq
-                       FROM wfw)"""
-        val iters = (1 to 5).map { i =>
-          val prev = if (i == 1) "wf0" else s"w${i - 1}"
-          s"""s$i AS (SELECT regexp_split_to_array(trim(seg), ' ') AS s, freq
-                      FROM $prev),
-              p$i AS (SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS n
-                      FROM s$i, UNNEST(range(1, len(s))) AS t(j)
-                      GROUP BY 1, 2),
-              b$i AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p$i
-                      ORDER BY n DESC, a, b LIMIT 1),
-              w$i AS (SELECT replace(seg, ' ' || a || ' ' || b || ' ',
-                                     ' ' || a || b || ' ') AS seg, freq
-                      FROM $prev, b$i)"""
-        }.mkString(",\n")
         val unions = (1 to 5).map { i =>
           s"SELECT CAST($i AS BIGINT) AS iter, a, b, a || b AS merged, n FROM b$i"
         }.mkString("\nUNION ALL ")
-        s"$wf0,\n$iters\n$unions\nORDER BY iter"
+        s"${sqlBpeChain(5)}\n$unions\nORDER BY iter"
       }),
+
+    // T34c: the trained segmenter APPLIED back to the corpus — the
+    // tokenize half of tokenizer training (train on the word-frequency
+    // table, broadcast the vocabulary-bounded segmentation lookup
+    // against the corpus): per document, word count, character count,
+    // and the BPE token count under the five learned merges. Words the
+    // training table excludes (length < 2) tokenize to their character
+    // count. The oracle re-trains the same five merges (the t34b CTE
+    // chain, word key carried) and replays the lookup join — training
+    // AND application under one hash.
+    Q("t34c_bpe_tokenize",
+      (s, d) => {
+        val segs = Corpus.bpeSegment(Tables.documents(s, d), "text",
+          iterations = 5)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.text.TextFunctions.tokens(col("text"))).as("tk"))
+          .join(broadcast(segs), col("tk") === col("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("tk"))).cast("long").as("n_chars"),
+            sum(coalesce(col("n_sym"), length(col("tk")).cast("long")))
+              .as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${sqlBpeChain(5)},
+               tok AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(trim(text), '\\s+'))
+                                AS tk
+                       FROM documents),
+               seg5 AS (SELECT w,
+                               CAST(len(string_split(trim(seg), ' ')) AS BIGINT)
+                                 AS n_sym
+                        FROM w5)
+               SELECT doc_id, COUNT(*) AS n_words,
+                      CAST(SUM(length(tk)) AS BIGINT) AS n_chars,
+                      CAST(SUM(COALESCE(n_sym, length(tk))) AS BIGINT)
+                        AS n_bpe_tokens
+               FROM tok LEFT JOIN seg5 ON tk = w
+               GROUP BY doc_id ORDER BY doc_id""")),
 
     // T32: hashed bigram LM perplexity (CCNet-shape quality filter,
     // Wenzek et al. 2020) — train p(b2|b1) on the lang='en' subset over

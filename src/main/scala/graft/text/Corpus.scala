@@ -271,13 +271,36 @@ object Corpus {
     * would otherwise render an exponential plan (the t33 lineage
     * lesson). `best` is a 1-row broadcast — the merge is applied
     * distributively, never by driver string surgery. */
-  def bpeMerges(docs: DataFrame, textCol: String, iterations: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, iterations: Int): DataFrame =
+    bpeTrain(docs, textCol, iterations)._1
+      .map(b => b.select(col("iter"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n")))
+      .reduce(_.unionAll(_))
+      .orderBy("iter")
+
+  /** The trained segmenter APPLIED: every distinct word with its symbol
+    * count after the k learned merges — the vocabulary-bounded lookup
+    * table a tokenizer pass broadcasts against the corpus
+    * ([[bpeMerges]]'s loop, keeping the word key). Words the training
+    * table excludes (length < 2) tokenize to their character count. */
+  def bpeSegment(docs: DataFrame, textCol: String,
+      iterations: Int): DataFrame = {
+    val words = bpeTrain(docs, textCol, iterations)._2
+    words.select(col("w"),
+      size(split(trim(col("seg")), " ")).cast("long").as("n_sym"))
+  }
+
+  /** Shared BPE training loop: per-iteration best-merge frames plus the
+    * final segmented word table (w, seg, freq). */
+  private def bpeTrain(docs: DataFrame, textCol: String,
+      iterations: Int): (Seq[DataFrame], DataFrame) = {
     require(iterations >= 1 && iterations <= 64, s"iterations: $iterations")
     var wf = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
+      .select(col("w"),
+        concat(lit(" "),
           array_join(transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))), " "),
           lit(" ")).as("seg"),
@@ -300,16 +323,13 @@ object Corpus {
       wf = wf
         .crossJoin(broadcast(
           best.select(col("a").as("__a"), col("b").as("__b"))))
-        .select(replace(col("seg"),
+        .select(col("w"),
+          replace(col("seg"),
             concat(lit(" "), col("__a"), lit(" "), col("__b"), lit(" ")),
             concat(lit(" "), col("__a"), col("__b"), lit(" "))).as("seg"),
           col("freq"))
         .localCheckpoint()
     }
-    merges.result()
-      .map(b => b.select(col("iter"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"), col("n")))
-      .reduce(_.unionAll(_))
-      .orderBy("iter")
+    (merges.result(), wf)
   }
 }
