@@ -167,6 +167,122 @@ object Versioned {
       statsCol = statsCol)
   }
 
+  private def manifestIsOverwrite(dir: String, v: Int): Boolean = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"no manifest for version $v at $p")
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    json.contains("\"overwrite\":true")
+  }
+
+  /** True when commit `v` was an append (its manifest extends the parent's
+    * file-group list), so [[changes]] serves that step FILE-LEVEL — reading
+    * only the added groups, never diffing snapshots. v=1 counts: the first
+    * commit's change set is its own group. */
+  def stepIsAppend(dir: String, v: Int): Boolean =
+    v == 1 || !manifestIsOverwrite(dir, v)
+
+  /** Key-level diff of two snapshots — the change rows that turn `before`
+    * into `after`: `insert` (key only in after), `delete` (key only in
+    * before), and `update_preimage`/`update_postimage` pairs (key in both,
+    * any column differs; null-safe). Unchanged rows are suppressed. One
+    * key-shuffle of each side, change rows built in a single pass (the
+    * conditional row-array is inlined and exploded — the joined plan is
+    * never re-evaluated per change type). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(before.columns.sameElements(after.columns),
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val cols = before.columns.toSeq
+    val vals = cols.filter(_ != key)
+    val b = vals.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+      .withColumn("__b", lit(true))
+    val a = vals.foldLeft(after)((d, c) => d.withColumnRenamed(c, s"__a_$c"))
+      .withColumn("__a", lit(true))
+    val joined = b.join(a, Seq(key), "full_outer")
+    def side(prefix: String, tag: String) = struct(
+      lit(tag).as("_change_type") +:
+        cols.map(c => (if (c == key) col(c) else col(s"$prefix$c")).as(c)): _*)
+    val changed = vals
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .foldLeft(lit(false))(_ || _)
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val rowType = StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+        cols.map(c => before.schema(c).copy(nullable = true)))
+    val emptyRows = array().cast(ArrayType(rowType))
+    val rows =
+      when(col("__b").isNull, array(side("__a_", "insert")))
+        .when(col("__a").isNull, array(side("__b_", "delete")))
+        .when(changed, array(side("__b_", "update_preimage"),
+          side("__a_", "update_postimage")))
+        .otherwise(emptyRows)
+    joined.select(explode(rows).as("__chg"))
+      .select(cols.map(c => col(s"__chg.$c")) :+ col("__chg._change_type"): _*)
+  }
+
+  /** Change-data feed between two committed versions — the incremental-read
+    * verb of the lakehouse formats (Delta CDF / Iceberg incremental scan):
+    * every commit step in (fromVersion, toVersion] contributes its change
+    * rows, tagged `_change_type` + `_commit_version`.
+    *
+    * Scale shape — the reason CDC exists at 100 TB: an APPEND step is
+    * served file-level (scan ONLY the groups that commit added; cost
+    * bounded by the new data, the table is never touched), and only an
+    * OVERWRITE step (merge/compaction) pays a key-shuffle snapshot diff.
+    * A compaction step correctly yields ZERO change rows (content
+    * invariance is what s22 gates). */
+  def changes(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val latest = latestVersion(dir)
+    require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
+      s"need 0 <= from < to <= $latest, got ($fromVersion, $toVersion)")
+    // canonical column order for the union (all commits share the schema)
+    val dataCols = read(spark, dir, toVersion).columns.toSeq
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      val step =
+        if (stepIsAppend(dir, v)) {
+          val added =
+            readManifest(dir, v).toSet -- (
+              if (v == 1) Set.empty[String] else readManifest(dir, v - 1).toSet)
+          spark.read.parquet(added.toSeq.sorted.map(g => s"$dir/data/$g"): _*)
+            .withColumn("_change_type", lit("insert"))
+        } else snapshotDiff(read(spark, dir, v - 1), read(spark, dir, v), key)
+      step.select((dataCols :+ "_change_type").map(col): _*)
+        .withColumn("_commit_version", lit(v.toLong))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** VACUUM: expire every version below `retainFromVersion` and delete the
+    * file groups no retained manifest references — the storage-reclaim verb
+    * (Delta VACUUM / Iceberg expire_snapshots + remove_orphan_files).
+    * Time travel to an expired version fails (its manifest is gone);
+    * retained versions are untouched. Returns
+    * (manifestsRemoved, groupsRemoved). At 100 TB the group sweep is a
+    * listing + set difference over file-GROUP names (bounded by commit
+    * count, not data) and a batch delete of whole directories. */
+  def vacuum(spark: SparkSession, dir: String, retainFromVersion: Int)
+      : (Int, Int) = {
+    val latest = latestVersion(dir)
+    require(retainFromVersion >= 1 && retainFromVersion <= latest,
+      s"need 1 <= retainFrom <= $latest, got $retainFromVersion")
+    val retained = (retainFromVersion to latest)
+      .flatMap(v => readManifest(dir, v)).toSet
+    val expired = (1 until retainFromVersion)
+      .filter(v => Files.deleteIfExists(manifestPath(dir, v)))
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk =
+      if (!fs.exists(dataRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dataRoot)
+    val orphans = onDisk.filter(st =>
+      st.isDirectory && !retained.contains(st.getPath.getName))
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    (expired.size, orphans.length)
+  }
+
   /** File-group count of a version's manifest (layout observability). */
   def groupCount(dir: String, version: Int = 0): Int = {
     val v = if (version == 0) latestVersion(dir) else version

@@ -72,4 +72,50 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** [[writeZOrdered]] plus a per-file TWO-dimensional min/max manifest
+    * (`_manifest/`, one row per file: min/max of BOTH key columns) — the
+    * [[DataSkipping.writeClustered]] zone map generalized to the z-layout.
+    * Because every file covers a small (a, b) rectangle, the manifest
+    * rectangles are tight in BOTH dimensions, which is the entire point of
+    * Z-ORDER clustering: a predicate on EITHER column prunes files, where a
+    * linear sort gives tight bounds on its sort column only. Manifest built
+    * by one distributed pass over the written files. */
+  def writeZOrderedWithManifest(df: DataFrame, aCol: String, bCol: String,
+      path: String, nFiles: Int): Unit = {
+    writeZOrdered(df, aCol, bCol, path, nFiles)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(aCol)).as("min_a"), max(col(aCol)).as("max_a"),
+        min(col(bCol)).as("min_b"), max(col(bCol)).as("max_b"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Scan planned over only the files whose manifest rectangle intersects
+    * the query box [aLo,aHi]×[bLo,bHi] (pass the full domain on one axis
+    * for a single-dimension predicate), residual predicate applied.
+    * Returns (frame, filesRead, filesTotal) so callers can assert the
+    * pruning actually happened — the [[DataSkipping.prunedRead]] contract
+    * in two dimensions. The manifest collect is one row per FILE (bounded
+    * by layout, not data). */
+  def boxPrunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      aCol: String, bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long)
+      : (DataFrame, Int, Int) = {
+    val rows = spark.read.parquet(s"$path/_manifest")
+      .select(col("file"),
+        (col("max_a") >= aLo && col("min_a") <= aHi &&
+          col("max_b") >= bLo && col("min_b") <= bHi).as("keep"))
+      .collect()
+    val files = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    val residual = (d: DataFrame) => d
+      .filter(col(aCol) >= aLo && col(aCol) <= aHi &&
+        col(bCol) >= bLo && col(bCol) <= bHi)
+    val df =
+      if (files.isEmpty) residual(spark.read.parquet(path)).filter(lit(false))
+      else residual(spark.read.parquet(files: _*))
+    (df, files.size, rows.length)
+  }
 }

@@ -635,7 +635,51 @@ object EmbeddingQueries {
         s"""$prelude,
             $steps
             SELECT rank, vec_id, rel, mmr_score FROM sel5 ORDER BY rank"""
-      })
+      }),
+
+    // EMB17: PRODUCT quantization + ADC + exact refine (Jégou et al.
+    // 2011; the FAISS `PQx16` codec) — the memory end-game past emb13's
+    // SQ8: 16 subspaces × 16 centroids store a 256-byte float vector in
+    // 16 one-byte codes (16×; SQ8 is 4×), and a query's score is 16
+    // table LOOKUPS per corpus row (the m×k dot/norm² tables ship as
+    // literals — zero float vector math on the scan). Uniform synthetic
+    // embeddings are PQ's worst case (cosine gaps smaller than
+    // quantization noise), so the serving shape reranks the ADC top-100
+    // exactly, the emb15 k_factor discipline. Contracts: refined
+    // recall@10 ≥ 0.6 (measured 10/9/10 at sf0.001/0.01/0.1,
+    // deterministic under the pinned seed); `rerank_monotone` — refined
+    // recall ≥ raw-ADC recall, PROVABLE (any exact-top-10 member inside
+    // the ADC top-10 is also inside the top-100 and survives exact
+    // rerank); pinned 16× compression arithmetic.
+    Q("emb17_pq_adc_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val idx = pqIndex(s, d)
+        val exact = graft.ops.Caches.tracked(
+          Ann.knnBruteForce(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+            .select("vec_id").cache())
+        def hits(rerank: Int, name: String) = graft.similarity.Pq
+          .adcKnn(idx, emb, "vec_id", "embedding", queryId = 0L, k = 10,
+            rerank = rerank)
+          .select("vec_id").join(exact, "vec_id")
+          .agg(count(lit(1)).as(name))
+        val h100 = hits(100, "h100")
+        val h10 = hits(10, "h10")
+        val dims = emb.select(size(col("embedding")).cast("long").as("dims"))
+          .limit(1)
+        h100.crossJoin(h10).crossJoin(dims)
+          .select(
+            (col("h100") >= 6L).as("recall_ge_gate"),
+            (col("h100") >= col("h10")).as("rerank_monotone"),
+            (col("dims") * 4L).as("raw_bytes"),
+            lit(16L).as("code_bytes"),
+            ((col("dims") * 4L) / 16L).cast("long").as("compression"))
+      },
+      Some("""SELECT TRUE AS recall_ge_gate, TRUE AS rerank_monotone,
+                     CAST(256 AS BIGINT) AS raw_bytes,
+                     CAST(16 AS BIGINT) AS code_bytes,
+                     CAST(16 AS BIGINT) AS compression
+              FROM embeddings LIMIT 1"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings
@@ -657,6 +701,24 @@ object EmbeddingQueries {
     * collect. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.similarity.Ivf.Index]()
+
+  /** PQ index cache — the ivfCache discipline verbatim: codebook training
+    * + encoding happen once per (session, dir); measured reps pay the
+    * SEARCH cost (the table-lookup scan), as a deployment would. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.similarity.Pq.Index]()
+
+  private def pqIndex(s: SparkSession, d: String): graft.similarity.Pq.Index = {
+    val hit = pqCache.get((s, d))
+    if (hit != null) return hit
+    pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val emb = Tables.embeddings(s, d)
+    val index = graft.similarity.Pq.train(emb, "vec_id", "embedding",
+      m = 16, k = 16)
+    index.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = pqCache.putIfAbsent((s, d), index)
+    if (prev != null) { index.codes.unpersist(false); prev } else index
+  }
 
   private def ivfIndex(s: SparkSession, d: String): graft.similarity.Ivf.Index = {
     val hit = ivfCache.get((s, d))

@@ -181,6 +181,67 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s25's vacuumed table: the s19 two-commit shape in its own dir, then
+    * OPTIMIZE + VACUUM(retain latest) — the standard storage-reclaim
+    * composition. Cached value carries the vacuum's removal counts (the
+    * one-time effect the query pins). */
+  private val vacuumCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Int, Int)]()
+
+  private def vacuumedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int, Int) = {
+    val key = (s, d)
+    val hit = vacuumCache.get(key)
+    if (hit != null) return hit
+    vacuumCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s25_vacuum_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
+    val v3 = graft.ops.Versioned.compact(s, dir)
+    require(v3 == 3, s"unexpected compacted version $v3")
+    val (m, g) = graft.ops.Versioned.vacuum(s, dir, retainFromVersion = 3)
+    val entry = (dir, m, g)
+    vacuumCache.put(key, entry)
+    entry
+  }
+
+  /** s26's z-ordered copy of orders: both key dimensions normalized to a
+    * 0..1023 integer grid (z-order on raw uneven domains wastes bits —
+    * the [[graft.ops.ZOrder]] doc's bucket-first rule; the grid arithmetic
+    * is exact BIGINT in both engines), then written z-clustered into 16
+    * files with the 2-d min/max manifest. */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def zorderedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = zorderCache.get(key)
+    if (hit != null) return hit
+    zorderCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s26_zorder_${Integer.toHexString(d.hashCode)}")
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val b = o.agg(max(col("o_custkey")), min(col("od")), max(col("od"))).head()
+    val (maxCust, minOd, maxOd) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val gridded = o
+      .withColumn("ag", expr(s"(o_custkey * 1024) div ($maxCust + 1)"))
+      .withColumn("bg", expr(s"((od - $minOd) * 1024) div ($maxOd - $minOd + 1)"))
+    graft.ops.ZOrder.writeZOrderedWithManifest(gridded, "ag", "bg", dir,
+      nFiles = 16)
+    zorderCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -391,6 +452,125 @@ object SinkSqlQueries {
       Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
                       TRUE AS compacted, TRUE AS stats_preserved
                FROM orders""")),
+
+    // S23: CHANGE-DATA FEED over the version log (Delta CDF / Iceberg
+    // incremental scan) — the key-level diff path: on s20's merged table,
+    // changes(v1 → v2) must emit exactly the merge's effect as tagged
+    // change rows (inserts for the new keys, update pre/post pairs for
+    // the touched keys, NOTHING for untouched rows — suppression is as
+    // much the contract as emission). The oracle replays every change
+    // class from the source table, so the diff semantics (null-safe
+    // column compare, one joined pass) sit under the hash gate.
+    Q("s23_versioned_changes",
+      (s, d) => {
+        val dir = mergedOrders(s, d)
+        graft.ops.Versioned.changes(s, dir, 1, 2, "o_orderkey")
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("_change_type")
+      },
+      Some(s"""SELECT 'insert' AS _change_type, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey % 10 = 1
+               UNION ALL
+               SELECT 'update_postimage', COUNT(*),
+                      CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) + 1000.0
+                        AS DECIMAL(18,2))) AS DOUBLE)
+               FROM orders WHERE o_orderkey % 10 = 0
+               UNION ALL
+               SELECT 'update_preimage', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders WHERE o_orderkey % 10 = 0
+               ORDER BY _change_type""")),
+
+    // S24: the CDC FILE-LEVEL fast path — on s19's append-only table,
+    // changes(v1 → v2) must be served by scanning ONLY the file group
+    // commit 2 added (cost bounded by the new data — the property that
+    // makes incremental consumption viable at 100 TB; a snapshot diff
+    // would shuffle the whole table). `file_level` pins that the step
+    // was actually planned as an append; the rows replay as the odd-key
+    // half tagged insert.
+    Q("s24_versioned_incremental",
+      (s, d) => {
+        val dir = versionedOrders(s, d)
+        val fast = graft.ops.Versioned.stepIsAppend(dir, 2)
+        graft.ops.Versioned.changes(s, dir, 1, 2, "o_orderkey")
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("file_level", lit(fast))
+      },
+      Some(s"""SELECT 'insert' AS _change_type, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS file_level
+               FROM orders WHERE o_orderkey % 2 = 1""")),
+
+    // S25: VACUUM — storage reclaim after OPTIMIZE (expire_snapshots +
+    // remove_orphan_files): a two-commit table is compacted (v3), then
+    // vacuumed retaining only v3. Pinned: exactly 2 manifests and 2
+    // superseded file groups removed (integers, not booleans — the
+    // sweep is group-name set arithmetic, bounded by commit count), the
+    // retained snapshot replays content-identical to the source table,
+    // and time travel to an expired version now FAILS (`expired_gone` —
+    // vacuum's contract is precisely that it trades history for space).
+    Q("s25_versioned_vacuum",
+      (s, d) => {
+        val (dir, m, g) = vacuumedOrders(s, d)
+        val expiredGone =
+          scala.util.Try(graft.ops.Versioned.read(s, dir, 1)).isFailure
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("manifests_removed", lit(m.toLong))
+          .withColumn("groups_removed", lit(g.toLong))
+          .withColumn("expired_gone", lit(expiredGone))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      CAST(2 AS BIGINT) AS manifests_removed,
+                      CAST(2 AS BIGINT) AS groups_removed,
+                      TRUE AS expired_gone
+               FROM orders""")),
+
+    // S26: Z-ORDER clustering under the gate — the multi-dimensional
+    // layout verb (Delta/Iceberg Z-ORDER BY): orders gridded to 0..1023
+    // on BOTH (customer, order-day) — exact BIGINT arithmetic both
+    // engines replay — written Morton-clustered into 16 files with a 2-d
+    // min/max manifest. Contracts: the 2-d box scan AND each
+    // single-dimension predicate plan strictly fewer than all files
+    // (`pruned_*` — a 1-d sort can only ever prune its own sort column;
+    // pruning on EITHER dimension is what Z-ORDER buys), and the box
+    // aggregate replays exactly from the source table through the
+    // residual filter (manifest pruning is a superset test, never a
+    // row-eliminator).
+    Q("s26_zorder_box_skipping",
+      (s, d) => {
+        val dir = zorderedOrders(s, d)
+        val (box, r2, tot) = graft.ops.ZOrder.boxPrunedRead(
+          s, dir, "ag", "bg", 256, 511, 256, 511)
+        val (_, ra, _) = graft.ops.ZOrder.boxPrunedRead(
+          s, dir, "ag", "bg", 256, 511, 0, 1023)
+        val (_, rb, _) = graft.ops.ZOrder.boxPrunedRead(
+          s, dir, "ag", "bg", 0, 1023, 256, 511)
+        box.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pruned_box", lit(r2 > 0 && r2 < tot))
+          .withColumn("pruned_a_only", lit(ra < tot))
+          .withColumn("pruned_b_only", lit(rb < tot))
+      },
+      Some(s"""WITH g AS (
+                 SELECT o_totalprice,
+                        (o_custkey * 1024)
+                          // ((SELECT MAX(o_custkey) FROM orders) + 1) AS ag,
+                        ((CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                           - (SELECT MIN(CAST(o_orderdate AS DATE)
+                                         - DATE '1970-01-01') FROM orders))
+                          * 1024)
+                          // ((SELECT MAX(CAST(o_orderdate AS DATE)
+                                          - DATE '1970-01-01') FROM orders)
+                              - (SELECT MIN(CAST(o_orderdate AS DATE)
+                                            - DATE '1970-01-01') FROM orders)
+                              + 1) AS bg
+                 FROM orders)
+               SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS pruned_box, TRUE AS pruned_a_only,
+                      TRUE AS pruned_b_only
+               FROM g
+               WHERE ag BETWEEN 256 AND 511 AND bg BETWEEN 256 AND 511""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

@@ -99,6 +99,27 @@ object TextQueries {
               AS DOUBLE) / CAST(len($sqlTok) AS DOUBLE) * 3.0, 1.0) * 0.3,
           6)"""
 
+  /** SQL twin of the [[graft.text.TextFunctions.detectLang]] + keep-'en'
+    * stage: one SELECT over `from` (a CTE name) emitting the surviving
+    * (doc_id, text). The ONE definition every oracle that language-filters
+    * interpolates (the pipeline CTEs and t38), so a marker edit cannot
+    * desynchronize them. */
+  private def sqlLangKeep(from: String): String = {
+    val hits = LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
+    }.mkString(", ")
+    val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val chain = LangMarkers.map { case (l, _) =>
+      s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, text FROM (
+          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
+          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM $from))
+        WHERE predicted IN ('en')"""
+  }
+
   /** Shared CTE chain of the composed curation pipeline (t33 + t33b):
     * the t13 funnel prefix (quality -> lang -> exact dedup -> LSH
     * near-dup) verbatim, then split, 5-gram decontamination, DSIR
@@ -107,23 +128,10 @@ object TextQueries {
     * packing; t33b: per-stage counts), so the two oracles can never
     * drift apart stage-wise. */
   private def sqlPipelineCtes: String = {
-
-        val hits = LangMarkers.map { case (lang, ms) =>
-          val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
-          s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
-        }.mkString(", ")
-        val maxExpr = LangMarkers.map { case (l, _) => s"hits_$l" }
-          .reduceRight((a, b) => s"greatest($a, $b)")
-        val chain = LangMarkers.map { case (l, _) =>
-          s"WHEN hits_$l = m AND hits_$l > 0 THEN '$l'"
-        }.mkString(" ")
         // the t13 funnel prefix (quality → lang → exact dedup → LSH
         // near-dup) verbatim, then the five new stages
     s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlQuality >= 0.3),
-                 lg AS (SELECT doc_id, text FROM (
-                          SELECT doc_id, text, CASE $chain ELSE 'und' END AS predicted
-                          FROM (SELECT doc_id, text, $hits, $maxExpr AS m FROM q))
-                        WHERE predicted IN ('en')),
+                 lg AS (${sqlLangKeep("q")}),
                  ex AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
                           SELECT MIN(doc_id)
                           FROM (SELECT doc_id,
@@ -1129,6 +1137,143 @@ object TextQueries {
                       len(kp) < len(t) AS changed,
                       md5(array_to_string(list_transform(kp, i -> t[i]), ' '))
                         AS clean_md5
-               FROM k ORDER BY doc_id"""))
+               FROM k ORDER BY doc_id""")),
+
+    // T38: INCREMENTAL curation — the steady-state twin of t33's
+    // bootstrap: a new batch (odd doc_ids) is curated against the
+    // already-accepted history (even doc_ids) without ever reprocessing
+    // the history itself: quality → langid → exact dedup within the
+    // batch → digest anti-join vs history → cross-corpus near-dup drop
+    // (band collisions only BETWEEN sides — t22's machinery at the
+    // curation threshold 0.5). Every stage's cost is batch-bounded
+    // (daily ingest at 100 TB corpus = O(batch × index-probe), never
+    // O(corpus²)); the funnel counts replay stage by stage in the
+    // oracle, which shares the quality and langid SQL definitions with
+    // t33's chain so the engines cannot drift.
+    Q("t38_incremental_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.text.Curation.incrementalFunnel(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+      },
+      Some(s"""WITH batch AS (SELECT doc_id, text FROM documents
+                              WHERE doc_id % 2 = 1),
+                    hist AS (SELECT doc_id, text FROM documents
+                             WHERE doc_id % 2 = 0),
+                    q AS (SELECT doc_id, text FROM batch
+                          WHERE $sqlQuality >= 0.3),
+                    lg AS (${sqlLangKeep("q")}),
+                    exb AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
+                              SELECT MIN(doc_id)
+                              FROM (SELECT doc_id,
+                                           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                             AS fp
+                                    FROM lg)
+                              GROUP BY fp)),
+                    hfp AS (SELECT DISTINCT
+                                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                     AS fp
+                            FROM hist WHERE text IS NOT NULL),
+                    exh AS (SELECT doc_id, text FROM exb
+                            WHERE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                  NOT IN (SELECT fp FROM hfp)),
+                    bw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM exh),
+                    hw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM hist),
+                    shb AS (SELECT DISTINCT doc_id,
+                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM bw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    shh AS (SELECT DISTINCT doc_id,
+                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM hw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    sigb AS (SELECT doc_id, j,
+                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                        AS BIGINT)) AS mh
+                             FROM shb CROSS JOIN range(0, 12) t(j)
+                             GROUP BY doc_id, j),
+                    sigh AS (SELECT doc_id, j,
+                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                        AS BIGINT)) AS mh
+                             FROM shh CROSS JOIN range(0, 12) t(j)
+                             GROUP BY doc_id, j),
+                    bb AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                    AS band_hash
+                           FROM sigb GROUP BY doc_id, 2),
+                    bh AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                    AS band_hash
+                           FROM sigh GROUP BY doc_id, 2),
+                    cands AS (SELECT DISTINCT a.doc_id AS batch_id,
+                                     c.doc_id AS corpus_id
+                              FROM bb a JOIN bh c
+                                ON a.band = c.band AND a.band_hash = c.band_hash),
+                    inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
+                              FROM cands c
+                              JOIN shb a ON a.doc_id = c.batch_id
+                              JOIN shh b ON b.doc_id = c.corpus_id
+                                            AND b.shingle = a.shingle
+                              GROUP BY 1, 2),
+                    szb AS (SELECT doc_id, COUNT(*) AS sz FROM shb GROUP BY doc_id),
+                    szh AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+                    drops AS (SELECT DISTINCT batch_id FROM inter
+                              JOIN szb s1 ON batch_id = s1.doc_id
+                              JOIN szh s2 ON corpus_id = s2.doc_id
+                              WHERE CAST(inter AS DOUBLE)
+                                    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+                    acc AS (SELECT doc_id FROM exh
+                            WHERE doc_id NOT IN (SELECT batch_id FROM drops))
+               SELECT '00_batch' AS stage, COUNT(*) AS n_docs FROM batch
+               UNION ALL SELECT '10_quality', COUNT(*) FROM q
+               UNION ALL SELECT '20_lang', COUNT(*) FROM lg
+               UNION ALL SELECT '30_exact_in_batch', COUNT(*) FROM exb
+               UNION ALL SELECT '40_exact_vs_history', COUNT(*) FROM exh
+               UNION ALL SELECT '50_neardup_vs_history', COUNT(*) FROM acc
+               ORDER BY stage""")),
+
+    // T39: per-domain document caps — the RefinedWeb/C4 domain-balancing
+    // verb: cap every source at its 5 highest-quality documents (quality
+    // DESC, doc_id tie-break — total-order deterministic in both
+    // engines), so no single domain dominates the training mix. WHICH
+    // docs survive is pinned, not just how many: kept_md5 hashes the
+    // ordered kept-id list per source. One window over a (source)-
+    // partitioned rank — at 100 TB this is WindowGroupLimit territory
+    // (the o5 plan shape): top-k per group never sorts whole partitions.
+    Q("t39_domain_caps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val kept = docs
+          .select(col("source"), col("doc_id"),
+            qualityScore(col("text")).as("__q"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("__q").desc, col("doc_id"))))
+          .filter(col("__rn") <= 5)
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val capped = kept.groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",")).as("kept_md5"))
+        totals.join(capped, "source").orderBy("source")
+      },
+      Some(s"""WITH sc AS (SELECT source, doc_id, $sqlQuality AS q
+                           FROM documents),
+                    r AS (SELECT source, doc_id,
+                                 ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id) AS rn
+                          FROM sc),
+                    k AS (SELECT source, doc_id FROM r WHERE rn <= 5)
+               SELECT t.source, t.n_docs, c.n_kept, c.kept_md5
+               FROM (SELECT source, COUNT(*) AS n_docs FROM documents
+                     GROUP BY source) t
+               JOIN (SELECT source, COUNT(*) AS n_kept,
+                            md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id)) AS kept_md5
+                     FROM k GROUP BY source) c USING (source)
+               ORDER BY t.source"""))
   )
 }

@@ -97,6 +97,69 @@ object Curation {
     stageCounts.unionAll(splitCounts).orderBy("stage")
   }
 
+  /** Every intermediate of one INCREMENTAL ingest step (see
+    * [[incrementalStages]]). */
+  final case class IncrementalStages(batch: DataFrame, quality: DataFrame,
+      lang: DataFrame, exactInBatch: DataFrame, exactVsHistory: DataFrame,
+      accepted: DataFrame)
+
+  /** One incremental curation step — the steady-state production shape of
+    * [[stages]]: a NEW batch is curated against an already-accepted
+    * HISTORICAL corpus instead of rebuilding the pipeline over everything.
+    * Stages: quality → language → exact dedup WITHIN the batch → digest
+    * anti-join AGAINST history ([[graft.dedup.Dedup.dedupAgainstDigests]]'s
+    * regime, staged separately so the funnel attributes each cut) →
+    * cross-corpus near-dup drop (batch docs with a verified ≥ minJaccard
+    * partner in history; [[graft.dedup.Dedup.crossCorpusPairs]] — band
+    * collisions only between batch and history, never intra-side).
+    *
+    * Scale shape: every stage's cost is bounded by the BATCH (plus the
+    * history digest/band INDEX, which a production deployment persists and
+    * appends to instead of recomputing — the dedupAgainstDigests note);
+    * the historical corpus text is never shuffled against itself. That is
+    * the whole point: daily ingest at 100 TB corpus size costs
+    * O(batch × index-probe), not O(corpus²). */
+  def incrementalStages(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): IncrementalStages = {
+    import graft.dedup.Dedup
+    val q = batch.filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
+    val lg = q.filter(TextFunctions.detectLang(col(textCol)).isin(cfg.langs: _*))
+    val exB = Dedup.exactDedup(lg, idCol, textCol)
+    val histFp = history.filter(col(textCol).isNotNull)
+      .select(TextFunctions.fingerprint(col(textCol)).as("__hfp")).distinct()
+    // persisted: the near-dup machinery consumes the surviving batch from
+    // several subplans (shingles, signatures, sizes, anti-join target,
+    // funnel count) — the stages() discipline
+    val exH = graft.ops.Caches.tracked(
+      exB.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+        .join(histFp, col("__fp") === col("__hfp"), "left_anti")
+        .drop("__fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val drops = Dedup.crossCorpusPairs(exH, history, idCol, textCol,
+        cfg.shingleSize, cfg.minhashes, cfg.rowsPerBand, cfg.minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    val accepted = exH.join(drops, Seq(idCol), "left_anti")
+    IncrementalStages(batch, q, lg, exB, exH, accepted)
+  }
+
+  /** Funnel report of one incremental step: batch documents surviving
+    * each stage — the daily-ingest twin of [[funnel]]. */
+  def incrementalFunnel(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame = {
+    val s = incrementalStages(batch, history, idCol, textCol, cfg)
+    Seq(
+      "00_batch" -> s.batch, "10_quality" -> s.quality, "20_lang" -> s.lang,
+      "30_exact_in_batch" -> s.exactInBatch,
+      "40_exact_vs_history" -> s.exactVsHistory,
+      "50_neardup_vs_history" -> s.accepted)
+      .map { case (name, d) =>
+        d.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy("stage")
+  }
+
   /** Knobs for the stages [[pipeline]] adds on top of [[Config]].
     *
     * The contamination cut is RATIONAL by design (`n_hit * contamDen >=

@@ -58,6 +58,63 @@ class VersionedSpec extends SparkSpec {
     assert(p0 == 0 && edf.count() == 0L)
   }
 
+  test("changes: append steps are file-level inserts; overwrite steps " +
+      "diff snapshots; compaction yields zero change rows") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), dir)
+    Versioned.commit(Seq((3L, 30.0)).toDF("id", "x"), dir) // append
+    // overwrite: update id=1, delete id=2, keep id=3, insert id=4
+    Versioned.commit(Seq((1L, 11.0), (3L, 30.0), (4L, 40.0)).toDF("id", "x"),
+      dir, overwrite = true)
+    assert(Versioned.stepIsAppend(dir, 2))
+    assert(!Versioned.stepIsAppend(dir, 3))
+
+    val step2 = Versioned.changes(spark, dir, 1, 2, "id")
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(step2 == Set((3L, "insert", 2L)))
+
+    val step3 = Versioned.changes(spark, dir, 2, 3, "id")
+      .select("id", "x", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(step3 == Set(
+      (1L, 10.0, "update_preimage"), (1L, 11.0, "update_postimage"),
+      (2L, 20.0, "delete"), (4L, 40.0, "insert")))
+
+    // multi-step feed = union of the steps, unchanged rows suppressed
+    assert(Versioned.changes(spark, dir, 1, 3, "id").count() == 5L)
+
+    // compaction is content-invariant => empty change set for its step
+    Versioned.compact(spark, dir)
+    assert(Versioned.changes(spark, dir, 3, 4, "id").count() == 0L)
+  }
+
+  test("snapshotDiff is null-safe on value columns") {
+    val before = Seq((1L, Option("a")), (2L, None: Option[String]))
+      .toDF("id", "s")
+    val after = Seq((1L, None: Option[String]), (2L, None: Option[String]))
+      .toDF("id", "s")
+    val d = Versioned.snapshotDiff(before, after, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    // id=2 null==null => unchanged; id=1 "a" -> null => update pair
+    assert(d == Set((1L, "update_preimage"), (1L, "update_postimage")))
+  }
+
+  test("vacuum expires old manifests and deletes unreferenced groups; " +
+      "retained versions stay readable, expired reads fail") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L, 2L).toDF("id"), dir)
+    Versioned.commit(Seq(3L).toDF("id"), dir) // append: groups c1,c2
+    Versioned.compact(spark, dir)             // v3 = overwrite group c3
+    val (manifests, groups) = Versioned.vacuum(spark, dir, 3)
+    assert((manifests, groups) == (2, 2)) // v1,v2 manifests; c1,c2 groups
+    assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { Versioned.read(spark, dir, 1) }
+    // idempotent: nothing left to remove
+    assert(Versioned.vacuum(spark, dir, 3) == (0, 0))
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)

@@ -67,4 +67,37 @@ class ZOrderSpec extends SparkSpec {
     assert(math.max(zx, zy) < 0.6 * math.max(sx, sy),
       s"z worst-dim ${math.max(zx, zy)} vs 1-d worst-dim ${math.max(sx, sy)}")
   }
+
+  test("boxPrunedRead skips files on either dimension and matches the " +
+      "full-scan filter") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder-box")
+    val df = spark.range(0, 20000).select(
+      col("id"),
+      (pmod(hash(col("id")), lit(1024))).cast("int").as("x"),
+      (pmod(hash(col("id"), lit(1)), lit(1024))).cast("int").as("y"))
+    ZOrder.writeZOrderedWithManifest(df, "x", "y", s"$root/z", 16)
+
+    def fullScan(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Long =
+      spark.read.parquet(s"$root/z")
+        .filter(col("x") >= aLo && col("x") <= aHi &&
+          col("y") >= bLo && col("y") <= bHi).count()
+
+    // small 2-d box: most files pruned
+    val (box, read, total) =
+      ZOrder.boxPrunedRead(spark, s"$root/z", "x", "y", 0, 127, 0, 127)
+    assert(total == 16 && read < total, s"read=$read of $total")
+    assert(box.count() == fullScan(0, 127, 0, 127))
+
+    // single-dimension predicate on the SECOND column still prunes —
+    // the property a 1-d sort by x cannot give
+    val (byY, readY, _) =
+      ZOrder.boxPrunedRead(spark, s"$root/z", "x", "y", 0, 1023, 0, 127)
+    assert(readY < 16, s"readY=$readY")
+    assert(byY.count() == fullScan(0, 1023, 0, 127))
+
+    // empty box
+    val (none, read0, _) =
+      ZOrder.boxPrunedRead(spark, s"$root/z", "x", "y", 5000, 6000, 0, 1023)
+    assert(read0 == 0 && none.count() == 0)
+  }
 }
