@@ -81,7 +81,17 @@ object ScaleRehearsal {
     // round-10 lakehouse family: the version-log table builds + the
     // stats-pruned snapshot read (first run = 4 commits + manifest IO,
     // steady = planned-group scan), and the repair scrub (pure scan)
-    "s21_versioned_stats_pruning", "t37_repetition_scrub")
+    "s21_versioned_stats_pruning", "t37_repetition_scrub",
+    // round-10 second wave: CDC snapshot diff (one key-shuffle per side —
+    // expect ~2×), file-level incremental read (bounded by the appended
+    // group — expect ~2× on data, zero table cost), bloom point lookup
+    // (driver probe + one-file scan — expect ~flat), z-order box scan
+    // (pruned fraction constant — expect ~2× of a fraction), PQ-ADC
+    // (code-table scan — expect ~2×), incremental curation (batch-bounded
+    // band index — the t22 shape), domain caps (windowed top-k per group)
+    "s23_versioned_changes", "s24_versioned_incremental",
+    "s26_zorder_box_skipping", "s27_bloom_point_skipping",
+    "emb17_pq_adc_knn", "t38_incremental_curation", "t39_domain_caps")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -80,4 +80,52 @@ object DataSkipping {
       else spark.read.parquet(files: _*)
     (df.filter(col(skipCol) >= lo && col(skipCol) <= hi), files.length, total)
   }
+
+  /** Write `df` UNCLUSTERED (round-robin into `nFiles`) plus a per-file
+    * BLOOM manifest on `keyCol` (`_bloom/`: file, bloom bitset, rows) —
+    * the bloom-filter index of the table formats (Delta bloom indexes,
+    * Iceberg/Parquet bloom filters). This is the skipping case zone maps
+    * CANNOT serve: a point lookup on a high-cardinality key in an
+    * unclustered layout intersects every file's [min,max], but a bloom
+    * answers "definitely not here" per file with no clustering
+    * requirement at ~10 bits/key. Built by ONE distributed pass through
+    * the custom [[graft.functions.Bloom.BloomAgg]] (buffers OR-merged
+    * map-side); keys are probed in their canonical string form. */
+  def writeWithBloom(df: DataFrame, dir: String, keyCol: String,
+      nFiles: Int, numBits: Int, numHashes: Int): Unit = {
+    val spark = df.sparkSession
+    graft.functions.Bloom.register(spark)
+    df.repartition(nFiles).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        expr(s"graft_bloom(CAST($keyCol AS STRING), $numBits, $numHashes)")
+          .as("bloom"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_bloom")
+  }
+
+  /** Point-lookup scan planned over only the files whose bloom might
+    * contain `key` (false positives read and removed by the residual
+    * equality; false negatives impossible). The manifest collect is one
+    * (bloom, file) row per FILE — the same driver-resident planning
+    * state as [[prunedRead]], a few KB per file. Returns (frame,
+    * filesRead, filesTotal). */
+  def bloomPrunedRead(spark: SparkSession, dir: String, keyCol: String,
+      key: String): (DataFrame, Int, Int) = {
+    val rows = spark.read.parquet(s"$dir/_bloom")
+      .select(col("file"), col("bloom")).collect()
+    val keyU = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    val files = rows
+      .filter(r => graft.functions.Bloom.mightContain(
+        r.getAs[Array[Byte]](1), keyU))
+      .map(_.getString(0)).toSeq
+    val residual = (d: DataFrame) =>
+      d.filter(col(keyCol).cast("string") === key)
+    val df =
+      if (files.isEmpty) residual(spark.read.parquet(dir)).filter(lit(false))
+      else residual(spark.read.parquet(files: _*))
+    (df, files.size, rows.length)
+  }
 }

@@ -283,6 +283,34 @@ object Versioned {
     (expired.size, orphans.length)
   }
 
+  /** Row-level DELETE — the remaining CRUD verb over the log (Delta/
+    * Iceberg `DELETE FROM ... WHERE`): read the latest snapshot, drop the
+    * matching rows, publish the survivors as a new OVERWRITE version.
+    * History stays readable (the audit property every destructive verb
+    * here preserves); [[changes]] across the delete step emits exactly
+    * the deleted rows as `delete` change rows. At 100 TB the rewrite
+    * narrows to the file groups whose stats intersect the predicate —
+    * compose with [[prunedRead]]'s planning the way [[mergeCommit]]'s
+    * note describes. Returns the committed version. */
+  def deleteCommit(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Int =
+    commit(read(spark, dir).filter(!predicate), dir, overwrite = true)
+
+  /** [[read]] with parquet schema merging — SCHEMA EVOLUTION across
+    * commits: a later append may carry ADDED columns; the merged read
+    * reconciles all groups' footers and null-fills columns an older
+    * group never wrote (exactly the s15 mechanism, now over the
+    * version log's planned file set). Readers of OLD versions still see
+    * that version's schema — evolution is additive, never retroactive. */
+  def readMerged(spark: SparkSession, dir: String, version: Int = 0)
+      : DataFrame = {
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    require(groups.nonEmpty, s"version $v has an empty manifest")
+    spark.read.option("mergeSchema", "true")
+      .parquet(groups.map(g => s"$dir/data/$g"): _*)
+  }
+
   /** File-group count of a version's manifest (layout observability). */
   def groupCount(dir: String, version: Int = 0): Int = {
     val v = if (version == 0) latestVersion(dir) else version

@@ -242,6 +242,78 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s28's schema-evolved versioned table: v1 = even-key orders (2 cols),
+    * v2 = appended odd half carrying an ADDED o_flag column. */
+  private val evolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def evolvedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = evolvedCache.get(key)
+    if (hit != null) return hit
+    evolvedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s28_evolve_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    graft.ops.Versioned.commit(
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_flag", (col("o_orderkey") % 3).cast("long")),
+      dir)
+    evolvedCache.put(key, dir)
+    dir
+  }
+
+  /** s29's deleted-from versioned table: v1 = full orders, v2 = DELETE of
+    * keys divisible by 5. */
+  private val deletedCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def deletedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = deletedCache.get(key)
+    if (hit != null) return hit
+    deletedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s29_delete_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o, dir)
+    val v2 = graft.ops.Versioned.deleteCommit(s, dir, col("o_orderkey") % 5 === 0)
+    require(v2 == 2, s"unexpected delete version $v2")
+    deletedCache.put(key, dir)
+    dir
+  }
+
+  /** s27's bloom-indexed copy of orders: UNCLUSTERED write (round-robin,
+    * every file spans the full key range — the layout zone maps cannot
+    * prune) + per-file bloom manifest on the order key. */
+  private val bloomDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def bloomOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = bloomDirCache.get(key)
+    if (hit != null) return hit
+    bloomDirCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s27_bloom_${Integer.toHexString(d.hashCode)}")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.DataSkipping.writeWithBloom(o, dir, "o_orderkey",
+      nFiles = 16, numBits = 1 << 17, numHashes = 7)
+    bloomDirCache.put(key, dir)
+    dir
+  }
+
   /** Pinned registry event history for m8/m9: every legal state-machine
     * path (`ml/registry.py:99-142`) plus a same-millisecond tie broken by
     * the log's monotonic seq. Built through the REAL Registry.EventLog
@@ -571,6 +643,84 @@ object SinkSqlQueries {
                       TRUE AS pruned_b_only
                FROM g
                WHERE ag BETWEEN 256 AND 511 AND bg BETWEEN 256 AND 511""")),
+
+    // S27: BLOOM-filter file skipping — the index the table formats add
+    // precisely where zone maps stop working (Delta bloom indexes,
+    // Parquet/Iceberg bloom filters): a point lookup on a
+    // high-cardinality key over an UNCLUSTERED layout intersects every
+    // file's [min,max], but the per-file bloom (built by the custom
+    // graft_bloom TypedImperativeAggregate, probed driver-side per FILE)
+    // answers definitely-not-here with no clustering requirement. The
+    // lookup key is the smallest order key (both engines derive it), the
+    // row replays exactly, and `pruned` pins that the bloom planned
+    // strictly fewer than all files — false positives would be removed
+    // by the residual equality, false negatives are impossible.
+    Q("s27_bloom_point_skipping",
+      (s, d) => {
+        val dir = bloomOrders(s, d)
+        val key = Tables.orders(s, d)
+          .agg(min(col("o_orderkey").cast("long"))).head().getLong(0)
+        val (hit, read, tot) = graft.ops.DataSkipping.bloomPrunedRead(
+          s, dir, "o_orderkey", key.toString)
+        hit.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pruned", lit(read >= 1 && read < tot))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS pruned
+               FROM orders
+               WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)""")),
+
+    // S28: SCHEMA EVOLUTION over the version log — a later append
+    // carries an ADDED column (Delta's mergeSchema append / Iceberg
+    // add-column): v2's group writes o_flag, v1's group never did;
+    // `Versioned.readMerged` reconciles the planned groups' footers and
+    // null-fills the old rows. Gated: total count + price replay, the
+    // non-null o_flag population is EXACTLY the evolved half, and the
+    // new column aggregates correctly over it — all from source.
+    // Evolution is additive, never retroactive: a v1 time-travel read
+    // still sees two columns (pinned via `old_schema_stable`).
+    Q("s28_versioned_schema_evolution",
+      (s, d) => {
+        val dir = evolvedOrders(s, d)
+        val oldCols = graft.ops.Versioned.read(s, dir, 1).columns.length
+        graft.ops.Versioned.readMerged(s, dir)
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total"),
+            count(col("o_flag")).as("n_flagged"),
+            sum(col("o_flag")).as("flag_sum"))
+          .withColumn("old_schema_stable", lit(oldCols == 2))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END)
+                        AS n_flagged,
+                      CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                               THEN o_orderkey % 3 END) AS BIGINT)
+                        AS flag_sum,
+                      TRUE AS old_schema_stable
+               FROM orders""")),
+
+    // S29: row-level DELETE — the remaining CRUD verb (Delta/Iceberg
+    // DELETE FROM ... WHERE): v2 = deleteCommit of keys divisible by 5.
+    // The gate reads BOTH snapshots after the delete: v1 must still be
+    // the full table (history preserved — the audit property), v2
+    // exactly the survivors; both halves replay from source. The CDC
+    // composition is covered by construction: changes across a delete
+    // step emits the deleted rows (VersionedSpec).
+    Q("s29_versioned_delete",
+      (s, d) => {
+        val dir = deletedOrders(s, d)
+        def snap(v: Int) = graft.ops.Versioned.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+        snap(1).unionAll(snap(2)).orderBy("version")
+      },
+      Some(s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders WHERE o_orderkey % 5 != 0
+               ORDER BY version""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

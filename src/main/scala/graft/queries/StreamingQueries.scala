@@ -453,8 +453,83 @@ object StreamingQueries {
       Some(s"""SELECT event_type, COUNT(*) AS n,
                       ${sqlDsum("value", 6)} AS sum_value,
                       TRUE AS multi_batch
-               FROM events GROUP BY event_type ORDER BY event_type"""))
+               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ST8: STREAMING consumption of the version log — st7's twin in the
+    // other direction, and the streaming face of s24's incremental read:
+    // because the log only ever APPENDS immutable file groups under
+    // `data/`, the directory itself is a valid streaming source, and
+    // Spark's file-source checkpoint (processed-file log) IS the
+    // change-feed consumer's exactly-once state. Pass 1 (AvailableNow)
+    // consumes the v1 group; a new commit lands BETWEEN passes; pass 2
+    // resumes from the SAME checkpoint and must consume ONLY the new
+    // group — no reprocessing, no loss. The per-pass tagged output
+    // replays exactly as the even/odd key halves, so incremental
+    // exactly-once sits under the hash gate. (An OVERWRITE commit would
+    // make the raw file feed double-count by design — that regime is
+    // what `Versioned.changes`'s snapshot diff in s23 is for.)
+    Q("st8_stream_changefeed_read",
+      (s, d) => {
+        val out = changefeedConsumed(s, d)
+        s.read.parquet(out)
+          .groupBy("run")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("run")
+      },
+      Some(s"""SELECT CAST(1 AS BIGINT) AS run, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey % 2 = 0
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders WHERE o_orderkey % 2 = 1
+               ORDER BY run"""))
   )
+
+  /** st8's consumed change feed: a versioned orders table built commit by
+    * commit with a file-source stream consuming the `data` directory glob
+    * between commits — two AvailableNow passes over ONE checkpoint, output
+    * rows tagged by pass. Built once per (session, sfDir). */
+  private val changefeedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def changefeedConsumed(s: SparkSession, d: String): String = {
+    val key = (s, d)
+    val hit = changefeedCache.get(key)
+    if (hit != null) return hit
+    changefeedCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val table = tmp(s"st8/table_$suffix")
+    val out = tmp(s"st8/out_$suffix")
+    val ckpt = tmp(s"st8/ckpt_$suffix")
+    clean(s, table, out, ckpt)
+    val o = graft.io.Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val feedSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    def consume(run: Int): Unit = {
+      val q = s.readStream.schema(feedSchema).parquet(s"$table/data/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.withColumn("run", lit(run.toLong))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+    }
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), table)
+    consume(1)
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), table)
+    consume(2)
+    changefeedCache.put(key, out)
+    out
+  }
 
   /** st7's versioned ingest table: the month-file event stream landed
     * commit-per-micro-batch via foreachBatch, once per (session, sfDir). */

@@ -60,4 +60,30 @@ class DataSkippingSpec extends SparkSpec {
       spark.read.parquet(dir).filter(col("k").between(100L, 199L)).count())
     assert(nRead == nTotal) // zone maps on random data skip nothing — honestly
   }
+
+  test("bloom manifest prunes point lookups where zone maps cannot " +
+      "(unclustered high-cardinality key)") {
+    val dir = freshDir()
+    val df = spark.range(0, 20000).toDF("id")
+    DataSkipping.writeWithBloom(df, dir, "id", nFiles = 16,
+      numBits = 1 << 15, numHashes = 7)
+    // present key: exactly its one home file (+ rare false positives)
+    val (hit, read, total) = DataSkipping.bloomPrunedRead(spark, dir, "id", "12345")
+    assert(total == 16 && read >= 1 && read < total, s"read=$read of $total")
+    assert(hit.select("id").as[Long].collect().toSeq == Seq(12345L))
+    // absent key: bloom answers definitely-not-here for (almost) all files
+    val (miss, readM, _) = DataSkipping.bloomPrunedRead(spark, dir, "id", "999999")
+    assert(miss.count() == 0)
+    assert(readM <= 2, s"absent key matched $readM files — fpp way off")
+    // zone maps on the SAME layout are useless for this lookup: every
+    // file's [min,max] contains the key
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("id")).as("min_v"), max(col("id")).as("max_v"),
+        count(lit(1)).as("rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    val (_, zRead, zTotal) = DataSkipping.prunedRead(
+      spark, dir, "id", lit(12345L), lit(12345L))
+    assert(zRead == zTotal)
+  }
 }

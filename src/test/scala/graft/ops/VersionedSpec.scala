@@ -115,6 +115,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, dir, 3) == (0, 0))
   }
 
+  test("deleteCommit drops matching rows in a new version; history " +
+      "intact; changes emits the deleted rows") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "x"), dir)
+    Versioned.deleteCommit(spark, dir, col("id") === 2L)
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    assert(Versioned.read(spark, dir, 1).count() == 3L)
+    val chg = Versioned.changes(spark, dir, 1, 2, "id")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(chg == Set((2L, "delete")))
+  }
+
+  test("readMerged reconciles an added column across commits; old rows " +
+      "null-fill; old-version reads keep the old schema") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 1.0)).toDF("id", "x"), dir)
+    Versioned.commit(Seq((2L, 2.0, 9L)).toDF("id", "x", "flag"), dir)
+    val merged = Versioned.readMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("flag", "id", "x"))
+    assert(merged.filter(col("flag").isNull).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(Versioned.read(spark, dir, 1).columns.sorted.toSeq == Seq("id", "x"))
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)
