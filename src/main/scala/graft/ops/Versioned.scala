@@ -255,6 +255,31 @@ object Versioned {
     steps.reduce(_ unionAll _)
   }
 
+  /** Apply a change feed to a base snapshot — the CONSUMER side of
+    * [[changes]]: reconstructs the later snapshot from an older one plus
+    * the feed, which is the contract that makes CDC useful (a downstream
+    * table can follow the log without ever re-reading it). Multi-step
+    * feeds collapse to the LAST change per key by commit version
+    * (ties broken toward the post-image): a trailing `delete` removes the
+    * key, a trailing `insert`/`update_postimage` is its final row,
+    * `update_preimage` rows are informational only. One key-shuffle of
+    * each side — the same cost shape as [[Upsert.merge]]. */
+  def applyChanges(base: DataFrame, feed: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = base.columns.toSeq
+    // pre-images are informational; among the effective classes a key
+    // appears at most once per commit (diff semantics), so the version
+    // alone orders the reduction — the tie-break column never fires
+    val last = Upsert.latestPerKey(
+      feed.filter(col("_change_type") =!= "update_preimage"),
+      key, "_commit_version", "_change_type")
+    val touched = last.select(col(key)).distinct()
+    val untouched = base.join(touched, Seq(key), "left_anti")
+    val finalRows = last.filter(col("_change_type") =!= "delete")
+      .select(dataCols.map(col): _*)
+    untouched.unionByName(finalRows)
+  }
+
   /** VACUUM: expire every version below `retainFromVersion` and delete the
     * file groups no retained manifest references — the storage-reclaim verb
     * (Delta VACUUM / Iceberg expire_snapshots + remove_orphan_files).

@@ -722,6 +722,42 @@ object SinkSqlQueries {
                FROM orders WHERE o_orderkey % 5 != 0
                ORDER BY version""")),
 
+    // S30: CDC APPLY — the consumer side of the change feed, and the
+    // contract that makes s23/s24 useful downstream: a follower table
+    // holding snapshot v1 plus the (1→2] feed must reconstruct snapshot
+    // v2 EXACTLY, without ever re-reading the log. `applyChanges`
+    // collapses the feed to the last effective change per key (one
+    // key-shuffle — the Upsert.merge cost shape) and splices it into the
+    // base. Gated twice over: the rebuilt table's aggregate replays the
+    // merge semantics from source (the s20 v2 oracle), and
+    // `identical_to_snapshot` pins a two-way exceptAll against the real
+    // v2 at zero rows.
+    Q("s30_versioned_cdc_apply",
+      (s, d) => {
+        val dir = mergedOrders(s, d)
+        val rebuilt = graft.ops.Caches.tracked(
+          graft.ops.Versioned.applyChanges(
+            graft.ops.Versioned.read(s, dir, 1),
+            graft.ops.Versioned.changes(s, dir, 1, 2, "o_orderkey"),
+            "o_orderkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val snap = graft.ops.Versioned.read(s, dir, 2)
+        val sym = rebuilt.exceptAll(snap).count() +
+          snap.exceptAll(rebuilt).count()
+        rebuilt
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("identical_to_snapshot", lit(sym == 0L))
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+                      CAST(SUM(CAST(
+                        CASE WHEN o_orderkey % 10 = 0
+                             THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+                             ELSE CAST(o_totalprice AS DOUBLE) END
+                        AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                      TRUE AS identical_to_snapshot
+               FROM orders
+               WHERE o_orderkey % 2 = 0 OR o_orderkey % 10 = 1""")),
+
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
       (s, d) => {

@@ -140,6 +140,25 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir, 1).columns.sorted.toSeq == Seq("id", "x"))
   }
 
+  test("applyChanges reconstructs any later snapshot from an older one " +
+      "plus the feed (multi-step, all change classes)") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), dir)
+    Versioned.commit(Seq((3L, 30.0)).toDF("id", "x"), dir) // append
+    Versioned.commit(Seq((1L, 11.0), (3L, 30.0), (4L, 40.0)).toDF("id", "x"),
+      dir, overwrite = true) // update 1, delete 2, insert 4
+    Versioned.deleteCommit(spark, dir, col("id") === 4L) // delete 4
+    for (from <- 1 to 3; to <- (from + 1) to 4) {
+      val rebuilt = Versioned.applyChanges(
+        Versioned.read(spark, dir, from),
+        Versioned.changes(spark, dir, from, to, "id"), "id")
+        .as[(Long, Double)].collect().toSet
+      val expected = Versioned.read(spark, dir, to)
+        .as[(Long, Double)].collect().toSet
+      assert(rebuilt == expected, s"from=$from to=$to")
+    }
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)
