@@ -25,16 +25,23 @@ import scala.jdk.CollectionConverters._
   * file index, so a naive `spark.read.parquet(dir)` of the table root
   * cannot half-read metadata). At 100 TB the same layout holds — the
   * manifest grows with file-group count, not rows, and a read is one
-  * manifest fetch + a planned multi-path parquet scan. What this
-  * deliberately omits from the real systems: concurrent-writer conflict
-  * resolution (optimistic re-try on the latest pointer) and file-level
-  * statistics in the manifest (compose with [[DataSkipping]] for that).
+  * manifest fetch + a planned multi-path parquet scan. Concurrent
+  * writers are served by [[commitAppendOcc]] (optimistic retry on the
+  * version pointer with append-append auto-rebase — the Delta/Iceberg
+  * OCC protocol); cross-table zero-copy forks by [[cloneShallow]].
+  * File-level statistics compose with [[DataSkipping]].
   */
 object Versioned {
 
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(s"v$v.json")
+
+  /** A manifest group entry is normally a commit-dir NAME under this
+    * table's `data/`; a shallow clone ([[cloneShallow]]) instead records
+    * foreign groups as absolute paths/URIs, used verbatim. */
+  private def resolveGroup(dir: String, g: String): String =
+    if (g.startsWith("/") || g.contains("://")) g else s"$dir/data/$g"
 
   /** Largest committed version, or 0 if the table does not exist yet. */
   def latestVersion(dir: String): Int = {
@@ -131,7 +138,7 @@ object Versioned {
         read(spark, dir, v).filter(col(statsCol) >= lo && col(statsCol) <= hi)
           .filter(org.apache.spark.sql.functions.lit(false))
       else
-        spark.read.parquet(planned.map(g => s"$dir/data/$g"): _*)
+        spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)
           .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, planned.size, groups.size)
   }
@@ -246,7 +253,7 @@ object Versioned {
           val added =
             readManifest(dir, v).toSet -- (
               if (v == 1) Set.empty[String] else readManifest(dir, v - 1).toSet)
-          spark.read.parquet(added.toSeq.sorted.map(g => s"$dir/data/$g"): _*)
+          spark.read.parquet(added.toSeq.sorted.map(resolveGroup(dir, _)): _*)
             .withColumn("_change_type", lit("insert"))
         } else snapshotDiff(read(spark, dir, v - 1), read(spark, dir, v), key)
       step.select((dataCols :+ "_change_type").map(col): _*)
@@ -333,7 +340,7 @@ object Versioned {
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
     spark.read.option("mergeSchema", "true")
-      .parquet(groups.map(g => s"$dir/data/$g"): _*)
+      .parquet(groups.map(resolveGroup(dir, _)): _*)
   }
 
   /** File-group count of a version's manifest (layout observability). */
@@ -348,6 +355,103 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    spark.read.parquet(groups.map(g => s"$dir/data/$g"): _*)
+    spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
+  }
+
+  private def manifestJson(v: Int, parent: Int, overwrite: Boolean,
+      groups: Seq[String]): String =
+    s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
+      s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]}"""
+
+  /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
+    * exists yet — the put-if-absent primitive optimistic concurrency
+    * needs. A plain rename(2) silently REPLACES an existing target (a
+    * lost update); hard-link creation is atomic and fails loudly on an
+    * existing target, which is exactly the Delta-log "put if absent"
+    * contract. Returns false when another writer already owns `v`. */
+  private[ops] def publishIfAbsent(dir: String, v: Int, json: String)
+      : Boolean = {
+    Files.createDirectories(manifestDir(dir))
+    val tmp = Files.createTempFile(manifestDir(dir), s".v$v-", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(manifestPath(dir, v), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.delete(tmp)
+  }
+
+  /** Concurrent-writer APPEND with optimistic conflict resolution — the
+    * lakehouse OCC protocol (Delta's commitInfo retry loop / Iceberg's
+    * snapshot CAS): write the data group ONCE under a writer-unique name
+    * (data never conflicts and is never rewritten), then try to publish
+    * the manifest at `latest + 1` via [[publishIfAbsent]]. Losing the
+    * race to another APPEND is a FALSE conflict — appends commute — so
+    * the loser rebases: re-read the winner's manifest, extend ITS group
+    * list with the already-written group, publish at the next version.
+    * An OVERWRITE landing in the race window is a TRUE conflict (the
+    * snapshot this append was based on no longer exists) and aborts with
+    * `ConcurrentModificationException` — serializable-append semantics.
+    *
+    * `beforePublish` is a deterministic race-injection seam for tests
+    * (runs after the data write, before the first publish attempt).
+    * Liveness: a failed attempt means some other writer COMMITTED, so
+    * with W concurrent appenders every writer lands within W attempts. */
+  def commitAppendOcc(df: DataFrame, dir: String, writerId: String,
+      maxAttempts: Int = 64, beforePublish: () => Unit = () => ()): Int = {
+    val group = s"w_$writerId"
+    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    var parent = latestVersion(dir)
+    beforePublish() // race window: parent is captured, nothing published
+
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val v = parent + 1
+      val groups =
+        (if (parent == 0) Seq.empty else readManifest(dir, parent)) :+ group
+      if (publishIfAbsent(dir, v, manifestJson(v, parent, overwrite = false,
+          groups))) return v
+      attempts += 1
+      val newLatest = latestVersion(dir)
+      ((parent + 1) to newLatest).foreach { w =>
+        if (manifestIsOverwrite(dir, w))
+          throw new java.util.ConcurrentModificationException(
+            s"append by '$writerId' based on v$parent conflicts with " +
+              s"overwrite commit v$w at $dir")
+      }
+      parent = newLatest
+    }
+    throw new IllegalStateException(
+      s"writer '$writerId' lost $maxAttempts straight races at $dir")
+  }
+
+  /** SHALLOW CLONE (Delta `CLONE ... SHALLOW` / an Iceberg snapshot ref
+    * materialized as a new table): create `dstDir` whose v1 manifest
+    * references the SOURCE's current file groups by absolute path —
+    * zero data copied, metadata only, O(commit count) not O(rows).
+    * The clone then evolves independently: its own commits add groups
+    * under its own `data/`, and source commits never change it (the
+    * clone's manifest pinned the group list at clone time). The clone's
+    * [[vacuum]] can never delete source data (the orphan sweep only
+    * considers directories under the clone's own `data/`). Documented
+    * hazard, same as the real systems: vacuuming the SOURCE can orphan
+    * groups a clone still references — expire sources only after deep-
+    * copying or re-cloning. Manifest statistics are keyed by local group
+    * name and deliberately not carried over (cloned groups read
+    * conservatively). Returns the clone's version (always 1). */
+  def cloneShallow(srcDir: String, dstDir: String): Int = {
+    require(latestVersion(dstDir) == 0, s"clone target $dstDir already exists")
+    val v = latestVersion(srcDir)
+    require(v > 0, s"nothing to clone at $srcDir")
+    // a relative srcDir would yield group refs the reader mistakes for
+    // local names — pin them absolute (URIs pass through verbatim)
+    val absSrc =
+      if (srcDir.contains("://")) srcDir
+      else Paths.get(srcDir).toAbsolutePath.toString
+    val groups = readManifest(srcDir, v).map(resolveGroup(absSrc, _))
+    Files.createDirectories(manifestDir(dstDir))
+    val tmp = manifestDir(dstDir).resolve(".v1.json.tmp")
+    Files.write(tmp, manifestJson(1, 0, overwrite = true, groups)
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
+    1
   }
 }

@@ -93,6 +93,72 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s31's shallow clone of [[versionedOrders]] + a divergent DELETE on
+    * the clone. Returns (cloneDir, zeroCopy) where zeroCopy was observed
+    * BEFORE the clone's own first commit (no local `data/` dir — the
+    * clone was metadata-only). Built once per (session, sfDir). */
+  private val cloneCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean)]()
+
+  private def clonedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean) = {
+    val key = (s, d)
+    val hit = cloneCache.get(key)
+    if (hit != null) return hit
+    cloneCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val srcDir = versionedOrders(s, d)
+    val dir = tmp(s"s31_clone_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.ops.Versioned.cloneShallow(srcDir, dir)
+    val zeroCopy =
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "data"))
+    val v2 = graft.ops.Versioned.deleteCommit(s, dir, col("o_orderkey") % 4 === 0)
+    require(v2 == 2, s"unexpected clone delete version $v2")
+    val out = (dir, zeroCopy)
+    cloneCache.put(key, out)
+    out
+  }
+
+  /** s32's concurrently-appended versioned table: v1 = the quarter with
+    * o_orderkey ≡ 1 (mod 4); three THREADS then race `commitAppendOcc`
+    * with the remaining quarters. Returns (dir, allCommitted — the
+    * racers landed as versions {2,3,4}, serialHistory — group count
+    * strictly grows 1..4). Built once per (session, sfDir). */
+  private val occCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def occOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = occCache.get(key)
+    if (hit != null) return hit
+    occCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s32_occ_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 4 === 1), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val landed = try {
+      val futures = Seq(0, 2, 3).map { r =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = graft.ops.Versioned.commitAppendOcc(
+            o.filter(col("o_orderkey") % 4 === r), dir, s"q$r")
+        })
+      }
+      futures.map(_.get()).sorted
+    } finally pool.shutdown()
+    val allCommitted = landed == Seq(2, 3, 4)
+    val serialHistory =
+      (1 to 4).map(graft.ops.Versioned.groupCount(dir, _)) == (1 to 4)
+    val out = (dir, allCommitted, serialHistory)
+    occCache.put(key, out)
+    out
+  }
+
   /** s20's merged versioned table: v1 = even-key orders, v2 = MERGE of
     * an update batch (price bump on keys ≡ 0 mod 10, inserts on keys
     * ≡ 1 mod 10). Built once per (session, sfDir). */
@@ -757,6 +823,62 @@ object SinkSqlQueries {
                       TRUE AS identical_to_snapshot
                FROM orders
                WHERE o_orderkey % 2 = 0 OR o_orderkey % 10 = 1""")),
+
+    // S31: SHALLOW CLONE — the zero-copy table fork (Delta CLONE
+    // SHALLOW): the clone's v1 manifest references the source's file
+    // groups by absolute path (metadata-only, O(commits) not O(rows) —
+    // `zero_copy` pins that no local data dir existed post-clone), then
+    // the two tables diverge: a DELETE commits on the CLONE only. The
+    // gate reads three snapshots — clone-at-fork (≡ full source), clone
+    // post-delete (survivors), source latest (untouched by the clone's
+    // delete) — all replayed from the source table, so fork isolation
+    // in BOTH directions sits under the hash.
+    Q("s31_versioned_clone",
+      (s, d) => {
+        val (cloneDir, zeroCopy) = clonedOrders(s, d)
+        val srcDir = versionedOrders(s, d)
+        def snap(label: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .select(lit(label).as("snap"), col("n"), col("total"))
+        snap("clone_v1", graft.ops.Versioned.read(s, cloneDir, 1))
+          .unionAll(snap("clone_v2", graft.ops.Versioned.read(s, cloneDir, 2)))
+          .unionAll(snap("source_latest", graft.ops.Versioned.read(s, srcDir)))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .orderBy("snap")
+      },
+      Some(s"""SELECT 'clone_v1' AS snap, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS zero_copy
+               FROM orders
+               UNION ALL
+               SELECT 'clone_v2', COUNT(*), ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders WHERE o_orderkey % 4 != 0
+               UNION ALL
+               SELECT 'source_latest', COUNT(*), ${sqlDsum("o_totalprice")},
+                      TRUE
+               FROM orders
+               ORDER BY snap""")),
+
+    // S32: OPTIMISTIC CONCURRENCY — three genuinely concurrent appenders
+    // (threads) race `commitAppendOcc` onto the same version log: each
+    // writes its data group once, losers rebase their manifest onto the
+    // winner's and republish at the next version (append-append is a
+    // false conflict; the hard-link put-if-absent publish makes a lost
+    // update impossible). Gates: the final snapshot is EXACTLY the union
+    // of all four quarters (no lost update — replayed from source),
+    // `all_committed` pins that the racers landed as versions {2,3,4} in
+    // some order, and `serial_history` pins a strictly growing group
+    // list (v_k has k groups — every commit extended its parent).
+    Q("s32_concurrent_appends",
+      (s, d) => {
+        val (dir, allCommitted, serialHistory) = occOrders(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("all_committed", lit(allCommitted))
+          .withColumn("serial_history", lit(serialHistory))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS all_committed, TRUE AS serial_history
+               FROM orders""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

@@ -159,6 +159,94 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("OCC append rebases onto a racing append: data written once, " +
+      "both groups land, loser gets the next version") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir)
+    // writer B captures parent=1; A commits v2 in B's race window
+    val vB = Versioned.commitAppendOcc(Seq(3L).toDF("id"), dir, "B",
+      beforePublish = () =>
+        assert(Versioned.commitAppendOcc(Seq(2L).toDF("id"), dir, "A") == 2))
+    assert(vB == 3)
+    assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // B's rebased manifest extends A's: v3 ⊃ v2 ⊃ v1, one group each step
+    assert((1 to 3).map(Versioned.groupCount(dir, _)) == Seq(1, 2, 3))
+    // and v2 (A's win) does NOT contain B's rows — serial history
+    assert(Versioned.read(spark, dir, 2).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("OCC append aborts on a racing OVERWRITE (true conflict)") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L, 2L).toDF("id"), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitAppendOcc(Seq(3L).toDF("id"), dir, "B",
+        beforePublish = () =>
+          Versioned.commit(Seq(9L).toDF("id"), dir, overwrite = true))
+    }
+    // the aborted writer published nothing: latest is still the overwrite
+    assert(Versioned.latestVersion(dir) == 2)
+    assert(Versioned.read(spark, dir).as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("OCC: 8 genuinely concurrent appenders all land; final snapshot " +
+      "is the union; versions form a serial history") {
+    val dir = freshDir()
+    Versioned.commit(Seq(0L).toDF("id"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            Versioned.commitAppendOcc(Seq(i.toLong).toDF("id"), dir, s"w$i")
+        })
+      }
+      assert(futures.map(_.get()).sorted == (2 to 9))
+    } finally pool.shutdown()
+    assert(Versioned.latestVersion(dir) == 9)
+    assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
+      == (0L to 8L))
+    // every intermediate version is a strictly growing group list
+    assert((1 to 9).map(Versioned.groupCount(dir, _)) == (1 to 9))
+  }
+
+  test("shallow clone: zero data copied, content pinned at clone time, " +
+      "both sides evolve independently") {
+    val src = freshDir()
+    val dst = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), src)
+    Versioned.commit(Seq((3L, 30.0)).toDF("id", "x"), src)
+    assert(Versioned.cloneShallow(src, dst) == 1)
+    // zero copy: the clone has no data directory of its own yet
+    assert(!Files.isDirectory(java.nio.file.Paths.get(dst, "data")))
+    assert(Versioned.read(spark, dst).as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // source evolution is invisible to the clone...
+    Versioned.commit(Seq((4L, 40.0)).toDF("id", "x"), src)
+    assert(Versioned.read(spark, dst).count() == 3)
+    // ...and clone evolution (delete + append) is invisible to the source
+    Versioned.deleteCommit(spark, dst, col("id") === 2L)
+    Versioned.commit(Seq((9L, 90.0)).toDF("id", "x"), dst)
+    assert(Versioned.read(spark, dst).as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (3L, 30.0), (9L, 90.0)))
+    assert(Versioned.read(spark, src).count() == 4)
+    // clone vacuum reclaims only clone-local storage, never source data
+    Versioned.vacuum(spark, dst, Versioned.latestVersion(dst))
+    assert(Versioned.read(spark, dst).count() == 3)
+    assert(Versioned.read(spark, src).count() == 4)
+  }
+
+  test("clone of a clone resolves verbatim absolute refs") {
+    val a = freshDir(); val b = freshDir(); val c = freshDir()
+    Versioned.commit(Seq(1L, 2L).toDF("id"), a)
+    Versioned.cloneShallow(a, b)
+    Versioned.commit(Seq(3L).toDF("id"), b)
+    Versioned.cloneShallow(b, c)
+    assert(Versioned.read(spark, c).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)
