@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.similarity.Ann
+import Q.dsum
 
 /** Similarity search / embedding operators over the `embeddings` table
   * (`Array[Float]`, 64-dim): brute-force cosine top-k, per-label centroids,
@@ -679,7 +680,60 @@ object EmbeddingQueries {
                      CAST(256 AS BIGINT) AS raw_bytes,
                      CAST(16 AS BIGINT) AS code_bytes,
                      CAST(16 AS BIGINT) AS compression
-              FROM embeddings LIMIT 1"""))
+              FROM embeddings LIMIT 1""")),
+
+    // EMB18: Lloyd k-means — the TRAINING half of the IVF serving story
+    // (emb6/emb15 consume a codebook; this is the distributed trainer
+    // that produces one), with the determinism dial turned all the way
+    // up so the fit itself sits under the hash gate (unlike an MLlib
+    // fit): init = the k lowest-id vectors, argmax ties break to the
+    // lower centroid id, updated centroids rounded at source (the
+    // emb2/emb7 codebook convention). Two full iterations; the oracle
+    // replays BOTH as a CTE chain (init → assign → update → assign), so
+    // every vector's final cluster and its cosine are hash-checked.
+    // Per iteration: one k×d broadcast against a corpus scan + one
+    // k×d-bounded update aggregate — linear in rows, constant plan depth
+    // (centroids localCheckpointed).
+    Q("emb18_kmeans_lloyd",
+      (s, d) => graft.similarity.Kmeans.lloyd(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          dsum(round(col("cos"), 6), 6).as("sum_cos"))
+        .orderBy("cluster"),
+      Some(s"""WITH init AS (SELECT CAST(vec_id AS BIGINT) AS c_id,
+                                    list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS centroid
+                             FROM embeddings WHERE vec_id < 8),
+                    s1 AS (SELECT e.vec_id, i.c_id,
+                                  ${sqlCosine("e.embedding", "i.centroid")} AS cosv
+                           FROM embeddings e CROSS JOIN init i),
+                    a1 AS (SELECT vec_id, c_id AS cluster FROM
+                             (SELECT vec_id, c_id,
+                                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cosv DESC, c_id) AS rn
+                              FROM s1)
+                           WHERE rn = 1),
+                    cd AS (SELECT a1.cluster, i,
+                                  ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS cv
+                           FROM embeddings e JOIN a1 USING (vec_id)
+                                CROSS JOIN range(1, 65) t(i)
+                           GROUP BY 1, 2),
+                    c1 AS (SELECT cluster AS c_id, list(cv ORDER BY i) AS centroid
+                           FROM cd GROUP BY cluster),
+                    s2 AS (SELECT e.vec_id, c.c_id,
+                                  ${sqlCosine("e.embedding", "c.centroid")} AS cosv
+                           FROM embeddings e CROSS JOIN c1 c),
+                    a2 AS (SELECT vec_id, cluster, cosv FROM
+                             (SELECT vec_id, c_id AS cluster, cosv,
+                                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cosv DESC, c_id) AS rn
+                              FROM s2)
+                           WHERE rn = 1)
+               SELECT cluster, COUNT(*) AS n,
+                      CAST(SUM(CAST(ROUND(cosv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                        AS sum_cos
+               FROM a2 GROUP BY cluster ORDER BY cluster"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings

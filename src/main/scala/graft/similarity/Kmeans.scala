@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over cosine similarity — the TRAINING half
+  * of the IVF story (emb6/emb15 consume a codebook; this is where one
+  * comes from). Spherical-k-means shape: assignment maximizes cosine to a
+  * centroid, the update is the per-cluster coordinate mean (cosine is
+  * scale-invariant, so the unnormalized mean is equivalent to the
+  * normalized mean direction — the classic spherical Lloyd step, which
+  * makes the summed-cosine objective non-decreasing per iteration).
+  *
+  * Everything is engine-replayable, unlike an MLlib `KMeans` fit:
+  * initialization is the k lowest-id vectors (no RNG), ties in the argmax
+  * break toward the lower centroid id, and updated centroids are rounded
+  * to 6 decimals at source (the emb2/emb7 codebook convention), so a SQL
+  * oracle can replay every iteration as a CTE chain and the final
+  * assignment hash-matches. Production at 100 TB trains on a SAMPLE
+  * (k-means cost is per-iteration linear in rows × k; a few million
+  * sampled vectors pin centroids for a 10^11-vector corpus) and hands the
+  * codebook to [[Ivf]]; the mechanism here is that trainer with the
+  * determinism dial turned all the way up.
+  *
+  * Scale shape per iteration: one broadcast of the k×d codebook against a
+  * corpus scan (skinny argmax through a `__vid`-partitioned window), one
+  * k×d-bounded aggregation for the update. No driver collect; the
+  * centroid frame is localCheckpointed per iteration so plan depth stays
+  * constant in `iters` (the t33 lineage rule).
+  */
+object Kmeans {
+
+  /** One Lloyd ASSIGNMENT: every vector to its max-cosine centroid, ties
+    * to the lower centroid id. Input frames carry (__vid, __v) and
+    * (c_id, centroid). Returns (__vid, cluster, __cos). */
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("__vid"), col("c_id"),
+        Ann.cosineOrZero(Ann.dot(col("__v"), col("centroid")),
+          Ann.norm(col("__v")), Ann.norm(col("centroid"))).as("__cos"))
+    val w = Window.partitionBy("__vid").orderBy(col("__cos").desc, col("c_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__vid"), col("c_id").as("cluster"), col("__cos"))
+  }
+
+  /** One Lloyd UPDATE: per-cluster per-dimension mean, rounded to 6
+    * decimals at source (engine-portable codebook). A cluster that lost
+    * all members simply drops out of the codebook — both engines replay
+    * that identically. */
+  private def update(emb: DataFrame, assignment: DataFrame): DataFrame =
+    emb.join(assignment.select("__vid", "cluster"), "__vid")
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy(col("cluster").as("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+
+  /** Run `iters` Lloyd iterations (each = assign, then — except after the
+    * last — update). Initial centroids are the vectors with id < k, cast
+    * to double verbatim (exact in both engines). Returns the FINAL
+    * assignment (id, cluster, cos): each vector's cluster and its cosine
+    * to the centroid it was scored against in that final assignment. */
+  def lloyd(emb0: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got ($k, $iters)")
+    graft.functions.ArrayDotProduct.register(emb0.sparkSession)
+    val emb = emb0.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val init = emb.filter(col("__vid") < k)
+      .select(col("__vid").cast("long").as("c_id"), col("__v").as("centroid"))
+    var centroids = init
+    var assignment = assign(emb, centroids)
+    for (_ <- 2 to iters) {
+      // k×d-bounded frame; eager checkpoint keeps every iteration's plan
+      // one step deep instead of nesting the whole history
+      centroids = update(emb, assignment).localCheckpoint(true)
+      assignment = assign(emb, centroids)
+    }
+    assignment.select(col("__vid").as(idCol), col("cluster"),
+      col("__cos").as("cos"))
+  }
+}
