@@ -98,4 +98,45 @@ object Sampling {
         lit(granularity.toLong) * col("__k"))
       .drop("__n", "__k")
   }
+
+  /** Temperature-based stratum rebalancing — the mT5 / XLM-R multilingual
+    * sampling rule (Xue et al. 2021 §3.1; Conneau et al. 2020 §3):
+    * stratum s gets a share ∝ n_s^α with α = 1/τ < 1, which BOOSTS
+    * low-resource strata above their natural share (where [[mixToTarget]]
+    * needs explicit target proportions, this DERIVES them from the
+    * counts). Exposed at τ = 2 (α = 0.5) because sqrt is the one
+    * fractional power IEEE requires correctly rounded — the weights, and
+    * therefore the quotas, are bit-identical in any engine; a general-α
+    * build would route through integer nano-unit exp/ln like
+    * [[graft.text.Dsir]]. Quotas for a kept budget `targetTotal`:
+    * k_s = min(n_s, ⌊target·w_s/W + 1e-9⌋), w_s = round(√n_s, 6), W an
+    * exact decimal sum (the 1e-9 is [[mixToTarget]]'s floor-underflow
+    * guard). Membership is RANK-pinned, not expectation-based: exactly
+    * the k_s lowest-hash60 rows (id tie-break) of each stratum survive —
+    * deterministic across engines, runs and partitionings.
+    *
+    * 100 TB shape: one stratum-count aggregate broadcast back, then a
+    * per-stratum top-k window — WindowGroupLimit territory (the o5/t39
+    * plan shape), rows never sort beyond their stratum's k. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      targetTotal: Long, seed: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetTotal > 0, s"need targetTotal > 0, got $targetTotal")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(sqrt(col("__n").cast("double")), 6))
+    val tot = counts.agg(
+      sum(col("__w").cast("decimal(28,6)")).cast("double").as("__wsum"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("__n"),
+        least(col("__n"),
+          floor(lit(targetTotal.toDouble) * col("__w") / col("__wsum")
+            + lit(1e-9)).cast("long")).as("__k"))
+    df.withColumn("__rnk", row_number().over(
+        Window.partitionBy(strataCol)
+          .orderBy(TextFunctions.hash60(col(idCol).cast("string"), seed),
+            col(idCol))))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("__rnk") <= col("__k"))
+      .drop("__rnk", "__n", "__k")
+  }
 }

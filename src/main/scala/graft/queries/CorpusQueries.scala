@@ -272,6 +272,57 @@ object CorpusQueries {
               JOIN thr t USING (lang)
               ORDER BY kc.lang""")),
 
+    // T40: TEMPERATURE-based language rebalancing — the mT5/XLM-R
+    // multilingual sampling rule (share ∝ n^(1/τ), τ=2): where t23 needs
+    // explicit target proportions, this DERIVES them from the counts,
+    // boosting low-resource languages above their natural share. √n is
+    // the one fractional power IEEE requires correctly rounded, so the
+    // weights/quotas are bit-identical cross-engine; membership is
+    // RANK-pinned (hash60 order, id tie-break) and kept_md5 hashes the
+    // per-language kept-id list, so WHICH docs survive — not just the
+    // quota arithmetic — sits under the hash gate.
+    Q("t40_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val target = Tables.cachedCount(s, d, "documents") / 2
+        val kept = graft.ops.Sampling.temperatureSample(
+          docs, "lang", "doc_id", target)
+        val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val k = kept.groupBy("lang").agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",")).as("kept_md5"))
+        totals.join(k, "lang").orderBy("lang")
+      },
+      Some("""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                              GROUP BY lang),
+                   w AS (SELECT lang, n, ROUND(sqrt(CAST(n AS DOUBLE)), 6) AS wv
+                         FROM counts),
+                   tot AS (SELECT CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE)
+                                    AS wsum,
+                                  (SELECT CAST(COUNT(*) // 2 AS BIGINT)
+                                   FROM documents) AS tgt
+                           FROM w),
+                   q AS (SELECT lang, n,
+                                LEAST(n, CAST(FLOOR(CAST(tgt AS DOUBLE) * wv
+                                                    / wsum + 1e-9)
+                                              AS BIGINT)) AS k
+                         FROM w CROSS JOIN tot),
+                   r AS (SELECT lang, doc_id,
+                                ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY CAST(('0x' || substr(md5('7|' ||
+                                             CAST(doc_id AS VARCHAR)), 1, 15))
+                                           AS BIGINT), doc_id) AS rn
+                         FROM documents),
+                   kept AS (SELECT r.lang, r.doc_id
+                            FROM r JOIN q USING (lang) WHERE rn <= k)
+              SELECT q.lang, q.n AS n_docs, c.n_kept, c.kept_md5
+              FROM q JOIN (SELECT lang, COUNT(*) AS n_kept,
+                                  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                                 ORDER BY doc_id)) AS kept_md5
+                           FROM kept GROUP BY lang) c USING (lang)
+              ORDER BY q.lang""")),
+
     // T25: split-leakage audit — the check decontamination pipelines run
     // AFTER splitting: how many near-dup pairs (the t12 LSH-prune +
     // exact-verify composition) STRADDLE split boundaries. A test doc

@@ -101,4 +101,36 @@ class SamplingSpec extends SparkSpec {
     assert(kept.filter(col("stratum") === "spam").count() == 0)
     assert(kept.count() == 2)
   }
+
+  test("temperatureSample boosts the low-resource stratum above its " +
+      "natural share and pins exact quota counts") {
+    import spark.implicits._
+    // 900 'big' vs 100 'small': natural share 10%; √-weights give small
+    // 10/(30+10) = 25% of the kept budget
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "stratum")
+    val kept = Sampling.temperatureSample(docs, "stratum", "doc_id",
+      targetTotal = 200)
+    val bySt = kept.groupBy("stratum").count().as[(String, Long)]
+      .collect().toMap
+    // w_big = 30, w_small = 10, W = 40 → quotas 150 and 50, exactly
+    assert(bySt == Map("big" -> 150L, "small" -> 50L))
+    val smallShare = bySt("small").toDouble / (bySt("big") + bySt("small"))
+    assert(smallShare > 0.1 && smallShare < 0.5)
+  }
+
+  test("temperatureSample membership is rank-pinned: deterministic " +
+      "across runs and repartitionings, and a quota can't exceed n") {
+    import spark.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, "a")) ++
+      (51 to 54).map(i => (i.toLong, "b"))).toDF("doc_id", "stratum")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureSample(df, "stratum", "doc_id", targetTotal = 40)
+        .select("doc_id").as[Long].collect().toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(7))
+    assert(a == b)
+    // stratum b has only 4 rows; its quota is capped at 4
+    assert(a.count(_ > 50) <= 4)
+  }
 }
