@@ -323,6 +323,56 @@ object CorpusQueries {
                            FROM kept GROUP BY lang) c USING (lang)
               ORDER BY q.lang""")),
 
+    // T41: corpus DRIFT monitor — KL divergence both directions between
+    // the hashed-unigram bucket distributions of the train split (P,
+    // the t10 hash rule) and everything else (Q): the check run before
+    // a new batch/re-split joins the training mix. Dsir machinery
+    // (hashing trick B=1024, add-one smoothing, one ln per bucket in
+    // integer nano-units); the GATED surfaces are the exact BIGINT sums
+    // Σ(c+1)·llrNano over ALL buckets (unobserved ones still carry
+    // smoothed mass) — the real-valued KLs are derived. One corpus
+    // scan; divergence math on the ≤B-row bucket table.
+    Q("t41_corpus_drift",
+      (s, d) => graft.text.Drift.bucketDrift(Tables.documents(s, d),
+        graft.ops.Sampling.bucket(col("doc_id"), 7) < 9000),
+      Some("""WITH tok AS (
+                SELECT (CAST(('0x' || substr(md5('7|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 10000) < 9000 AS ref,
+                       unnest(list_transform(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> CAST(('0x' || substr(md5('31|' || t), 1, 15))
+                              AS BIGINT) % 1024)) AS b
+                FROM documents),
+              cnt AS (SELECT b, SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS c_p,
+                             SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS c_q
+                      FROM tok GROUP BY b),
+              allb AS (SELECT gs.b, COALESCE(c_p, 0) AS c_p,
+                              COALESCE(c_q, 0) AS c_q
+                       FROM (SELECT unnest(range(0, 1024)) AS b) gs
+                       LEFT JOIN cnt USING (b)),
+              tot AS (SELECT SUM(c_p) AS n_p, SUM(c_q) AS n_q FROM allb),
+              lr AS (SELECT c_p, c_q,
+                            CAST(ROUND(ln(
+                              (CAST(c_q AS DOUBLE) + 1.0)
+                                * (CAST(n_p AS DOUBLE) + 1024.0)
+                              / ((CAST(c_p AS DOUBLE) + 1.0)
+                                 * (CAST(n_q AS DOUBLE) + 1024.0))) * 1e9)
+                              AS BIGINT) AS nano
+                     FROM allb, tot),
+              agg AS (SELECT CAST(SUM((c_q + 1) * nano) AS BIGINT) AS kqp,
+                             CAST(SUM((c_p + 1) * (-nano)) AS BIGINT) AS kpq
+                      FROM lr)
+              SELECT CAST(n_p AS BIGINT) AS n_ref_tokens,
+                     CAST(n_q AS BIGINT) AS n_new_tokens,
+                     CAST(1024 AS BIGINT) AS n_buckets,
+                     kqp AS kl_new_ref_nano, kpq AS kl_ref_new_nano,
+                     ROUND(CAST(kqp AS DOUBLE) / 1e9
+                           / (CAST(n_q AS DOUBLE) + 1024.0), 9) AS kl_new_ref,
+                     ROUND(CAST(kpq AS DOUBLE) / 1e9
+                           / (CAST(n_p AS DOUBLE) + 1024.0), 9) AS kl_ref_new
+              FROM tot, agg""")),
+
     // T25: split-leakage audit — the check decontamination pipelines run
     // AFTER splitting: how many near-dup pairs (the t12 LSH-prune +
     // exact-verify composition) STRADDLE split boundaries. A test doc
