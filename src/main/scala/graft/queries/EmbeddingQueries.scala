@@ -682,6 +682,38 @@ object EmbeddingQueries {
                      CAST(16 AS BIGINT) AS compression
               FROM embeddings LIMIT 1""")),
 
+    // EMB19: embedding-space OUTLIER scrub — the curation step that
+    // drops mis-embedded / mislabeled vectors before they poison a
+    // training mix (CLIP-score-pruning shape): a vector is an outlier
+    // iff its cosine to its OWN label centroid < -0.15 (≈ the 2–5%
+    // tail at every driver scale). Codebook = the emb2/emb7 rounded
+    // mean, so the decision — including WHICH ids are flagged
+    // (outlier_md5 pins the ordered id list) — replays cross-engine.
+    // One k×d centroid aggregate + one broadcast equi-join scan.
+    Q("emb19_centroid_outliers",
+      (s, d) => graft.similarity.Ann.centroidOutliers(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", minCosine = -0.15)
+        .orderBy("label"),
+      Some(s"""WITH cd AS (SELECT CAST(label AS BIGINT) AS c_label, i,
+                                  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+                           FROM embeddings CROSS JOIN range(1, 65) t(i)
+                           GROUP BY 1, 2),
+                    cent AS (SELECT c_label, list(cv ORDER BY i) AS centroid
+                             FROM cd GROUP BY c_label),
+                    sc AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                                  ${sqlCosine("e.embedding", "c.centroid")} AS cosv
+                           FROM embeddings e
+                           JOIN cent c ON CAST(e.label AS BIGINT) = c.c_label)
+               SELECT label, COUNT(*) AS n,
+                      COUNT(*) FILTER (WHERE cosv < -0.15) AS n_outliers,
+                      md5(COALESCE(string_agg(CAST(vec_id AS VARCHAR), ','
+                                              ORDER BY vec_id)
+                                   FILTER (WHERE cosv < -0.15), ''))
+                        AS outlier_md5,
+                      CAST(SUM(CAST(ROUND(cosv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                        AS sum_cos
+               FROM sc GROUP BY label ORDER BY label""")),
+
     // EMB18: Lloyd k-means — the TRAINING half of the IVF serving story
     // (emb6/emb15 consume a codebook; this is the distributed trainer
     // that produces one), with the determinism dial turned all the way

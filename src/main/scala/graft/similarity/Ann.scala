@@ -426,6 +426,45 @@ object Ann {
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
 
+  /** Embedding-space OUTLIER scrub — the curation step that drops
+    * mis-embedded / mislabeled / junk vectors before they poison a
+    * training mix (the CLIP-score-pruning shape, over whatever grouping
+    * the caller trusts): a vector is an outlier iff its cosine to its
+    * OWN group's centroid falls below `minCosine`. The codebook is the
+    * deterministic rounded-mean (emb2/emb7 convention), so the whole
+    * decision — including WHICH ids are flagged (md5 of the ordered
+    * outlier-id list) — replays cross-engine. One k×d centroid
+    * aggregate + one broadcast equi-join scan; per-group accounting
+    * out: (label, n, n_outliers, outlier_md5, sum_cos). */
+  def centroidOutliers(emb0: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minCosine: Double): DataFrame = {
+    val emb = withRegistry(emb0)
+    val centroids = emb
+      .select(col(labelCol).cast("long").as("c_label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("c_label", "dim")
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x("cv")).as("centroid"))
+    emb
+      .select(col(idCol).as("__vid"), col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(centroids), col("label") === col("c_label"))
+      .select(col("__vid"), col("label"),
+        cosineOrZero(dot(col("__v"), col("centroid")), norm(col("__v")),
+          norm(col("centroid"))).as("__cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__cos") < minCosine, 1L).otherwise(0L)).as("n_outliers"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__cos") < minCosine,
+            col("__vid")))),
+          _.cast("string")), ",")).as("outlier_md5"),
+        sum(round(col("__cos"), 6).cast("decimal(18,6)")).cast("double")
+          .as("sum_cos"))
+  }
+
   /** Per-vector max-cosine centroid assignment against the deterministic
     * rounded-mean codebook: (__vid, label, assigned). Skinny through the
     * argmax shuffle — vectors rejoin by id downstream when needed. */

@@ -412,6 +412,30 @@ class AnnSpec extends SparkSpec {
       0.5 * r1.getAs[Double]("rel")) < 1e-12)
   }
 
+  test("centroidOutliers flags exactly the vector pointing away from " +
+      "its own label centroid, and nothing at tau = -1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f, 0.0f), 0), // opposite its label-0 peers
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.centroidOutliers(emb, "vec_id", "embedding", "label",
+      minCosine = 0.0).collect().map(r =>
+        r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n") == 3L)
+    assert(out(0L).getAs[Long]("n_outliers") == 1L)
+    assert(out(1L).getAs[Long]("n_outliers") == 0L)
+    // pinned membership: the md5 is of the literal id list "2"
+    assert(out(0L).getAs[String]("outlier_md5") ==
+      java.security.MessageDigest.getInstance("MD5").digest("2".getBytes)
+        .map("%02x".format(_)).mkString)
+    val none = Ann.centroidOutliers(emb, "vec_id", "embedding", "label",
+      minCosine = -1.0).collect()
+    assert(none.forall(_.getAs[Long]("n_outliers") == 0L))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
