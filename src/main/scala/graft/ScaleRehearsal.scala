@@ -91,7 +91,15 @@ object ScaleRehearsal {
     // band index — the t22 shape), domain caps (windowed top-k per group)
     "s23_versioned_changes", "s24_versioned_incremental",
     "s26_zorder_box_skipping", "s27_bloom_point_skipping",
-    "emb17_pq_adc_knn", "t38_incremental_curation", "t39_domain_caps")
+    "emb17_pq_adc_knn", "t38_incremental_curation", "t39_domain_caps",
+    // round-10: lakehouse consumer/fork/OCC verbs (orders-derived version
+    // logs rebuild at 2×), k-means trainer (2 broadcast scans + k×d
+    // update), outlier scrub (centroid join scan), temperature quotas
+    // (count agg + per-stratum top-k window), drift monitor (one token
+    // explode to a B-row table)
+    "s30_versioned_cdc_apply", "s31_versioned_clone",
+    "s32_concurrent_appends", "emb18_kmeans_lloyd",
+    "emb19_centroid_outliers", "t40_temperature_mix", "t41_corpus_drift")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

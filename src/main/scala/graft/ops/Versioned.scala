@@ -86,7 +86,8 @@ object Versioned {
     * intersecting groups. Parent groups keep whatever stats their own
     * commits recorded. */
   def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None, txn: Option[(String, Long)] = None,
+      commitTs: Option[Long] = None): Int = {
     val parent = latestVersion(dir)
     val v = parent + 1
     val group = s"c$v"
@@ -110,14 +111,73 @@ object Versioned {
       if (stats.isEmpty) ""
       else s""","stats":{${stats.toSeq.sortBy(_._1).map { case (g, (lo, hi)) =>
         s""""$g":[$lo,$hi]""" }.mkString(",")}}"""
+    val txnJson = txn.map { case (app, tv) =>
+      s""","txn":{"app":"$app","v":$tv}""" }.getOrElse("")
+    val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
     val json =
       s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
         s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
-        statsJson + "}"
+        statsJson + txnJson + tsJson + "}"
     val tmp = manifestDir(dir).resolve(s".v$v.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Highest `txnVersion` this `appId` has committed to the table, or
+    * None — the read half of [[idempotentCommit]]. Scans the retained
+    * manifests (bounded by commit count, not data). */
+  def lastTxnVersion(dir: String, appId: String): Option[Long] = {
+    val md = manifestDir(dir)
+    if (!Files.isDirectory(md)) return None
+    val pat = ("\"txn\":\\{\"app\":\"" +
+      java.util.regex.Pattern.quote(appId) + "\",\"v\":(-?[0-9]+)\\}").r
+    val vs = Files.list(md).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v"))
+      .flatMap { p =>
+        val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        pat.findFirstMatchIn(json).map(_.group(1).toLong)
+      }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** IDEMPOTENT commit under an (appId, txnVersion) pair — the Delta
+    * `txnAppId`/`txnVersion` mechanism that makes a streaming foreachBatch
+    * sink (or any at-least-once writer) exactly-once on the table: a
+    * RETRY of an already-committed transaction is a no-op, because the
+    * manifest log remembers the highest txnVersion each app committed.
+    * Returns Some(tableVersion) when the commit landed, None when it was
+    * skipped as a replay (txnVersion ≤ the recorded high-water mark).
+    * The writer's txnVersions must be monotone per app (a micro-batch id
+    * is). */
+  def idempotentCommit(df: DataFrame, dir: String, appId: String,
+      txnVersion: Long, overwrite: Boolean = false): Option[Int] = {
+    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) None
+    else Some(commit(df, dir, overwrite, txn = Some((appId, txnVersion))))
+  }
+
+  private def readTs(dir: String, v: Int): Option[Long] = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"no manifest for version $v at $p")
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    "\"ts\":(-?[0-9]+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
+  }
+
+  /** Time travel BY TIMESTAMP (`SELECT ... TIMESTAMP AS OF`): read the
+    * latest version whose recorded commit timestamp is ≤ `ts`. Commit
+    * timestamps are caller-INJECTED (`commit(..., commitTs = ...)`) per
+    * the repo's F9 discipline — wall clocks are nondeterministic, tables
+    * whose history must replay pin their clocks. Versions without a
+    * recorded ts are ignored; fails when `ts` precedes every stamped
+    * commit (exactly Delta's behaviour). */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, ts: Long)
+      : DataFrame = {
+    val stamped = (1 to latestVersion(dir))
+      .flatMap(v => readTs(dir, v).map(v -> _))
+    val eligible = stamped.filter(_._2 <= ts)
+    require(eligible.nonEmpty,
+      s"no commit at or before ts=$ts at $dir (stamped: $stamped)")
+    read(spark, dir, eligible.maxBy(_._2)._1)
   }
 
   /** Statistics-pruned snapshot read: plan only the file groups whose

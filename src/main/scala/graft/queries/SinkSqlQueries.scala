@@ -159,6 +159,63 @@ object SinkSqlQueries {
     out
   }
 
+  /** s33's idempotently-loaded versioned table: batch 1 committed, the
+    * SAME batch replayed (must skip), batch 2 committed — the Delta
+    * txnAppId/txnVersion exactly-once sink mechanism. Returns
+    * (dir, retrySkipped). Built once per (session, sfDir). */
+  private val idemCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean)]()
+
+  private def idempotentOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean) = {
+    val key = (s, d)
+    val hit = idemCache.get(key)
+    if (hit != null) return hit
+    idemCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s33_idem_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val b1 = o.filter(col("o_orderkey") % 3 === 0)
+    require(graft.ops.Versioned.idempotentCommit(b1, dir, "loader", 1L)
+      .contains(1), "first batch must commit as v1")
+    val retrySkipped =
+      graft.ops.Versioned.idempotentCommit(b1, dir, "loader", 1L).isEmpty
+    require(graft.ops.Versioned.idempotentCommit(
+      o.filter(col("o_orderkey") % 3 === 1), dir, "loader", 2L).contains(2),
+      "second batch must commit as v2")
+    val out = (dir, retrySkipped)
+    idemCache.put(key, out)
+    out
+  }
+
+  /** s34's timestamp-stamped versioned table: three thirds of orders
+    * committed at injected ts 1000/2000/3000 (the F9 clock-injection
+    * discipline). Built once per (session, sfDir). */
+  private val tsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def timestampedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = tsCache.get(key)
+    if (hit != null) return hit
+    tsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s34_ts_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    for ((r, ts) <- Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L))
+      graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 3 === r), dir,
+        commitTs = Some(ts))
+    tsCache.put(key, dir)
+    dir
+  }
+
   /** s20's merged versioned table: v1 = even-key orders, v2 = MERGE of
     * an update batch (price bump on keys ≡ 0 mod 10, inserts on keys
     * ≡ 1 mod 10). Built once per (session, sfDir). */
@@ -879,6 +936,51 @@ object SinkSqlQueries {
       Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
                       TRUE AS all_committed, TRUE AS serial_history
                FROM orders""")),
+
+    // S33: IDEMPOTENT transactional commits — the Delta txnAppId/
+    // txnVersion mechanism that turns an at-least-once writer (a
+    // streaming foreachBatch sink, a retried batch loader) into
+    // exactly-once on the table: the log records each app's txn
+    // high-water mark, and a REPLAY of an already-committed transaction
+    // is a no-op. The builder commits batch 1, replays batch 1 (must
+    // skip — `retry_skipped`), commits batch 2; the gate reads the final
+    // snapshot, which must hold each batch EXACTLY once (the replay
+    // would double batch 1's rows), and pins `two_versions` (the retry
+    // minted no version).
+    Q("s33_idempotent_commits",
+      (s, d) => {
+        val (dir, retrySkipped) = idempotentOrders(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("retry_skipped", lit(retrySkipped))
+          .withColumn("two_versions",
+            lit(graft.ops.Versioned.latestVersion(dir) == 2))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS retry_skipped, TRUE AS two_versions
+               FROM orders WHERE o_orderkey % 3 IN (0, 1)""")),
+
+    // S34: time travel BY TIMESTAMP (`TIMESTAMP AS OF`) — three thirds
+    // of orders committed at INJECTED ts 1000/2000/3000 (wall clocks are
+    // nondeterministic; replayable tables pin theirs — the F9
+    // discipline). Reading as-of 2500 must see exactly the first two
+    // commits; as-of 9999 the full table. Both snapshots replay from
+    // source, so the ts→version resolution sits under the hash.
+    Q("s34_time_travel_by_timestamp",
+      (s, d) => {
+        val dir = timestampedOrders(s, d)
+        def snap(ts: Long) = graft.ops.Versioned.readAsOfTimestamp(s, dir, ts)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(ts).as("as_of_ts"), col("n"), col("total"))
+        snap(2500L).unionAll(snap(9999L)).orderBy("as_of_ts")
+      },
+      Some(s"""SELECT CAST(2500 AS BIGINT) AS as_of_ts, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey % 3 IN (0, 1)
+               UNION ALL
+               SELECT CAST(9999 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders
+               ORDER BY as_of_ts""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

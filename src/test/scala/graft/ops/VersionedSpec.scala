@@ -247,6 +247,45 @@ class VersionedSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("idempotentCommit: a replayed transaction is a no-op; per-app " +
+      "high-water marks are independent") {
+    val dir = freshDir()
+    val b1 = Seq(1L, 2L).toDF("id")
+    assert(Versioned.idempotentCommit(b1, dir, "loader", 1L).contains(1))
+    // at-least-once retry of the SAME batch: skipped, nothing duplicated
+    assert(Versioned.idempotentCommit(b1, dir, "loader", 1L).isEmpty)
+    assert(Versioned.idempotentCommit(Seq(3L).toDF("id"), dir, "loader", 2L)
+      .contains(2))
+    // a stale replay below the high-water mark is also skipped
+    assert(Versioned.idempotentCommit(b1, dir, "loader", 1L).isEmpty)
+    // a DIFFERENT app has its own txn sequence
+    assert(Versioned.idempotentCommit(Seq(9L).toDF("id"), dir, "backfill", 1L)
+      .contains(3))
+    assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 9L))
+    assert(Versioned.lastTxnVersion(dir, "loader").contains(2L))
+    assert(Versioned.lastTxnVersion(dir, "backfill").contains(1L))
+    assert(Versioned.lastTxnVersion(dir, "nobody").isEmpty)
+  }
+
+  test("readAsOfTimestamp picks the latest commit at or before ts; " +
+      "unstamped commits are invisible to it; too-early ts fails") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir, commitTs = Some(1000L))
+    Versioned.commit(Seq(2L).toDF("id"), dir, commitTs = Some(2000L))
+    Versioned.commit(Seq(3L).toDF("id"), dir) // unstamped (e.g. compaction)
+    Versioned.commit(Seq(4L).toDF("id"), dir, commitTs = Some(3000L))
+    def ids(ts: Long) = Versioned.readAsOfTimestamp(spark, dir, ts)
+      .as[Long].collect().sorted.toSeq
+    assert(ids(1000L) == Seq(1L))
+    assert(ids(2500L) == Seq(1L, 2L))
+    assert(ids(3000L) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(999999L) == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOfTimestamp(spark, dir, 999L)
+    }
+  }
+
   test("a data write without a published manifest is invisible") {
     val dir = freshDir()
     Versioned.commit(Seq(1L).toDF("id"), dir)
