@@ -19,7 +19,8 @@ import scala.jdk.CollectionConverters._
   *  - an append never rewrites existing data (file groups are the unit
   *    of addition, exactly Iceberg's add-files commit);
   *  - a failed write is invisible (the manifest is published LAST, via
-  *    atomic temp-file rename — no manifest, no version).
+  *    atomic put-if-absent hard-link — no manifest, no version, and a
+  *    racing writer can never silently replace a committed manifest).
   *
   * Manifests live under `_manifests/` (underscore: invisible to Spark's
   * file index, so a naive `spark.read.parquet(dir)` of the table root
@@ -28,57 +29,147 @@ import scala.jdk.CollectionConverters._
   * manifest fetch + a planned multi-path parquet scan. Concurrent
   * writers are served by [[commitAppendOcc]] (optimistic retry on the
   * version pointer with append-append auto-rebase — the Delta/Iceberg
-  * OCC protocol); cross-table zero-copy forks by [[cloneShallow]].
-  * File-level statistics compose with [[DataSkipping]].
+  * OCC protocol) and [[idempotentCommit]] (exactly-once under retries,
+  * atomic against zombie-writer races); cross-table zero-copy forks by
+  * [[cloneShallow]]. File-level statistics compose with [[DataSkipping]].
+  *
+  * Row-level MERGE and DELETE are FILE-GRANULARITY copy-on-write when
+  * the table carries manifest statistics ([[mergeCommitCow]],
+  * [[deleteCommitCow]]): only the groups whose recorded [min,max]
+  * intersects the update keys / delete range are rewritten; untouched
+  * groups carry over into the new manifest BY NAME, verbatim — the
+  * Delta/Iceberg file-level COW shape, where a 100 TB table pays for a
+  * merge in proportion to the data it touches, never the table size.
   */
 object Versioned {
+
+  /** Charset for writer-supplied identifiers that flow into paths and
+    * manifest JSON (writer ids, txn app ids). The manifest is written by
+    * string construction and parsed by anchored regex, so an id carrying
+    * `"`, `,`, `/` or whitespace would corrupt the log — rejected loudly
+    * at the API edge instead. */
+  private val IdPattern = "[A-Za-z0-9_.-]{1,128}"
+
+  private def requireId(kind: String, s: String): Unit =
+    require(s != null && s.matches(IdPattern),
+      s"$kind '$s' must match $IdPattern (it flows into paths and manifest JSON)")
+
+  /** Group entries (local names or clone paths/URIs) live inside the
+    * manifest's quoted, comma-separated groups array — characters that
+    * would break that framing are rejected at write time. */
+  private def requireGroupRef(g: String): Unit =
+    require(g != null && g.nonEmpty &&
+      !g.exists(c => c == '"' || c == '\\' || c == ',' || c.isControl),
+      s"group ref '$g' may not contain quotes, backslashes, commas or control chars")
 
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(s"v$v.json")
 
   /** A manifest group entry is normally a commit-dir NAME under this
-    * table's `data/`; a shallow clone ([[cloneShallow]]) instead records
-    * foreign groups as absolute paths/URIs, used verbatim. */
+    * table's `data/` (possibly a hive-style subdir, e.g. a z-bucket of
+    * one compaction commit); a shallow clone ([[cloneShallow]]) instead
+    * records foreign groups as absolute paths/URIs, used verbatim. */
   private def resolveGroup(dir: String, g: String): String =
     if (g.startsWith("/") || g.contains("://")) g else s"$dir/data/$g"
 
-  /** Largest committed version, or 0 if the table does not exist yet. */
-  def latestVersion(dir: String): Int = {
+  /** Manifest file names under `_manifests/`, stream closed via
+    * try/finally (Files.list leaks a directory fd otherwise — and
+    * [[lastTxnVersion]] runs once per streaming micro-batch). */
+  private def manifestNames(dir: String): Seq[String] = {
     val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return 0
-    Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
+    if (!Files.isDirectory(md)) return Seq.empty
+    val stream = Files.list(md)
+    try stream.iterator().asScala.map(_.getFileName.toString).toList
+    finally stream.close()
+  }
+
+  /** Largest committed version, or 0 if the table does not exist yet. */
+  def latestVersion(dir: String): Int =
+    manifestNames(dir)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .foldLeft(0)(math.max)
+
+  private def manifestText(dir: String, v: Int): String = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"no manifest for version $v at $p")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
   }
 
   private def readManifest(dir: String, v: Int): Seq[String] = {
-    val p = manifestPath(dir, v)
-    require(Files.exists(p), s"no manifest for version $v at $p")
-    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    // groups are commit-dir names (no quotes/commas inside by construction)
-    "\"groups\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+    // group refs are charset-validated at write time (requireGroupRef),
+    // so quote/comma framing is unambiguous here
+    "\"groups\":\\[([^\\]]*)\\]".r.findFirstMatchIn(manifestText(dir, v))
       .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
         .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
   }
 
-  private def readStats(dir: String, v: Int): Map[String, (Long, Long)] = {
-    val p = manifestPath(dir, v)
-    require(Files.exists(p), s"no manifest for version $v at $p")
-    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    "\"(c[0-9]+)\":\\[(-?[0-9]+),(-?[0-9]+)\\]".r.findAllMatchIn(json)
-      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+  private def readStats(dir: String, v: Int): Map[String, (Long, Long)] =
+    "\"stats\":\\{([^}]*)\\}".r.findFirstMatchIn(manifestText(dir, v))
+      .map { m =>
+        "\"([^\"]+)\":\\[(-?[0-9]+),(-?[0-9]+)\\]".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
+      }.getOrElse(Map.empty)
+
+  /** TWO-dimensional per-group statistics ([aLo,aHi,bLo,bHi]) recorded by
+    * [[compactZOrder]] — the manifest half of Z-ORDER clustering. */
+  private def readStats2(dir: String, v: Int)
+      : Map[String, (Long, Long, Long, Long)] =
+    "\"stats2\":\\{([^}]*)\\}".r.findFirstMatchIn(manifestText(dir, v))
+      .map { m =>
+        ("\"([^\"]+)\":\\[(-?[0-9]+),(-?[0-9]+),(-?[0-9]+),(-?[0-9]+)\\]".r
+          .findAllMatchIn(m.group(1))
+          .map(g => g.group(1) ->
+            (g.group(2).toLong, g.group(3).toLong,
+              g.group(4).toLong, g.group(5).toLong)).toMap)
+      }.getOrElse(Map.empty)
+
+  private def manifestJson(v: Int, parent: Int, overwrite: Boolean,
+      groups: Seq[String], stats: Map[String, (Long, Long)] = Map.empty,
+      stats2: Map[String, (Long, Long, Long, Long)] = Map.empty,
+      txn: Option[(String, Long)] = None, commitTs: Option[Long] = None)
+      : String = {
+    groups.foreach(requireGroupRef)
+    val statsJson =
+      if (stats.isEmpty) ""
+      else s""","stats":{${stats.toSeq.sortBy(_._1).map { case (g, (lo, hi)) =>
+        s""""$g":[$lo,$hi]""" }.mkString(",")}}"""
+    val stats2Json =
+      if (stats2.isEmpty) ""
+      else s""","stats2":{${stats2.toSeq.sortBy(_._1)
+        .map { case (g, (aLo, aHi, bLo, bHi)) =>
+          s""""$g":[$aLo,$aHi,$bLo,$bHi]""" }.mkString(",")}}"""
+    val txnJson = txn.map { case (app, tv) =>
+      requireId("txn appId", app)
+      s""","txn":{"app":"$app","v":$tv}""" }.getOrElse("")
+    val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
+    s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
+      s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
+      statsJson + stats2Json + txnJson + tsJson + "}"
+  }
+
+  /** Min/max of `statsCol` over the WRITTEN group (the manifest must
+    * describe what is on disk, not the input plan). None when the group
+    * is empty or the column is all-null. */
+  private def writtenStats(spark: SparkSession, dir: String, group: String,
+      statsCol: String): Option[(Long, Long)] = {
+    val row = spark.read.parquet(resolveGroup(dir, group))
+      .selectExpr(s"min($statsCol)", s"max($statsCol)").head()
+    if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
   }
 
   /** Commit `df` as the next version. `overwrite = false` (append)
     * makes the new version = parent's file groups + the new group;
     * `overwrite = true` makes it the new group alone. Returns the
     * committed version number. The data write happens fully BEFORE the
-    * manifest is published (atomic rename), so readers can never see a
-    * partial commit.
+    * manifest is published (atomic put-if-absent), so readers can never
+    * see a partial commit — and a CONCURRENT commit racing this one
+    * fails loudly with `ConcurrentModificationException` instead of
+    * silently replacing the winner's manifest (single-writer verb;
+    * concurrent appenders use [[commitAppendOcc]], retried loaders
+    * [[idempotentCommit]]).
     *
     * `statsCol` (a LONG column — cast dates to epoch-day etc. at the
     * caller) records the new group's min/max in the manifest — the
@@ -98,29 +189,14 @@ object Versioned {
     val parentStats =
       if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
       else readStats(dir, parent)
-    val newStats = statsCol.flatMap { c =>
-      // stats come from the WRITTEN files, not the input plan — the
-      // manifest must describe what is on disk
-      val row = df.sparkSession.read.parquet(s"$dir/data/$group")
-        .selectExpr(s"min($c)", s"max($c)").head()
-      if (row.isNullAt(0)) None else Some(group -> (row.getLong(0), row.getLong(1)))
-    }
-    val stats = parentStats ++ newStats
-    Files.createDirectories(manifestDir(dir))
-    val statsJson =
-      if (stats.isEmpty) ""
-      else s""","stats":{${stats.toSeq.sortBy(_._1).map { case (g, (lo, hi)) =>
-        s""""$g":[$lo,$hi]""" }.mkString(",")}}"""
-    val txnJson = txn.map { case (app, tv) =>
-      s""","txn":{"app":"$app","v":$tv}""" }.getOrElse("")
-    val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
-    val json =
-      s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
-        s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
-        statsJson + txnJson + tsJson + "}"
-    val tmp = manifestDir(dir).resolve(s".v$v.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+    val newStats = statsCol.flatMap(c =>
+      writtenStats(df.sparkSession, dir, group, c).map(group -> _))
+    val json = manifestJson(v, parent, overwrite, groups,
+      parentStats ++ newStats, txn = txn, commitTs = commitTs)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"commit at $dir lost the race for version $v — " +
+          "use commitAppendOcc for concurrent appends")
     v
   }
 
@@ -128,16 +204,13 @@ object Versioned {
     * None — the read half of [[idempotentCommit]]. Scans the retained
     * manifests (bounded by commit count, not data). */
   def lastTxnVersion(dir: String, appId: String): Option[Long] = {
-    val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return None
     val pat = ("\"txn\":\\{\"app\":\"" +
       java.util.regex.Pattern.quote(appId) + "\",\"v\":(-?[0-9]+)\\}").r
-    val vs = Files.list(md).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v"))
-      .flatMap { p =>
-        val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        pat.findFirstMatchIn(json).map(_.group(1).toLong)
-      }.toSeq
+    val vs = manifestNames(dir)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .flatMap(v => pat.findFirstMatchIn(manifestText(dir, v))
+        .map(_.group(1).toLong))
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -149,34 +222,81 @@ object Versioned {
     * Returns Some(tableVersion) when the commit landed, None when it was
     * skipped as a replay (txnVersion ≤ the recorded high-water mark).
     * The writer's txnVersions must be monotone per app (a micro-batch id
-    * is). */
+    * is).
+    *
+    * ATOMIC against the zombie-retry race this mechanism exists for: the
+    * data group is written once under a process-unique name, then the
+    * publish loop re-checks the txn high-water mark and publishes via
+    * the put-if-absent primitive — two concurrent replays of the same
+    * (appId, txnVersion) commit EXACTLY once (the loser observes the
+    * winner's txn marker on its next attempt, deletes its orphaned data
+    * group, and skips). `beforePublish` is a deterministic race-injection
+    * seam for tests (runs after the data write, before the first publish
+    * attempt — the [[commitAppendOcc]] convention). */
   def idempotentCommit(df: DataFrame, dir: String, appId: String,
-      txnVersion: Long, overwrite: Boolean = false): Option[Int] = {
-    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) None
-    else Some(commit(df, dir, overwrite, txn = Some((appId, txnVersion))))
+      txnVersion: Long, overwrite: Boolean = false,
+      beforePublish: () => Unit = () => ()): Option[Int] = {
+    requireId("appId", appId)
+    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return None
+    // unique name: two zombies replaying the same (app, txn) must not
+    // collide on the data write — only the manifest linearizes them
+    val group = s"t_${appId}_${txnVersion}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    beforePublish()
+    var attempts = 0
+    while (attempts < 64) {
+      val parent = latestVersion(dir)
+      if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) {
+        // a racing replay won: drop the orphaned group, report skip
+        val p = new org.apache.hadoop.fs.Path(resolveGroup(dir, group))
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        return None
+      }
+      val v = parent + 1
+      val groups =
+        (if (overwrite || parent == 0) Seq.empty
+         else readManifest(dir, parent)) :+ group
+      val stats =
+        if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
+        else readStats(dir, parent)
+      val json = manifestJson(v, parent, overwrite, groups, stats,
+        txn = Some((appId, txnVersion)))
+      if (publishIfAbsent(dir, v, json)) return Some(v)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"idempotentCommit($appId, $txnVersion) lost 64 straight races at $dir")
   }
 
+  /** Commit timestamp recorded in version `v`'s manifest; None when the
+    * version carries no timestamp OR its manifest has been vacuumed away
+    * (expired history must not break timestamp travel to RETAINED
+    * versions — Delta keeps timestamp travel working within retained
+    * history). */
   private def readTs(dir: String, v: Int): Option[Long] = {
     val p = manifestPath(dir, v)
-    require(Files.exists(p), s"no manifest for version $v at $p")
+    if (!Files.exists(p)) return None
     val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     "\"ts\":(-?[0-9]+)".r.findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
   /** Time travel BY TIMESTAMP (`SELECT ... TIMESTAMP AS OF`): read the
-    * latest version whose recorded commit timestamp is ≤ `ts`. Commit
-    * timestamps are caller-INJECTED (`commit(..., commitTs = ...)`) per
-    * the repo's F9 discipline — wall clocks are nondeterministic, tables
-    * whose history must replay pin their clocks. Versions without a
-    * recorded ts are ignored; fails when `ts` precedes every stamped
-    * commit (exactly Delta's behaviour). */
+    * latest RETAINED version whose recorded commit timestamp is ≤ `ts`.
+    * Commit timestamps are caller-INJECTED (`commit(..., commitTs = ...)`)
+    * per the repo's F9 discipline — wall clocks are nondeterministic,
+    * tables whose history must replay pin their clocks. Versions without
+    * a recorded ts — including versions [[vacuum]] expired — are
+    * ignored; fails when `ts` precedes every retained stamped commit
+    * (exactly Delta's behaviour). */
   def readAsOfTimestamp(spark: SparkSession, dir: String, ts: Long)
       : DataFrame = {
     val stamped = (1 to latestVersion(dir))
       .flatMap(v => readTs(dir, v).map(v -> _))
     val eligible = stamped.filter(_._2 <= ts)
     require(eligible.nonEmpty,
-      s"no commit at or before ts=$ts at $dir (stamped: $stamped)")
+      s"no retained commit at or before ts=$ts at $dir (stamped: $stamped)")
     read(spark, dir, eligible.maxBy(_._2)._1)
   }
 
@@ -203,43 +323,303 @@ object Versioned {
     (df, planned.size, groups.size)
   }
 
-  /** MERGE INTO the versioned table (the Delta/Iceberg row-level MERGE
-    * shape over this manifest log): read the latest snapshot, merge
-    * `updates` by `key` ([[Upsert.merge]] semantics — matched rows take
-    * the update wholesale, new keys insert, the rest pass through), and
-    * commit the result as a new OVERWRITE version. Historical versions
-    * stay readable — an auditor can diff pre- and post-merge snapshots
-    * forever. One key-shuffle of each side + one rewrite of the merged
-    * table; at 100 TB the rewrite narrows to the touched partitions
-    * (compose with a partition-pruned read + dynamic partition
-    * overwrite). Returns the committed version. */
-  def mergeCommit(updates: DataFrame, dir: String, key: String): Int = {
-    val merged = Upsert.merge(read(updates.sparkSession, dir), updates, key)
-    commit(merged, dir, overwrite = true)
+  /** Box-pruned snapshot read over TWO-dimensional manifest statistics
+    * (written by [[compactZOrder]]): plan only the groups whose recorded
+    * rectangle intersects [aLo,aHi]×[bLo,bHi] (a group without 2-d stats
+    * is conservatively read), then apply the residual predicate. Returns
+    * (frame, groupsPlanned, groupsTotal) — [[ZOrder.boxPrunedRead]]'s
+    * contract lifted from per-file sidecars to the version log. */
+  def boxPrunedRead(spark: SparkSession, dir: String, aCol: String,
+      bCol: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      version: Int = 0): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    val stats2 = readStats2(dir, v)
+    val planned = groups.filter(g => stats2.get(g).forall {
+      case (gaLo, gaHi, gbLo, gbHi) =>
+        gaHi >= aLo && gaLo <= aHi && gbHi >= bLo && gbLo <= bHi })
+    val residual = (d: DataFrame) => d.filter(
+      col(aCol) >= aLo && col(aCol) <= aHi &&
+        col(bCol) >= bLo && col(bCol) <= bHi)
+    val df =
+      if (planned.isEmpty) residual(read(spark, dir, v)).filter(lit(false))
+      else residual(spark.read.parquet(planned.map(resolveGroup(dir, _)): _*))
+    (df, planned.size, groups.size)
   }
 
-  /** OPTIMIZE: rewrite the latest snapshot's (possibly many, possibly
-    * small) file groups into ONE compacted group published as a new
-    * overwrite version — the lakehouse compaction verb (Delta OPTIMIZE /
-    * Iceberg rewrite_data_files). Content is invariant by construction
-    * (the new group is a read of the old ones); history stays readable,
-    * so the pre-compaction layout remains auditable. `statsCol` re-records
-    * manifest statistics for the compacted group (compaction must not
-    * lose the planning metadata). Returns the new version. */
-  def compact(spark: SparkSession, dir: String,
-      statsCol: Option[String] = None): Int = {
+  /** The file groups of version `v` whose recorded [min,max] of the
+    * stats column could contain at least one value of `keys[keyCol]` —
+    * the "files to rewrite" planning step of file-granularity COW
+    * (Delta's MERGE file-pruning join, public design): the group-range
+    * table is tiny (bounded by commit count), so it broadcasts against
+    * ONE scan of the update batch; groups without stats are
+    * conservatively touched. Returns (touched, untouched), both in
+    * manifest order. */
+  private def touchedGroups(keys: DataFrame, keyCol: String, dir: String,
+      v: Int): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val groups = readManifest(dir, v)
+    val stats = readStats(dir, v)
+    val (statGroups, blindGroups) = groups.partition(stats.contains)
+    val touchedStat: Set[String] =
+      if (statGroups.isEmpty) Set.empty
+      else {
+        val spark = keys.sparkSession
+        import spark.implicits._
+        val ranges = statGroups.map(g => (g, stats(g)._1, stats(g)._2))
+          .toDF("__g", "__lo", "__hi")
+        keys.select(col(keyCol).cast("long").as("__k"))
+          .join(broadcast(ranges),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__g").distinct()
+          .collect().map(_.getString(0)).toSet // bounded by group count
+      }
+    val hit = blindGroups.toSet ++ touchedStat
+    (groups.filter(hit), groups.filterNot(hit))
+  }
+
+  /** MERGE INTO the versioned table (the Delta/Iceberg row-level MERGE
+    * shape over this manifest log): merge `updates` by `key`
+    * ([[Upsert.merge]] semantics — matched rows take the update
+    * wholesale, new keys insert, the rest pass through) and commit the
+    * result as a new version. Historical versions stay readable — an
+    * auditor can diff pre- and post-merge snapshots forever.
+    *
+    * With `statsCol` (a LONG column present in `updates`, typically the
+    * key itself) the merge is FILE-GRANULARITY copy-on-write — see
+    * [[mergeCommitCow]]; without it, the whole snapshot is rewritten
+    * (the only correct plan when the table carries no statistics).
+    * Returns the committed version. */
+  def mergeCommit(updates: DataFrame, dir: String, key: String,
+      statsCol: Option[String] = None): Int = statsCol match {
+    case Some(sc) => mergeCommitCow(updates, dir, key, sc)._1
+    case None =>
+      val merged = Upsert.merge(read(updates.sparkSession, dir), updates, key)
+      commit(merged, dir, overwrite = true)
+  }
+
+  /** File-granularity copy-on-write MERGE — the 100 TB merge shape
+    * (Delta/Iceberg file-level COW, public design): plan the file groups
+    * whose manifest [min,max] of `statsCol` could contain an update key
+    * (one broadcast range-join over the update batch — [[touchedGroups]]),
+    * rewrite ONLY those groups merged with the updates as one new group,
+    * and carry every untouched group into the new manifest BY NAME,
+    * verbatim, stats included. Cost is proportional to the touched data
+    * plus the update batch — a merge against a 10 PB table that touches
+    * one group rewrites one group.
+    *
+    * An update key outside every group's range still lands (the merge of
+    * the touched slice inserts it; with zero touched groups the batch
+    * commits as a pure APPEND — which [[changes]] then serves file-level).
+    * Returns (version, rewrittenGroups, carriedGroups). */
+  def mergeCommitCow(updates: DataFrame, dir: String, key: String,
+      statsCol: String): (Int, Seq[String], Seq[String]) = {
+    val spark = updates.sparkSession
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to merge into at $dir")
+    val (touched, carried) = touchedGroups(updates, statsCol, dir, parent)
+    val merged =
+      if (touched.isEmpty) updates
+      else Upsert.merge(
+        spark.read.parquet(touched.map(resolveGroup(dir, _)): _*),
+        updates, key)
+    val v = commitRewrite(merged, spark, dir, parent, carried, Some(statsCol))
+    (v, touched, carried)
+  }
+
+  /** Row-level DELETE — the remaining CRUD verb over the log (Delta/
+    * Iceberg `DELETE FROM ... WHERE`): read the latest snapshot, drop the
+    * matching rows, publish the survivors as a new OVERWRITE version.
+    * History stays readable (the audit property every destructive verb
+    * here preserves); [[changes]] across the delete step emits exactly
+    * the deleted rows as `delete` change rows. Full-snapshot rewrite —
+    * when the table carries manifest statistics on the predicate column,
+    * use [[deleteCommitCow]] instead. Returns the committed version. */
+  def deleteCommit(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Int =
+    commit(read(spark, dir).filter(!predicate), dir, overwrite = true)
+
+  /** File-granularity copy-on-write DELETE of rows with
+    * `statsCol ∈ [lo, hi]`: only the groups whose manifest range
+    * intersects the delete range are rewritten (filtered to survivors,
+    * one new group); untouched groups carry over BY NAME, stats
+    * included — the [[mergeCommitCow]] plan for the delete verb.
+    * Returns (version, rewrittenGroups, carriedGroups). */
+  def deleteCommitCow(spark: SparkSession, dir: String, statsCol: String,
+      lo: Long, hi: Long): (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to delete from at $dir")
+    val groups = readManifest(dir, parent)
+    val stats = readStats(dir, parent)
+    val touched = groups.filter(g =>
+      stats.get(g).forall { case (glo, ghi) => ghi >= lo && glo <= hi })
+    val carried = groups.filterNot(touched.toSet)
+    require(touched.nonEmpty || carried.nonEmpty, "empty manifest")
+    val survivors =
+      if (touched.isEmpty) null
+      else spark.read.parquet(touched.map(resolveGroup(dir, _)): _*)
+        .filter(!(col(statsCol) >= lo && col(statsCol) <= hi))
+    if (touched.isEmpty) {
+      // nothing intersects: the delete is a metadata no-op — still mint
+      // a version so the verb's contract (a new version exists) holds
+      val v = parent + 1
+      val json = manifestJson(v, parent, overwrite = true, carried, stats)
+      if (!publishIfAbsent(dir, v, json))
+        throw new java.util.ConcurrentModificationException(
+          s"deleteCommitCow at $dir lost the race for version $v")
+      (v, Seq.empty, carried)
+    } else {
+      val v = commitRewrite(survivors, spark, dir, parent, carried,
+        Some(statsCol))
+      (v, touched, carried)
+    }
+  }
+
+  /** Publish `df` as version parent+1 whose manifest = `carried` (with
+    * their existing stats/stats2 carried over verbatim) + the newly
+    * written group holding `df` — the shared commit tail of every
+    * file-granularity rewrite verb (COW merge/delete, bin-packed
+    * compaction). Marked `overwrite` iff any parent group was dropped,
+    * so [[changes]] correctly serves a pure-append step file-level and
+    * pays the snapshot diff only when data was actually rewritten. */
+  private def commitRewrite(df: DataFrame, spark: SparkSession, dir: String,
+      parent: Int, carried: Seq[String], statsCol: Option[String],
+      repartitionTo: Int = 0): Int = {
+    val parentGroups = readManifest(dir, parent).toSet
+    val v = parent + 1
+    val group = s"c$v"
+    val out = if (repartitionTo > 0) df.repartition(repartitionTo) else df
+    out.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    val parentStats = readStats(dir, parent)
+    val parentStats2 = readStats2(dir, parent)
+    val carriedSet = carried.toSet
+    val newStats = statsCol.flatMap(c =>
+      writtenStats(spark, dir, group, c).map(group -> _))
+    val overwrite = (parentGroups -- carriedSet).nonEmpty
+    val json = manifestJson(v, parent, overwrite, carried :+ group,
+      parentStats.filter(kv => carriedSet(kv._1)) ++ newStats,
+      parentStats2.filter(kv => carriedSet(kv._1)))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"rewrite commit at $dir lost the race for version $v")
+    v
+  }
+
+  /** On-disk byte size of each file group in a version's manifest — the
+    * planning input of [[compactBinPacked]]. One filesystem listing per
+    * group (bounded by commit count, not data). */
+  def groupSizes(spark: SparkSession, dir: String, version: Int = 0)
+      : Seq[(String, Long)] = {
+    val v = if (version == 0) latestVersion(dir) else version
+    val conf = spark.sparkContext.hadoopConfiguration
+    readManifest(dir, v).map { g =>
+      val p = new org.apache.hadoop.fs.Path(resolveGroup(dir, g))
+      g -> p.getFileSystem(conf).getContentSummary(p).getLength
+    }
+  }
+
+  /** OPTIMIZE: BIN-PACK the latest snapshot's under-target file groups
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files, the real planning
+    * shape): groups smaller than `targetBytes` are read and rewritten as
+    * ONE new group split into ceil(smallBytes/targetBytes) files — so no
+    * single write task handles more than ~targetBytes — while groups
+    * already at or above target CARRY OVER by name, untouched (a 100 TB
+    * table's compaction pays for its small-file tail, never a full
+    * rewrite). Content is invariant by construction; history stays
+    * readable. `statsCol` re-records manifest statistics for the packed
+    * group (compaction must not lose the planning metadata); carried
+    * groups keep theirs. Returns
+    * (version, binCount, packedGroups, carriedGroups); when fewer than
+    * two groups are under target there is nothing to pack and NO version
+    * is minted (version = current, binCount = 0). */
+  def compactBinPacked(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None, targetBytes: Long = 128L << 20)
+      : (Int, Int, Seq[String], Seq[String]) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val v = latestVersion(dir)
     require(v > 0, s"nothing to compact at $dir")
-    commit(read(spark, dir, v).coalesce(1), dir, overwrite = true,
-      statsCol = statsCol)
+    val sizes = groupSizes(spark, dir, v)
+    val smalls = sizes.filter(_._2 < targetBytes)
+    val carried = sizes.filterNot(s => smalls.exists(_._1 == s._1)).map(_._1)
+    if (smalls.size < 2) return (v, 0, Seq.empty, readManifest(dir, v))
+    val smallBytes = smalls.map(_._2).sum
+    val bins = math.max(1L,
+      (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val packed = spark.read.parquet(
+      smalls.map(s => resolveGroup(dir, s._1)): _*)
+    val nv = commitRewrite(packed, spark, dir, v, carried, statsCol,
+      repartitionTo = bins)
+    (nv, bins, smalls.map(_._1), carried)
   }
 
-  private def manifestIsOverwrite(dir: String, v: Int): Boolean = {
-    val p = manifestPath(dir, v)
-    require(Files.exists(p), s"no manifest for version $v at $p")
-    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    json.contains("\"overwrite\":true")
+  /** OPTIMIZE with the default 128 MB target — kept as the simple verb
+    * (the s22/s25 shape: at test scale every group is under target, so
+    * the table packs to a single group). Returns the new version, or the
+    * current one when nothing needed packing. */
+  def compact(spark: SparkSession, dir: String,
+      statsCol: Option[String] = None, targetBytes: Long = 128L << 20): Int =
+    compactBinPacked(spark, dir, statsCol, targetBytes)._1
+
+  /** OPTIMIZE ... ZORDER BY (a, b) — compaction that RE-CLUSTERS the
+    * snapshot on two keys (Delta's `OPTIMIZE ... ZORDER BY`, public
+    * verb): the whole snapshot is rewritten ordered by the Morton code
+    * of (aCol, bCol), split into 2^bucketBits groups keyed by the code's
+    * TOP bits (quadtree cells — each group covers one contiguous z-range,
+    * i.e. a small (a,b) rectangle set), and the new manifest records each
+    * group's 2-D min/max (`stats2`), so [[boxPrunedRead]] plans only the
+    * groups intersecting a query box — on EITHER dimension, which is the
+    * entire point of Z-ORDER over a 1-D sort.
+    *
+    * Inputs must be pre-gridded to [0, 2^gridBits) ints (the
+    * [[ZOrder.writeZOrdered]] bucket-first rule). The bucket id is pure
+    * column arithmetic (z >> (2·gridBits − bucketBits)) — deterministic,
+    * no range sampling — and the write is ONE hive-partitioned pass; the
+    * stats2 table is one bounded aggregate over the written files.
+    * Returns (version, groupCount). */
+  def compactZOrder(spark: SparkSession, dir: String, aCol: String,
+      bCol: String, gridBits: Int, bucketBits: Int): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(gridBits >= 1 && gridBits <= 16, s"gridBits=$gridBits outside [1,16]")
+    require(bucketBits >= 1 && bucketBits <= 2 * gridBits,
+      s"bucketBits=$bucketBits outside [1, ${2 * gridBits}]")
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to optimize at $dir")
+    val v = parent + 1
+    val base = s"c$v"
+    val shiftBits = 2 * gridBits - bucketBits
+    val snap = read(spark, dir, parent)
+    val z = ZOrder.zValue(col(aCol), col(bCol))
+    snap
+      .withColumn("__zb", shiftright(z, shiftBits).cast("int"))
+      .withColumn("__z", z)
+      .repartition(col("__zb"))
+      .sortWithinPartitions("__zb", "__z")
+      .drop("__z")
+      .write.mode("errorifexists").partitionBy("__zb")
+      .parquet(s"$dir/data/$base")
+    // 2-D stats from the WRITTEN buckets, one bounded aggregate
+    val statRows = spark.read.parquet(s"$dir/data/$base")
+      .groupBy(col("__zb"))
+      .agg(min(col(aCol)).as("aLo"), max(col(aCol)).as("aHi"),
+        min(col(bCol)).as("bLo"), max(col(bCol)).as("bHi"))
+      .collect() // bounded by 2^bucketBits
+    val groups = statRows.map(r => s"$base/__zb=${r.getInt(0)}").toSeq.sorted
+    val stats2 = statRows.map { r =>
+      s"$base/__zb=${r.getInt(0)}" ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    val json = manifestJson(v, parent, overwrite = true, groups,
+      stats2 = stats2)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"compactZOrder at $dir lost the race for version $v")
+    (v, groups.size)
   }
+
+  private def manifestIsOverwrite(dir: String, v: Int): Boolean =
+    manifestText(dir, v).contains("\"overwrite\":true")
 
   /** True when commit `v` was an append (its manifest extends the parent's
     * file-group list), so [[changes]] serves that step FILE-LEVEL — reading
@@ -288,6 +668,21 @@ object Versioned {
       .select(cols.map(c => col(s"__chg.$c")) :+ col("__chg._change_type"): _*)
   }
 
+  /** BALANCED unionAll over the per-commit change frames: a linear
+    * foldLeft builds a left-deep tree whose ANALYZER recursion depth is
+    * the commit count — a thousand-commit feed would strain (or
+    * stack-overflow) driver planning before the optimizer's
+    * CombineUnions ever flattens it. Pairwise reduction keeps the tree
+    * (and the recursion) at depth log2(n) with zero extra jobs. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "balancedUnion of zero frames")
+    if (dfs.size == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionAll(b)
+      case Seq(a) => a
+    }.toSeq)
+  }
+
   /** Change-data feed between two committed versions — the incremental-read
     * verb of the lakehouse formats (Delta CDF / Iceberg incremental scan):
     * every commit step in (fromVersion, toVersion] contributes its change
@@ -298,7 +693,9 @@ object Versioned {
     * bounded by the new data, the table is never touched), and only an
     * OVERWRITE step (merge/compaction) pays a key-shuffle snapshot diff.
     * A compaction step correctly yields ZERO change rows (content
-    * invariance is what s22 gates). */
+    * invariance is what s22 gates). The step frames union in a BALANCED
+    * tree ([[balancedUnion]]), so a thousand-commit feed keeps
+    * logarithmic plan depth. */
   def changes(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Int, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -319,7 +716,7 @@ object Versioned {
       step.select((dataCols :+ "_change_type").map(col): _*)
         .withColumn("_commit_version", lit(v.toLong))
     }
-    steps.reduce(_ unionAll _)
+    balancedUnion(steps)
   }
 
   /** Apply a change feed to a base snapshot — the CONSUMER side of
@@ -354,14 +751,18 @@ object Versioned {
     * retained versions are untouched. Returns
     * (manifestsRemoved, groupsRemoved). At 100 TB the group sweep is a
     * listing + set difference over file-GROUP names (bounded by commit
-    * count, not data) and a batch delete of whole directories. */
+    * count, not data) and a batch delete of whole directories. Group
+    * entries may be hive-style subpaths of one commit dir
+    * ([[compactZOrder]]); retention is tested on the top-level commit
+    * dir, so a commit's buckets live and die together. */
   def vacuum(spark: SparkSession, dir: String, retainFromVersion: Int)
       : (Int, Int) = {
     val latest = latestVersion(dir)
     require(retainFromVersion >= 1 && retainFromVersion <= latest,
       s"need 1 <= retainFrom <= $latest, got $retainFromVersion")
     val retained = (retainFromVersion to latest)
-      .flatMap(v => readManifest(dir, v)).toSet
+      .flatMap(v => readManifest(dir, v))
+      .map(_.split('/').head).toSet
     val expired = (1 until retainFromVersion)
       .filter(v => Files.deleteIfExists(manifestPath(dir, v)))
     val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
@@ -374,19 +775,6 @@ object Versioned {
     orphans.foreach(st => fs.delete(st.getPath, true))
     (expired.size, orphans.length)
   }
-
-  /** Row-level DELETE — the remaining CRUD verb over the log (Delta/
-    * Iceberg `DELETE FROM ... WHERE`): read the latest snapshot, drop the
-    * matching rows, publish the survivors as a new OVERWRITE version.
-    * History stays readable (the audit property every destructive verb
-    * here preserves); [[changes]] across the delete step emits exactly
-    * the deleted rows as `delete` change rows. At 100 TB the rewrite
-    * narrows to the file groups whose stats intersect the predicate —
-    * compose with [[prunedRead]]'s planning the way [[mergeCommit]]'s
-    * note describes. Returns the committed version. */
-  def deleteCommit(spark: SparkSession, dir: String,
-      predicate: org.apache.spark.sql.Column): Int =
-    commit(read(spark, dir).filter(!predicate), dir, overwrite = true)
 
   /** [[read]] with parquet schema merging — SCHEMA EVOLUTION across
     * commits: a later append may carry ADDED columns; the merged read
@@ -409,6 +797,14 @@ object Versioned {
     readManifest(dir, v).size
   }
 
+  /** File-group NAMES of a version's manifest — the carried-verbatim
+    * contract surface of the COW verbs (s35 pins that untouched groups
+    * appear in the post-merge manifest under their original names). */
+  def groupNames(dir: String, version: Int = 0): Seq[String] = {
+    val v = if (version == 0) latestVersion(dir) else version
+    readManifest(dir, v)
+  }
+
   /** Read a specific version (time travel), or the latest when `version`
     * is 0. Plans only the file groups in that version's manifest. */
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
@@ -417,11 +813,6 @@ object Versioned {
     require(groups.nonEmpty, s"version $v has an empty manifest")
     spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
   }
-
-  private def manifestJson(v: Int, parent: Int, overwrite: Boolean,
-      groups: Seq[String]): String =
-    s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
-      s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]}"""
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
     * exists yet — the put-if-absent primitive optimistic concurrency
@@ -457,6 +848,7 @@ object Versioned {
     * with W concurrent appenders every writer lands within W attempts. */
   def commitAppendOcc(df: DataFrame, dir: String, writerId: String,
       maxAttempts: Int = 64, beforePublish: () => Unit = () => ()): Int = {
+    requireId("writerId", writerId)
     val group = s"w_$writerId"
     df.write.mode("errorifexists").parquet(s"$dir/data/$group")
     var parent = latestVersion(dir)

@@ -85,8 +85,13 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.changes(spark, dir, 1, 3, "id").count() == 5L)
 
     // compaction is content-invariant => empty change set for its step
-    Versioned.compact(spark, dir)
-    assert(Versioned.changes(spark, dir, 3, 4, "id").count() == 0L)
+    // (append once more so the table has two packable groups — OPTIMIZE
+    // of a single-group table is a no-op and mints no version)
+    Versioned.commit(Seq((5L, 50.0)).toDF("id", "x"), dir) // append, v4
+    assert(Versioned.compact(spark, dir) == 5)
+    assert(Versioned.changes(spark, dir, 4, 5, "id").count() == 0L)
+    // single-group no-op: nothing to pack, no version minted
+    assert(Versioned.compact(spark, dir) == 5)
   }
 
   test("snapshotDiff is null-safe on value columns") {
@@ -293,5 +298,242 @@ class VersionedSpec extends SparkSpec {
     Seq(99L).toDF("id").write.parquet(s"$dir/data/c99_orphan")
     assert(Versioned.latestVersion(dir) == 1)
     assert(Versioned.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+  }
+
+  // ---- round 11: file-granularity COW, bin-packed/z-order OPTIMIZE,
+  // manifest hardening, atomic idempotent commits, vacuum-safe ts travel
+
+  /** Three stats-carrying key-range commits: [0,9], [10,19], [20,29]. */
+  private def threeRangeCommits(dir: String): Unit =
+    Seq(0L, 10L, 20L).foreach { lo =>
+      Versioned.commit(
+        (lo until lo + 10L).map(k => (k, k * 1.0)).toDF("k", "x"), dir,
+        statsCol = Some("k"))
+    }
+
+  test("COW merge rewrites only the groups whose stats intersect the " +
+      "update keys; untouched groups carry over verbatim, stats intact") {
+    val dir = freshDir()
+    threeRangeCommits(dir)
+    val pre = Versioned.groupNames(dir)
+    assert(pre.size == 3)
+    // updates hit only the middle group's range [10,19]
+    val updates = Seq((12L, 999.0), (15L, 999.0)).toDF("k", "x")
+    val (v, rewritten, carried) = Versioned.mergeCommitCow(
+      updates, dir, "k", "k")
+    assert(v == 4)
+    assert(rewritten == Seq(pre(1)) && carried == Seq(pre(0), pre(2)))
+    // untouched groups appear VERBATIM (same names) in the new manifest
+    val post = Versioned.groupNames(dir)
+    assert(post.take(2) == carried && post.size == 3)
+    // merge semantics hold over the whole snapshot
+    val got = Versioned.read(spark, dir).as[(Long, Double)].collect().toMap
+    assert(got(12L) == 999.0 && got(15L) == 999.0 && got(11L) == 11.0
+      && got(0L) == 0.0 && got(25L) == 25.0 && got.size == 30)
+    // carried stats still prune: a [0,9] pruned read plans 1 of 3 groups
+    val (_, planned, total) = Versioned.prunedRead(spark, dir, "k", 0L, 9L)
+    assert(planned == 1 && total == 3)
+    // history intact: the pre-merge snapshot still shows the old values
+    assert(Versioned.read(spark, dir, 3).as[(Long, Double)]
+      .collect().toMap.apply(12L) == 12.0)
+  }
+
+  test("COW merge with keys outside every range commits as a pure append " +
+      "(changes serves it file-level); inserts land") {
+    val dir = freshDir()
+    threeRangeCommits(dir)
+    val (v, rewritten, carried) = Versioned.mergeCommitCow(
+      Seq((100L, 1.0)).toDF("k", "x"), dir, "k", "k")
+    assert(v == 4 && rewritten.isEmpty && carried.size == 3)
+    assert(Versioned.stepIsAppend(dir, 4)) // no group dropped => append
+    assert(Versioned.changes(spark, dir, 3, 4, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+      == Set((100L, "insert")))
+    assert(Versioned.read(spark, dir).count() == 31)
+  }
+
+  test("COW delete rewrites only intersecting groups; non-intersecting " +
+      "delete is a metadata no-op version; changes emits the deletions") {
+    val dir = freshDir()
+    threeRangeCommits(dir)
+    val pre = Versioned.groupNames(dir)
+    val (v, rewritten, carried) =
+      Versioned.deleteCommitCow(spark, dir, "k", 15L, 24L)
+    assert(v == 4)
+    assert(rewritten == Seq(pre(1), pre(2)) && carried == Seq(pre(0)))
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect()
+      .map(_._1).sorted.toSeq == ((0L to 14L) ++ (25L to 29L)))
+    assert(Versioned.changes(spark, dir, 3, 4, "k")
+      .filter(col("_change_type") === "delete").count() == 10L)
+    // a delete range no group intersects: nothing rewritten, version minted
+    val (v2, rw2, c2) = Versioned.deleteCommitCow(spark, dir, "k", 500L, 600L)
+    assert(v2 == 5 && rw2.isEmpty && c2 == Versioned.groupNames(dir, 4))
+    assert(Versioned.read(spark, dir).count() == 20L)
+  }
+
+  test("bin-packed OPTIMIZE packs only under-target groups into " +
+      "ceil(bytes/target) files; large groups carry over by name") {
+    val dir = freshDir()
+    // two big groups (3000 rows) + three small ones (10 rows)
+    Versioned.commit((0L until 3000L).map(k => (k, "a" * 50)).toDF("k", "s"),
+      dir, statsCol = Some("k"))
+    Versioned.commit((3000L until 6000L).map(k => (k, "b" * 50)).toDF("k", "s"),
+      dir, statsCol = Some("k"))
+    Seq(6000L, 6010L, 6020L).foreach(lo =>
+      Versioned.commit((lo until lo + 10L).map(k => (k, "c")).toDF("k", "s"),
+        dir, statsCol = Some("k")))
+    val sizes = Versioned.groupSizes(spark, dir).toMap
+    val pre = Versioned.groupNames(dir)
+    val bigs = pre.take(2)
+    val target = bigs.map(sizes).min // both bigs are >= target: carried
+    val (v, bins, packed, carried) =
+      Versioned.compactBinPacked(spark, dir, Some("k"), target)
+    assert(v == 6 && packed == pre.drop(2) && carried == bigs)
+    val smallBytes = pre.drop(2).map(sizes).sum
+    assert(bins == ((smallBytes + target - 1) / target).toInt.max(1))
+    // manifest: carried names verbatim + one packed group
+    val post = Versioned.groupNames(dir)
+    assert(post.take(2) == bigs && post.size == 3)
+    // the packed group holds exactly `bins` parquet files
+    val packedFiles = new java.io.File(s"$dir/data/${post.last}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(packedFiles == bins)
+    // content invariant + carried stats still prune
+    assert(Versioned.read(spark, dir).count() == 6030L)
+    val (_, planned, total) = Versioned.prunedRead(spark, dir, "k", 0L, 10L)
+    assert(planned == 1 && total == 3)
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters into z-bucket groups with 2-d " +
+      "stats; box reads prune on either dimension; content invariant") {
+    val dir = freshDir()
+    // 16x16 grid committed in 4 UNCLUSTERED slices (k mod 4): every
+    // group spans the full (a, b) domain, so nothing can prune pre-opt
+    val rows = for (a <- 0L until 16L; b <- 0L until 16L)
+      yield (a * 16 + b, a, b)
+    (0 until 4).foreach(r => Versioned.commit(
+      rows.filter(_._1 % 4 == r).toDF("id", "a", "b"), dir))
+    val (_, pPre, tPre) =
+      Versioned.boxPrunedRead(spark, dir, "a", "b", 0L, 7L, 0L, 7L)
+    assert(pPre == 4 && tPre == 4) // no stats2 => conservative full plan
+    val (v, nGroups) = Versioned.compactZOrder(spark, dir, "a", "b",
+      gridBits = 4, bucketBits = 2)
+    assert(v == 5 && nGroups == 4)
+    // the low-left quadrant box is exactly one z-bucket
+    val (box, pPost, tPost) =
+      Versioned.boxPrunedRead(spark, dir, "a", "b", 0L, 7L, 0L, 7L)
+    assert(pPost == 1 && tPost == 4)
+    assert(box.count() == 64L)
+    // single-dimension predicates prune too (the point of z-order)
+    val (_, pa, _) =
+      Versioned.boxPrunedRead(spark, dir, "a", "b", 0L, 7L, 0L, 15L)
+    val (_, pb, _) =
+      Versioned.boxPrunedRead(spark, dir, "a", "b", 0L, 15L, 0L, 7L)
+    assert(pa == 2 && pb == 2)
+    // content invariant under the rewrite; compaction step diffs to zero
+    assert(Versioned.read(spark, dir).count() == 256L)
+    assert(Versioned.changes(spark, dir, 4, 5, "id").count() == 0L)
+    // vacuum keeps the z-bucket groups (they share one commit dir)
+    Versioned.vacuum(spark, dir, 5)
+    assert(Versioned.read(spark, dir).count() == 256L)
+  }
+
+  test("hostile writer/app ids and group refs are rejected loudly") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir)
+    for (bad <- Seq("a\"b", "a,b", "a/b", "", "a b", "a\nb"))
+      intercept[IllegalArgumentException] {
+        Versioned.commitAppendOcc(Seq(2L).toDF("id"), dir, bad)
+      }
+    intercept[IllegalArgumentException] {
+      Versioned.idempotentCommit(Seq(2L).toDF("id"), dir, "x\"y", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq(2L).toDF("id"), dir, txn = Some(("x,y", 1L)))
+    }
+    // benign ids with dots/dashes round-trip
+    assert(Versioned.idempotentCommit(Seq(2L).toDF("id"), dir,
+      "app-1.loader_x", 7L).contains(2))
+    assert(Versioned.lastTxnVersion(dir, "app-1.loader_x").contains(7L))
+  }
+
+  test("two concurrent replays of the same (app, txnVersion) commit " +
+      "exactly once; the loser cleans up its orphaned group") {
+    val dir = freshDir()
+    Versioned.commit(Seq(0L).toDF("id"), dir)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+          def call(): Option[Int] = Versioned.idempotentCommit(
+            Seq(1L, 2L).toDF("id"), dir, "zombie", 1L,
+            // both replays pass the pre-check and write data before
+            // either publishes — the exact double-commit race
+            beforePublish = () => { barrier.await(); () })
+        })
+      }
+      val outcomes = futures.map(_.get())
+      assert(outcomes.count(_.isDefined) == 1, s"outcomes: $outcomes")
+      assert(outcomes.flatten == Seq(2))
+    } finally pool.shutdown()
+    // the batch landed exactly once...
+    assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L))
+    assert(Versioned.latestVersion(dir) == 2)
+    // ...and the loser's orphaned data group was deleted
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(dataDirs.count(_.startsWith("t_zombie_1_")) == 1)
+  }
+
+  test("manifest publish is put-if-absent: a racing publish at the same " +
+      "version loses and the winner's manifest is byte-untouched") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir)
+    val winner =
+      """{"version":2,"parent":1,"overwrite":false,"groups":["c1"]}"""
+    assert(Versioned.publishIfAbsent(dir, 2, winner))
+    // the loser's publish (what a racing commit() attempts) fails — the
+    // pre-hardening ATOMIC_MOVE would have silently REPLACED the winner
+    assert(!Versioned.publishIfAbsent(dir, 2,
+      """{"version":2,"parent":1,"overwrite":false,"groups":["evil"]}"""))
+    assert(Versioned.groupNames(dir, 2) == Seq("c1"))
+  }
+
+  test("timestamp travel still works within retained history after " +
+      "vacuum expires early stamped versions") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir, commitTs = Some(1000L))
+    Versioned.commit(Seq(2L).toDF("id"), dir, commitTs = Some(2000L))
+    Versioned.commit(Seq(3L).toDF("id"), dir, commitTs = Some(3000L))
+    Versioned.vacuum(spark, dir, retainFromVersion = 2)
+    // ts resolving to a RETAINED version: fine (expired v1 is ignored)
+    assert(Versioned.readAsOfTimestamp(spark, dir, 2500L)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Versioned.readAsOfTimestamp(spark, dir, 3000L)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // ts before every retained stamp: fails (that history is gone)
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOfTimestamp(spark, dir, 1500L)
+    }
+  }
+
+  test("changes over a 64-commit history plans (balanced union, no " +
+      "linear-depth analyzer recursion) and replays every step") {
+    val dir = freshDir()
+    (0 until 64).foreach(i =>
+      Versioned.commit(Seq((i.toLong, i * 10.0)).toDF("id", "x"), dir))
+    val feed = Versioned.changes(spark, dir, 0, 64, "id")
+    assert(feed.count() == 64L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 64L)
+    // the union tree the analyzer walks is logarithmic, not 64 deep
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    assert(depth(feed.queryExecution.logical) < 40,
+      s"plan depth ${depth(feed.queryExecution.logical)}")
+    // apply reconstructs the final snapshot from the empty base
+    val base = Versioned.read(spark, dir, 1).filter(lit(false))
+    val rebuilt = Versioned.applyChanges(base, feed, "id")
+    assert(rebuilt.count() == 64L)
   }
 }
