@@ -216,6 +216,133 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s35's file-granularity COW-merged table: four year-bucket commits of
+    * orders carrying od (epoch-day) manifest stats — the s21 shape — then
+    * a COW merge of a 1996-ONLY price bump (+500.00). The merge's stats
+    * planning must rewrite exactly the 1996 group; the other three carry
+    * over by name. Cached value = (dir, preMergeGroups, rewritten,
+    * carried) — the planning output the gate pins. */
+  private val cowCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Seq[String], Seq[String], Seq[String])]()
+
+  private def cowMergedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Seq[String], Seq[String], Seq[String]) = {
+    val key = (s, d)
+    val hit = cowCache.get(key)
+    if (hit != null) return hit
+    cowCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s35_cow_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val yr = year(date_add(lit("1970-01-01").cast("date"),
+      col("od").cast("int")))
+    // buckets chosen NON-EMPTY over the testdata's 1995-2001 order-date
+    // domain at every scale (an empty bucket has no stats and would be
+    // conservatively rewritten, defeating the narrowing this gate pins)
+    Seq(yr <= 1995, yr === 1996, yr === 1997, yr >= 1998)
+      .foreach(cond => graft.ops.Versioned.commit(o.filter(cond), dir,
+        statsCol = Some("od")))
+    val pre = graft.ops.Versioned.groupNames(dir)
+    require(pre.size == 4, s"expected 4 pre-merge groups, got $pre")
+    val updates = o.filter(yr === 1996).select(col("o_orderkey"),
+      (col("o_totalprice") + 500.0).as("o_totalprice"), col("od"))
+    val (v, rewritten, carried) = graft.ops.Versioned.mergeCommitCow(
+      updates, dir, "o_orderkey", "od")
+    require(v == 5, s"unexpected COW merge version $v")
+    val out = (dir, pre, rewritten, carried)
+    cowCache.put(key, out)
+    out
+  }
+
+  /** s36's bin-packed table: two BIG groups (6/8 of orders) + two SMALL
+    * groups (1/8 each), then OPTIMIZE at targetBytes = max(small) + 1 —
+    * so both bigs sit above target (must carry over verbatim) and the
+    * smalls pack into exactly ceil(totalSmall/target) = 2 files. Cached
+    * value = (dir, preGroups, preSizes, target, binCount, packed,
+    * carried) — everything the gate recomputes its expectations from. */
+  private val packCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Seq[String], Map[String, Long], Long, Int, Seq[String], Seq[String])]()
+
+  private def binPackedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Seq[String], Map[String, Long], Long, Int, Seq[String], Seq[String]) = {
+    val key = (s, d)
+    val hit = packCache.get(key)
+    if (hit != null) return hit
+    packCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s36_pack_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val m8 = col("o_orderkey") % 8
+    Seq(m8 <= 2, m8 >= 3 && m8 <= 5, m8 === 6, m8 === 7)
+      .foreach(cond => graft.ops.Versioned.commit(o.filter(cond), dir))
+    val pre = graft.ops.Versioned.groupNames(dir)
+    val sizes = graft.ops.Versioned.groupSizes(s, dir).toMap
+    val bigs = pre.take(2)
+    // target just above the LARGER small group: both smalls are under
+    // target (they pack, into ceil(sum/target) = 2 bins since the sum
+    // exceeds one target), both bigs are comfortably above (they carry)
+    val target = pre.drop(2).map(sizes).max + 1
+    require(bigs.forall(sizes(_) >= target),
+      s"big groups must sit above target=$target, sizes=$sizes")
+    val (v, bins, packed, carried) = graft.ops.Versioned.compactBinPacked(
+      s, dir, statsCol = None, targetBytes = target)
+    require(v == 5, s"unexpected OPTIMIZE version $v")
+    val out = (dir, pre, sizes, target, bins, packed, carried)
+    packCache.put(key, out)
+    out
+  }
+
+  /** s37's Z-ORDER-optimized version log: the s26 grid (both key
+    * dimensions normalized to 0..1023 exact BIGINT arithmetic) committed
+    * in four UNCLUSTERED key-mod slices — every group spans the full
+    * (ag, bg) domain and carries NO 2-d stats, so a pre-optimize box read
+    * conservatively plans all 4 — then `OPTIMIZE ... ZORDER BY (ag, bg)`
+    * re-clusters into 2^3 = 8 quadtree-cell groups with 2-d manifest
+    * stats. Cached value = (dir, plannedPre, totalPre). */
+  private val zoptCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Int, Int)]()
+
+  private def zorderOptimizedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int, Int) = {
+    val key = (s, d)
+    val hit = zoptCache.get(key)
+    if (hit != null) return hit
+    zoptCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s37_zopt_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val b = o.agg(max(col("o_custkey")), min(col("od")), max(col("od"))).head()
+    val (maxCust, minOd, maxOd) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val gridded = o
+      .withColumn("ag", expr(s"(o_custkey * 1024) div ($maxCust + 1)"))
+      .withColumn("bg", expr(s"((od - $minOd) * 1024) div ($maxOd - $minOd + 1)"))
+      .select("o_orderkey", "o_totalprice", "ag", "bg")
+    (0 to 3).foreach(r => graft.ops.Versioned.commit(
+      gridded.filter(col("o_orderkey") % 4 === r), dir))
+    val (_, pPre, tPre) = graft.ops.Versioned.boxPrunedRead(
+      s, dir, "ag", "bg", 256L, 511L, 256L, 511L)
+    val (v, _) = graft.ops.Versioned.compactZOrder(s, dir, "ag", "bg",
+      gridBits = 10, bucketBits = 3)
+    require(v == 5, s"unexpected ZORDER OPTIMIZE version $v")
+    val out = (dir, pPre, tPre)
+    zoptCache.put(key, out)
+    out
+  }
+
   /** s20's merged versioned table: v1 = even-key orders, v2 = MERGE of
     * an update batch (price bump on keys ≡ 0 mod 10, inserts on keys
     * ≡ 1 mod 10). Built once per (session, sfDir). */
@@ -981,6 +1108,141 @@ object SinkSqlQueries {
                SELECT CAST(9999 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
                FROM orders
                ORDER BY as_of_ts""")),
+
+    // S35: FILE-GRANULARITY copy-on-write MERGE — the 100 TB merge shape
+    // (Delta/Iceberg file-level COW; s20 is the whole-table fallback for
+    // stats-less tables): four year-bucket groups with od manifest
+    // stats, then a 1996-only price bump. The stats planning (one
+    // broadcast range-join of the update keys against the group ranges)
+    // must rewrite EXACTLY the 1996 group. Gated contracts:
+    // `rewrite_narrowed` (1 of 4 groups rewritten),
+    // `untouched_carried_verbatim` (the other three appear in the
+    // post-merge manifest under their ORIGINAL names, in order),
+    // `carried_stats_prune` (their manifest stats survived — a ≤1993
+    // pruned read still plans exactly 1 of 4 groups),
+    // `history_stable` (the pre-merge snapshot still has its 4 groups),
+    // and the post-merge content replays from source (values + the bump).
+    Q("s35_versioned_cow_merge",
+      (s, d) => {
+        val (dir, pre, rewritten, carried) = cowMergedOrders(s, d)
+        val post = graft.ops.Versioned.groupNames(dir)
+        val narrowed = rewritten.size == 1 && carried.size == 3
+        val verbatim = post.size == 4 && post.init == carried &&
+          carried == pre.filterNot(rewritten.toSet)
+        val d95 = java.time.LocalDate.of(1995, 12, 31).toEpochDay
+        val (_, p93, t93) = graft.ops.Versioned.prunedRead(
+          s, dir, "od", Long.MinValue, d95)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("rewrite_narrowed", lit(narrowed))
+          .withColumn("untouched_carried_verbatim", lit(verbatim))
+          .withColumn("carried_stats_prune", lit(p93 == 1 && t93 == 4))
+          .withColumn("history_stable",
+            lit(graft.ops.Versioned.groupCount(dir, 4) == 4))
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+                      CAST(SUM(CAST(
+                        CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996
+                             THEN CAST(o_totalprice AS DOUBLE) + 500.0
+                             ELSE CAST(o_totalprice AS DOUBLE) END
+                        AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                      TRUE AS rewrite_narrowed,
+                      TRUE AS untouched_carried_verbatim,
+                      TRUE AS carried_stats_prune,
+                      TRUE AS history_stable
+               FROM orders""")),
+
+    // S36: BIN-PACKED OPTIMIZE — compaction planned the way the real
+    // systems plan it (Delta OPTIMIZE file selection / Iceberg
+    // rewrite_data_files): only UNDER-target groups rewrite; groups
+    // already at/above target carry over by name. The builder makes two
+    // big groups (3/8 of orders each) + two small ones (1/8 each) and
+    // packs at target = max(smallBytes) + 1. The gate RECOMPUTES the
+    // expectation from the observed pre-optimize sizes: `bins_expected`
+    // (ceil arithmetic, = 2) must equal the library's bin count AND the
+    // parquet file count observed on disk in the packed group;
+    // `bigs_carried_verbatim` pins the untouched names; the max packed
+    // file must not blow past target (1.5x slack for re-encoding — bin
+    // packing bounds what one task writes); content replays from source.
+    Q("s36_binpacked_optimize",
+      (s, d) => {
+        val (dir, pre, sizes, target, bins, packed, carried) =
+          binPackedOrders(s, d)
+        val smallBytes = pre.filter(g => sizes(g) < target).map(sizes).sum
+        val expected = math.max(1L, (smallBytes + target - 1) / target).toInt
+        val post = graft.ops.Versioned.groupNames(dir)
+        val packedDir = new java.io.File(s"$dir/data/${post.last}")
+        val files = packedDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        val maxFile = files.map(_.length()).max
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("bins_at_computed_target",
+            lit(bins == expected && files.length == expected && expected == 2))
+          .withColumn("bigs_carried_verbatim",
+            lit(carried == pre.take(2) && post.take(2) == pre.take(2)
+              && packed == pre.drop(2) && post.size == 3))
+          .withColumn("task_write_bounded",
+            lit(maxFile <= target * 3 / 2))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS bins_at_computed_target,
+                      TRUE AS bigs_carried_verbatim,
+                      TRUE AS task_write_bounded
+               FROM orders""")),
+
+    // S37: OPTIMIZE ... ZORDER BY over the version log — s26's Morton
+    // layout composed INTO the log's compaction verb (Delta's
+    // `OPTIMIZE ... ZORDER BY`): four unclustered commits (no 2-d stats
+    // — a box read conservatively plans all 4, pinned by
+    // `pre_conservative`), then one Z-ORDER rewrite into 8 quadtree-cell
+    // groups whose 2-d manifest stats let the same box plan STRICTLY
+    // fewer groups (`pruned_post`, `strictly_fewer_than_pre`) — and
+    // prune on EITHER single dimension (`pruned_a_only`/`pruned_b_only`,
+    // what Z-ORDER buys over a 1-d sort). The box aggregate replays
+    // exactly from source through the s26 grid arithmetic (pruning is a
+    // superset test, never a row-eliminator), and the rewrite is
+    // content-invariant (`content_invariant` — the s22 gate over the
+    // whole snapshot count).
+    Q("s37_zorder_optimize",
+      (s, d) => {
+        val (dir, pPre, tPre) = zorderOptimizedOrders(s, d)
+        val (box, pPost, tPost) = graft.ops.Versioned.boxPrunedRead(
+          s, dir, "ag", "bg", 256L, 511L, 256L, 511L)
+        val (_, pa, _) = graft.ops.Versioned.boxPrunedRead(
+          s, dir, "ag", "bg", 256L, 511L, 0L, 1023L)
+        val (_, pb, _) = graft.ops.Versioned.boxPrunedRead(
+          s, dir, "ag", "bg", 0L, 1023L, 256L, 511L)
+        val nAll = graft.ops.Versioned.read(s, dir).count()
+        val nSrc = Tables.orders(s, d).count()
+        box.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("pre_conservative", lit(pPre == 4 && tPre == 4))
+          .withColumn("pruned_post", lit(pPost > 0 && pPost < tPost))
+          .withColumn("strictly_fewer_than_pre", lit(pPost < pPre))
+          .withColumn("pruned_a_only", lit(pa < tPost))
+          .withColumn("pruned_b_only", lit(pb < tPost))
+          .withColumn("content_invariant", lit(nAll == nSrc))
+      },
+      Some(s"""WITH g AS (
+                 SELECT o_totalprice,
+                        (o_custkey * 1024)
+                          // ((SELECT MAX(o_custkey) FROM orders) + 1) AS ag,
+                        ((CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                           - (SELECT MIN(CAST(o_orderdate AS DATE)
+                                         - DATE '1970-01-01') FROM orders))
+                          * 1024)
+                          // ((SELECT MAX(CAST(o_orderdate AS DATE)
+                                          - DATE '1970-01-01') FROM orders)
+                              - (SELECT MIN(CAST(o_orderdate AS DATE)
+                                            - DATE '1970-01-01') FROM orders)
+                              + 1) AS bg
+                 FROM orders)
+               SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS pre_conservative, TRUE AS pruned_post,
+                      TRUE AS strictly_fewer_than_pre,
+                      TRUE AS pruned_a_only, TRUE AS pruned_b_only,
+                      TRUE AS content_invariant
+               FROM g
+               WHERE ag BETWEEN 256 AND 511 AND bg BETWEEN 256 AND 511""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
