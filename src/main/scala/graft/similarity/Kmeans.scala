@@ -59,8 +59,10 @@ object Kmeans {
         x => x("cv")).as("centroid"))
 
   /** Run `iters` Lloyd iterations (each = assign, then — except after the
-    * last — update). Initial centroids are the vectors with id < k, cast
-    * to double verbatim (exact in both engines). Returns the FINAL
+    * last — update). Initial centroids are the k LOWEST-id vectors, cast
+    * to double verbatim (exact in both engines; centroid ids are the
+    * source vector ids — arbitrary labels, dense or sparse). Fails
+    * loudly when the corpus has fewer than k vectors. Returns the FINAL
     * assignment (id, cluster, cos): each vector's cluster and its cosine
     * to the centroid it was scored against in that final assignment. */
   def lloyd(emb0: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -69,8 +71,13 @@ object Kmeans {
     graft.functions.ArrayDotProduct.register(emb0.sparkSession)
     val emb = emb0.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
-    val init = emb.filter(col("__vid") < k)
+    // orderBy+limit, not `id < k`: sparse or non-zero-based id spaces
+    // would otherwise silently yield fewer than k centroids (or an
+    // EMPTY codebook, which crossJoins to an empty assignment)
+    val init = emb.orderBy(col("__vid")).limit(k)
       .select(col("__vid").cast("long").as("c_id"), col("__v").as("centroid"))
+    require(init.count() == k,
+      s"k=$k initial centroids requested but the corpus has fewer vectors")
     var centroids = init
     var assignment = assign(emb, centroids)
     for (_ <- 2 to iters) {

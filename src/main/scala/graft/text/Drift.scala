@@ -54,8 +54,17 @@ object Drift {
     val nP = byB.valuesIterator.map(_._1).sum
     val nQ = byB.valuesIterator.map(_._2).sum
     val bD = nBuckets.toDouble
-    var kqp = 0L
-    var kpq = 0L
+    // accumulate in BigInt: at the 100 TB / 10^11-token scale a single
+    // term (c+1)·nano can reach ~5e20 and overflow Long silently, where
+    // DuckDB would error loudly on BIGINT overflow — desynchronizing the
+    // engines. BigInt keeps the sum exact; the gated BIGINT surfaces then
+    // require it to fit (loud, SYMMETRIC failure: DuckDB's oracle sum
+    // errors at the same magnitude). Bound: the gate holds while
+    // Σ(c+1)·|llrNano| < 2^63, i.e. roughly total tokens × max|ln ratio|
+    // < 9.2e9 token-nats — past that, report the derived real-valued KLs
+    // without the integer gate columns.
+    var kqp = BigInt(0)
+    var kpq = BigInt(0)
     var b = 0
     while (b < nBuckets) {
       val (cp, cq) = byB.getOrElse(b.toLong, (0L, 0L))
@@ -63,15 +72,18 @@ object Drift {
       val x = ((cq + 1.0) * (nP + bD)) / ((cp + 1.0) * (nQ + bD))
       val nano = new java.math.BigDecimal(math.log(x) * 1e9)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-      kqp += (cq + 1L) * nano
-      kpq += (cp + 1L) * -nano
+      kqp += BigInt(cq + 1L) * BigInt(nano)
+      kpq += BigInt(cp + 1L) * BigInt(-nano)
       b += 1
     }
+    require(kqp.isValidLong && kpq.isValidLong,
+      s"nano-unit KL sums ($kqp, $kpq) exceed BIGINT — corpus too large " +
+        "for the integer gate columns (see the bound in the scaladoc)")
     val klQP = round9(kqp.toDouble / 1e9 / (nQ + bD))
     val klPQ = round9(kpq.toDouble / 1e9 / (nP + bD))
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((nP, nQ, nBuckets.toLong, kqp, kpq, klQP, klPQ))
+    Seq((nP, nQ, nBuckets.toLong, kqp.toLong, kpq.toLong, klQP, klPQ))
       .toDF("n_ref_tokens", "n_new_tokens", "n_buckets",
         "kl_new_ref_nano", "kl_ref_new_nano", "kl_new_ref", "kl_ref_new")
   }
