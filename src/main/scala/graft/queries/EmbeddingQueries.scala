@@ -765,7 +765,71 @@ object EmbeddingQueries {
                SELECT cluster, COUNT(*) AS n,
                       CAST(SUM(CAST(ROUND(cosv, 6) AS DECIMAL(18,6))) AS DOUBLE)
                         AS sum_cos
-               FROM a2 GROUP BY cluster ORDER BY cluster"""))
+               FROM a2 GROUP BY cluster ORDER BY cluster""")),
+
+    // EMB20: IVF-PQ composed serving (FAISS `IVF16,PQ16` +
+    // `IndexRefineFlat`, by_residual=false — public method): emb6's
+    // coarse quantizer routes the query to nProbe of 16 cells, emb17's
+    // PQ codes make the scanned table 16 one-byte codes per vector (16×
+    // compression — the 10¹¹-vector memory story), ADC scores the probed
+    // slice via the query's m×k lookup tables (zero float math on the
+    // scan), and an exact refine over the ADC top-100 caps quantization
+    // error at rank displacement. Contracts: refined recall@10 ≥ 0.6 at
+    // nProbe 8 (uniform embeddings are the worst case for BOTH stages);
+    // probe monotonicity 4 → 8 under FULL refine — the PROVABLE form:
+    // probing more cells grows the candidate set, and an exact top-10
+    // over a superset never loses true-top-10 hits (at a FIXED rerank
+    // the property is false — extra ADC candidates can crowd the true
+    // positives out of the ADC top-100, measured at sf0.01 — so the
+    // fixed-rerank variant is deliberately NOT gated); DEGENERACY — at
+    // nProbe = all cells and rerank = corpus size the composition must
+    // equal brute force EXACTLY (scores join on 6-decimal rounding, the
+    // emb15 all-cells discipline); and the 16× compression arithmetic
+    // pinned from the corpus dimension.
+    Q("emb20_ivfpq_knn",
+      (s, d) => {
+        val idx = ivfPqIndex(s, d)
+        val emb = Tables.embeddings(s, d)
+        val k = 10
+        def ids(nProbe: Int, rerank: Int) = graft.similarity.Ivf
+          .pqAdcKnn(idx, emb, "embedding", queryId = 0L, k = k,
+            nProbe = nProbe, rerank = rerank)
+        val exact = graft.ops.Caches.tracked(
+          Ann.knnBruteForce(emb, "vec_id", "embedding", queryId = 0L, k = k)
+            .select(col("vec_id"), round(col("score"), 6).as("score"))
+            .cache())
+        val h8 = ids(IvfNProbe, 100).select("vec_id")
+          .join(exact.select("vec_id"), "vec_id")
+          .agg(count(lit(1)).as("h8"))
+        val nCorpus = emb.count().toInt
+        def fullRefineHits(nProbe: Int, name: String) =
+          ids(nProbe, nCorpus).select("vec_id")
+            .join(exact.select("vec_id"), "vec_id")
+            .agg(count(lit(1)).as(name))
+        val h4f = fullRefineHits(4, "h4f")
+        val h8f = fullRefineHits(IvfNProbe, "h8f")
+        val hAll = ids(16, nCorpus)
+          .select(col("vec_id"), round(col("score"), 6).as("score"))
+          .join(exact, Seq("vec_id", "score"))
+          .agg(count(lit(1)).as("h_all"))
+        val dims = emb.select(size(col("embedding")).cast("long").as("dims"))
+          .limit(1)
+        h8.crossJoin(h4f).crossJoin(h8f).crossJoin(hAll).crossJoin(dims)
+          .select(
+            (col("h8").cast("double") >= lit(10.0 * IvfRecallGate))
+              .as("recall_ge_gate"),
+            (col("h4f") <= col("h8f")).as("probe_monotone"),
+            (col("h_all") === 10L).as("all_cells_exact"),
+            (col("dims") * 4L).as("raw_bytes"),
+            lit(16L).as("code_bytes"),
+            ((col("dims") * 4L) / 16L).cast("long").as("compression"))
+      },
+      Some("""SELECT TRUE AS recall_ge_gate, TRUE AS probe_monotone,
+                     TRUE AS all_cells_exact,
+                     CAST(256 AS BIGINT) AS raw_bytes,
+                     CAST(16 AS BIGINT) AS code_bytes,
+                     CAST(16 AS BIGINT) AS compression
+              FROM embeddings LIMIT 1"""))
   )
 
   /** emb6 probe budget: 8 of 16 cells. The driver's synthetic embeddings
@@ -804,6 +868,25 @@ object EmbeddingQueries {
     index.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = pqCache.putIfAbsent((s, d), index)
     if (prev != null) { index.codes.unpersist(false); prev } else index
+  }
+
+  /** IVF-PQ composed index cache — composes the two cached stages (the
+    * coarse quantizer's cell routing + the PQ code table) with ONE id-join
+    * per (session, dir); a deployment stores the joined table bucketed by
+    * cell and never re-joins. */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.similarity.Ivf.IvfPqIndex]()
+
+  private def ivfPqIndex(s: SparkSession, d: String)
+      : graft.similarity.Ivf.IvfPqIndex = {
+    val hit = ivfPqCache.get((s, d))
+    if (hit != null) return hit
+    ivfPqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val index = graft.similarity.Ivf.buildIvfPq(
+      ivfIndex(s, d), pqIndex(s, d), "vec_id")
+    index.table.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = ivfPqCache.putIfAbsent((s, d), index)
+    if (prev != null) { index.table.unpersist(false); prev } else index
   }
 
   private def ivfIndex(s: SparkSession, d: String): graft.similarity.Ivf.Index = {

@@ -88,6 +88,91 @@ object Ivf {
     * @return (idCol, adc_score, score) — `score` is the exact refined
     *         cosine, expression-identical to [[knn]]/[[Ann.knnBruteForce]]
     *         so rounded scores join across operators. */
+  /** The composed IVF-PQ serving index (FAISS `IVFx,PQy` with
+    * by_residual=false — the public non-residual variant): the coarse
+    * quantizer's cell routing joined ONCE onto the PQ code table, giving
+    * the (cell, id, codes) layout a deployment stores partitioned by
+    * cell. This is the 10¹¹-vector memory story end-to-end: the scanned
+    * table holds m one-byte codes per vector (emb17's 16× compression),
+    * and a query touches only nProbe/nCells of it (emb6's probe bound) —
+    * the float corpus is consulted only for the final `rerank`-row exact
+    * refine. */
+  final case class IvfPqIndex(table: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], idCol: String)
+
+  /** Join the cell assignment onto the PQ codes — one id-shuffle at build
+    * time (a deployment writes the result bucketed by cell and never
+    * re-joins). */
+  def buildIvfPq(ivf: Index, pq: Pq.Index, idCol: String): IvfPqIndex = {
+    import org.apache.spark.sql.functions.col
+    IvfPqIndex(
+      ivf.assigned.select(col(idCol), col("__cell")).join(pq.codes, idCol),
+      ivf.centroids, pq.codebooks, idCol)
+  }
+
+  /** IVF-PQ k-NN — probe the `nProbe` cells nearest the query, ADC-score
+    * the probed CODE rows via the query's per-subspace lookup tables
+    * (zero float vector math on the scan — [[Pq.adcKnn]]'s trick, now
+    * over the probed slice only), keep the top `rerank` by ADC cosine,
+    * join those few ids back to the float corpus for the exact cosine,
+    * emit the top `k` (FAISS `IndexIVFPQ` + `IndexRefineFlat`).
+    *
+    * Cost shape per query: one scan of nProbe/nCells of the m-byte code
+    * table + a TakeOrderedAndProject, then an id-join of `rerank` rows
+    * against the float table (broadcast — rerank is k-bounded). With
+    * nProbe = nCells and rerank ≥ corpus size the composition degrades
+    * to EXACT brute force (the refine covers everything) — the emb20
+    * contract gate.
+    *
+    * @return (idCol, adc_score, score) — `score` expression-identical to
+    *         [[Ann.knnBruteForce]]'s so rounded scores join across
+    *         operators. */
+  def pqAdcKnn(index: IvfPqIndex, emb: DataFrame, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = emb.sparkSession
+    graft.functions.ArrayDotProduct.register(spark)
+    val idCol = index.idCol
+    val qVec = emb.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), x => x.cast("double"))).head()
+      .getSeq[Double](0).toArray
+    val probeCells = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d2 = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d2)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val m = index.codebooks.length
+    val dsub = qVec.length / m
+    val dots: Seq[Seq[Double]] = (0 until m).map { j =>
+      val qSub = qVec.slice(j * dsub, (j + 1) * dsub)
+      index.codebooks(j).toSeq.map(c =>
+        c.zip(qSub).map { case (a, b) => a * b }.sum)
+    }
+    val cn2: Seq[Seq[Double]] = (0 until m).map { j =>
+      index.codebooks(j).toSeq.map(c => c.map(x => x * x).sum)
+    }
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val adcTop = index.table
+      .filter(col("__cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        Ann.cosineOrZero(Pq.tableSum(col("codes"), dots),
+          sqrt(Pq.tableSum(col("codes"), cn2)), lit(qNorm)).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(rerank)
+    val qLit = typedlit(qVec.toSeq)
+    emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .join(broadcast(adcTop), idCol)
+      .select(col(idCol), col("adc_score"),
+        Ann.cosineOrZero(Ann.dot(col("__v"), qLit), Ann.norm(col("__v")),
+          lit(qNorm)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   def adcKnn(index: Index, idCol: String, vecCol: String, queryId: Long,
       k: Int, nProbe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")

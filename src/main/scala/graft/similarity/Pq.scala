@@ -68,8 +68,8 @@ object Pq {
   /** Sum of per-subspace table lookups: zip the code array with its
     * subspace index and fold — a sequential per-row expression chain,
     * fully inside codegen, no UDF. `table` is the m×k driver-built
-    * literal. */
-  private def tableSum(codes: Column, table: Seq[Seq[Double]]): Column = {
+    * literal. Shared with [[Ivf.pqAdcKnn]] (the IVF-PQ composition). */
+  private[similarity] def tableSum(codes: Column, table: Seq[Seq[Double]]): Column = {
     val t = typedlit(table)
     aggregate(
       zip_with(codes, sequence(lit(0), lit(table.size - 1)),

@@ -436,6 +436,39 @@ class AnnSpec extends SparkSpec {
     assert(none.forall(_.getAs[Long]("n_outliers") == 0L))
   }
 
+  test("IVF-PQ composition: all-cells + full-rerank degrades to exact " +
+      "brute force; probe superset never loses hits under full refine") {
+    // 40 vectors in 4 well-separated direction clusters + ids 0..39
+    val rnd = new scala.util.Random(7)
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    val rows = (0 until 40).map { i =>
+      val base = dirs(i % 4)
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ivf = Ivf.build(emb, "vec_id", "embedding", nCells = 4, seed = 1L)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 4, k = 4)
+    val idx = Ivf.buildIvfPq(ivf, pq, "vec_id")
+    val exact = Ann.knnBruteForce(emb, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSet
+    // degeneracy: all cells + rerank >= corpus = exact top-k, same scores
+    val all = Ivf.pqAdcKnn(idx, emb, "embedding", 0L, k = 5,
+      nProbe = 4, rerank = 40).select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+    // provable monotonicity: candidate superset + full exact refine
+    def hits(nProbe: Int) = Ivf.pqAdcKnn(idx, emb, "embedding", 0L, k = 5,
+      nProbe = nProbe, rerank = 40)
+      .select("vec_id").as[Long].collect().count(exact)
+    assert(hits(1) <= hits(2) && hits(2) <= hits(4))
+    // the ADC stage really scores codes: output carries both score columns
+    val cols = Ivf.pqAdcKnn(idx, emb, "embedding", 0L, 5, 2, 10).columns.toSeq
+    assert(cols == Seq("vec_id", "adc_score", "score"))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
