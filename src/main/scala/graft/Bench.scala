@@ -52,6 +52,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r10 VERDICT item 6 (t38/t13 spread): pipeline queries materialize
+      // localCheckpoint/persist blocks that become UNREACHABLE after each
+      // rep but sit in the block manager until a driver GC lets the
+      // ContextCleaner reclaim them — with the default 30min periodic GC,
+      // three adjacent reps accumulate 3-4x the block footprint and the
+      // middle reps absorb the reclamation stalls (r10 reps: t38
+      // [1.6, 9.5, 5.7]). A 1-minute cleaner GC bounds the buildup...
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -116,6 +124,11 @@ object Bench {
     val canaries = new Array[Double](names.size + 1)
     // (name, best, spreadPct, allReps, ok)
     val results = names.zipWithIndex.map { case (name, qi) =>
+      // ...and an explicit UNTIMED gc before each query's block drains
+      // the previous block's orphans eagerly, so no query starts its
+      // reps under another query's reclamation debt (one gc per block:
+      // ~0.1s each on this heap, bounded, outside every timed region)
+      System.gc()
       try run(name)
       catch { case e: Throwable =>
         warmupFailures += 1
