@@ -129,9 +129,20 @@ object Versioned {
   private def manifestJson(v: Int, parent: Int, overwrite: Boolean,
       groups: Seq[String], stats: Map[String, (Long, Long)] = Map.empty,
       stats2: Map[String, (Long, Long, Long, Long)] = Map.empty,
-      txn: Option[(String, Long)] = None, commitTs: Option[Long] = None)
+      txn: Option[(String, Long)] = None, commitTs: Option[Long] = None,
+      dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None)
       : String = {
     groups.foreach(requireGroupRef)
+    dgroups.foreach(requireGroupRef)
+    require(dgroups.isEmpty == dkey.isEmpty,
+      "delete groups and their key column travel together")
+    val dJson =
+      if (dgroups.isEmpty) ""
+      else {
+        requireId("delete key column", dkey.get)
+        s""","dgroups":[${dgroups.map(g => "\"" + g + "\"").mkString(",")}],""" +
+          s""""dkey":"${dkey.get}""""
+      }
     val statsJson =
       if (stats.isEmpty) ""
       else s""","stats":{${stats.toSeq.sortBy(_._1).map { case (g, (lo, hi)) =>
@@ -147,8 +158,54 @@ object Versioned {
     val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
-      statsJson + stats2Json + txnJson + tsJson + "}"
+      dJson + statsJson + stats2Json + txnJson + tsJson + "}"
   }
+
+  /** Equality-DELETE file groups of a version (merge-on-read state) and
+    * the key column they delete on. Empty for copy-on-write-only
+    * histories. */
+  def readDeletes(dir: String, v: Int): (Seq[String], Option[String]) = {
+    val text = manifestText(dir, v)
+    val dgs = "\"dgroups\":\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val dk = "\"dkey\":\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+    (dgs, dk)
+  }
+
+  /** Anti-join `df` against version `v`'s accumulated equality-delete
+    * files — the merge-on-read half of every snapshot read. The delete
+    * frame is the union of the (small) delete files; one key-shuffle of
+    * the read (or a broadcast when the delete set is small, which AQE
+    * picks up at runtime). */
+  private def applyMorDeletes(spark: SparkSession, dir: String, v: Int,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (dgs, dk) = readDeletes(dir, v)
+    if (dgs.isEmpty) df
+    else {
+      val dels = spark.read.parquet(dgs.map(resolveGroup(dir, _)): _*)
+        .select(col(dk.get)).distinct()
+      df.join(dels, Seq(dk.get), "left_anti")
+    }
+  }
+
+  /** The union frame of a version's delete-file keys (one column, the
+    * delete key), or None when the version carries no MOR deletes. */
+  private def morDeleteKeys(spark: SparkSession, dir: String, v: Int)
+      : Option[(DataFrame, String)] = {
+    import org.apache.spark.sql.functions.col
+    val (dgs, dk) = readDeletes(dir, v)
+    if (dgs.isEmpty) None
+    else Some((spark.read.parquet(dgs.map(resolveGroup(dir, _)): _*)
+      .select(col(dk.get)).distinct(), dk.get))
+  }
+
+  private def requireNoMorDeletes(dir: String, v: Int, verb: String): Unit =
+    require(readDeletes(dir, v)._1.isEmpty,
+      s"$verb at $dir requires a delete-free snapshot — run " +
+        "applyDeletesCommit first (merge-on-read deletes are pending)")
 
   /** Min/max of `statsCol` over the WRITTEN group (the manifest must
     * describe what is on disk, not the input plan). None when the group
@@ -191,8 +248,15 @@ object Versioned {
       else readStats(dir, parent)
     val newStats = statsCol.flatMap(c =>
       writtenStats(df.sparkSession, dir, group, c).map(group -> _))
+    // an append carries the parent's pending MOR delete files forward
+    // (they still mask rows of the carried data groups); an overwrite
+    // starts a fresh snapshot and drops them
+    val (dgs, dk) =
+      if (overwrite || parent == 0) (Seq.empty[String], None)
+      else readDeletes(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
-      parentStats ++ newStats, txn = txn, commitTs = commitTs)
+      parentStats ++ newStats, txn = txn, commitTs = commitTs,
+      dgroups = dgs, dkey = dk)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -261,8 +325,11 @@ object Versioned {
       val stats =
         if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
         else readStats(dir, parent)
+      val (dgs, dk) =
+        if (overwrite || parent == 0) (Seq.empty[String], None)
+        else readDeletes(dir, parent)
       val json = manifestJson(v, parent, overwrite, groups, stats,
-        txn = Some((appId, txnVersion)))
+        txn = Some((appId, txnVersion)), dgroups = dgs, dkey = dk)
       if (publishIfAbsent(dir, v, json)) return Some(v)
       attempts += 1
     }
@@ -318,7 +385,8 @@ object Versioned {
         read(spark, dir, v).filter(col(statsCol) >= lo && col(statsCol) <= hi)
           .filter(org.apache.spark.sql.functions.lit(false))
       else
-        spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)
+        applyMorDeletes(spark, dir, v,
+          spark.read.parquet(planned.map(resolveGroup(dir, _)): _*))
           .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, planned.size, groups.size)
   }
@@ -344,7 +412,8 @@ object Versioned {
         col(bCol) >= bLo && col(bCol) <= bHi)
     val df =
       if (planned.isEmpty) residual(read(spark, dir, v)).filter(lit(false))
-      else residual(spark.read.parquet(planned.map(resolveGroup(dir, _)): _*))
+      else residual(applyMorDeletes(spark, dir, v,
+        spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)))
     (df, planned.size, groups.size)
   }
 
@@ -418,6 +487,7 @@ object Versioned {
     val spark = updates.sparkSession
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to merge into at $dir")
+    requireNoMorDeletes(dir, parent, "file-granularity MERGE")
     val (touched, carried) = touchedGroups(updates, statsCol, dir, parent)
     val merged =
       if (touched.isEmpty) updates
@@ -451,6 +521,7 @@ object Versioned {
     import org.apache.spark.sql.functions.col
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to delete from at $dir")
+    requireNoMorDeletes(dir, parent, "file-granularity DELETE")
     val groups = readManifest(dir, parent)
     val stats = readStats(dir, parent)
     val touched = groups.filter(g =>
@@ -475,6 +546,102 @@ object Versioned {
         Some(statsCol))
       (v, touched, carried)
     }
+  }
+
+  /** MERGE-ON-READ equality delete (the Iceberg v2 equality-delete-file /
+    * Delta deletion-vector design, public): instead of rewriting ANY data
+    * group, commit a SMALL file of deleted keys; every subsequent read of
+    * the snapshot anti-joins it out ([[read]] applies this
+    * automatically). This is the third point on the delete
+    * write-amplification spectrum —
+    * [[deleteCommit]] rewrites the table, [[deleteCommitCow]] rewrites
+    * the touched groups, this rewrites NOTHING (cost O(deleted keys)) and
+    * moves the work to read time, which is the right trade for frequent
+    * small deletes (GDPR erasure against a 100 TB table) between
+    * maintenance windows. Delete files accumulate across commits
+    * (appends carry them forward) until [[applyDeletesCommit]] folds
+    * them into the data. Multiple MOR deletes must share one key column.
+    * Marked overwrite in the log: a racing OCC append is a TRUE conflict
+    * (it might re-insert a deleted key). Returns the committed version. */
+  def deleteCommitMor(deletes: DataFrame, dir: String, key: String): Int = {
+    requireId("delete key column", key)
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to delete from at $dir")
+    val (pdgs, pdk) = readDeletes(dir, parent)
+    require(pdk.forall(_ == key),
+      s"pending MOR deletes use key '${pdk.get}', got '$key'")
+    val v = parent + 1
+    val dgroup = s"d$v"
+    deletes.select(deletes.col(key)).distinct()
+      .coalesce(1) // a delete file is small by design — one file
+      .write.mode("errorifexists").parquet(s"$dir/data/$dgroup")
+    val json = manifestJson(v, parent, overwrite = true,
+      readManifest(dir, parent), readStats(dir, parent),
+      readStats2(dir, parent), dgroups = pdgs :+ dgroup, dkey = Some(key))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"deleteCommitMor at $dir lost the race for version $v")
+    v
+  }
+
+  /** Fold the pending merge-on-read delete files into the data — the
+    * maintenance verb (Iceberg rewrite_data_files on deletes / Delta
+    * PURGE): plan the data groups whose manifest stats could contain a
+    * deleted key (the [[touchedGroups]] broadcast range-join over the
+    * UNION of the delete files), rewrite only those with the anti-join
+    * applied, carry the rest by name, and publish a delete-free version.
+    * Requires the delete key to be the stats column (or the table to
+    * carry no stats, in which case everything rewrites — the only
+    * correct plan). Returns (version, rewrittenGroups, carriedGroups). */
+  def applyDeletesCommit(spark: SparkSession, dir: String)
+      : (Int, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to apply at $dir")
+    val Some((delKeys, dk)) = morDeleteKeys(spark, dir, parent): @unchecked
+    val (touched, carried) = touchedGroups(delKeys, dk, dir, parent)
+    if (touched.isEmpty) {
+      // no group can contain a deleted key: just drop the delete files
+      val v = parent + 1
+      val json = manifestJson(v, parent, overwrite = true, carried,
+        readStats(dir, parent), readStats2(dir, parent))
+      if (!publishIfAbsent(dir, v, json))
+        throw new java.util.ConcurrentModificationException(
+          s"applyDeletesCommit at $dir lost the race for version $v")
+      (v, Seq.empty, carried)
+    } else {
+      val purged = spark.read
+        .parquet(touched.map(resolveGroup(dir, _)): _*)
+        .join(delKeys, Seq(dk), "left_anti")
+      // statsCol only re-derivable when the delete key IS the stats
+      // column (the common layout); otherwise the new group reads
+      // conservatively
+      val statsCol =
+        if (readStats(dir, parent).nonEmpty) Some(dk) else None
+      val v = commitRewrite(purged, spark, dir, parent, carried, statsCol)
+      (v, touched, carried)
+    }
+  }
+
+  /** RESTORE TO VERSION AS OF (Delta RESTORE, public verb): re-publish an
+    * older snapshot's file-group list (data + pending deletes + stats,
+    * all BY NAME — zero data copied, O(commit count)) as the NEW latest
+    * version. History after the restore point stays readable; [[changes]]
+    * across the restore step emits exactly the diff that undoes the
+    * intervening commits. Fails if the target's manifest was vacuumed. */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val parent = latestVersion(dir)
+    require(toVersion >= 1 && toVersion < parent,
+      s"need 1 <= toVersion < $parent, got $toVersion")
+    val (dgs, dk) = readDeletes(dir, toVersion)
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = true,
+      readManifest(dir, toVersion), readStats(dir, toVersion),
+      readStats2(dir, toVersion), dgroups = dgs, dkey = dk)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"restore at $dir lost the race for version $v")
+    v
   }
 
   /** Publish `df` as version parent+1 whose manifest = `carried` (with
@@ -540,6 +707,9 @@ object Versioned {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val v = latestVersion(dir)
     require(v > 0, s"nothing to compact at $dir")
+    // a packed group re-written WITHOUT the pending delete files would
+    // resurrect deleted rows once the dgroups are dropped — apply first
+    requireNoMorDeletes(dir, v, "bin-packed OPTIMIZE")
     val sizes = groupSizes(spark, dir, v)
     val smalls = sizes.filter(_._2 < targetBytes)
     val carried = sizes.filterNot(s => smalls.exists(_._1 == s._1)).map(_._1)
@@ -586,6 +756,7 @@ object Versioned {
       s"bucketBits=$bucketBits outside [1, ${2 * gridBits}]")
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to optimize at $dir")
+    requireNoMorDeletes(dir, parent, "OPTIMIZE ZORDER BY")
     val v = parent + 1
     val base = s"c$v"
     val shiftBits = 2 * gridBits - bucketBits
@@ -710,9 +881,29 @@ object Versioned {
           val added =
             readManifest(dir, v).toSet -- (
               if (v == 1) Set.empty[String] else readManifest(dir, v - 1).toSet)
-          spark.read.parquet(added.toSeq.sorted.map(resolveGroup(dir, _)): _*)
+          // carried MOR delete files can mask rows of the appended group
+          // (the key was deleted before the append) — apply them so the
+          // feed only emits rows the snapshot actually shows
+          applyMorDeletes(spark, dir, v,
+            spark.read.parquet(added.toSeq.sorted.map(resolveGroup(dir, _)): _*))
             .withColumn("_change_type", lit("insert"))
-        } else snapshotDiff(read(spark, dir, v - 1), read(spark, dir, v), key)
+        } else {
+          // MOR-delete fast path: data groups unchanged, delete files
+          // grew — the change set is exactly the newly masked rows, one
+          // semi-join of the prior snapshot against the NEW delete keys
+          // (cost bounded by the delete, never a full-outer diff)
+          val (pd, _) = readDeletes(dir, v - 1)
+          val (cd, cdk) = readDeletes(dir, v)
+          val newDels = cd.filterNot(pd.toSet)
+          if (newDels.nonEmpty && cd.take(pd.size) == pd &&
+              readManifest(dir, v) == readManifest(dir, v - 1)) {
+            val keys = spark.read
+              .parquet(newDels.map(resolveGroup(dir, _)): _*)
+              .select(col(cdk.get)).distinct()
+            read(spark, dir, v - 1).join(keys, Seq(cdk.get), "left_semi")
+              .withColumn("_change_type", lit("delete"))
+          } else snapshotDiff(read(spark, dir, v - 1), read(spark, dir, v), key)
+        }
       step.select((dataCols :+ "_change_type").map(col): _*)
         .withColumn("_commit_version", lit(v.toLong))
     }
@@ -761,7 +952,7 @@ object Versioned {
     require(retainFromVersion >= 1 && retainFromVersion <= latest,
       s"need 1 <= retainFrom <= $latest, got $retainFromVersion")
     val retained = (retainFromVersion to latest)
-      .flatMap(v => readManifest(dir, v))
+      .flatMap(v => readManifest(dir, v) ++ readDeletes(dir, v)._1)
       .map(_.split('/').head).toSet
     val expired = (1 until retainFromVersion)
       .filter(v => Files.deleteIfExists(manifestPath(dir, v)))
@@ -787,8 +978,9 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    spark.read.option("mergeSchema", "true")
-      .parquet(groups.map(resolveGroup(dir, _)): _*)
+    applyMorDeletes(spark, dir, v,
+      spark.read.option("mergeSchema", "true")
+        .parquet(groups.map(resolveGroup(dir, _)): _*))
   }
 
   /** File-group count of a version's manifest (layout observability). */
@@ -806,12 +998,15 @@ object Versioned {
   }
 
   /** Read a specific version (time travel), or the latest when `version`
-    * is 0. Plans only the file groups in that version's manifest. */
+    * is 0. Plans only the file groups in that version's manifest and
+    * applies its pending merge-on-read deletes ([[deleteCommitMor]]) —
+    * readers always see the logical snapshot. */
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
+    applyMorDeletes(spark, dir, v,
+      spark.read.parquet(groups.map(resolveGroup(dir, _)): _*))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
@@ -859,8 +1054,10 @@ object Versioned {
       val v = parent + 1
       val groups =
         (if (parent == 0) Seq.empty else readManifest(dir, parent)) :+ group
+      val (dgs, dk) =
+        if (parent == 0) (Seq.empty[String], None) else readDeletes(dir, parent)
       if (publishIfAbsent(dir, v, manifestJson(v, parent, overwrite = false,
-          groups))) return v
+          groups, dgroups = dgs, dkey = dk))) return v
       attempts += 1
       val newLatest = latestVersion(dir)
       ((parent + 1) to newLatest).foreach { w =>
@@ -899,9 +1096,12 @@ object Versioned {
       if (srcDir.contains("://")) srcDir
       else Paths.get(srcDir).toAbsolutePath.toString
     val groups = readManifest(srcDir, v).map(resolveGroup(absSrc, _))
+    // pending MOR delete files travel with the snapshot they mask
+    val (srcDgs, srcDk) = readDeletes(srcDir, v)
     Files.createDirectories(manifestDir(dstDir))
     val tmp = manifestDir(dstDir).resolve(".v1.json.tmp")
-    Files.write(tmp, manifestJson(1, 0, overwrite = true, groups)
+    Files.write(tmp, manifestJson(1, 0, overwrite = true, groups,
+        dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk)
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1

@@ -300,6 +300,76 @@ object SinkSqlQueries {
     out
   }
 
+  /** s38/s39's merge-on-read table: four KEY-QUARTILE commits of orders
+    * (manifest stats on o_orderkey), then two MOR equality deletes of
+    * narrow key bands — one inside quartile 3 (v5), one inside quartile 1
+    * (v6) — then applyDeletesCommit (v7), whose stats planning must
+    * rewrite exactly quartiles {1, 3} and carry {2, 4} verbatim. Cached
+    * value = (dir, preGroups, rewritten, carried, mx) where mx is the max
+    * order key both engines derive the band arithmetic from. */
+  private val morCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Seq[String], Seq[String], Seq[String], Long)]()
+
+  private def morOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Seq[String], Seq[String], Seq[String], Long) = {
+    val key = (s, d)
+    val hit = morCache.get(key)
+    if (hit != null) return hit
+    morCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s38_mor_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val k = col("o_orderkey")
+    Seq(k <= mx / 4, k > mx / 4 && k <= mx / 2,
+        k > mx / 2 && k <= 3 * (mx / 4), k > 3 * (mx / 4))
+      .foreach(cond => graft.ops.Versioned.commit(o.filter(cond), dir,
+        statsCol = Some("o_orderkey")))
+    val pre = graft.ops.Versioned.groupNames(dir)
+    require(pre.size == 4, s"expected 4 quartile groups, got $pre")
+    // band A inside quartile 3, band B inside quartile 1 (see the gate's
+    // oracle: both engines derive the thresholds from MAX(o_orderkey))
+    graft.ops.Versioned.deleteCommitMor(
+      o.filter(k > mx / 2 && k <= mx / 2 + mx / 20).select("o_orderkey"),
+      dir, "o_orderkey")
+    graft.ops.Versioned.deleteCommitMor(
+      o.filter(k <= mx / 20).select("o_orderkey"), dir, "o_orderkey")
+    val (v7, rewritten, carried) =
+      graft.ops.Versioned.applyDeletesCommit(s, dir)
+    require(v7 == 7, s"unexpected apply version $v7")
+    val out = (dir, pre, rewritten, carried, mx)
+    morCache.put(key, out)
+    out
+  }
+
+  /** s40's restored table: v1 = full orders, v2 = DELETE of keys
+    * divisible by 5, v3 = RESTORE TO VERSION 1. */
+  private val restoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def restoredOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = restoreCache.get(key)
+    if (hit != null) return hit
+    restoreCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s40_restore_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o, dir)
+    graft.ops.Versioned.deleteCommit(s, dir, col("o_orderkey") % 5 === 0)
+    val v3 = graft.ops.Versioned.restore(s, dir, 1)
+    require(v3 == 3, s"unexpected restore version $v3")
+    restoreCache.put(key, dir)
+    dir
+  }
+
   /** s37's Z-ORDER-optimized version log: the s26 grid (both key
     * dimensions normalized to 0..1023 exact BIGINT arithmetic) committed
     * in four UNCLUSTERED key-mod slices — every group spans the full
@@ -1243,6 +1313,125 @@ object SinkSqlQueries {
                       TRUE AS content_invariant
                FROM g
                WHERE ag BETWEEN 256 AND 511 AND bg BETWEEN 256 AND 511""")),
+
+    // S38: MERGE-ON-READ equality delete (Iceberg v2 delete files /
+    // Delta deletion vectors) — the third point on the delete
+    // write-amplification spectrum (s29 rewrites the table, s35's COW
+    // the touched groups, this rewrites NOTHING): two narrow key-band
+    // deletes land as SMALL delete files; the gate reads the snapshot
+    // with both pending (v6). Contracts: the masked read replays from
+    // source through the band arithmetic both engines derive from
+    // MAX(o_orderkey); `zero_rewrite` — the data-group list is the
+    // pre-delete list VERBATIM (nothing was rewritten, the whole point);
+    // `two_pending` — both delete files ride the manifest;
+    // `history_stable` — the pre-delete snapshot still reads full;
+    // `pruned_masked` — a stats-pruned read composes with the mask
+    // (plans 1 of 4 groups AND applies the band's deletions).
+    Q("s38_mor_delete",
+      (s, d) => {
+        val (dir, pre, _, _, mx) = morOrders(s, d)
+        val zeroRewrite = graft.ops.Versioned.groupNames(dir, 6) == pre
+        val twoPending = graft.ops.Versioned.readDeletes(dir, 6)._1.size == 2
+        val historyStable =
+          graft.ops.Versioned.readDeletes(dir, 4)._1.isEmpty
+        val (pr, planned, total) = graft.ops.Versioned.prunedRead(
+          s, dir, "o_orderkey", 1L, mx / 4, version = 6)
+        val prunedMasked = planned == 1 && total == 4
+        graft.ops.Versioned.read(s, dir, 6)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("n_pruned_masked", lit(prunedMasked))
+          .crossJoin(pr.agg(count(lit(1)).as("n_q1")))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+          .withColumn("two_pending", lit(twoPending))
+          .withColumn("history_stable", lit(historyStable))
+          .select("n", "total", "n_q1", "n_pruned_masked", "zero_rewrite",
+            "two_pending", "history_stable")
+      },
+      Some(s"""WITH m AS (SELECT MAX(CAST(o_orderkey AS BIGINT)) AS mx
+                          FROM orders),
+                    o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                                 o_totalprice
+                          FROM orders),
+                    kept AS (SELECT k, o_totalprice FROM o, m
+                             WHERE NOT (k > mx // 2 AND k <= mx // 2 + mx // 20)
+                               AND NOT (k <= mx // 20))
+               SELECT (SELECT COUNT(*) FROM kept) AS n,
+                      (SELECT ${sqlDsum("o_totalprice")} FROM kept) AS total,
+                      (SELECT COUNT(*) FROM kept, m WHERE k <= mx // 4)
+                        AS n_q1,
+                      TRUE AS n_pruned_masked, TRUE AS zero_rewrite,
+                      TRUE AS two_pending, TRUE AS history_stable""")),
+
+    // S39: APPLY the pending MOR deletes — the maintenance verb (Iceberg
+    // rewrite on deletes / Delta PURGE): the stats planning (broadcast
+    // range-join of the UNION of delete files against the group ranges)
+    // must rewrite exactly the two quartiles the bands live in and carry
+    // quartiles 2 and 4 by name, stats intact; the published version is
+    // delete-free and content-identical to the masked read (the apply
+    // moves bytes, never rows — replayed from source).
+    Q("s39_mor_apply",
+      (s, d) => {
+        val (dir, pre, rewritten, carried, _) = morOrders(s, d)
+        val post = graft.ops.Versioned.groupNames(dir, 7)
+        val narrowed = rewritten.toSet == Set(pre(0), pre(2)) &&
+          carried == Seq(pre(1), pre(3))
+        val verbatim = post.init == carried && post.size == 3
+        val deleteFree = graft.ops.Versioned.readDeletes(dir, 7)._1.isEmpty
+        graft.ops.Versioned.read(s, dir, 7)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("rewrite_narrowed", lit(narrowed))
+          .withColumn("untouched_carried_verbatim", lit(verbatim))
+          .withColumn("delete_free", lit(deleteFree))
+      },
+      Some(s"""WITH m AS (SELECT MAX(CAST(o_orderkey AS BIGINT)) AS mx
+                          FROM orders),
+                    o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                                 o_totalprice
+                          FROM orders)
+               SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS rewrite_narrowed,
+                      TRUE AS untouched_carried_verbatim,
+                      TRUE AS delete_free
+               FROM o, m
+               WHERE NOT (k > mx // 2 AND k <= mx // 2 + mx // 20)
+                 AND NOT (k <= mx // 20)""")),
+
+    // S40: RESTORE TO VERSION AS OF (Delta RESTORE) — the undo verb:
+    // after a DELETE (v2), restore(v1) republishes v1's file-group list
+    // as v3, ZERO-copy (`zero_copy_restore` pins the manifest lists
+    // identical by name). The gate reads the aborted timeline (v2,
+    // survivors) and the restored head (v3, the full table) — both
+    // replayed from source — and `undo_diff` pins that the restore
+    // step's change feed is exactly the deleted rows coming back as
+    // inserts.
+    Q("s40_restore",
+      (s, d) => {
+        val dir = restoredOrders(s, d)
+        val zeroCopy = graft.ops.Versioned.groupNames(dir, 3) ==
+          graft.ops.Versioned.groupNames(dir, 1)
+        val undo = graft.ops.Versioned.changes(s, dir, 2, 3, "o_orderkey")
+          .groupBy("_change_type").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def snap(v: Int) = graft.ops.Versioned.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(v.toLong).as("version"), col("n"), col("total"))
+        val full = Tables.orders(s, d).count()
+        val undoOk = undo.keySet == Set("insert") &&
+          undo("insert") == full - graft.ops.Versioned.read(s, dir, 2).count()
+        snap(2).unionAll(snap(3))
+          .withColumn("zero_copy_restore", lit(zeroCopy))
+          .withColumn("undo_diff", lit(undoOk))
+          .orderBy("version")
+      },
+      Some(s"""SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS zero_copy_restore, TRUE AS undo_diff
+               FROM orders WHERE o_orderkey % 5 != 0
+               UNION ALL
+               SELECT CAST(3 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")},
+                      TRUE, TRUE
+               FROM orders
+               ORDER BY version""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

@@ -518,6 +518,131 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read delete: zero rewrite, reads mask the keys, appends " +
+      "carry the delete files, apply folds them in narrowly") {
+    val dir = freshDir()
+    threeRangeCommits(dir) // [0,9], [10,19], [20,29] with k-stats
+    val pre = Versioned.groupNames(dir)
+    // MOR delete of four keys: no data group rewritten
+    val v4 = Versioned.deleteCommitMor(
+      Seq(5L, 15L, 16L, 25L).toDF("k"), dir, "k")
+    assert(v4 == 4 && Versioned.groupNames(dir) == pre) // data untouched
+    assert(Versioned.readDeletes(dir, 4)._1 == Seq("d4"))
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect()
+      .map(_._1).sorted.toSeq == (0L to 29L).filterNot(Set(5L, 15L, 16L, 25L)))
+    // pruned reads mask too
+    val (pr, planned, _) = Versioned.prunedRead(spark, dir, "k", 0L, 9L)
+    assert(planned == 1 && pr.count() == 9L)
+    // time travel to the pre-delete snapshot still sees everything
+    assert(Versioned.read(spark, dir, 3).count() == 30L)
+    // a second MOR delete accumulates; an append carries both forward
+    Versioned.deleteCommitMor(Seq(6L).toDF("k"), dir, "k")
+    Versioned.commit((100L until 105L).map(k => (k, k * 1.0)).toDF("k", "x"),
+      dir, statsCol = Some("k"))
+    assert(Versioned.readDeletes(dir, 6)._1 == Seq("d4", "d5"))
+    assert(Versioned.read(spark, dir).count() == 30L - 5L + 5L)
+    // an appended row whose key was MOR-deleted earlier stays masked
+    Versioned.commit(Seq((5L, 999.0)).toDF("k", "x"), dir,
+      statsCol = Some("k"))
+    assert(Versioned.read(spark, dir).filter(col("k") === 5L).count() == 0L)
+    // rewrite verbs refuse to run over pending deletes (resurrection)
+    intercept[IllegalArgumentException] {
+      Versioned.compactBinPacked(spark, dir, None, 1L << 20)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.mergeCommitCow(Seq((1L, 0.0)).toDF("k", "x"), dir, "k", "k")
+    }
+    // apply: only the groups containing deleted keys rewrite; the
+    // appended [100,104] group (and the masked 5-row append) intersect
+    // nothing... the masked append DOES contain key 5 -> touched
+    val (v8, rewritten, carried) = Versioned.applyDeletesCommit(spark, dir)
+    assert(v8 == 8)
+    assert(Versioned.readDeletes(dir, v8)._1.isEmpty)
+    assert(carried.contains("c6")) // [100,104]: no deleted key in range
+    assert(rewritten.toSet == Set("c1", "c2", "c3", "c7"))
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect()
+      .map(_._1).sorted.toSeq ==
+      ((0L to 29L).filterNot(Set(5L, 6L, 15L, 16L, 25L)) ++ (100L to 104L)))
+    // post-apply the rewrite verbs work again
+    assert(Versioned.compactBinPacked(spark, dir, Some("k"), 1L << 20)._1 == 9)
+  }
+
+  test("changes serves a MOR-delete step as the masked rows (semi-join " +
+      "fast path) and tags the apply step with zero change rows") {
+    val dir = freshDir()
+    threeRangeCommits(dir)
+    Versioned.deleteCommitMor(Seq(5L, 15L).toDF("k"), dir, "k") // v4
+    val step = Versioned.changes(spark, dir, 3, 4, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(step == Set((5L, "delete"), (15L, "delete")))
+    // a key deleted twice emits once, at its first delete step
+    Versioned.deleteCommitMor(Seq(5L, 25L).toDF("k"), dir, "k") // v5
+    val step5 = Versioned.changes(spark, dir, 4, 5, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(step5 == Set((25L, "delete")))
+    // apply is content-invariant => zero change rows for its step
+    val (v6, _, _) = Versioned.applyDeletesCommit(spark, dir)
+    assert(Versioned.changes(spark, dir, 5, v6, "k").count() == 0L)
+    // the full feed applied to the v3 snapshot rebuilds the latest
+    val rebuilt = Versioned.applyChanges(Versioned.read(spark, dir, 3),
+      Versioned.changes(spark, dir, 3, v6, "k"), "k")
+    assert(rebuilt.as[(Long, Double)].collect().toSet ==
+      Versioned.read(spark, dir).as[(Long, Double)].collect().toSet)
+  }
+
+  test("RESTORE republishes an old snapshot zero-copy; changes across " +
+      "the restore step is the undo diff; history stays readable") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir)
+    Versioned.commit(Seq((3L, 30.0)).toDF("k", "x"), dir) // v2
+    Versioned.deleteCommit(spark, dir, col("k") === 2L)   // v3
+    val v4 = Versioned.restore(spark, dir, 2)
+    assert(v4 == 4)
+    // zero copy: the restored manifest is v2's group list verbatim
+    assert(Versioned.groupNames(dir, 4) == Versioned.groupNames(dir, 2))
+    assert(Versioned.read(spark, dir).as[(Long, Double)].collect().toSet
+      == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // the restore step's change set undoes the delete
+    val step = Versioned.changes(spark, dir, 3, 4, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(step == Set((2L, "insert")))
+    // the aborted timeline (v3) is still readable
+    assert(Versioned.read(spark, dir, 3).count() == 2L)
+    // restore also reinstates pending MOR state when the target had it
+    Versioned.deleteCommitMor(Seq(1L).toDF("k"), dir, "k") // v5
+    Versioned.restore(spark, dir, 4)                       // v6: pre-MOR
+    assert(Versioned.readDeletes(dir, 6)._1.isEmpty)
+    assert(Versioned.read(spark, dir).count() == 3L)
+    Versioned.restore(spark, dir, 5)                       // v7: MOR again
+    assert(Versioned.readDeletes(dir, 7)._1 == Seq("d5"))
+    assert(Versioned.read(spark, dir).count() == 2L)
+  }
+
+  test("vacuum retains MOR delete files referenced by retained manifests") {
+    val dir = freshDir()
+    threeRangeCommits(dir)
+    Versioned.deleteCommitMor(Seq(5L).toDF("k"), dir, "k") // v4
+    Versioned.commit(Seq((50L, 1.0)).toDF("k", "x"), dir)  // v5 carries d4
+    val (m, g) = Versioned.vacuum(spark, dir, 4)
+    assert(m == 3 && g == 0) // d4 still referenced: nothing orphaned
+    assert(Versioned.read(spark, dir, 4).count() == 29L)
+    // once the delete is applied and old versions expire, d4 sweeps
+    val (v6, _, _) = Versioned.applyDeletesCommit(spark, dir)
+    val (_, g2) = Versioned.vacuum(spark, dir, v6)
+    assert(g2 > 0)
+    assert(!new java.io.File(s"$dir/data/d4").exists())
+    assert(Versioned.read(spark, dir).count() == 30L)
+  }
+
+  test("clone carries the source's pending MOR delete files") {
+    val src = freshDir(); val dst = freshDir()
+    threeRangeCommits(src)
+    Versioned.deleteCommitMor(Seq(5L, 15L).toDF("k"), src, "k")
+    Versioned.cloneShallow(src, dst)
+    assert(Versioned.read(spark, dst).count() == 28L)
+    assert(Versioned.readDeletes(dst, 1)._1.size == 1)
+  }
+
   test("changes over a 64-commit history plans (balanced union, no " +
       "linear-depth analyzer recursion) and replays every step") {
     val dir = freshDir()
