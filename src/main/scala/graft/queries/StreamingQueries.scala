@@ -430,29 +430,34 @@ object StreamingQueries {
     // the streaming→lakehouse landing shape: each micro-batch commits as
     // one immutable file group + manifest via foreachBatch, so the table
     // is time-travelable PER MICRO-BATCH (an auditor can replay ingest
-    // history commit by commit). The gate reads the LATEST snapshot and
-    // must reproduce the batch aggregate exactly — multi-batch commit
-    // proven by the `multi_batch` contract column (foreachBatch is
-    // at-least-once under retries; one AvailableNow pass per session is
-    // retry-free, and a production deployment keys idempotence on the
-    // batchId, which Versioned's manifest would carry). Ingest runs once
-    // per (session, sfDir) — the s17/shippedShards immutable-derived
-    // discipline; the first run (Verify's path) executes the real
-    // StreamingQuery.
+    // history commit by commit). Each micro-batch lands via
+    // idempotentCommit keyed on the batchId — the Delta txnAppId/
+    // txnVersion exactly-once sink, atomic under concurrent zombie
+    // retries — and the builder replays the last batch's txn to prove
+    // the skip (`exactly_once_replay`: the replay minted NO version and
+    // the table's txn high-water mark is the last batch id). The gate
+    // reads the LATEST snapshot and must reproduce the batch aggregate
+    // exactly; multi-batch commit proven by `multi_batch`. Ingest runs
+    // once per (session, sfDir) — the s17/shippedShards
+    // immutable-derived discipline; the first run (Verify's path)
+    // executes the real StreamingQuery.
     Q("st7_stream_versioned_ingest",
       (s, d) => {
         val dir = versionedIngest(s, d)
+        val v = graft.ops.Versioned.latestVersion(dir)
+        val replayOk = graft.ops.Versioned
+          .lastTxnVersion(dir, "st7-ingest").contains((v - 1).toLong)
         graft.ops.Versioned.read(s, dir)
           .filter(col("event_type") =!= "__flush")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
-          .withColumn("multi_batch",
-            lit(graft.ops.Versioned.latestVersion(dir) >= 2))
+          .withColumn("multi_batch", lit(v >= 2))
+          .withColumn("exactly_once_replay", lit(replayOk))
           .orderBy("event_type")
       },
       Some(s"""SELECT event_type, COUNT(*) AS n,
                       ${sqlDsum("value", 6)} AS sum_value,
-                      TRUE AS multi_batch
+                      TRUE AS multi_batch, TRUE AS exactly_once_replay
                FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ST8: STREAMING consumption of the version log — st7's twin in the
@@ -553,10 +558,15 @@ object StreamingQueries {
     val perTrigger = if (nFiles >= 8) 4 else 1
     val stream = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", perTrigger).parquet(src)
+    // the real exactly-once sink shape: idempotentCommit keyed on the
+    // micro-batch id (Delta's txnAppId/txnVersion) — an at-least-once
+    // foreachBatch retry of an already-committed batch is a no-op, and
+    // the publish loop is atomic under concurrent zombie retries
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
-        graft.ops.Versioned.commit(batch, dir); ()
+          batchId: Long) =>
+        graft.ops.Versioned.idempotentCommit(batch, dir, "st7-ingest",
+          batchId); ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -565,6 +575,13 @@ object StreamingQueries {
     finally { if (q.isActive) q.stop() }
     require(graft.ops.Versioned.latestVersion(dir) >= 2,
       "expected a multi-batch versioned ingest")
+    // a zombie replay of the last committed batch must skip (schema-only
+    // frame: the skip decision happens before any data write)
+    val lastTxn = graft.ops.Versioned.lastTxnVersion(dir, "st7-ingest").get
+    val retrySkipped = graft.ops.Versioned.idempotentCommit(
+      graft.ops.Versioned.read(s, dir).limit(1), dir, "st7-ingest",
+      lastTxn).isEmpty
+    require(retrySkipped, "batch replay must be idempotent")
     ingestCache.put(key, dir)
     dir
   }
