@@ -23,6 +23,25 @@ object CorpusQueries {
   private val sqlBucket =
     "CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
 
+  /** t42's materialized postings index: written once per (session, sfDir)
+    * — the s17/ivfIndex immutable-derived-data discipline, so warmup and
+    * measured reps probe a standing index (the serving cost, not the
+    * build). */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def postingsIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = postingsCache.get(key)
+    if (hit != null) return hit
+    postingsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${ProcessHandle.current().pid()}/t42_idx_${Integer.toHexString(d.hashCode)}"
+    Corpus.writePostingsIndex(Tables.documents(s, d), "doc_id", "text", dir)
+    postingsCache.put(key, dir)
+    dir
+  }
+
   /** Shared BPE-training CTE chain (t34b + t34c): word-frequency table →
     * character segmentation → k iterations of pair-count → best merge
     * (b$i) → literal space-bounded merge (w$i). The word key `w` is
@@ -637,6 +656,62 @@ object CorpusQueries {
                         i -> substr(w, i, 2))) AS p
                     FROM wf)
               GROUP BY p ORDER BY n DESC, pair LIMIT 50""")),
+
+    // T42: BM25 served from a MATERIALIZED inverted index — t29 computes
+    // the score from the corpus per query; a search tier indexes ONCE
+    // and probes many times (the Lucene architecture). The builder
+    // writes the postings table hive-partitioned by the term's first
+    // character with the document length DENORMALIZED onto each posting
+    // (a probe must never join a doc-sized side table) plus a one-row
+    // stats sidecar; the probe plans ONLY the partitions matching the
+    // query terms' first characters ('s'/'w' → 2 dirs), computes df from
+    // the probe itself, and replays the exact t29 score tree. Gated:
+    // the top-20 must equal the from-scratch computation the oracle runs
+    // on the raw documents table (index fidelity — building the index
+    // must not change a single score), and `pruned` pins the
+    // directory-level partition skip (read ≥1, read < total).
+    Q("t42_bm25_index_serving",
+      (s, d) => {
+        val idxDir = postingsIndexDir(s, d)
+        val (top, read, total) = Corpus.bm25ServeFromIndex(
+          s, idxDir, "doc_id", Seq("spark", "stream", "window"), k = 20)
+        top.withColumn("pruned", lit(read >= 1 && read < total))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some("""WITH lens AS (SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS dl
+                     FROM documents),
+                   stats AS (SELECT CAST(SUM(dl) AS DOUBLE)
+                                      / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                                    COUNT(*) AS n
+                             FROM lens),
+                   tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                     FROM documents),
+                   tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                          FROM tok
+                          WHERE term IN ('spark', 'stream', 'window')
+                          GROUP BY 1, 2),
+                   idf AS (SELECT term,
+                     ROUND(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+                     FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats),
+                   comp AS (SELECT tf.doc_id,
+                     ROUND(idf * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75
+                                + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6) AS comp
+                     FROM tf
+                     JOIN idf USING (term)
+                     JOIN lens ON tf.doc_id = lens.doc_id, stats),
+                   sc AS (SELECT doc_id,
+                            SUM(CAST(comp AS DECIMAL(18,6))) AS score_dec,
+                            COUNT(*) AS n_terms_hit
+                          FROM comp GROUP BY doc_id)
+              SELECT doc_id, CAST(score_dec AS DOUBLE) AS bm25, n_terms_hit,
+                     TRUE AS pruned
+              FROM sc ORDER BY score_dec DESC, doc_id LIMIT 20""")),
 
     // T34b: the BPE merge LOOP (VERDICT r9 item 7) — t34 emits iteration
     // one's candidates; real tokenizer training folds the winner back in

@@ -139,6 +139,78 @@ object Corpus {
         col("n_terms_hit"))
   }
 
+  /** MATERIALIZED inverted index for [[bm25TopDocs]]'s math — the
+    * Lucene-shaped serving architecture: index once, probe many. The
+    * postings table is one row per (term, doc) carrying tf AND the
+    * document length DENORMALIZED (a probe must never join a doc-sized
+    * side table), written hive-partitioned by the term's first character
+    * so a query's terms prune to their partitions before any scan; the
+    * corpus statistics (N, total length) are a one-row sidecar. At
+    * 100 TB this is the layout a search tier serves from: the per-query
+    * cost is the matching postings partitions, not the corpus. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(lens, idCol)
+      .withColumn("tb", substring(col("term"), 1, 1))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve a BM25 top-k query from the materialized index: plan ONLY the
+    * postings partitions whose first-character bucket matches a query
+    * term (directory-level pruning, the s17 contract shape), filter to
+    * the exact terms, and compute the identical score tree —
+    * df comes from the probe itself (rows per term IS the document
+    * frequency), avgdl/N from the one-row stats sidecar, dl rides the
+    * posting row. Returns (topK, partitionsRead, partitionsTotal). */
+  def bm25ServeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, terms: Seq[String], k: Int)
+      : (DataFrame, Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .map(_.getPath).toSeq
+    val letters = terms.map(_.substring(0, 1)).toSet
+    val planned = dirs.filter(p =>
+      letters.contains(p.getName.stripPrefix("tb=")))
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val (n, total) = (statsRow.getLong(0), statsRow.getLong(1))
+    val avgdl = total.toDouble / n.toDouble
+    if (planned.isEmpty)
+      return (spark.read.parquet(dirs.head.toString)
+        .select(col(idCol), lit(0.0).as("bm25"), lit(0L).as("n_terms_hit"))
+        .filter(lit(false)), 0, dirs.size)
+    val probe = spark.read.parquet(planned.map(_.toString): _*)
+      .filter(col("term").isin(terms: _*))
+    val idf = probe.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log((lit(n.toDouble) - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0), 6).as("idf"))
+    val scored = probe.join(broadcast(idf), "term")
+      .withColumn("comp", round(
+        col("idf") * (col("tf").cast("double") * 2.2)
+          / (col("tf").cast("double")
+             + lit(1.2) * (lit(1.0) - lit(0.75)
+               + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))),
+        6))
+      .groupBy(col(idCol))
+      .agg(sum(col("comp").cast("decimal(18,6)")).as("__score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("__score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        col("__score_dec").cast("double").as("bm25"), col("n_terms_hit"))
+    (scored, planned.size, dirs.size)
+  }
+
   /** Term frequencies per (carried columns, id, term): one row per distinct
     * term occurrence count. `carry` columns must be functionally dependent
     * on the id (e.g. the document's language). */
