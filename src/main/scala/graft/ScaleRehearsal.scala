@@ -99,7 +99,19 @@ object ScaleRehearsal {
     // explode to a B-row table)
     "s30_versioned_cdc_apply", "s31_versioned_clone",
     "s32_concurrent_appends", "emb18_kmeans_lloyd",
-    "emb19_centroid_outliers", "t40_temperature_mix", "t41_corpus_drift")
+    "emb19_centroid_outliers", "t40_temperature_mix", "t41_corpus_drift",
+    // round-11: file-granularity COW merge (touched-group rewrite — the
+    // rewrite cost should track the touched fraction, not the table),
+    // bin-packed OPTIMIZE (small-group rewrite + carried bigs), Z-ORDER
+    // optimize (one clustered rewrite — expect ~2×), merge-on-read
+    // delete + masked read (delete file is key-bounded; the read adds
+    // one anti-join — expect ~2× of the scan), targeted MOR apply
+    // (touched-quartile rewrite), IVF-PQ probe (cell-bounded code scan
+    // — expect ~flat modulo corpus), postings-index serving (partition-
+    // pruned probe — expect ~2× of the pruned fraction)
+    "s35_versioned_cow_merge", "s36_binpacked_optimize",
+    "s37_zorder_optimize", "s38_mor_delete", "s39_mor_apply",
+    "emb20_ivfpq_knn", "t42_bm25_index_serving")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
