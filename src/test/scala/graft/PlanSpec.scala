@@ -160,4 +160,36 @@ class PlanSpec extends SparkSpec {
     assert(read > 0 && read < 25,
       s"expected a pruned fact read (0 < partitions < 25), got $read")
   }
+
+  test("s38: the merge-on-read mask is a BROADCAST anti-join (the delete " +
+      "file is small by design; the table side never shuffles for it)") {
+    val plan = planString("s38_mor_delete")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MOR mask did not plan as a broadcast anti-join:\n$plan")
+  }
+
+  test("t42: the postings probe scans ONLY the query terms' first-letter " +
+      "partitions and keeps top-k as TakeOrderedAndProject") {
+    val plan = planString("t42_bm25_index_serving")
+    // terms are spark/stream/window -> exactly the s and w partitions
+    // (the location list renders truncated, so pin the path COUNT plus
+    // one visible member and the absence of any non-query letter)
+    assert(plan.contains("InMemoryFileIndex(2 paths)") && plan.contains("tb=w"),
+      s"expected exactly the 2 s/w postings partitions in the scan:\n$plan")
+    assert(!plan.contains("tb=a") && !plan.contains("tb=t"),
+      s"probe planned partitions outside the query letters:\n$plan")
+    assert(plan.contains("PushedFilters: [In(term, [spark,stream,window])"),
+      s"term filter not pushed to the postings scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k not fused (global sort instead of per-partition heaps)")
+  }
+
+  test("emb20: the IVF-PQ probe keeps both rank stages as " +
+      "TakeOrderedAndProject and broadcasts the rerank id set") {
+    val plan = planString("emb20_ivfpq_knn")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ADC/refine top-k not fused to per-partition heaps")
+    assert(plan.contains("BroadcastHashJoin"),
+      "rerank candidate join did not broadcast")
+  }
 }
