@@ -487,7 +487,42 @@ object StreamingQueries {
                UNION ALL
                SELECT CAST(2 AS BIGINT), COUNT(*), ${sqlDsum("o_totalprice")}
                FROM orders WHERE o_orderkey % 2 = 1
-               ORDER BY run"""))
+               ORDER BY run""")),
+
+    // ST9: STREAMING CURATION INGEST — the capstone composition: a file
+    // stream of incoming documents is curated PER MICRO-BATCH against the
+    // accepted history (quality → langid → exact dedup → digest anti-join
+    // vs history AND vs everything this table already committed → LSH
+    // near-dup vs history) and lands in a versioned corpus via
+    // idempotentCommit keyed on the batchId — the daily-crawl
+    // architecture end to end: batch-bounded curation cost, per-batch
+    // time travel, exactly-once under retries. Batches are id-ordered
+    // (mtime-forced), and the table's own fingerprints extend the dedup
+    // index batch over batch, so the STREAMED acceptance set provably
+    // equals the one-shot batch-mode set (the builder REQUIRES the
+    // two-way exceptAll at zero — `matches_batch_mode` pins it in-gate);
+    // the oracle replays the t38 chain (ONE shared CTE definition) and
+    // pins WHICH docs survived via the ordered-id md5.
+    Q("st9_stream_curation_ingest",
+      (s, d) => {
+        val (dir, replayOk, matches) = streamCuratedCorpus(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .filter(!col("__nd_dropped"))
+          .agg(count(lit(1)).as("n_docs"),
+            md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",")).as("accepted_md5"))
+          .withColumn("multi_batch",
+            lit(graft.ops.Versioned.latestVersion(dir) >= 2))
+          .withColumn("exactly_once_replay", lit(replayOk))
+          .withColumn("matches_batch_mode", lit(matches))
+      },
+      Some(s"""${TextQueries.sqlIncrementalAcceptChain}
+               SELECT COUNT(*) AS n_docs,
+                      md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                     ORDER BY doc_id)) AS accepted_md5,
+                      TRUE AS multi_batch, TRUE AS exactly_once_replay,
+                      TRUE AS matches_batch_mode
+               FROM acc"""))
   )
 
   /** st8's consumed change feed: a versioned orders table built commit by
@@ -584,5 +619,115 @@ object StreamingQueries {
     require(retrySkipped, "batch replay must be idempotent")
     ingestCache.put(key, dir)
     dir
+  }
+
+  /** st9's streaming-curated corpus. The incoming set (odd doc_ids) is
+    * written as two ID-ORDERED source files (lower-id half first by
+    * forced mtime), so with maxFilesPerTrigger=1 the stream processes
+    * batches in id order — which makes the grown-index exact dedup
+    * (each batch anti-joins the fingerprints of everything already
+    * committed) provably equal to the one-shot min-id rule. Each batch:
+    * quality → langid → within-batch exact dedup → digest anti-join vs
+    * history fps ∪ table fps → LSH near-dup vs the STATIC history; the
+    * near-dup verdict is committed as a flag column (the table carries
+    * every exact-surviving doc, so its fingerprints ARE the dedup
+    * index — transactional with the data under idempotentCommit, no
+    * side-channel index to drift). Production note: the history digest/
+    * band index would be persisted and appended, not recomputed per
+    * batch (the dedupAgainstDigests/t38 note) — the recompute here keeps
+    * the builder self-contained at test scale.
+    * Returns (dir, replaySkipped, matchesBatchMode). */
+  private val curateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def streamCuratedCorpus(s: SparkSession, d: String)
+      : (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = curateCache.get(key)
+    if (hit != null) return hit
+    curateCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val src = tmp(s"st9/src_$suffix")
+    val dir = tmp(s"st9/table_$suffix")
+    val ckpt = tmp(s"st9/ckpt_$suffix")
+    clean(s, src, dir, ckpt)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val bounds = incoming.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val f = fs(s)
+    // two id-ordered files, mtimes strictly increasing (the eventSource
+    // discipline) so batch 0 = the lower-id half
+    Seq(col("doc_id") <= mid, col("doc_id") > mid).zipWithIndex
+      .foreach { case (cond, i) =>
+        incoming.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        f.listStatus(new Path(src))
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .sortBy(_.getModificationTime)
+          .zipWithIndex
+          .foreach { case (st, j) => f.setTimes(st.getPath,
+            1000000000000L + j * 60000L, -1) }
+      }
+    val cfg = graft.text.Curation.Config()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        import graft.text.TextFunctions
+        val lg = batch
+          .filter(TextFunctions.qualityScore(col("text")) >= cfg.minQuality)
+          .filter(TextFunctions.detectLang(col("text")).isin(cfg.langs: _*))
+        val exB = graft.dedup.Dedup.exactDedup(lg, "doc_id", "text")
+        val histFp = history.filter(col("text").isNotNull)
+          .select(TextFunctions.fingerprint(col("text")).as("__hfp"))
+        val tableFp =
+          if (graft.ops.Versioned.latestVersion(dir) == 0) histFp.limit(0)
+          else graft.ops.Versioned.read(s, dir)
+            .select(TextFunctions.fingerprint(col("text")).as("__hfp"))
+        val exH = exB
+          .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+          .join(histFp.unionAll(tableFp).distinct(),
+            col("__fp") === col("__hfp"), "left_anti")
+          .drop("__fp")
+        val drops = graft.dedup.Dedup.crossCorpusPairs(exH, history,
+            "doc_id", "text", cfg.shingleSize, cfg.minhashes,
+            cfg.rowsPerBand, cfg.minJaccard)
+          .select(col("batch_id").as("doc_id")).distinct()
+          .withColumn("__nd_dropped", lit(true))
+        val flagged = exH.join(drops, Seq("doc_id"), "left")
+          .withColumn("__nd_dropped",
+            coalesce(col("__nd_dropped"), lit(false)))
+        graft.ops.Versioned.idempotentCommit(flagged, dir, "st9-curate",
+          batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { if (q.isActive) q.stop() }
+    require(graft.ops.Versioned.latestVersion(dir) >= 2,
+      "expected a multi-batch curation ingest")
+    val lastTxn = graft.ops.Versioned.lastTxnVersion(dir, "st9-curate").get
+    val replayOk = graft.ops.Versioned.idempotentCommit(
+      graft.ops.Versioned.read(s, dir).limit(1), dir, "st9-curate",
+      lastTxn).isEmpty
+    // the streamed acceptance set must equal the one-shot batch-mode set
+    // (grown-index dedup over id-ordered batches ≡ global min-id rule)
+    val streamed = graft.ops.Versioned.read(s, dir)
+      .filter(!col("__nd_dropped")).select("doc_id", "text")
+    val oneShot = graft.text.Curation
+      .incrementalStages(incoming, history, "doc_id", "text", cfg)
+      .accepted.select("doc_id", "text")
+    val matches = streamed.exceptAll(oneShot).count() == 0L &&
+      oneShot.exceptAll(streamed).count() == 0L
+    require(matches, "streamed acceptance diverged from batch mode")
+    val out = (dir, replayOk, matches)
+    curateCache.put(key, out)
+    out
   }
 }

@@ -88,7 +88,7 @@ object TextQueries {
 
   /** SQL twin of [[TextFunctions.qualityScore]] — the ONE definition every
     * oracle that scores quality interpolates (t2 three times, t13 once). */
-  private val sqlQuality =
+  private[queries] val sqlQuality =
     s"""ROUND(
           least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
           + greatest(0.0, 0.3 -
@@ -104,7 +104,7 @@ object TextQueries {
     * (doc_id, text). The ONE definition every oracle that language-filters
     * interpolates (the pipeline CTEs and t38), so a marker edit cannot
     * desynchronize them. */
-  private def sqlLangKeep(from: String): String = {
+  private[queries] def sqlLangKeep(from: String): String = {
     val hits = LangMarkers.map { case (lang, ms) =>
       val list = ms.map(m => s"'$m'").mkString("[", ",", "]")
       s"len(list_filter($sqlTok, t -> list_contains($list, t))) AS hits_$lang"
@@ -271,6 +271,83 @@ object TextQueries {
                                  k.n_bigrams, k.nll_nano
                           FROM sel JOIN lkeep k USING (doc_id))"""
   }
+
+  /** Shared oracle CTE chain of ONE incremental curation step over the
+    * odd/even corpus split (t38 batch-mode + st9 streaming-mode): new
+    * batch = odd doc_ids, accepted history = even doc_ids; quality →
+    * langid → exact dedup within the incoming set → digest anti-join vs
+    * history → cross-corpus near-dup drop — ending at the `acc` CTE
+    * (accepted ids). ONE definition, so the two gates can never drift. */
+  private[queries] def sqlIncrementalAcceptChain: String =
+    s"""WITH batch AS (SELECT doc_id, text FROM documents
+                              WHERE doc_id % 2 = 1),
+                    hist AS (SELECT doc_id, text FROM documents
+                             WHERE doc_id % 2 = 0),
+                    q AS (SELECT doc_id, text FROM batch
+                          WHERE $sqlQuality >= 0.3),
+                    lg AS (${sqlLangKeep("q")}),
+                    exb AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
+                              SELECT MIN(doc_id)
+                              FROM (SELECT doc_id,
+                                           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                             AS fp
+                                    FROM lg)
+                              GROUP BY fp)),
+                    hfp AS (SELECT DISTINCT
+                                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                     AS fp
+                            FROM hist WHERE text IS NOT NULL),
+                    exh AS (SELECT doc_id, text FROM exb
+                            WHERE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                  NOT IN (SELECT fp FROM hfp)),
+                    bw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM exh),
+                    hw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM hist),
+                    shb AS (SELECT DISTINCT doc_id,
+                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM bw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    shh AS (SELECT DISTINCT doc_id,
+                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                            FROM hw, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                    sigb AS (SELECT doc_id, j,
+                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                        AS BIGINT)) AS mh
+                             FROM shb CROSS JOIN range(0, 12) t(j)
+                             GROUP BY doc_id, j),
+                    sigh AS (SELECT doc_id, j,
+                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                        AS BIGINT)) AS mh
+                             FROM shh CROSS JOIN range(0, 12) t(j)
+                             GROUP BY doc_id, j),
+                    bb AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                    AS band_hash
+                           FROM sigb GROUP BY doc_id, 2),
+                    bh AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                    AS band_hash
+                           FROM sigh GROUP BY doc_id, 2),
+                    cands AS (SELECT DISTINCT a.doc_id AS batch_id,
+                                     c.doc_id AS corpus_id
+                              FROM bb a JOIN bh c
+                                ON a.band = c.band AND a.band_hash = c.band_hash),
+                    inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
+                              FROM cands c
+                              JOIN shb a ON a.doc_id = c.batch_id
+                              JOIN shh b ON b.doc_id = c.corpus_id
+                                            AND b.shingle = a.shingle
+                              GROUP BY 1, 2),
+                    szb AS (SELECT doc_id, COUNT(*) AS sz FROM shb GROUP BY doc_id),
+                    szh AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+                    drops AS (SELECT DISTINCT batch_id FROM inter
+                              JOIN szb s1 ON batch_id = s1.doc_id
+                              JOIN szh s2 ON corpus_id = s2.doc_id
+                              WHERE CAST(inter AS DOUBLE)
+                                    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
+                    acc AS (SELECT doc_id FROM exh
+                            WHERE doc_id NOT IN (SELECT batch_id FROM drops))
+"""
 
   val all: Seq[Q] = Seq(
 
@@ -1158,74 +1235,7 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text")
       },
-      Some(s"""WITH batch AS (SELECT doc_id, text FROM documents
-                              WHERE doc_id % 2 = 1),
-                    hist AS (SELECT doc_id, text FROM documents
-                             WHERE doc_id % 2 = 0),
-                    q AS (SELECT doc_id, text FROM batch
-                          WHERE $sqlQuality >= 0.3),
-                    lg AS (${sqlLangKeep("q")}),
-                    exb AS (SELECT doc_id, text FROM lg WHERE doc_id IN (
-                              SELECT MIN(doc_id)
-                              FROM (SELECT doc_id,
-                                           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                                             AS fp
-                                    FROM lg)
-                              GROUP BY fp)),
-                    hfp AS (SELECT DISTINCT
-                                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                                     AS fp
-                            FROM hist WHERE text IS NOT NULL),
-                    exh AS (SELECT doc_id, text FROM exb
-                            WHERE md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                                  NOT IN (SELECT fp FROM hfp)),
-                    bw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                           FROM exh),
-                    hw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                           FROM hist),
-                    shb AS (SELECT DISTINCT doc_id,
-                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                            FROM bw, UNNEST(range(1, len(w) - 1)) AS t(i)),
-                    shh AS (SELECT DISTINCT doc_id,
-                                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                            FROM hw, UNNEST(range(1, len(w) - 1)) AS t(i)),
-                    sigb AS (SELECT doc_id, j,
-                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
-                                        AS BIGINT)) AS mh
-                             FROM shb CROSS JOIN range(0, 12) t(j)
-                             GROUP BY doc_id, j),
-                    sigh AS (SELECT doc_id, j,
-                                    MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
-                                        AS BIGINT)) AS mh
-                             FROM shh CROSS JOIN range(0, 12) t(j)
-                             GROUP BY doc_id, j),
-                    bb AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
-                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
-                                    AS band_hash
-                           FROM sigb GROUP BY doc_id, 2),
-                    bh AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
-                                  md5(string_agg(j || ':' || mh, ',' ORDER BY j))
-                                    AS band_hash
-                           FROM sigh GROUP BY doc_id, 2),
-                    cands AS (SELECT DISTINCT a.doc_id AS batch_id,
-                                     c.doc_id AS corpus_id
-                              FROM bb a JOIN bh c
-                                ON a.band = c.band AND a.band_hash = c.band_hash),
-                    inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
-                              FROM cands c
-                              JOIN shb a ON a.doc_id = c.batch_id
-                              JOIN shh b ON b.doc_id = c.corpus_id
-                                            AND b.shingle = a.shingle
-                              GROUP BY 1, 2),
-                    szb AS (SELECT doc_id, COUNT(*) AS sz FROM shb GROUP BY doc_id),
-                    szh AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
-                    drops AS (SELECT DISTINCT batch_id FROM inter
-                              JOIN szb s1 ON batch_id = s1.doc_id
-                              JOIN szh s2 ON corpus_id = s2.doc_id
-                              WHERE CAST(inter AS DOUBLE)
-                                    / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5),
-                    acc AS (SELECT doc_id FROM exh
-                            WHERE doc_id NOT IN (SELECT batch_id FROM drops))
+      Some(s"""${sqlIncrementalAcceptChain}
                SELECT '00_batch' AS stage, COUNT(*) AS n_docs FROM batch
                UNION ALL SELECT '10_quality', COUNT(*) FROM q
                UNION ALL SELECT '20_lang', COUNT(*) FROM lg
