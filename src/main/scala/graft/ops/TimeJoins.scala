@@ -156,4 +156,44 @@ object TimeJoins {
       .drop("__b")
       .distinct()
   }
+
+  /** INTERVAL OVERLAP join: pairs of A- and B-side intervals (same key)
+    * that overlap — `aStart ≤ bEnd ∧ bStart ≤ aEnd` — without ever
+    * planning a per-key cartesian. Each interval explodes to the GRID
+    * CELLS it covers (cell width `bucketWidth`, floor division on
+    * non-negative epoch seconds), the join is equi on (key, cell), and a
+    * matched pair is emitted ONLY from the cell containing
+    * max(aStart, bStart) — the standard spatial-join de-duplication rule,
+    * so no distinct pass is needed and every overlapping pair appears
+    * exactly once. Inputs carry (key, startCol, endCol [+ payload]);
+    * output = key + both sides' columns prefixed a_/b_.
+    *
+    * Scale shape: one shuffle of each side on (key, cell); cost rides
+    * Σ interval-length/bucketWidth (pick the width near the median
+    * interval length) plus the true overlap count — never |A|·|B| per
+    * key. Skewed keys compose with AQE skew-join like any equi-join. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def cells(df: DataFrame, p: String): DataFrame = {
+      val other = df.columns.filter(c => c != key && c != startCol && c != endCol)
+      df.select(
+        col(key) +:
+          col(startCol).cast("long").as(s"${p}_start") +:
+          col(endCol).cast("long").as(s"${p}_end") +:
+          other.map(c => col(c).as(s"${p}_$c")): _*)
+        .withColumn("__cell", explode(sequence(
+          floor(col(s"${p}_start") / bucketWidth),
+          floor(col(s"${p}_end") / bucketWidth))))
+    }
+    val aX = cells(a, "a")
+    val bX = cells(b, "b")
+    aX.join(bX, Seq(key, "__cell"))
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      // emit from exactly one cell: the one holding the overlap's start
+      .filter(col("__cell") ===
+        floor(greatest(col("a_start"), col("b_start")) / bucketWidth))
+      .drop("__cell")
+  }
 }

@@ -116,6 +116,53 @@ object TimeJoinQueries {
                     FROM events WHERE event_type = 'error') b
                 ON a.user_id = b.user_id
                    AND b.b_sec > a.a_sec AND b.b_sec - a.a_sec <= 600
+              GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // AJ5: INTERVAL OVERLAP join — the remaining time-join shape (aj1/aj3
+    // = as-of point→latest, aj2/aj4 = point-pair range): both sides are
+    // INTERVALS and the match is overlap. Per-user daily activity
+    // intervals ([min,max] event second per user-day) of views vs
+    // errors; the join explodes each interval to hour-grid cells, joins
+    // equi on (user, cell), and emits each pair from exactly ONE cell
+    // (the one containing the overlap's start — the spatial-join dedup
+    // rule, no distinct pass), so no per-key cartesian is ever planned.
+    // Rolled up per user: overlap-pair count + total overlap seconds
+    // (inclusive bounds; both engines replay the interval aggregation
+    // and the overlap arithmetic exactly).
+    Q("aj5_interval_overlap_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def daily(t: String) = e.filter(col("event_type") === t)
+          .select(col("user_id"), col("ts").cast("long").as("sec"),
+            to_date(col("ts")).as("day"))
+          .groupBy("user_id", "day")
+          .agg(min(col("sec")).as("start"), max(col("sec")).as("end"))
+          .drop("day")
+        TimeJoins.intervalOverlapJoin(daily("view"), daily("error"),
+            "user_id", "start", "end", bucketWidth = 3600L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(col("a_end"), col("b_end"))
+              - greatest(col("a_start"), col("b_start")) + 1L)
+              .as("overlap_secs"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_type,
+                                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                                 MIN(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                     AS BIGINT)) AS s,
+                                 MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                     AS BIGINT)) AS e
+                          FROM events
+                          WHERE event_type IN ('view', 'error')
+                          GROUP BY 1, 2, 3)
+              SELECT a.user_id, COUNT(*) AS n_overlaps,
+                     CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+                          AS BIGINT) AS overlap_secs
+              FROM (SELECT * FROM iv WHERE event_type = 'view') a
+              JOIN (SELECT * FROM iv WHERE event_type = 'error') b
+                ON a.user_id = b.user_id
+                   AND a.s <= b.e AND b.s <= a.e
               GROUP BY a.user_id ORDER BY a.user_id"""))
   )
 }

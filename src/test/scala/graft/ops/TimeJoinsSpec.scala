@@ -206,4 +206,41 @@ class TimeJoinsSpec extends SparkSpec {
     // expected pairs: (10:00,10:05), (10:05,10:12) — NOT (10:00,10:12) (720s)
     assert(bucketed.count() == 2)
   }
+
+  test("intervalOverlapJoin equals the naive overlap join on random " +
+      "intervals (short/long vs bucket, zero-length, touching endpoints)") {
+    val rnd = new scala.util.Random(11)
+    val mk = (n: Int) => (0 until n).map { i =>
+      val k = (rnd.nextInt(4) + 1).toLong
+      val start = rnd.nextInt(5000).toLong
+      // mix: zero-length, sub-bucket, and multi-bucket intervals
+      val len = rnd.nextInt(3) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(80).toLong
+        case _ => (100 + rnd.nextInt(900)).toLong
+      }
+      (k, start, start + len, i.toLong)
+    }
+    val a = mk(60).toDF("k", "s", "e", "aid")
+    val b = mk(60).toDF("k", "s", "e", "bid")
+    val grid = TimeJoins.intervalOverlapJoin(a, b, "k", "s", "e",
+        bucketWidth = 100L)
+      .select("k", "a_aid", "b_bid")
+    val naive = a.select(col("k"), col("s").as("as1"), col("e").as("ae"),
+        col("aid"))
+      .join(b.select(col("k").as("k2"), col("s").as("bs"), col("e").as("be"),
+        col("bid")),
+        col("k") === col("k2") && col("as1") <= col("be") &&
+          col("bs") <= col("ae"))
+      .select(col("k"), col("aid").as("a_aid"), col("bid").as("b_bid"))
+    assert(grid.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(grid).count() == 0)
+    // exactly-once emission: no pair appears twice
+    assert(grid.count() == grid.distinct().count())
+    // touching endpoints (inclusive bounds) do match
+    val ta = Seq((1L, 100L, 200L, 0L)).toDF("k", "s", "e", "aid")
+    val tb = Seq((1L, 200L, 300L, 0L)).toDF("k", "s", "e", "bid")
+    assert(TimeJoins.intervalOverlapJoin(ta, tb, "k", "s", "e", 50L)
+      .count() == 1L)
+  }
 }
