@@ -29,6 +29,7 @@ object SparkEntry {
       SinkSqlQueries.all ++
       PrivacyMiscQueries.all ++
       TimeJoinQueries.all ++
+      GraphQueries.all ++
       StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank (Brin & Page 1998) in FIXED-POINT integer
+  * arithmetic — the canonical iterative graph workload, expressed so the
+  * fit itself sits under a cross-engine hash gate (the Dsir/NgramLm
+  * nano-unit discipline): ranks are BIGINT nano-units (×10⁹), a node's
+  * per-edge contribution is `rank_nano div degree` (floor division —
+  * exact in any engine), the damping step is `(Σ contrib × 17) div 20`
+  * (0.85 as a rational), and the teleport term is `(0.15 × 10⁹) div N`.
+  * Zero float surface anywhere in the iteration, so aggregation order
+  * can never perturb a single bit; a real-valued `rank` column is
+  * derived once at the end. (Floor-division mass loss is ≤ 1 nano-unit
+  * per edge per iteration — the fixed-point analog of float rounding,
+  * identical in both engines by construction.)
+  *
+  * Scale shape per iteration (the classic one): one equi-join of the
+  * edge list against the current rank table (both keyed on the source
+  * node) and ONE shuffle — the contribution aggregation on the
+  * destination node. The edge+degree table is built once and persisted;
+  * the rank frame is eagerly localCheckpointed per iteration so plan
+  * depth stays constant in the iteration count (the t33 lineage rule).
+  * At 100 TB the same plan holds with the edge list bucketed by source
+  * so the per-iteration join is co-partitioned.
+  *
+  * Dangling nodes: callers pass a symmetrized edge list when they want
+  * none (an undirected graph has outdegree ≥ 1 everywhere); with
+  * directed edges, dangling mass simply leaks (the standard simplified
+  * variant) — document per use.
+  */
+object PageRank {
+
+  /** Run `iters` fixed-point iterations over `edges` (src, dst — already
+    * distinct). Returns (node, rank_nano, rank) for every node appearing
+    * in the edge list. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters: $iters")
+    val e = graft.ops.Caches.tracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.ops.Caches.tracked(
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val teleportNano = 150000000L / n // (0.15 × 10⁹) ÷ N, floor — exact
+    var ranks = nodes.withColumn("rank_nano", lit(1000000000L / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_nano div deg").as("c")) // BIGINT floor div, exact
+      ranks = contribs.groupBy("node")
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(teleportNano) + expr("(s * 17) div 20")).as("rank_nano"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank_nano"),
+      round(col("rank_nano").cast("double") / 1e9, 9).as("rank"))
+  }
+}
