@@ -657,6 +657,109 @@ object CorpusQueries {
                     FROM wf)
               GROUP BY p ORDER BY n DESC, pair LIMIT 50""")),
 
+    // T43: KMV sketch SET OPERATIONS (Bar-Yossef 2002 / Beyer 2007 — the
+    // Theta-sketch family's public ancestor) — the cross-corpus overlap
+    // question HLL cannot answer ("how much of crawl B is already in
+    // crawl A") from two k-row sketches, never a corpus join: keep the
+    // k = 256 smallest 60-bit 3-gram-shingle hashes per side (the token
+    // vocabulary is deliberately tiny in the synthetic corpus; shingles
+    // give a genuinely sketch-sized domain); the k-th minimum estimates
+    // the distinct count, and the fraction of the merged sketch's
+    // members present in BOTH sides estimates Jaccard (normalized by the
+    // EFFECTIVE union-sketch size, so sub-k sets degrade to exact — the
+    // standard KMV small-set rule). The sketch is deterministic given
+    // the hash, so its INTEGER surfaces (k-th minima, union-sketch size
+    // and both-count) sit directly under the hash gate — the oracle
+    // rebuilds the identical sketches in SQL — and the a5b-style
+    // contract booleans pin the estimates against the exact values
+    // (|Ĵ − J| ≤ 0.125 ≈ 4σ at k = 256; distinct estimates within 25%).
+    // Sets are hash-space shingle sets (collision mass ~0 at 2⁶⁰), split
+    // odd/even doc_ids.
+    Q("t43_kmv_overlap",
+      (s, d) => {
+        val k = 256
+        val seed = 5
+        val docs = Tables.documents(s, d)
+        def sh(parity: Int) = graft.dedup.Dedup.wordShingles(
+            docs.filter(col("doc_id") % 2 === parity), "doc_id", "text", 3)
+          .select("shingle").distinct()
+        def hashes(parity: Int) = graft.ops.Caches.tracked(
+          sh(parity)
+            .select(graft.text.TextFunctions.hash60(col("shingle"), seed)
+              .as("h"))
+            .distinct().persist())
+        val (ha, hb) = (hashes(1), hashes(0))
+        val ska = graft.ops.Caches.tracked(
+          graft.stats.Kmv.sketch(sh(1), col("shingle"), k, seed).persist())
+        val skb = graft.ops.Caches.tracked(
+          graft.stats.Kmv.sketch(sh(0), col("shingle"), k, seed).persist())
+        val (kthA, kthB) =
+          (graft.stats.Kmv.kthMin(ska), graft.stats.Kmv.kthMin(skb))
+        val (sku, both) = graft.stats.Kmv.unionIntersect(ska, skb, k)
+        val skuSize = sku.count()
+        val nA = ha.count(); val nB = hb.count()
+        val inter = ha.join(hb, "h").count()
+        val jExact = inter.toDouble / (nA + nB - inter).toDouble
+        val jEst = both.toDouble / skuSize.toDouble
+        def dEst(sk: org.apache.spark.sql.DataFrame, kth: Long) = {
+          val size = sk.count()
+          if (size < k) size.toDouble
+          else graft.stats.Kmv.estimateDistinct(k, kth)
+        }
+        import s.implicits._
+        Seq((nA, nB, inter, kthA, kthB, skuSize, both)).toDF(
+            "n_a", "n_b", "inter", "kth_a", "kth_b", "sku_size", "n_both")
+          .withColumn("jaccard_exact", round(lit(jExact), 6))
+          .withColumn("jaccard_est", round(lit(jEst), 6))
+          .withColumn("jaccard_within",
+            lit(math.abs(jEst - jExact) <= 0.125))
+          .withColumn("distinct_within",
+            lit(math.abs(dEst(ska, kthA) - nA) <= 0.25 * nA &&
+              math.abs(dEst(skb, kthB) - nB) <= 0.25 * nB))
+      },
+      Some("""WITH wa AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                          FROM documents WHERE doc_id % 2 = 1),
+                   wb AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                          FROM documents WHERE doc_id % 2 = 0),
+                   sa AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   AS shingle
+                          FROM wa, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   sb AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   AS shingle
+                          FROM wb, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   ha AS (SELECT DISTINCT
+                                 CAST(('0x' || substr(md5('5|' || shingle), 1, 15))
+                                      AS BIGINT) AS h
+                          FROM sa),
+                   hb AS (SELECT DISTINCT
+                                 CAST(('0x' || substr(md5('5|' || shingle), 1, 15))
+                                      AS BIGINT) AS h
+                          FROM sb),
+                   ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+                   skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+                   sku AS (SELECT h FROM (SELECT h FROM ska
+                                          UNION SELECT h FROM skb)
+                           ORDER BY h LIMIT 256),
+                   agg AS (SELECT
+                             (SELECT COUNT(*) FROM ha) AS n_a,
+                             (SELECT COUNT(*) FROM hb) AS n_b,
+                             (SELECT COUNT(*) FROM ha JOIN hb USING (h))
+                               AS inter,
+                             (SELECT MAX(h) FROM ska) AS kth_a,
+                             (SELECT MAX(h) FROM skb) AS kth_b,
+                             (SELECT COUNT(*) FROM sku) AS sku_size,
+                             (SELECT COUNT(*) FROM sku
+                              WHERE h IN (SELECT h FROM ska)
+                                AND h IN (SELECT h FROM skb)) AS n_both)
+              SELECT n_a, n_b, inter, kth_a, kth_b, sku_size, n_both,
+                     ROUND(CAST(inter AS DOUBLE)
+                           / CAST(n_a + n_b - inter AS DOUBLE), 6)
+                       AS jaccard_exact,
+                     ROUND(CAST(n_both AS DOUBLE) / CAST(sku_size AS DOUBLE), 6)
+                       AS jaccard_est,
+                     TRUE AS jaccard_within, TRUE AS distinct_within
+              FROM agg""")),
+
     // T42: BM25 served from a MATERIALIZED inverted index — t29 computes
     // the score from the corpus per query; a search tier indexes ONCE
     // and probes many times (the Lucene architecture). The builder
