@@ -1,0 +1,54 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Min-label propagation — the second canonical iterative graph workload
+  * after [[PageRank]]: every node starts labeled with its own id and each
+  * round takes the minimum label over itself and its in-neighbors
+  * (`label_i(v) = min(label_{i-1}(v), min over (u,v)∈E of label_{i-1}(u))`).
+  * On a symmetrized edge list, round k gives every node the minimum node id
+  * within graph distance k; run to convergence it IS connected components
+  * (the HashMin algorithm — see Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014, whose large-star/small-star variant
+  * powers [[graft.dedup.Clusters]] with O(log n) rounds).
+  *
+  * The fixed-round form here exists for the cross-engine gate: all label
+  * arithmetic is BIGINT MIN — exact and associative in any engine — so a
+  * DuckDB oracle replays the identical rounds as a CTE chain and the final
+  * assignment sits verbatim under the hash (the PageRank nano-unit
+  * discipline, with MIN needing no fixed-point tricks at all).
+  *
+  * Scale shape per round: one equi-join of the edge list against the
+  * current label table on the source node and ONE shuffle — the MIN
+  * aggregation on the destination. Edge list persisted once; labels
+  * localCheckpointed per round so plan depth stays constant (the t33
+  * lineage rule). At 100 TB: bucket the edge list by src so the
+  * per-round join is co-partitioned, and prefer the large-star/small-star
+  * form when the diameter is unknown.
+  */
+object LabelPropagation {
+
+  /** Run `iters` min-label rounds over `edges` (src, dst — already
+    * distinct; pass a symmetrized list for undirected semantics).
+    * Returns (node, comp) for every node appearing in the edge list. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters: $iters")
+    val e = graft.ops.Caches.tracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("comp", col("node"))
+    for (_ <- 1 to iters) {
+      labels = labels
+        .union(e.join(labels.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("comp")))
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

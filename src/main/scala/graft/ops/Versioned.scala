@@ -1106,4 +1106,86 @@ object Versioned {
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1
   }
+
+  // ─── CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` family) ───
+
+  private def constraintsPath(dir: String): Path =
+    Paths.get(dir, "_manifests", "constraints.jsonl")
+
+  private val ConstraintLine =
+    "\\{\"name\":\"([^\"]+)\",\"check\":\"([^\"]+)\"\\}".r
+
+  /** The table's CHECK constraints, in declaration order: (name, SQL
+    * predicate). ANSI CHECK semantics throughout — a row VIOLATES iff
+    * the predicate evaluates to FALSE; NULL/unknown passes (the
+    * standard's and Delta's reading). */
+  def constraints(dir: String): Seq[(String, String)] = {
+    val p = constraintsPath(dir)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map {
+        case ConstraintLine(n, c) => (n, c)
+        case bad => throw new IllegalStateException(
+          s"corrupt constraint line at $p: $bad")
+      }
+  }
+
+  /** Violation counts of `df` against `cs`, in ONE aggregation pass
+    * (every predicate evaluated per-row in the same map stage — the
+    * write-path validation must not multiply scans of the batch). */
+  def checkViolations(df: DataFrame,
+      cs: Seq[(String, String)]): Map[String, Long] = {
+    if (cs.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val aggs = cs.map { case (n, p) =>
+      sum(when(expr(p) <=> lit(false), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }.toMap
+  }
+
+  /** ADD CONSTRAINT: validate the CURRENT snapshot first (a constraint
+    * the existing data violates is refused — Delta's retroactive check),
+    * then record it for every future [[commitChecked]]. The predicate
+    * travels through the regex-parsed sidecar, so quotes/newlines are
+    * rejected at the edge like writer ids. */
+  def addConstraintCommit(spark: SparkSession, dir: String, name: String,
+      check: String): Unit = {
+    requireId("constraint name", name)
+    require(check.nonEmpty && !check.exists(c =>
+        c == '"' || c == '\\' || c == '\n' || c == '\r'),
+      s"constraint predicate must avoid quotes/backslashes/newlines: $check")
+    require(!constraints(dir).exists(_._1 == name),
+      s"constraint $name already exists at $dir")
+    if (latestVersion(dir) > 0) {
+      val bad = checkViolations(read(spark, dir), Seq(name -> check))(name)
+      require(bad == 0L,
+        s"cannot add constraint $name at $dir: " +
+          s"$bad existing rows violate ($check)")
+    }
+    Files.createDirectories(constraintsPath(dir).getParent)
+    Files.write(constraintsPath(dir),
+      (s"""{"name":"$name","check":"$check"}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** [[commit]] gated on the table's CHECK constraints — the write-path
+    * enforcement half: any violating row refuses the WHOLE batch before
+    * a single byte of data or manifest lands (history untouched, the
+    * transactional all-or-nothing Delta gives CHECK violations). The
+    * validation pass is one aggregation over the batch; at 100 TB the
+    * batch is scanned once more than an unchecked commit — the price of
+    * enforcement, paid on the (small) increment, never the table. */
+  def commitChecked(df: DataFrame, dir: String, overwrite: Boolean = false,
+      statsCol: Option[String] = None): Int = {
+    val bad = checkViolations(df, constraints(dir)).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation at $dir — batch refused: " +
+          bad.toSeq.sortBy(_._1).map { case (n, c) => s"$n ($c rows)" }
+            .mkString(", "))
+    commit(df, dir, overwrite, statsCol)
+  }
 }

@@ -303,6 +303,56 @@ object AggQueries {
                             ${sqlDsum("o_totalprice")} AS cust_total
                      FROM orders JOIN customer ON o_custkey = c_custkey
                      GROUP BY c_custkey, c_mktsegment)
-               GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // A19: Count-Min sketch point queries (Cormode & Muthukrishnan 2005)
+    // over supplier frequencies in lineitem — the mergeable-summary
+    // counterpart to a18's Misra–Gries: d=4 fixed integer hash rows,
+    // w=256 buckets (deliberately << 1000 distinct keys at sf0.1, so the
+    // one-sided-error contract is exercised by real collisions). Because
+    // the hashes are fixed BIGINT arithmetic, the ESTIMATES themselves
+    // replay in ANSI SQL — cells, mins and all — so the gate pins the
+    // sketch bit-for-bit, plus the `never_under` contract column
+    // (est ≥ true count always, the CM guarantee). See
+    // [[graft.stats.CountMin]] for the 100 TB shape (one map-side-
+    // combinable group-by into d·w cells).
+    Q("a19_countmin_point_query",
+      (s, d) => {
+        val keys = Tables.lineitem(s, d)
+          .select(col("l_suppkey").cast("long").as("k"))
+        val cells = graft.stats.CountMin.cells(s, keys, w = 256)
+        val exact = keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+        val est = graft.stats.CountMin.estimate(
+          s, cells, exact.select("k"), w = 256)
+        exact.join(est, "k")
+          .select(col("k"), col("cnt"), col("est"),
+            (col("est") >= col("cnt")).as("never_under"),
+            (col("est") - col("cnt")).as("overest"))
+          .orderBy(col("cnt").desc, col("k"))
+          .limit(20)
+      },
+      Some("""WITH params AS (SELECT * FROM (VALUES
+                      (0, 1000003, 12345), (1, 999983, 54321),
+                      (2, 777767, 98765), (3, 333667, 13579))
+                    AS t(i, a, b)),
+                   keys AS (SELECT CAST(l_suppkey AS BIGINT) AS k
+                            FROM lineitem),
+                   cells AS (SELECT i,
+                                    ((a * k + b) % 2147483647) % 256 AS bucket,
+                                    COUNT(*) AS c
+                             FROM keys CROSS JOIN params GROUP BY 1, 2),
+                   exact AS (SELECT k, COUNT(*) AS cnt FROM keys GROUP BY k),
+                   est AS (SELECT e.k, MIN(COALESCE(c.c, 0)) AS est
+                           FROM exact e
+                           CROSS JOIN params p
+                           LEFT JOIN cells c
+                             ON c.i = p.i
+                            AND c.bucket = ((p.a * e.k + p.b) % 2147483647) % 256
+                           GROUP BY e.k)
+              SELECT x.k, x.cnt, s.est,
+                     s.est >= x.cnt AS never_under,
+                     s.est - x.cnt AS overest
+              FROM exact x JOIN est s ON s.k = x.k
+              ORDER BY x.cnt DESC, x.k LIMIT 20"""))
   )
 }

@@ -11,7 +11,97 @@ import graft.io.Tables
   */
 object GraphQueries {
 
+  /** Part co-purchase graph over a deterministic 10% order sample:
+    * an (undirected, id-oriented src<dst) edge per distinct part pair
+    * co-occurring in a sampled order. Sparse by construction (~6 pairs
+    * per order, part space large), so wedge counts stay linear in sf —
+    * the full co-order graph is near-complete at sf0.1 and was measured
+    * quadratic (274M wedges), hence the sample. */
+  private def partCoOrderEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val os = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    os.as("a").join(os.as("b"), col("a.o") === col("b.o")
+        && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+  }
+
+  private val edgesSql: String =
+    """os AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+              FROM lineitem WHERE l_orderkey % 10 = 0),
+       e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+              FROM os a JOIN os b ON a.o = b.o AND a.p < b.p)"""
+
   val all: Seq[Q] = Seq(
+
+    // G2: connected components as fixed-round min-label propagation over
+    // the symmetrized part co-purchase graph. Four rounds (deliberately
+    // short of convergence on the giant component — the gate pins the
+    // ROUND SEMANTICS, not just the fixpoint): every node carries the
+    // minimum node id within distance 4, all arithmetic BIGINT MIN, so
+    // the oracle replays the identical rounds as a CTE chain and the
+    // per-label census (count + min/max/sum of members — membership-
+    // pinning without dumping every node) matches verbatim.
+    Q("g2_label_propagation",
+      (s, d) => {
+        val e0 = partCoOrderEdges(s, d)
+        val sym = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.LabelPropagation.run(sym, "src", "dst", iters = 4)
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"),
+            sum("node").as("sum_node"))
+          .orderBy(col("n_nodes").desc, col("comp"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""l$i AS (SELECT node, MIN(comp) AS comp FROM (
+                        SELECT node, comp FROM $prev
+                        UNION ALL
+                        SELECT e.dst AS node, $prev.comp
+                        FROM e JOIN $prev ON $prev.node = e.src)
+                      GROUP BY node)"""
+        }
+        s"""WITH $edgesSql,
+                e AS (SELECT src, dst FROM e0
+                      UNION ALL SELECT dst, src FROM e0),
+                l0 AS (SELECT DISTINCT src AS node, src AS comp FROM e),
+                ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+           SELECT comp, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+                  MAX(node) AS max_node, SUM(node) AS sum_node
+           FROM l4 GROUP BY comp ORDER BY n_nodes DESC, comp"""
+      }),
+
+    // G3: triangle counting by canonical id orientation (Suri &
+    // Vassilvitskii WWW'11) — two equi-joins count each triangle a<b<c
+    // exactly once; per-node participation by exploding the corners.
+    // Top-20 busiest nodes plus the global count (Σ tri div 3), all
+    // BIGINT — the whole computation under the hash gate.
+    Q("g3_triangle_count",
+      (s, d) => {
+        val perNode = graft.graph.Triangles.perNode(partCoOrderEdges(s, d))
+        val total = perNode.agg(expr("sum(tri) div 3").as("total_tri"))
+        perNode.crossJoin(broadcast(total))
+          .orderBy(col("tri").desc, col("node"))
+          .limit(20)
+      },
+      Some(s"""WITH $edgesSql,
+                tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                        FROM e0 ab
+                        JOIN e0 bc ON ab.dst = bc.src
+                        JOIN e0 ac ON ac.src = ab.src AND ac.dst = bc.dst),
+                pn AS (SELECT node, COUNT(*) AS tri FROM (
+                         SELECT a AS node FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+                       GROUP BY node),
+                tot AS (SELECT SUM(tri) // 3 AS total_tri FROM pn)
+           SELECT node, tri, total_tri FROM pn CROSS JOIN tot
+           ORDER BY tri DESC, node LIMIT 20""")),
 
     // G1: PageRank (3 fixed-point iterations) over the symmetrized
     // customer↔supplier trade graph (an edge per distinct trading pair

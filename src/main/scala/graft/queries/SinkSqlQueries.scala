@@ -370,6 +370,56 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s41's CHECK-constrained table: v1 = even-key orders, then two
+    * constraints declared, then the odd-key half appended THROUGH the
+    * check gate; a corrupted batch (negated prices on keys ≡ 1 mod 10)
+    * and a retroactively-false constraint are both refused. Cached
+    * value = (dir, violationCount, appendBlocked, retroBlocked). */
+  private val checkCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Long, Boolean, Boolean)]()
+
+  private def checkedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Long, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = checkCache.get(key)
+    if (hit != null) return hit
+    checkCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s41_check_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    graft.ops.Versioned.addConstraintCommit(s, dir,
+      "positive_price", "o_totalprice > 0.0")
+    graft.ops.Versioned.addConstraintCommit(s, dir,
+      "cust_present", "o_custkey IS NOT NULL")
+    val odd = o.filter(col("o_orderkey") % 2 === 1)
+    val v2 = graft.ops.Versioned.commitChecked(odd, dir)
+    require(v2 == 2, s"unexpected checked-append version $v2")
+    val bad = odd.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 1, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val nBad = graft.ops.Versioned.checkViolations(
+      bad, graft.ops.Versioned.constraints(dir))("positive_price")
+    val appendBlocked =
+      try { graft.ops.Versioned.commitChecked(bad, dir); false }
+      catch { case _: IllegalArgumentException =>
+        graft.ops.Versioned.latestVersion(dir) == 2 }
+    val retroBlocked =
+      try {
+        graft.ops.Versioned.addConstraintCommit(s, dir,
+          "price_cap", "o_totalprice < 100.0"); false
+      } catch { case _: IllegalArgumentException =>
+        graft.ops.Versioned.constraints(dir).map(_._1) ==
+          Seq("positive_price", "cust_present") }
+    val out = (dir, nBad, appendBlocked, retroBlocked)
+    checkCache.put(key, out)
+    out
+  }
+
   /** s37's Z-ORDER-optimized version log: the s26 grid (both key
     * dimensions normalized to 0..1023 exact BIGINT arithmetic) committed
     * in four UNCLUSTERED key-mod slices — every group spans the full
@@ -1432,6 +1482,37 @@ object SinkSqlQueries {
                       TRUE, TRUE
                FROM orders
                ORDER BY version""")),
+
+    // S41: CHECK constraints on the version log (Delta's ALTER TABLE ADD
+    // CONSTRAINT + write-path enforcement, ANSI CHECK semantics): a
+    // declared predicate refuses any violating batch BEFORE data or
+    // manifest lands (history stays at v2 — `bad_append_blocked`), a
+    // retroactively-false constraint is refused against the existing
+    // snapshot (`retro_add_blocked`), and a clean batch flows through
+    // the same gate (`n`/`total` replay the WHOLE orders table — both
+    // halves committed, proving enforcement doesn't perturb the data
+    // path). `n_violations` is the refused batch's violating-row count
+    // REPLAYED by the oracle (keys ≡ 1 mod 10, whose prices the builder
+    // negated) — the violation counter itself sits under the hash.
+    Q("s41_check_constraints",
+      (s, d) => {
+        val (dir, nBad, appendBlocked, retroBlocked) = checkedOrders(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("n_violations", lit(nBad))
+          .withColumn("two_constraints",
+            lit(graft.ops.Versioned.constraints(dir).map(_._1) ==
+              Seq("positive_price", "cust_present")))
+          .withColumn("bad_append_blocked", lit(appendBlocked))
+          .withColumn("retro_add_blocked", lit(retroBlocked))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1)
+                        AS n_violations,
+                      TRUE AS two_constraints,
+                      TRUE AS bad_append_blocked,
+                      TRUE AS retro_add_blocked
+               FROM orders""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",

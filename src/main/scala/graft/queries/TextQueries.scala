@@ -1284,6 +1284,47 @@ object TextQueries {
                             md5(string_agg(CAST(doc_id AS VARCHAR), ','
                                            ORDER BY doc_id)) AS kept_md5
                      FROM k GROUP BY source) c USING (source)
-               ORDER BY t.source"""))
+               ORDER BY t.source""")),
+
+    // T44: chunk-granularity exact substring dedup (Lee et al. ACL 2022
+    // relationalized — see [[graft.dedup.ChunkDedup]]): every 10-word
+    // chunk keeps only its FIRST corpus occurrence ((doc_id, chunk_idx)
+    // lexicographic min), docs reassemble from surviving chunks. The
+    // gate pins per-doc chunk counts AND the md5 of each reassembled
+    // text — a single mis-kept or mis-ordered chunk anywhere flips a
+    // row hash. Complements t5 (whole-doc exact) and t7/t12 (near-dup):
+    // this is the operator that removes repeated boilerplate INSIDE
+    // otherwise-unique docs.
+    Q("t44_chunk_dedup",
+      (s, d) => graft.dedup.ChunkDedup.firstOccurrence(
+          Tables.documents(s, d), "doc_id", "text", chunkWords = 10)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+                                regexp_split_to_array(trim(text), '\s+') AS w
+                         FROM documents),
+                   ch AS (SELECT doc_id,
+                                 UNNEST(range(0, (len(w)+9)//10)) AS chunk_idx,
+                                 w
+                          FROM w),
+                   ch2 AS (SELECT doc_id, chunk_idx,
+                                  array_to_string(list_slice(w,
+                                    chunk_idx*10+1, chunk_idx*10+10), ' ')
+                                    AS chunk
+                           FROM ch),
+                   firsts AS (SELECT md5(chunk) AS dig,
+                                     MIN(ROW(doc_id, chunk_idx)) AS loc
+                              FROM ch2 GROUP BY 1),
+                   kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+                            FROM ch2 c JOIN firsts f
+                              ON f.dig = md5(c.chunk)
+                             AND f.loc = ROW(c.doc_id, c.chunk_idx)),
+                   agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                                  md5(string_agg(chunk, ' '
+                                      ORDER BY chunk_idx)) AS kept_md5
+                           FROM kept GROUP BY doc_id)
+              SELECT w.doc_id, CAST((len(w.w)+9)//10 AS BIGINT) AS n_chunks,
+                     COALESCE(a.n_kept, 0) AS n_kept, a.kept_md5
+              FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+              ORDER BY w.doc_id"""))
   )
 }

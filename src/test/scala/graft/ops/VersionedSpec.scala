@@ -661,4 +661,41 @@ class VersionedSpec extends SparkSpec {
     val rebuilt = Versioned.applyChanges(base, feed, "id")
     assert(rebuilt.count() == 64L)
   }
+
+  test("CHECK constraints: violating batch refused atomically, NULL " +
+      "passes (ANSI), retroactively-false constraint refused, hostile " +
+      "predicate/name rejected at the edge") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), dir)
+    Versioned.addConstraintCommit(spark, dir, "x_positive", "x > 0.0")
+    assert(Versioned.constraints(dir) == Seq("x_positive" -> "x > 0.0"))
+    // clean batch flows; NULL predicate result passes (unknown ≠ false)
+    Versioned.commitChecked(
+      Seq((3L, Some(5.0)), (4L, None)).toDF("id", "x"), dir)
+    assert(Versioned.read(spark, dir).count() == 4L)
+    // violating batch refused BEFORE any state lands
+    val before = Versioned.latestVersion(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.commitChecked(Seq((5L, -1.0)).toDF("id", "x"), dir)
+    }
+    assert(ex.getMessage.contains("x_positive"))
+    assert(Versioned.latestVersion(dir) == before)
+    assert(Versioned.read(spark, dir).count() == 4L)
+    // a constraint the current snapshot violates cannot be added
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraintCommit(spark, dir, "x_cap", "x < 15.0")
+    }
+    assert(Versioned.constraints(dir).map(_._1) == Seq("x_positive"))
+    // hostile inputs rejected loudly at the API edge
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraintCommit(spark, dir, "bad name", "x > 0.0")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraintCommit(spark, dir, "q", "x > \"0\"")
+    }
+    // duplicate name rejected
+    intercept[IllegalArgumentException] {
+      Versioned.addConstraintCommit(spark, dir, "x_positive", "x > 1.0")
+    }
+  }
 }
