@@ -130,10 +130,21 @@ object Versioned {
       groups: Seq[String], stats: Map[String, (Long, Long)] = Map.empty,
       stats2: Map[String, (Long, Long, Long, Long)] = Map.empty,
       txn: Option[(String, Long)] = None, commitTs: Option[Long] = None,
-      dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None)
+      dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None,
+      renames: Map[String, String] = Map.empty)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
+    val renJson =
+      if (renames.isEmpty) ""
+      else {
+        renames.foreach { case (p, l) =>
+          requireId("rename physical column", p)
+          requireId("rename logical column", l)
+        }
+        s""","renames":{${renames.toSeq.sortBy(_._1)
+          .map { case (p, l) => s""""$p":"$l"""" }.mkString(",")}}"""
+      }
     require(dgroups.isEmpty == dkey.isEmpty,
       "delete groups and their key column travel together")
     val dJson =
@@ -158,8 +169,40 @@ object Versioned {
     val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
-      dJson + statsJson + stats2Json + txnJson + tsJson + "}"
+      dJson + statsJson + stats2Json + txnJson + tsJson + renJson + "}"
   }
+
+  /** Column-mapping state of a version: physical name (as stored in the
+    * parquet files, immutable) → current logical name. Empty when the
+    * table has never been renamed. */
+  def readRenames(dir: String, v: Int): Map[String, String] =
+    "\"renames\":\\{([^}]*)\\}".r.findFirstMatchIn(manifestText(dir, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map { kv =>
+        val m = "\"([^\"]+)\":\"([^\"]+)\"".r.findFirstMatchIn(kv)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt renames entry in v$v at $dir: $kv"))
+        m.group(1) -> m.group(2)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  /** Apply a version's column mapping to a frame read from its physical
+    * files — the last step of every read path. */
+  private def applyRenames(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (p, l)) => d.withColumnRenamed(p, l) }
+
+  /** Translate a LOGICAL-schema batch back to the table's PHYSICAL
+    * column names before writing its file group (Delta column mapping's
+    * write half: files always carry the original physical names, so a
+    * renamed table's groups stay schema-homogeneous). */
+  private def toPhysical(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (p, l)) => d.withColumnRenamed(l, p) }
+
+  private def requireNoRenames(dir: String, v: Int, verb: String): Unit =
+    require(readRenames(dir, v).isEmpty,
+      s"$verb at $dir requires an unrenamed snapshot — groups are carried " +
+        "by name and files keep physical column names; run " +
+        "applyRenamesCommit first to materialize the column mapping")
 
   /** Equality-DELETE file groups of a version (merge-on-read state) and
     * the key column they delete on. Empty for copy-on-write-only
@@ -239,15 +282,25 @@ object Versioned {
     val parent = latestVersion(dir)
     val v = parent + 1
     val group = s"c$v"
-    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    // appends to a renamed table write PHYSICAL names (groups must stay
+    // schema-homogeneous); an overwrite starts fresh and clears the map
+    val renames =
+      if (overwrite || parent == 0) Map.empty[String, String]
+      else readRenames(dir, parent)
+    toPhysical(df, renames)
+      .write.mode("errorifexists").parquet(s"$dir/data/$group")
     val groups =
       (if (overwrite || parent == 0) Seq.empty
        else readManifest(dir, parent)) :+ group
     val parentStats =
       if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
       else readStats(dir, parent)
-    val newStats = statsCol.flatMap(c =>
-      writtenStats(df.sparkSession, dir, group, c).map(group -> _))
+    val newStats = statsCol.flatMap { c =>
+      // the written group carries physical names; map the caller's
+      // logical stats column back before probing it
+      val phys = renames.find(_._2 == c).map(_._1).getOrElse(c)
+      writtenStats(df.sparkSession, dir, group, phys).map(group -> _)
+    }
     // an append carries the parent's pending MOR delete files forward
     // (they still mask rows of the carried data groups); an overwrite
     // starts a fresh snapshot and drops them
@@ -256,7 +309,7 @@ object Versioned {
       else readDeletes(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
       parentStats ++ newStats, txn = txn, commitTs = commitTs,
-      dgroups = dgs, dkey = dk)
+      dgroups = dgs, dkey = dk, renames = renames)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -306,7 +359,15 @@ object Versioned {
     // collide on the data write — only the manifest linearizes them
     val group = s"t_${appId}_${txnVersion}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    // physical names are immutable originals, so translating with the
+    // mapping visible at write time stays correct even if a rename
+    // commit lands before this group's manifest publishes; an overwrite
+    // starts a fresh snapshot (logical = physical), so no translation
+    val lvAtWrite = latestVersion(dir)
+    toPhysical(df,
+        if (overwrite || lvAtWrite == 0) Map.empty
+        else readRenames(dir, lvAtWrite))
+      .write.mode("errorifexists").parquet(s"$dir/data/$group")
     beforePublish()
     var attempts = 0
     while (attempts < 64) {
@@ -328,8 +389,12 @@ object Versioned {
       val (dgs, dk) =
         if (overwrite || parent == 0) (Seq.empty[String], None)
         else readDeletes(dir, parent)
+      val ren =
+        if (overwrite || parent == 0) Map.empty[String, String]
+        else readRenames(dir, parent)
       val json = manifestJson(v, parent, overwrite, groups, stats,
-        txn = Some((appId, txnVersion)), dgroups = dgs, dkey = dk)
+        txn = Some((appId, txnVersion)), dgroups = dgs, dkey = dk,
+        renames = ren)
       if (publishIfAbsent(dir, v, json)) return Some(v)
       attempts += 1
     }
@@ -385,8 +450,9 @@ object Versioned {
         read(spark, dir, v).filter(col(statsCol) >= lo && col(statsCol) <= hi)
           .filter(org.apache.spark.sql.functions.lit(false))
       else
-        applyMorDeletes(spark, dir, v,
-          spark.read.parquet(planned.map(resolveGroup(dir, _)): _*))
+        applyRenames(applyMorDeletes(spark, dir, v,
+            spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)),
+          readRenames(dir, v))
           .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, planned.size, groups.size)
   }
@@ -412,8 +478,9 @@ object Versioned {
         col(bCol) >= bLo && col(bCol) <= bHi)
     val df =
       if (planned.isEmpty) residual(read(spark, dir, v)).filter(lit(false))
-      else residual(applyMorDeletes(spark, dir, v,
-        spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)))
+      else residual(applyRenames(applyMorDeletes(spark, dir, v,
+          spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)),
+        readRenames(dir, v)))
     (df, planned.size, groups.size)
   }
 
@@ -488,6 +555,7 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to merge into at $dir")
     requireNoMorDeletes(dir, parent, "file-granularity MERGE")
+    requireNoRenames(dir, parent, "file-granularity MERGE")
     val (touched, carried) = touchedGroups(updates, statsCol, dir, parent)
     val merged =
       if (touched.isEmpty) updates
@@ -522,6 +590,7 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to delete from at $dir")
     requireNoMorDeletes(dir, parent, "file-granularity DELETE")
+    requireNoRenames(dir, parent, "file-granularity DELETE")
     val groups = readManifest(dir, parent)
     val stats = readStats(dir, parent)
     val touched = groups.filter(g =>
@@ -567,6 +636,7 @@ object Versioned {
     requireId("delete key column", key)
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to delete from at $dir")
+    requireNoRenames(dir, parent, "merge-on-read DELETE")
     val (pdgs, pdk) = readDeletes(dir, parent)
     require(pdk.forall(_ == key),
       s"pending MOR deletes use key '${pdk.get}', got '$key'")
@@ -598,6 +668,7 @@ object Versioned {
     import org.apache.spark.sql.functions.col
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to apply at $dir")
+    requireNoRenames(dir, parent, "applyDeletesCommit")
     val Some((delKeys, dk)) = morDeleteKeys(spark, dir, parent): @unchecked
     val (touched, carried) = touchedGroups(delKeys, dk, dir, parent)
     if (touched.isEmpty) {
@@ -637,11 +708,60 @@ object Versioned {
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = true,
       readManifest(dir, toVersion), readStats(dir, toVersion),
-      readStats2(dir, toVersion), dgroups = dgs, dkey = dk)
+      readStats2(dir, toVersion), dgroups = dgs, dkey = dk,
+      renames = readRenames(dir, toVersion))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"restore at $dir lost the race for version $v")
     v
+  }
+
+  /** ALTER TABLE RENAME COLUMN — Delta column mapping's name mode
+    * (public design): the rename is a METADATA-ONLY commit. Zero data
+    * rewritten: file groups keep their immutable physical column names
+    * forever; the manifest records physical → logical, every read path
+    * applies it last, and appends translate back to physical before
+    * writing ([[commit]]'s toPhysical step — groups stay
+    * schema-homogeneous). Time travel is exact: versions before the
+    * rename still read under the OLD name (each manifest carries its
+    * own mapping). At 100 TB this is the difference between an O(1)
+    * schema change and a full-table rewrite. Group-carrying rewrite
+    * verbs and the change feed refuse over a pending mapping (Delta's
+    * own column-mapping restrictions); [[applyRenamesCommit]]
+    * materializes it away. Returns the committed version. */
+  def renameColumnCommit(spark: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    requireId("rename source column", from)
+    requireId("rename target column", to)
+    require(from != to, s"rename $from -> $to is a no-op")
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to rename at $dir")
+    val cols = read(spark, dir, parent).columns.toSet
+    require(cols(from), s"column $from not in snapshot schema $cols")
+    require(!cols(to), s"column $to already exists in snapshot schema")
+    val m = readRenames(dir, parent)
+    // compose: the mapping stays keyed by ORIGINAL physical names
+    val phys = m.find(_._2 == from).map(_._1).getOrElse(from)
+    val newM = (m - phys) ++ (if (phys == to) Map.empty else Map(phys -> to))
+    val (dgs, dk) = readDeletes(dir, parent)
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = false,
+      readManifest(dir, parent), readStats(dir, parent),
+      readStats2(dir, parent), dgroups = dgs, dkey = dk, renames = newM)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"renameColumnCommit at $dir lost the race for version $v")
+    v
+  }
+
+  /** Materialize the column mapping: rewrite the snapshot once so
+    * physical names equal logical names and the mapping clears —
+    * unblocks the group-carrying rewrite verbs after a rename. */
+  def applyRenamesCommit(spark: SparkSession, dir: String): Int = {
+    val parent = latestVersion(dir)
+    require(readRenames(dir, parent).nonEmpty,
+      s"no column mapping to materialize at $dir")
+    commit(read(spark, dir, parent), dir, overwrite = true)
   }
 
   /** Publish `df` as version parent+1 whose manifest = `carried` (with
@@ -710,6 +830,7 @@ object Versioned {
     // a packed group re-written WITHOUT the pending delete files would
     // resurrect deleted rows once the dgroups are dropped — apply first
     requireNoMorDeletes(dir, v, "bin-packed OPTIMIZE")
+    requireNoRenames(dir, v, "bin-packed OPTIMIZE")
     val sizes = groupSizes(spark, dir, v)
     val smalls = sizes.filter(_._2 < targetBytes)
     val carried = sizes.filterNot(s => smalls.exists(_._1 == s._1)).map(_._1)
@@ -757,6 +878,7 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to optimize at $dir")
     requireNoMorDeletes(dir, parent, "OPTIMIZE ZORDER BY")
+    requireNoRenames(dir, parent, "OPTIMIZE ZORDER BY")
     val v = parent + 1
     val base = s"c$v"
     val shiftBits = 2 * gridBits - bucketBits
@@ -873,6 +995,11 @@ object Versioned {
     val latest = latestVersion(dir)
     require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
       s"need 0 <= from < to <= $latest, got ($fromVersion, $toVersion)")
+    // the step frames read file groups under their PHYSICAL names; a
+    // feed crossing a column-mapping change would mix schemas — blocked,
+    // exactly Delta's CDF-across-column-mapping restriction
+    (math.max(1, fromVersion) to toVersion).foreach(v =>
+      requireNoRenames(dir, v, s"change feed (v$v in range)"))
     // canonical column order for the union (all commits share the schema)
     val dataCols = read(spark, dir, toVersion).columns.toSeq
     val steps = ((fromVersion + 1) to toVersion).map { v =>
@@ -978,9 +1105,10 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    applyMorDeletes(spark, dir, v,
+    applyRenames(applyMorDeletes(spark, dir, v,
       spark.read.option("mergeSchema", "true")
-        .parquet(groups.map(resolveGroup(dir, _)): _*))
+        .parquet(groups.map(resolveGroup(dir, _)): _*)),
+      readRenames(dir, v))
   }
 
   /** File-group count of a version's manifest (layout observability). */
@@ -1005,8 +1133,9 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    applyMorDeletes(spark, dir, v,
-      spark.read.parquet(groups.map(resolveGroup(dir, _)): _*))
+    applyRenames(applyMorDeletes(spark, dir, v,
+      spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)),
+      readRenames(dir, v))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
@@ -1045,7 +1174,10 @@ object Versioned {
       maxAttempts: Int = 64, beforePublish: () => Unit = () => ()): Int = {
     requireId("writerId", writerId)
     val group = s"w_$writerId"
-    df.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    val lvAtWrite = latestVersion(dir)
+    toPhysical(df,
+        if (lvAtWrite == 0) Map.empty else readRenames(dir, lvAtWrite))
+      .write.mode("errorifexists").parquet(s"$dir/data/$group")
     var parent = latestVersion(dir)
     beforePublish() // race window: parent is captured, nothing published
 
@@ -1057,7 +1189,9 @@ object Versioned {
       val (dgs, dk) =
         if (parent == 0) (Seq.empty[String], None) else readDeletes(dir, parent)
       if (publishIfAbsent(dir, v, manifestJson(v, parent, overwrite = false,
-          groups, dgroups = dgs, dkey = dk))) return v
+          groups, dgroups = dgs, dkey = dk,
+          renames = if (parent == 0) Map.empty
+                    else readRenames(dir, parent)))) return v
       attempts += 1
       val newLatest = latestVersion(dir)
       ((parent + 1) to newLatest).foreach { w =>
@@ -1101,7 +1235,8 @@ object Versioned {
     Files.createDirectories(manifestDir(dstDir))
     val tmp = manifestDir(dstDir).resolve(".v1.json.tmp")
     Files.write(tmp, manifestJson(1, 0, overwrite = true, groups,
-        dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk)
+        dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk,
+        renames = readRenames(srcDir, v))
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1

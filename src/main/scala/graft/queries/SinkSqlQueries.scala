@@ -370,6 +370,44 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s42's renamed table: v1 = even-key orders (o_orderkey,
+    * o_totalprice), v2 = RENAME COLUMN o_totalprice -> price (metadata
+    * only), v3 = the odd-key half appended under the LOGICAL name.
+    * Cached value = (dir, metadataOnly, oldNameAtV1). */
+  private val renameCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def renamedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = renameCache.get(key)
+    if (hit != null) return hit
+    renameCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s42_rename_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    // range split (not parity) so the two groups' key stats are DISJOINT
+    // and the post-rename pruning probe can plan exactly one group
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") < 1000), dir,
+      statsCol = Some("o_orderkey"))
+    val pre = graft.ops.Versioned.groupNames(dir)
+    val v2 = graft.ops.Versioned.renameColumnCommit(
+      s, dir, "o_totalprice", "price")
+    val metadataOnly = v2 == 2 && graft.ops.Versioned.groupNames(dir) == pre
+    val oldNameAtV1 = graft.ops.Versioned.read(s, dir, 1).columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice")
+    graft.ops.Versioned.commit(
+      o.filter(col("o_orderkey") >= 1000)
+        .withColumnRenamed("o_totalprice", "price"),
+      dir, statsCol = Some("o_orderkey"))
+    val out = (dir, metadataOnly, oldNameAtV1)
+    renameCache.put(key, out)
+    out
+  }
+
   /** s41's CHECK-constrained table: v1 = even-key orders, then two
     * constraints declared, then the odd-key half appended THROUGH the
     * check gate; a corrupted batch (negated prices on keys ≡ 1 mod 10)
@@ -1512,6 +1550,32 @@ object SinkSqlQueries {
                       TRUE AS two_constraints,
                       TRUE AS bad_append_blocked,
                       TRUE AS retro_add_blocked
+               FROM orders""")),
+
+    // S42: ALTER TABLE RENAME COLUMN on the version log (Delta column
+    // mapping, name mode): the rename is a zero-rewrite metadata commit
+    // (`metadata_only` pins the file-group list unchanged across it),
+    // time travel still reads v1 under the OLD name (`old_name_at_v1`),
+    // and the post-rename append speaks the LOGICAL name while files
+    // keep physical names (`n`/`total` replay the whole orders table
+    // under the renamed `price` column — a mistranslated append would
+    // null out half the sum). Pruned reads plan on carried stats across
+    // the rename (`stats_survive_rename`: the odd-half group alone).
+    Q("s42_rename_column",
+      (s, d) => {
+        val (dir, metadataOnly, oldNameAtV1) = renamedOrders(s, d)
+        val (_, planned, total) = graft.ops.Versioned.prunedRead(
+          s, dir, "o_orderkey", 0L, 999L)
+        graft.ops.Versioned.read(s, dir)
+          .agg(count(lit(1)).as("n"), dsum(col("price")).as("total"))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("old_name_at_v1", lit(oldNameAtV1))
+          .withColumn("stats_survive_rename", lit(planned == 1 && total == 2))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS metadata_only,
+                      TRUE AS old_name_at_v1,
+                      TRUE AS stats_survive_rename
                FROM orders""")),
 
     // S1 + S7: CSV sink then CSV scan with explicit schema.

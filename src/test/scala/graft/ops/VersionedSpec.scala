@@ -698,4 +698,58 @@ class VersionedSpec extends SparkSpec {
       Versioned.addConstraintCommit(spark, dir, "x_positive", "x > 1.0")
     }
   }
+
+  test("RENAME COLUMN: metadata-only, time travel keeps old names, " +
+      "appends translate to physical, rewrite verbs guarded until " +
+      "the mapping is materialized") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"), dir,
+      statsCol = Some("id"))
+    val preGroups = Versioned.groupNames(dir)
+    val v2 = Versioned.renameColumnCommit(spark, dir, "amount", "price")
+    assert(v2 == 2)
+    // zero data rewritten: same groups by name
+    assert(Versioned.groupNames(dir) == preGroups)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "price"))
+    // time travel: v1 still reads under the OLD name
+    assert(Versioned.read(spark, dir, 1).columns.toSeq
+      == Seq("id", "amount"))
+    // appends speak the LOGICAL schema; files stay physical
+    Versioned.commit(Seq((3L, 30.0)).toDF("id", "price"), dir,
+      statsCol = Some("id"))
+    val out = Versioned.read(spark, dir).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0))
+    // pruned read filters on the logical name over carried stats
+    val (pf, planned, total) = Versioned.prunedRead(spark, dir, "id", 3L, 9L)
+    assert(planned == 1 && total == 2 && pf.count() == 1)
+    // rename chain composes back to the ORIGINAL physical key
+    Versioned.renameColumnCommit(spark, dir, "price", "cost")
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "cost"))
+    assert(Versioned.readRenames(dir, Versioned.latestVersion(dir))
+      == Map("amount" -> "cost"))
+    // group-carrying rewrite verbs refuse over a pending mapping
+    intercept[IllegalArgumentException] {
+      Versioned.compactBinPacked(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.deleteCommitMor(Seq(1L).toDF("id"), dir, "id")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 0, Versioned.latestVersion(dir), "id")
+    }
+    // materialize: one rewrite clears the mapping and unblocks OPTIMIZE
+    val v5 = Versioned.applyRenamesCommit(spark, dir)
+    assert(Versioned.readRenames(dir, v5).isEmpty)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "cost"))
+    assert(Versioned.read(spark, dir).count() == 3)
+    Versioned.compactBinPacked(spark, dir)
+    // renaming to an existing column or a missing column fails loudly
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumnCommit(spark, dir, "id", "cost")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumnCommit(spark, dir, "ghost", "g2")
+    }
+  }
 }
