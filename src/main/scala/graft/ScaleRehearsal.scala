@@ -111,7 +111,17 @@ object ScaleRehearsal {
     // pruned probe — expect ~2× of the pruned fraction)
     "s35_versioned_cow_merge", "s36_binpacked_optimize",
     "s37_zorder_optimize", "s38_mor_delete", "s39_mor_apply",
-    "emb20_ivfpq_knn", "t42_bm25_index_serving")
+    "emb20_ivfpq_knn", "t42_bm25_index_serving",
+    // round-11 second wave: min-label CC + triangles ride the sampled
+    // part co-purchase graph (key-shifted orders double the order count
+    // → edges/wedges/triangles ~2×), Count-Min is one d·w-cell group-by
+    // (~2× scan, constant sketch), chunk dedup is three linear shuffles
+    // on digests (salted copies double distinct chunks — expect ~2×),
+    // the constraint/rename tables rebuild at 2× (validation = one agg
+    // pass per batch; rename = metadata, the read pays the translation)
+    "g2_label_propagation", "g3_triangle_count",
+    "a19_countmin_point_query", "t44_chunk_dedup",
+    "s41_check_constraints", "s42_rename_column")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

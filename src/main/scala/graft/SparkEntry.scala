@@ -30,6 +30,7 @@ object SparkEntry {
       PrivacyMiscQueries.all ++
       TimeJoinQueries.all ++
       GraphQueries.all ++
+      TpchQueries.all ++
       StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

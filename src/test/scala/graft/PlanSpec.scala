@@ -192,4 +192,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "rerank candidate join did not broadcast")
   }
+
+  test("g3: both triangle joins are equi-joins — no cartesian/nested-loop " +
+      "anywhere, and the top-k fuses") {
+    val plan = planString("g3_triangle_count")
+    assert(!plan.contains("CartesianProduct"), "triangle join went cartesian")
+    // BroadcastNestedLoopJoin appears only for the single-row total column
+    assert(!plan.contains("NestedLoopJoin")
+      || plan.contains("BroadcastNestedLoop"),
+      "non-broadcast nested loop in the triangle path")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 busiest nodes not fused to per-partition heaps")
+  }
+
+  test("a19: the sketch build is one partial-aggregated group-by with the " +
+      "hash params broadcast") {
+    val plan = planString("a19_countmin_point_query")
+    assert(plan.contains("BroadcastExchange"), "params/cells not broadcast")
+    assert(plan.contains("partial_count") || plan.contains("partial_min")
+      || plan.contains("Partial"),
+      s"cell counts lack map-side partial aggregation:\n$plan")
+  }
+
+  test("t44: first-occurrence shuffles the chunk DIGEST with a map-side " +
+      "partial struct-min, never a window sort") {
+    val plan = planString("t44_chunk_dedup")
+    assert(plan.contains("partial_min") || plan.contains("Partial"),
+      "digest group-by lost its partial aggregation")
+    assert(!plan.contains("Window"), "first-occurrence regressed to a window")
+  }
 }
