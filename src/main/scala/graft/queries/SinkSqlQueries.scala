@@ -1578,6 +1578,60 @@ object SinkSqlQueries {
                       TRUE AS stats_survive_rename
                FROM orders""")),
 
+    // S43: malformed-row QUARANTINE on CSV ingest — the PERMISSIVE +
+    // columnNameOfCorruptRecord front door every production loader needs
+    // (the medallion bronze contract: never drop silently, never fail the
+    // batch on one bad row). Three corruption classes are injected
+    // (unparseable key, unparseable double, extra tokens); the gate pins
+    // good rows replaying from the source dim (count + key sum), the
+    // quarantined count, losslessness (good + corrupt = written lines)
+    // and that DROPMALFORMED agrees with the PERMISSIVE partition.
+    Q("s43_csv_quarantine",
+      (s, d) => {
+        val dir = tmp("s43_quarantine")
+        val rows = Tables.region(s, d)
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+          .orderBy("r_regionkey").collect() // 5-row dim
+        val good = rows.map(r => s"${r.getLong(0)},${r.getString(1)},1.5")
+        val bad = Seq("notanumber,CORRUPT_A,9.9",
+          "7,CORRUPT_B,notadouble", "8,CORRUPT_C,2.5,extra")
+        val p = java.nio.file.Paths.get(dir, "in.csv")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          (("k,name,v" +: good) ++ bad).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val schema = StructType(Seq(StructField("k", LongType),
+          StructField("name", StringType), StructField("v", DoubleType),
+          StructField("_corrupt", StringType)))
+        // CSV column pruning parses ONLY referenced columns, and an
+        // unparsed column can never flag malformation — the documented
+        // workaround is to materialize the full schema once (persist)
+        // before touching the corrupt column (8 rows here; tracked so
+        // the bench GC reclaims it)
+        val parsed = graft.ops.Caches.tracked(s.read.schema(schema)
+          .option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(p.toString).persist())
+        parsed.count()
+        val droppedDf = graft.ops.Caches.tracked(s.read
+          .schema(StructType(schema.fields.filter(_.name != "_corrupt")))
+          .option("header", "true").option("mode", "DROPMALFORMED")
+          .csv(p.toString).persist())
+        val dropped = droppedDf.count()
+        parsed.agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("k"))).as("good_key_sum"))
+          .withColumn("lossless",
+            col("n_good") + col("n_corrupt") === lit(good.length + 3L))
+          .withColumn("dropmalformed_agrees", col("n_good") === lit(dropped))
+      },
+      Some("""SELECT COUNT(*) AS n_good, CAST(3 AS BIGINT) AS n_corrupt,
+                     CAST(SUM(r_regionkey) AS BIGINT) AS good_key_sum,
+                     TRUE AS lossless, TRUE AS dropmalformed_agrees
+              FROM region""")),
+
     // S1 + S7: CSV sink then CSV scan with explicit schema.
     Q("s1_csv_roundtrip",
       (s, d) => {

@@ -288,6 +288,43 @@ object WindowSortQueries {
                        AS cum_customers
               FROM nu ORDER BY day""")),
 
+    // W9: NTILE decile bucketing — the standard spend-segmentation shape
+    // (customer lifetime value deciles). Ties at bucket boundaries are
+    // pinned by the unique (spend DESC, custkey) order, so NTILE's
+    // remainder-to-front allocation is deterministic and both engines
+    // agree verbatim. The global window sorts the per-customer AGGREGATE
+    // (dim-scale: one row per customer, 15k at sf0.1 — never the fact
+    // table); at 100 TB the pre-aggregation is the shuffle and the
+    // decile sort stays a single slim stage.
+    Q("w9_ntile_deciles",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        perCust
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("spend")).as("decile_spend"),
+            min(col("spend")).as("floor_spend"),
+            max(col("spend")).as("ceil_spend"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH pc AS (SELECT o_custkey,
+                                  ${sqlDsum("o_totalprice")} AS spend
+                           FROM orders GROUP BY o_custkey),
+                   dd AS (SELECT spend,
+                                 NTILE(10) OVER (ORDER BY spend DESC,
+                                                 o_custkey) AS decile
+                          FROM pc)
+               SELECT CAST(decile AS BIGINT) AS decile,
+                      COUNT(*) AS n_customers,
+                      ${sqlDsum("spend")} AS decile_spend,
+                      MIN(spend) AS floor_spend,
+                      MAX(spend) AS ceil_spend
+               FROM dd GROUP BY decile ORDER BY decile""")),
+
     Q("u1_union_all",
       (s, d) => {
         val o = Tables.orders(s, d)

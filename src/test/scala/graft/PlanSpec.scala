@@ -214,6 +214,18 @@ class PlanSpec extends SparkSpec {
       s"cell counts lack map-side partial aggregation:\n$plan")
   }
 
+  test("q3: date predicates push to BOTH fact scans (Catalyst rewrites " +
+      "the ts-to-date cast into a timestamp bound) and dims broadcast") {
+    val plan = planString("q3_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate,"),
+      s"lineitem ship-date bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate,"),
+      "orders order-date bound not pushed")
+    assert(plan.contains("BroadcastHashJoin"), "dim join did not broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t44: first-occurrence shuffles the chunk DIGEST with a map-side " +
       "partial struct-min, never a window sort") {
     val plan = planString("t44_chunk_dedup")
