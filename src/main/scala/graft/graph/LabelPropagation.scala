@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: one equi-join of the edge list against the
   * current label table on the source node and ONE shuffle — the MIN
-  * aggregation on the destination. Edge list persisted once; labels
-  * localCheckpointed every 8th round — between checkpoints the rounds
-  * form a linear shuffle chain the engine executes once per action, so
-  * the checkpoint only bounds PLAN depth (the t33 lineage rule), and at
-  * few rounds its materialization cost would dominate the round itself
-  * (measured 4× on the sf0.1 co-purchase graph). At 100 TB: bucket the
-  * edge list by src so the per-round join is co-partitioned, and prefer
-  * the large-star/small-star form when the diameter is unknown.
+  * aggregation on the destination. The "min over self AND neighbors"
+  * is folded into SELF-LOOP edges added once, so each round references
+  * the previous label frame EXACTLY ONCE — a `labels.union(join(labels))`
+  * form references it twice and the DAG doubles per round (measured
+  * 9.3 s vs 1.4 s at 4 rounds on the sf0.1 co-purchase graph; exchange
+  * reuse does not reliably dedupe the twin subtree under AQE). The
+  * linear chain then needs no per-round materialization: rounds between
+  * checkpoints are a shuffle pipeline the engine executes once per
+  * action, and labels localCheckpoint only every 8th round to bound
+  * PLAN depth (per-round checkpointing measured 4× the round cost).
+  * At 100 TB: bucket the edge list by src so the per-round join is
+  * co-partitioned, and prefer the large-star/small-star form when the
+  * diameter is unknown.
   */
 object LabelPropagation {
 
@@ -38,18 +43,18 @@ object LabelPropagation {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters: $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    // self-loops carry each node's own label through the round's MIN
     val e = graft.ops.Caches.tracked(
-      edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
+      e0.union(nodes.select(col("node").as("src"), col("node").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var labels = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .withColumn("comp", col("node"))
+    var labels = nodes.withColumn("comp", col("node"))
     for (i <- 1 to iters) {
-      labels = labels
-        .union(e.join(labels.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), col("comp")))
-        .groupBy("node").agg(min("comp").as("comp"))
+      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("comp").as("comp"))
       if (i % 8 == 0) labels = labels.localCheckpoint()
     }
     labels
