@@ -51,7 +51,7 @@ object PageRank {
     require(n > 0, "empty graph")
     val teleportNano = 150000000L / n // (0.15 × 10⁹) ÷ N, floor — exact
     var ranks = nodes.withColumn("rank_nano", lit(1000000000L / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -61,7 +61,10 @@ object PageRank {
         .agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit(teleportNano) + expr("(s * 17) div 20")).as("rank_nano"))
-        .localCheckpoint()
+      // each round references the previous frame ONCE, so the rounds
+      // form a linear shuffle chain executed once per action; the
+      // checkpoint only bounds PLAN depth (the LabelPropagation rule)
+      if (i % 8 == 0) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank_nano"),
       round(col("rank_nano").cast("double") / 1e9, 9).as("rank"))
