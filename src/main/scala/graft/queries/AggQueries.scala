@@ -353,6 +353,59 @@ object AggQueries {
                      s.est >= x.cnt AS never_under,
                      s.est - x.cnt AS overest
               FROM exact x JOIN est s ON s.k = x.k
-              ORDER BY x.cnt DESC, x.k LIMIT 20"""))
+              ORDER BY x.cnt DESC, x.k LIMIT 20""")),
+
+    // A20: AMS tug-of-war F₂ sketch (stats.Ams) — the fourth sketch row
+    // (GK quantile, HLL distinct, Count-Min frequency, AMS moment). The
+    // 16 signed sums are FIXED-integer arithmetic, so the sketch STATE
+    // replays verbatim in ANSI SQL and sits under the hash gate; the
+    // estimate accuracy rides a measured contract band (mean-of-16
+    // est/F₂ observed 0.64/1.76/1.07 at sf0.01/0.001/0.1 — AMS variance
+    // at 1.5k-key support is ~0.35·F₂, so [0.3, 3] holds with margin).
+    // One scan, 16 partial sums, no shuffle wider than 16 rows.
+    Q("a20_ams_f2_sketch",
+      (s, d) => {
+        val keys = Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("long").as("k"))
+        val sk = graft.stats.Ams.sketch(keys)
+        val exact = keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+        val est = graft.stats.Ams.estimate(sk)
+        sk.crossJoin(broadcast(exact)).crossJoin(broadcast(est))
+          .select(col("i"), col("s"), (col("s") * col("s")).as("est_i"),
+            col("exact_f2"),
+            round(col("est_f2") / col("exact_f2").cast("double"), 6)
+              .as("ratio"),
+            (col("est_f2") >= col("exact_f2").cast("double") * 0.3 &&
+              col("est_f2") <= col("exact_f2").cast("double") * 3.0)
+              .as("within_band"))
+          .orderBy("i")
+      },
+      Some(s"""WITH params(i, a3, a2, a1, a0) AS (VALUES ${
+        graft.stats.Ams.Params.map { case (i, a3, a2, a1, a0) =>
+          s"($i, $a3, $a2, $a1, $a0)" }.mkString(", ")}),
+                   keys AS (SELECT CAST(l_orderkey AS BIGINT) AS k
+                            FROM lineitem),
+                   signs AS (SELECT i,
+                               SUM(CASE WHEN (a3 * (((k*k) % 2147483647) * k
+                                                    % 2147483647)
+                                            + a2 * ((k*k) % 2147483647)
+                                            + a1 * k + a0) % 2147483647
+                                             < 1073741824
+                                        THEN 1 ELSE -1 END) AS s
+                             FROM keys CROSS JOIN params GROUP BY i),
+                   exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+                             FROM (SELECT COUNT(*) AS cnt
+                                   FROM keys GROUP BY k) t),
+                   m AS (SELECT CAST(SUM(s * s) AS DOUBLE) / 16.0 AS est_f2
+                         FROM signs)
+              SELECT i, CAST(s AS BIGINT) AS s,
+                     CAST(s * s AS BIGINT) AS est_i, exact_f2,
+                     ROUND(est_f2 / CAST(exact_f2 AS DOUBLE), 6) AS ratio,
+                     est_f2 >= CAST(exact_f2 AS DOUBLE) * 0.3
+                       AND est_f2 <= CAST(exact_f2 AS DOUBLE) * 3.0
+                       AS within_band
+              FROM signs CROSS JOIN exact CROSS JOIN m
+              ORDER BY i"""))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import Q.{dsum, sqlDsum}
+import Q.{davg, dsum, sqlDavg, sqlDsum}
 
 /** The classic TPC-H analytics shapes (Q3 / Q5 / Q10, adapted to the
   * testdata's column subset) as end-to-end flagship queries — the
@@ -135,6 +135,142 @@ object TpchQueries {
                  AND CAST(o_orderdate AS DATE) >= DATE '1997-10-01'
                  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
                GROUP BY c_custkey, c_name, c_acctbal, n_name
-               ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // Q4: order-priority checking — orders in a three-quarter window with
+    // at least one late lineitem (shipped > 60 days after the order),
+    // counted by priority. The EXISTS shape: a fact↔fact LEFT SEMI join
+    // on the order key — deliberately NOT broadcast (both sides scale
+    // with the fact at 100 TB); one shuffle per side on l_orderkey, then
+    // a 5-row aggregate. The 60-day lateness predicate lives in the join
+    // condition, so each order counts once however many lines are late.
+    Q("q4_order_priority",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_date"),
+            col("o_orderpriority"))
+          .filter(col("o_date") >= lit("1997-01-01").cast("date") &&
+            col("o_date") < lit("1997-10-01").cast("date"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_date"))
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_date") > date_add(col("o_date"), 60),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                AND CAST(o_orderdate AS DATE) < DATE '1997-10-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND CAST(l_shipdate AS DATE)
+                                  > CAST(o_orderdate AS DATE) + 60)
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Q17: small-quantity-order revenue — average yearly revenue lost if
+    // orders below 20% of a part's average quantity were not filled, for
+    // one brand×type slice. The correlated-subquery shape: the per-part
+    // average broadcasts back onto the same filtered fact slice. Plan:
+    // the brand×type part list broadcasts into the fact scan FIRST (so
+    // the per-part average aggregates only the slice's lines — the
+    // correlation never touches the full fact twice), then one partkey
+    // shuffle for the average and a second broadcast join back. The
+    // threshold is exact: decimal sum / count, one double multiply —
+    // bit-identical across engines, so row membership can't flip.
+    Q("q17_small_qty_revenue",
+      (s, d) => {
+        val pr = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#17" && col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val lines = Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+        val thr = lines.groupBy("p_partkey")
+          .agg((davg(col("l_quantity")) * 0.2).as("qty_thr"))
+        lines.join(broadcast(thr), Seq("p_partkey"))
+          .filter(col("l_quantity") < col("qty_thr"))
+          .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice", 2)} / 7.0 AS avg_yearly
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#17' AND p_type = 'ECONOMY'
+                 AND l_quantity < (SELECT 0.2 * (${sqlDavg("l2.l_quantity")})
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p_partkey)""")),
+
+    // Q18: large-volume customers — orders whose total quantity exceeds
+    // the threshold, with their customer. The HAVING-subquery shape: one
+    // fact shuffle keyed on l_orderkey for the quantity sum, the
+    // surviving ~0.5% of orders join orders/customer WITHOUT broadcast
+    // hints (at 100 TB the filtered set and both dims all scale — AQE
+    // picks broadcast at test scale, shuffle join at fleet scale). The
+    // quantity sum is exact decimal, so the > 250 cut is engine-stable.
+    Q("q18_large_volume_orders",
+      (s, d) => {
+        val qty = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_dec"))
+          .filter(col("sum_qty_dec") > 250)
+        val ord = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+        ord.join(qty, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"),
+            col("sum_qty_dec").cast("double").as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+                     CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                     CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                     CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+              FROM (SELECT l_orderkey,
+                           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) q
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Q22: global-sales opportunity — above-average-balance customers
+    // with no RECENT order (every synthetic customer has SOME order, so
+    // the anti-join is against the date-filtered fact), grouped by
+    // nation. Shapes composed: scalar-subquery threshold (a one-row
+    // broadcast), date-filtered LEFT ANTI join on the fact, small agg.
+    // The average is exact decimal/count so the balance cut can't flip.
+    Q("q22_inactive_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg(davg(col("c_acctbal")).as("avg_bal"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal"), 2).as("total_bal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_custs,
+                      ${sqlDsum("c_acctbal", 2)} AS total_bal
+               FROM customer
+               WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")}
+                                  FROM customer WHERE c_acctbal > 0)
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND CAST(o_orderdate AS DATE)
+                                       >= DATE '2000-01-01')
+               GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

@@ -325,6 +325,47 @@ object WindowSortQueries {
                       MAX(spend) AS ceil_spend
                FROM dd GROUP BY decile ORDER BY decile""")),
 
+    // W10: relative-standing windows — percent_rank and cume_dist per
+    // market segment over the per-customer order spend, top 5 spenders
+    // per segment. Both are exact small-integer ratios ((rank−1)/(n−1),
+    // rank_with_ties/n) so the doubles are bit-identical across engines.
+    // The window partitions by segment over the ALREADY-aggregated
+    // per-customer frame (orders-count rows, not fact rows) — the same
+    // dim-scale-window discipline as w9.
+    Q("w10_percent_rank",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("spend"))
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("spend").desc, col("o_custkey"))
+        perCust
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+            col("o_custkey"), col("spend"), col("pct_rank"), col("cume"))
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some(s"""WITH pc AS (SELECT o_custkey,
+                                  ${sqlDsum("o_totalprice")} AS spend
+                           FROM orders GROUP BY o_custkey),
+                   ranked AS (SELECT c_mktsegment, o_custkey, spend,
+                                ROUND(PERCENT_RANK() OVER win, 6) AS pct_rank,
+                                ROUND(CUME_DIST() OVER win, 6) AS cume,
+                                ROW_NUMBER() OVER win AS rn
+                              FROM pc JOIN customer ON c_custkey = o_custkey
+                              WINDOW win AS (PARTITION BY c_mktsegment
+                                             ORDER BY spend DESC, o_custkey))
+               SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_custkey,
+                      spend, pct_rank, cume
+               FROM ranked WHERE rn <= 5
+               ORDER BY c_mktsegment, rn""")),
+
     Q("u1_union_all",
       (s, d) => {
         val o = Tables.orders(s, d)

@@ -233,4 +233,46 @@ class PlanSpec extends SparkSpec {
       "digest group-by lost its partial aggregation")
     assert(!plan.contains("Window"), "first-occurrence regressed to a window")
   }
+
+  test("q4: the lateness EXISTS stays a LEFT SEMI join (each order counts " +
+      "once) with the order-date window pushed to the orders scan") {
+    val plan = planString("q4_order_priority")
+    assert(plan.contains("LeftSemi"), s"EXISTS lost its semi join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,"),
+      "orders date window not pushed to the scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q18: the HAVING cut rides the partial-aggregated quantity sum and " +
+      "the top-100 stays a fused TakeOrderedAndProject") {
+    val plan = planString("q18_large_volume_orders")
+    assert(plan.contains("partial_sum"),
+      s"quantity sum lost map-side partial aggregation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 regressed to a global sort")
+  }
+
+  test("w10: all three ranking functions share ONE Window operator and " +
+      "one sort (no per-function re-shuffle); no WindowGroupLimit is " +
+      "possible because percent_rank/cume_dist need the full partition") {
+    val plan = planString("w10_percent_rank")
+    // "Window" would also match "WindowGroupLimit" — which must NOT
+    // appear here: limiting to 5 rows pre-window would corrupt the
+    // percent_rank/cume_dist denominators (partition size). Spark's
+    // InferWindowGroupLimit correctly refuses; pin that refusal AND
+    // that the three functions fused into a single Window node.
+    assert(!plan.contains("WindowGroupLimit"),
+      "group-limit pushdown under percent_rank would be a wrong plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"expected one fused Window operator, got $windows:\n$plan")
+  }
+
+  test("a20: the 16 sign-sums aggregate map-side in one pass (no row " +
+      "multiplication before the partial agg, no cartesian)") {
+    val plan = planString("a20_ams_f2_sketch")
+    assert(plan.contains("partial_sum"),
+      s"sign sums lost map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "scalar combine regressed to a cartesian product")
+  }
 }
