@@ -121,7 +121,15 @@ object ScaleRehearsal {
     // pass per batch; rename = metadata, the read pays the translation)
     "g2_label_propagation", "g3_triangle_count",
     "a19_countmin_point_query", "t44_chunk_dedup",
-    "s41_check_constraints", "s42_rename_column")
+    "s41_check_constraints", "s42_rename_column",
+    // round-11 fourth wave: the EXISTS semi join and HAVING subquery are
+    // one-shuffle fact aggregates/joins (key-shifted orders double both
+    // sides — expect ~2×); the correlated-average slice and the AMS
+    // sketch are single fact scans (~2×); w10 windows over the
+    // per-customer aggregate (~2×)
+    "q4_order_priority", "q17_small_qty_revenue",
+    "q18_large_volume_orders", "q22_inactive_customers",
+    "a20_ams_f2_sketch", "w10_percent_rank")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

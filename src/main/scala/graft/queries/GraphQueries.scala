@@ -162,6 +162,54 @@ object GraphQueries {
                   ROUND(CAST(rank_nano AS DOUBLE) / 1e9, 9) AS rank
            FROM r3
            ORDER BY rank_nano DESC, node LIMIT 20"""
+      }),
+
+    // G4: single-source shortest paths (4 Bellman-Ford relaxation
+    // rounds) over the weighted, symmetrized part co-purchase graph —
+    // the min-plus semiring workload completing the iterative triple
+    // (PageRank sum-product, min-label, min-plus). Weights are the
+    // deterministic integer 1 + (src+dst) % 5 (symmetric by
+    // construction), the source is the minimum node id, and every round
+    // is exact BIGINT min — the oracle replays all four rounds as a CTE
+    // chain and the distance census (per-distance count + min/max/sum
+    // of node ids — membership-pinning without dumping every node)
+    // matches verbatim. The frontier is sparse: unreached nodes carry
+    // no row, so each round touches only the reached neighborhood.
+    Q("g4_shortest_paths",
+      (s, d) => {
+        val e0 = partCoOrderEdges(s, d)
+        val sym = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5L)
+        val source = sym.agg(min(col("src")).as("node"))
+        graft.graph.ShortestPaths.run(sym, "src", "dst", "w", source,
+            iters = 4)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"),
+            sum("node").as("sum_node"))
+          .orderBy("dist")
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"d${i - 1}"
+          s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+                        SELECT node, dist FROM $prev
+                        UNION ALL
+                        SELECT e.dst AS node, $prev.dist + e.w AS dist
+                        FROM e JOIN $prev ON $prev.node = e.src)
+                      GROUP BY node)"""
+        }
+        s"""WITH $edgesSql,
+                e AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e0
+                      UNION ALL
+                      SELECT dst, src, 1 + (src + dst) % 5 FROM e0),
+                d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist
+                       FROM e),
+                ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+           SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+                  MAX(node) AS max_node, SUM(node) AS sum_node
+           FROM d4 GROUP BY dist ORDER BY dist"""
       })
   )
 }

@@ -1913,6 +1913,71 @@ object SinkSqlQueries {
                             CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS DATE),
                             CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
-              FROM orders ORDER BY o_custkey, o_orderkey"""))
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // S44: incremental view maintenance over the version log's change
+    // feed — the materialized-aggregate shape every warehouse serves:
+    // a grouped count+sum view kept current by folding ONLY the CDC
+    // delta (insert/update_postimage → +1/+price, delete/
+    // update_preimage → −1/−price) into the prior view, never
+    // rescanning the base table. Maintenance cost is ∝ the delta (an
+    // append step's feed is file-bounded) + the view size — the 100 TB
+    // reason IVM exists; the full recompute here is the GATE's
+    // verification (`matches_recompute` pins maintained ≡ recomputed
+    // bit-for-bit), not part of the operator. Both paths carry the sum
+    // as exact DECIMAL until one final double cast, so the equality is
+    // exact, not approximate: v1-sum + Σ(post − pre) + Σ inserts is
+    // literally the final sum in decimal arithmetic.
+    Q("s44_incremental_view_maintenance",
+      (s, d) => {
+        val dir = mergedOrders(s, d)
+        def viewDec(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy((col("o_orderkey") % 8L).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("tot_dec"))
+        val baseView = viewDec(graft.ops.Versioned.read(s, dir, 1))
+        val feed = graft.ops.Versioned.changes(s, dir, 1, 2, "o_orderkey")
+        val delta = feed
+          .withColumn("sgn",
+            when(col("_change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy((col("o_orderkey") % 8L).as("bucket"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(when(col("sgn") === 1L,
+                col("o_totalprice").cast("decimal(18,2)"))
+              .otherwise(-col("o_totalprice").cast("decimal(18,2)")))
+              .as("dtot_dec"))
+        val zeroDec = lit(0).cast("decimal(28,2)")
+        val maintained = baseView.join(delta, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("tot_dec"), zeroDec)
+              + coalesce(col("dtot_dec"), zeroDec)).as("tot_dec"))
+          .filter(col("n") > 0)
+        val recomputed = viewDec(graft.ops.Versioned.read(s, dir, 2))
+        def cmp(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("bucket"), col("n"),
+            col("tot_dec").cast("decimal(30,2)").as("t"))
+        val diff = cmp(maintained).exceptAll(cmp(recomputed)).count() +
+          cmp(recomputed).exceptAll(cmp(maintained)).count()
+        maintained
+          .select(col("bucket"), col("n"),
+            col("tot_dec").cast("double").as("total"))
+          .withColumn("matches_recompute", lit(diff == 0L))
+          .orderBy("bucket")
+      },
+      Some("""WITH fin AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                                  CASE WHEN o_orderkey % 10 = 0
+                                       THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+                                       ELSE CAST(o_totalprice AS DOUBLE) END
+                                    AS price
+                           FROM orders
+                           WHERE o_orderkey % 2 = 0 OR o_orderkey % 10 = 1)
+              SELECT k % 8 AS bucket, COUNT(*) AS n,
+                     CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total,
+                     TRUE AS matches_recompute
+              FROM fin GROUP BY 1 ORDER BY 1"""))
   )
 }
