@@ -131,7 +131,8 @@ object Versioned {
       stats2: Map[String, (Long, Long, Long, Long)] = Map.empty,
       txn: Option[(String, Long)] = None, commitTs: Option[Long] = None,
       dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None,
-      renames: Map[String, String] = Map.empty)
+      renames: Map[String, String] = Map.empty,
+      defaults: Map[String, (String, String)] = Map.empty)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
@@ -167,9 +168,24 @@ object Versioned {
       requireId("txn appId", app)
       s""","txn":{"app":"$app","v":$tv}""" }.getOrElse("")
     val tsJson = commitTs.map(ts => s""","ts":$ts""").getOrElse("")
+    val defJson =
+      if (defaults.isEmpty) ""
+      else {
+        defaults.foreach { case (n, (t, value)) =>
+          requireId("default column", n)
+          require(t.matches("[A-Za-z0-9(), ]+"),
+            s"default column type has forbidden characters: $t")
+          require(value.matches("[A-Za-z0-9_. :\\-]*"),
+            s"default literal has forbidden characters: $value")
+        }
+        s""","defaults":{${defaults.toSeq.sortBy(_._1)
+          .map { case (n, (t, value)) => s""""$n":["$t","$value"]""" }
+          .mkString(",")}}"""
+      }
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
-      dJson + statsJson + stats2Json + txnJson + tsJson + renJson + "}"
+      dJson + statsJson + stats2Json + txnJson + tsJson + renJson +
+      defJson + "}"
   }
 
   /** Column-mapping state of a version: physical name (as stored in the
@@ -203,6 +219,38 @@ object Versioned {
       s"$verb at $dir requires an unrenamed snapshot — groups are carried " +
         "by name and files keep physical column names; run " +
         "applyRenamesCommit first to materialize the column mapping")
+
+  /** Initial-default column state of a version ([[addColumnCommit]]):
+    * column name → (SQL type, default literal). A file group whose
+    * physical schema predates the column reads the default; groups
+    * written after materialize the value physically. Empty when the
+    * table has never had a column added this way. */
+  def readDefaults(dir: String, v: Int): Map[String, (String, String)] =
+    "\"defaults\":\\{([^}]*)\\}".r.findFirstMatchIn(manifestText(dir, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(body =>
+        "\"([^\"]+)\":\\[\"([^\"]+)\",\"([^\"]*)\"\\]".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap)
+      .getOrElse(Map.empty)
+
+  /** Write-path default fill (the ANSI `DEFAULT` half of the feature):
+    * a batch that omits a defaulted column gets it materialized before
+    * its group is written, so post-ALTER groups always carry the column
+    * physically and only PRE-ALTER groups need the read-side fill. */
+  private def withDefaults(df: DataFrame,
+      defaults: Map[String, (String, String)]): DataFrame =
+    defaults.foldLeft(df) { case (d, (n, (t, value))) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n,
+        org.apache.spark.sql.functions.expr(s"CAST('$value' AS $t)"))
+    }
+
+  private def requireNoDefaults(dir: String, v: Int, verb: String): Unit =
+    require(readDefaults(dir, v).isEmpty,
+      s"$verb at $dir requires materialized column defaults — groups are " +
+        "carried by name and pre-ALTER groups lack the column physically; " +
+        "run applyDefaultsCommit first")
 
   /** Equality-DELETE file groups of a version (merge-on-read state) and
     * the key column they delete on. Empty for copy-on-write-only
@@ -287,7 +335,13 @@ object Versioned {
     val renames =
       if (overwrite || parent == 0) Map.empty[String, String]
       else readRenames(dir, parent)
-    toPhysical(df, renames)
+    // an overwrite's data carries its values already, so the defaults
+    // map correctly CLEARS; an append fills omitted defaulted columns
+    // at write time (groups after the ALTER are physically complete)
+    val defaults =
+      if (overwrite || parent == 0) Map.empty[String, (String, String)]
+      else readDefaults(dir, parent)
+    withDefaults(toPhysical(df, renames), defaults)
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     val groups =
       (if (overwrite || parent == 0) Seq.empty
@@ -309,7 +363,7 @@ object Versioned {
       else readDeletes(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
       parentStats ++ newStats, txn = txn, commitTs = commitTs,
-      dgroups = dgs, dkey = dk, renames = renames)
+      dgroups = dgs, dkey = dk, renames = renames, defaults = defaults)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -364,9 +418,11 @@ object Versioned {
     // commit lands before this group's manifest publishes; an overwrite
     // starts a fresh snapshot (logical = physical), so no translation
     val lvAtWrite = latestVersion(dir)
-    toPhysical(df,
+    withDefaults(toPhysical(df,
         if (overwrite || lvAtWrite == 0) Map.empty
-        else readRenames(dir, lvAtWrite))
+        else readRenames(dir, lvAtWrite)),
+        if (overwrite || lvAtWrite == 0) Map.empty
+        else readDefaults(dir, lvAtWrite))
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     beforePublish()
     var attempts = 0
@@ -394,7 +450,10 @@ object Versioned {
         else readRenames(dir, parent)
       val json = manifestJson(v, parent, overwrite, groups, stats,
         txn = Some((appId, txnVersion)), dgroups = dgs, dkey = dk,
-        renames = ren)
+        renames = ren,
+        defaults =
+          if (overwrite || parent == 0) Map.empty
+          else readDefaults(dir, parent))
       if (publishIfAbsent(dir, v, json)) return Some(v)
       attempts += 1
     }
@@ -637,6 +696,7 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to delete from at $dir")
     requireNoRenames(dir, parent, "merge-on-read DELETE")
+    requireNoDefaults(dir, parent, "merge-on-read DELETE")
     val (pdgs, pdk) = readDeletes(dir, parent)
     require(pdk.forall(_ == key),
       s"pending MOR deletes use key '${pdk.get}', got '$key'")
@@ -669,6 +729,7 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to apply at $dir")
     requireNoRenames(dir, parent, "applyDeletesCommit")
+    requireNoDefaults(dir, parent, "applyDeletesCommit")
     val Some((delKeys, dk)) = morDeleteKeys(spark, dir, parent): @unchecked
     val (touched, carried) = touchedGroups(delKeys, dk, dir, parent)
     if (touched.isEmpty) {
@@ -709,7 +770,8 @@ object Versioned {
     val json = manifestJson(v, parent, overwrite = true,
       readManifest(dir, toVersion), readStats(dir, toVersion),
       readStats2(dir, toVersion), dgroups = dgs, dkey = dk,
-      renames = readRenames(dir, toVersion))
+      renames = readRenames(dir, toVersion),
+      defaults = readDefaults(dir, toVersion))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"restore at $dir lost the race for version $v")
@@ -736,6 +798,10 @@ object Versioned {
     require(from != to, s"rename $from -> $to is a no-op")
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to rename at $dir")
+    // mutual exclusion with initial-default columns: a rename of (or
+    // over) a defaulted column would need the default map re-keyed and
+    // the per-group fill name-mapped — materialize one feature first
+    requireNoDefaults(dir, parent, "RENAME COLUMN")
     val cols = read(spark, dir, parent).columns.toSet
     require(cols(from), s"column $from not in snapshot schema $cols")
     require(!cols(to), s"column $to already exists in snapshot schema")
@@ -764,6 +830,50 @@ object Versioned {
     commit(read(spark, dir, parent), dir, overwrite = true)
   }
 
+  /** ALTER TABLE ADD COLUMN ... DEFAULT — a METADATA-ONLY commit (the
+    * Iceberg initial-default / Delta DEFAULT-feature design, public):
+    * zero data rewritten. The manifest records (column, type, default
+    * literal); [[read]] fills the default into file groups whose
+    * physical schema predates the column, [[commit]] materializes it
+    * into batches that omit it (so post-ALTER groups are physically
+    * complete), and time travel is exact — versions before the ALTER
+    * read WITHOUT the column, each manifest carrying its own default
+    * map. At 100 TB this is an O(1) schema change where a naive engine
+    * pays a full-table rewrite. Group-carrying rewrite verbs and RENAME
+    * refuse over pending defaults ([[requireNoDefaults]], mirroring the
+    * column-mapping restriction); [[applyDefaultsCommit]] materializes
+    * them away. Returns the committed version. */
+  def addColumnCommit(spark: SparkSession, dir: String, name: String,
+      sqlType: String, defaultLiteral: String): Int = {
+    requireId("added column", name)
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to alter at $dir")
+    requireNoRenames(dir, parent, "ADD COLUMN")
+    val cols = read(spark, dir, parent).columns.toSet
+    require(!cols(name), s"column $name already exists in snapshot schema")
+    val (dgs, dk) = readDeletes(dir, parent)
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = false,
+      readManifest(dir, parent), readStats(dir, parent),
+      readStats2(dir, parent), dgroups = dgs, dkey = dk,
+      defaults = readDefaults(dir, parent) +
+        (name -> (sqlType, defaultLiteral)))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"addColumnCommit at $dir lost the race for version $v")
+    v
+  }
+
+  /** Materialize pending initial-default columns: rewrite the snapshot
+    * once so every group physically carries them and the default map
+    * clears — unblocks the group-carrying rewrite verbs and RENAME. */
+  def applyDefaultsCommit(spark: SparkSession, dir: String): Int = {
+    val parent = latestVersion(dir)
+    require(readDefaults(dir, parent).nonEmpty,
+      s"no column defaults to materialize at $dir")
+    commit(read(spark, dir, parent), dir, overwrite = true)
+  }
+
   /** Publish `df` as version parent+1 whose manifest = `carried` (with
     * their existing stats/stats2 carried over verbatim) + the newly
     * written group holding `df` — the shared commit tail of every
@@ -774,6 +884,7 @@ object Versioned {
   private def commitRewrite(df: DataFrame, spark: SparkSession, dir: String,
       parent: Int, carried: Seq[String], statsCol: Option[String],
       repartitionTo: Int = 0): Int = {
+    requireNoDefaults(dir, parent, "file-granularity rewrite")
     val parentGroups = readManifest(dir, parent).toSet
     val v = parent + 1
     val group = s"c$v"
@@ -1000,6 +1111,15 @@ object Versioned {
     // exactly Delta's CDF-across-column-mapping restriction
     (math.max(1, fromVersion) to toVersion).foreach(v =>
       requireNoRenames(dir, v, s"change feed (v$v in range)"))
+    // an ADD COLUMN inside the range changes the feed's schema shape
+    // mid-stream — blocked, the CDF-across-schema-change restriction
+    // (a feed entirely after the ALTER is fine: post-ALTER appends are
+    // physically complete and diff steps read through [[read]])
+    val feedDefaults = readDefaults(dir, toVersion)
+    (math.max(1, fromVersion) to toVersion).foreach(v =>
+      require(readDefaults(dir, v) == feedDefaults,
+        s"change feed at $dir crosses an ADD COLUMN boundary (v$v) — " +
+          "read feeds entirely before or after the schema change"))
     // canonical column order for the union (all commits share the schema)
     val dataCols = read(spark, dir, toVersion).columns.toSeq
     val steps = ((fromVersion + 1) to toVersion).map { v =>
@@ -1133,9 +1253,31 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    applyRenames(applyMorDeletes(spark, dir, v,
-      spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)),
-      readRenames(dir, v))
+    val defaults = readDefaults(dir, v)
+    val base =
+      if (defaults.isEmpty)
+        spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
+      else {
+        // per-group initial-default fill (Iceberg initial-default /
+        // parquet schema-evolution semantics): only groups whose
+        // physical schema predates the column read the default — a
+        // post-ALTER group's genuine NULLs are never overwritten. The
+        // per-group frames union pairwise (log-depth plan, same
+        // discipline as the change feed's balancedUnion).
+        val canonical = withDefaults(
+          spark.read.parquet(resolveGroup(dir, groups.head)), defaults)
+          .columns.toSeq
+        def merge(fs: Seq[DataFrame]): DataFrame =
+          if (fs.size == 1) fs.head
+          else merge(fs.grouped(2).map {
+            case Seq(a, b) => a.unionByName(b)
+            case Seq(a) => a
+          }.toSeq)
+        merge(groups.map(g =>
+          withDefaults(spark.read.parquet(resolveGroup(dir, g)), defaults)
+            .select(canonical.map(org.apache.spark.sql.functions.col): _*)))
+      }
+    applyRenames(applyMorDeletes(spark, dir, v, base), readRenames(dir, v))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
@@ -1175,8 +1317,9 @@ object Versioned {
     requireId("writerId", writerId)
     val group = s"w_$writerId"
     val lvAtWrite = latestVersion(dir)
-    toPhysical(df,
-        if (lvAtWrite == 0) Map.empty else readRenames(dir, lvAtWrite))
+    withDefaults(toPhysical(df,
+        if (lvAtWrite == 0) Map.empty else readRenames(dir, lvAtWrite)),
+        if (lvAtWrite == 0) Map.empty else readDefaults(dir, lvAtWrite))
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     var parent = latestVersion(dir)
     beforePublish() // race window: parent is captured, nothing published
@@ -1191,7 +1334,9 @@ object Versioned {
       if (publishIfAbsent(dir, v, manifestJson(v, parent, overwrite = false,
           groups, dgroups = dgs, dkey = dk,
           renames = if (parent == 0) Map.empty
-                    else readRenames(dir, parent)))) return v
+                    else readRenames(dir, parent),
+          defaults = if (parent == 0) Map.empty
+                     else readDefaults(dir, parent)))) return v
       attempts += 1
       val newLatest = latestVersion(dir)
       ((parent + 1) to newLatest).foreach { w =>
@@ -1236,7 +1381,8 @@ object Versioned {
     val tmp = manifestDir(dstDir).resolve(".v1.json.tmp")
     Files.write(tmp, manifestJson(1, 0, overwrite = true, groups,
         dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk,
-        renames = readRenames(srcDir, v))
+        renames = readRenames(srcDir, v),
+        defaults = readDefaults(srcDir, v))
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1

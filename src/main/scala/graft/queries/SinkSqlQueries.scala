@@ -370,6 +370,48 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s45's defaulted table: v1 = keys ≡ 0 mod 3 (id, price), v2 = ADD
+    * COLUMN channel STRING DEFAULT 'store' (metadata only), v3 = keys
+    * ≡ 1 mod 3 appended WITH explicit channel values, v4 = keys ≡ 2
+    * mod 3 appended WITHOUT the column (write-path fill). Cached value
+    * = (dir, metadataOnly, v1LacksCol, v4Materialized). */
+  private val defaultsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean, Boolean)]()
+
+  private def defaultedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = defaultsCache.get(key)
+    if (hit != null) return hit
+    defaultsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s45_defaults_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 3 === 0), dir)
+    val pre = graft.ops.Versioned.groupNames(dir)
+    val v2 = graft.ops.Versioned.addColumnCommit(
+      s, dir, "channel", "string", "store")
+    val metadataOnly = v2 == 2 && graft.ops.Versioned.groupNames(dir) == pre
+    val v1LacksCol = !graft.ops.Versioned.read(s, dir, 1)
+      .columns.contains("channel")
+    graft.ops.Versioned.commit(
+      o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("channel",
+          concat(lit("web_"), (col("o_orderkey") % 2).cast("string"))),
+      dir)
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 3 === 2), dir)
+    // the omitted-column batch must be PHYSICALLY complete on disk
+    // (write-path fill) — no read-side default was needed for it
+    val v4Materialized = s.read.parquet(s"$dir/data/c4")
+      .columns.contains("channel")
+    val out = (dir, metadataOnly, v1LacksCol, v4Materialized)
+    defaultsCache.put(key, out)
+    out
+  }
+
   /** s42's renamed table: v1 = even-key orders (o_orderkey,
     * o_totalprice), v2 = RENAME COLUMN o_totalprice -> price (metadata
     * only), v3 = the odd-key half appended under the LOGICAL name.
@@ -1978,6 +2020,37 @@ object SinkSqlQueries {
                      CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
                        AS total,
                      TRUE AS matches_recompute
-              FROM fin GROUP BY 1 ORDER BY 1"""))
+              FROM fin GROUP BY 1 ORDER BY 1""")),
+
+    // S45: ADD COLUMN ... DEFAULT as a METADATA-ONLY commit (Iceberg
+    // initial-default / Delta DEFAULT feature): pre-ALTER file groups
+    // read the default without any rewrite, an append WITH the column
+    // keeps its values, an append WITHOUT it gets the write-path fill
+    // (physically complete on disk — `v4_materialized`), and time
+    // travel is per-version (`v1_lacks_col`: the v1 schema has no such
+    // column). The gate replays the per-key channel assignment from the
+    // source dim, so WHICH rows read the default sits under the hash
+    // alongside the three contract columns. At 100 TB: an O(1) schema
+    // change where a naive engine pays a full-table rewrite.
+    Q("s45_add_column_default",
+      (s, d) => {
+        val (dir, metadataOnly, v1LacksCol, v4Materialized) =
+          defaultedOrders(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("v1_lacks_col", lit(v1LacksCol))
+          .withColumn("v4_materialized", lit(v4Materialized))
+          .orderBy("channel")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 3 = 1
+                           THEN 'web_' || CAST(o_orderkey % 2 AS VARCHAR)
+                           ELSE 'store' END AS channel,
+                      COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS metadata_only,
+                      TRUE AS v1_lacks_col,
+                      TRUE AS v4_materialized
+               FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -752,4 +752,82 @@ class VersionedSpec extends SparkSpec {
       Versioned.renameColumnCommit(spark, dir, "ghost", "g2")
     }
   }
+
+  test("ADD COLUMN DEFAULT: metadata-only, pre-ALTER groups read the " +
+      "default, post-ALTER appends materialize it, genuine values and " +
+      "NULLs survive, time travel is per-version") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"), dir)
+    val preGroups = Versioned.groupNames(dir)
+    val v2 = Versioned.addColumnCommit(spark, dir, "channel", "string", "store")
+    assert(v2 == 2)
+    // zero data rewritten: same groups by name
+    assert(Versioned.groupNames(dir) == preGroups)
+    // pre-ALTER rows read the default
+    val r2 = Versioned.read(spark, dir).orderBy("id").collect()
+    assert(r2.map(_.getString(2)).toSeq == Seq("store", "store"))
+    // time travel: v1 has NO such column
+    assert(!Versioned.read(spark, dir, 1).columns.contains("channel"))
+    // append WITH the column keeps its values (including a genuine NULL)
+    Versioned.commit(Seq((3L, 30.0, "web"), (4L, 40.0, null: String))
+      .toDF("id", "amount", "channel"), dir)
+    // append WITHOUT the column gets the write-path fill
+    Versioned.commit(Seq((5L, 50.0)).toDF("id", "amount"), dir)
+    val out = Versioned.read(spark, dir).orderBy("id").collect()
+    assert(out.map(r => Option(r.getString(2)).getOrElse("∅")).toSeq
+      == Seq("store", "store", "web", "∅", "store"))
+    // the v4 group is physically complete (no read-side fill needed)
+    assert(spark.read.parquet(s"$dir/data/c4").columns.contains("channel"))
+    // rewrite verbs + RENAME + a feed crossing the ALTER refuse
+    intercept[IllegalArgumentException] {
+      Versioned.compactBinPacked(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumnCommit(spark, dir, "amount", "price")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 1, Versioned.latestVersion(dir), "id")
+    }
+    // a feed entirely AFTER the ALTER works and is schema-complete
+    val feed = Versioned.changes(spark, dir, 2,
+      Versioned.latestVersion(dir), "id")
+    assert(feed.count() == 3 &&
+      feed.columns.contains("channel"))
+    // duplicate add fails loudly
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "channel", "string", "x")
+    }
+    // materialize: one rewrite clears the map and unblocks OPTIMIZE
+    val vM = Versioned.applyDefaultsCommit(spark, dir)
+    assert(Versioned.readDefaults(dir, vM).isEmpty)
+    assert(Versioned.read(spark, dir).count() == 5)
+    Versioned.compactBinPacked(spark, dir)
+    val after = Versioned.read(spark, dir).orderBy("id").collect()
+    assert(after.map(r => Option(r.getString(2)).getOrElse("∅")).toSeq
+      == Seq("store", "store", "web", "∅", "store"))
+  }
+
+  test("defaults survive clone and restore; hostile default literals " +
+      "are rejected loudly") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0)).toDF("id", "amount"), dir)
+    Versioned.addColumnCommit(spark, dir, "src", "string", "seed")
+    Versioned.commit(Seq((2L, 20.0, "live")).toDF("id", "amount", "src"), dir)
+    // clone carries the default map (pre-ALTER groups referenced by path)
+    val cl = freshDir()
+    Versioned.cloneShallow(dir, cl)
+    val c = Versioned.read(spark, cl).orderBy("id").collect()
+    assert(c.map(_.getString(2)).toSeq == Seq("seed", "live"))
+    // restore to the post-ALTER metadata version keeps the default
+    val vr = Versioned.restore(spark, dir, 2)
+    val r = Versioned.read(spark, dir, vr).collect()
+    assert(r.map(_.getString(2)).toSeq == Seq("seed"))
+    // hostile literal/type rejected before anything publishes
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "evil", "string", "a\",\"b")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "evil", "str\"ing", "x")
+    }
+  }
 }
