@@ -137,6 +137,66 @@ object TpchQueries {
                GROUP BY c_custkey, c_name, c_acctbal, n_name
                ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // Q1: pricing summary — THE canonical scan-heavy aggregate every
+    // engine leads its benchmark page with: one full fact scan, a
+    // 4-group hash aggregate with 8 measures, everything map-side
+    // partial. All sums ride the exact-decimal discipline (the triple
+    // product disc_price·(1+tax) is ONE double expression identical in
+    // both engines, then cast to DECIMAL(18,6) before summing), and the
+    // averages are exact decimal-sum / count — partial-aggregation
+    // order can never move a bit anywhere in the row.
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(expr("l_extendedprice * (1 - l_discount)"), 4)
+            .as("sum_disc_price"),
+          dsum(expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"), 6)
+            .as("sum_charge"),
+          davg(col("l_quantity"), 2).as("avg_qty"),
+          davg(col("l_extendedprice"), 2).as("avg_price"),
+          davg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${sqlDsum("l_quantity", 2)} AS sum_qty,
+                      ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+                      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}
+                        AS sum_disc_price,
+                      ${sqlDsum(
+                        "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}
+                        AS sum_charge,
+                      ${sqlDavg("l_quantity", 2)} AS avg_qty,
+                      ${sqlDavg("l_extendedprice", 2)} AS avg_price,
+                      ${sqlDavg("l_discount", 2)} AS avg_disc,
+                      COUNT(*) AS count_order
+               FROM lineitem
+               WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // Q6: forecasting revenue change — the pure predicate-pushdown
+    // flagship: a conjunctive filter (date window, discount band,
+    // quantity cap) that must reach the parquet scan, one global
+    // decimal-exact sum, zero joins and zero shuffles beyond the final
+    // single-row combine. PlanSpec pins all three predicates pushed.
+    Q("q6_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date")
+          && col("l_shipdate").cast("date") < lit("1998-01-01").cast("date")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(dsum(expr("l_extendedprice * l_discount"), 4).as("revenue")),
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue
+               FROM lineitem
+               WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                 AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+                 AND l_discount BETWEEN 0.05 AND 0.07
+                 AND l_quantity < 24""")),
+
     // Q4: order-priority checking — orders in a three-quarter window with
     // at least one late lineitem (shipped > 60 days after the order),
     // counted by priority. The EXISTS shape: a fact↔fact LEFT SEMI join

@@ -267,6 +267,23 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected one fused Window operator, got $windows:\n$plan")
   }
 
+  test("q6: all three predicates (date window, discount band, quantity " +
+      "cap) push to the parquet scan; the plan has no join and no " +
+      "wide shuffle") {
+    // the one-line plan truncates PushedFilters at ~100 chars — read
+    // the formatted explain, which prints the full list
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"ship-date lower bound not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      "discount band not pushed")
+    assert(plan.contains("LessThan(l_quantity,24"),
+      "quantity cap not pushed")
+    assert(!plan.contains("Join"), "q6 must be join-free")
+  }
+
   test("a20: the 16 sign-sums aggregate map-side in one pass (no row " +
       "multiplication before the partial agg, no cartesian)") {
     val plan = planString("a20_ams_f2_sketch")
