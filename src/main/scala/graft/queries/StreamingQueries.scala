@@ -522,7 +522,31 @@ object StreamingQueries {
                                      ORDER BY doc_id)) AS accepted_md5,
                       TRUE AS multi_batch, TRUE AS exactly_once_replay,
                       TRUE AS matches_batch_mode
-               FROM acc"""))
+               FROM acc""")),
+
+    // ST10: streaming MATERIALIZED VIEW — continuous incremental view
+    // maintenance (s44's batch IVM run as a stream): every micro-batch
+    // merges its own per-type aggregate into the versioned view through
+    // idempotentCommit keyed on the batchId, so the view is exactly-once
+    // under at-least-once retries and history is never rescanned. The
+    // gate: the maintained view must equal the one-shot batch aggregate
+    // of ALL events bit-for-bit (exact decimal carried across every
+    // merge, one final double cast) — the oracle IS the recompute.
+    Q("st10_stream_materialized_view",
+      (s, d) => {
+        val (dir, replayOk) = streamedView(s, d)
+        graft.ops.Versioned.read(s, dir)
+          .select(col("event_type"), col("n"),
+            col("tot_dec").cast("double").as("sum_value"))
+          .withColumn("multi_batch",
+            lit(graft.ops.Versioned.latestVersion(dir) >= 2))
+          .withColumn("exactly_once_replay", lit(replayOk))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+                      ${sqlDsum("value", 6)} AS sum_value,
+                      TRUE AS multi_batch, TRUE AS exactly_once_replay
+               FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** st8's consumed change feed: a versioned orders table built commit by
@@ -619,6 +643,77 @@ object StreamingQueries {
     require(retrySkipped, "batch replay must be idempotent")
     ingestCache.put(key, dir)
     dir
+  }
+
+  /** st10's streaming materialized view: the event month-file stream
+    * maintained as a per-type (count, exact-decimal sum) aggregate in a
+    * VERSIONED view table — one read-merge-overwrite per micro-batch
+    * through [[graft.ops.Versioned.idempotentCommit]] keyed on the
+    * batchId, so an at-least-once foreachBatch retry can never
+    * double-count (the streaming-IVM exactly-once contract). Per batch
+    * the work is the batch's own aggregate + a merge against the
+    * k-row view — history is NEVER rescanned, the reason continuous
+    * IVM exists at 100 TB (s44 is the batch twin over the CDC feed).
+    * The merged sum re-casts to DECIMAL(28,6) each round so precision
+    * stays fixed across any number of batches while remaining exact.
+    * Returns (viewDir, replaySkipped). */
+  private val mviewCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Boolean)]()
+
+  private def streamedView(s: SparkSession, d: String): (String, Boolean) = {
+    val key = (s, d)
+    val hit = mviewCache.get(key)
+    if (hit != null) return hit
+    mviewCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = eventSource(s, d)
+    val dir = tmp(s"st10/view_${Integer.toHexString(d.hashCode)}")
+    val ckpt = tmp(s"st10/ckpt_${Integer.toHexString(d.hashCode)}")
+    clean(s, dir, ckpt)
+    val nFiles = fs(s).listStatus(new Path(src))
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val perTrigger = if (nFiles >= 8) 4 else 1
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", perTrigger).parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val delta = batch.filter(col("event_type") =!= "__flush")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("dn"),
+            sum(col("value").cast("decimal(18,6)")).as("dtot"))
+        val merged =
+          if (graft.ops.Versioned.latestVersion(dir) == 0)
+            delta.select(col("event_type"), col("dn").as("n"),
+              col("dtot").cast("decimal(28,6)").as("tot_dec"))
+          else graft.ops.Versioned.read(batch.sparkSession, dir)
+            .join(delta, Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("tot_dec"), lit(0).cast("decimal(28,6)"))
+                + coalesce(col("dtot"), lit(0).cast("decimal(28,6)")))
+                .cast("decimal(28,6)").as("tot_dec"))
+        graft.ops.Versioned.idempotentCommit(merged, dir, "st10-view",
+          batchId, overwrite = true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { if (q.isActive) q.stop() }
+    require(graft.ops.Versioned.latestVersion(dir) >= 2,
+      "expected a multi-batch view maintenance run")
+    // a zombie replay of the last maintained batch must skip BEFORE
+    // re-merging (else the view double-counts that batch)
+    val lastTxn = graft.ops.Versioned.lastTxnVersion(dir, "st10-view").get
+    val replaySkipped = graft.ops.Versioned.idempotentCommit(
+      graft.ops.Versioned.read(s, dir).limit(1), dir, "st10-view",
+      lastTxn, overwrite = true).isEmpty
+    require(replaySkipped, "view-maintenance replay must be idempotent")
+    val out = (dir, replaySkipped)
+    mviewCache.put(key, out)
+    out
   }
 
   /** st9's streaming-curated corpus. The incoming set (odd doc_ids) is
