@@ -129,7 +129,12 @@ object ScaleRehearsal {
     // per-customer aggregate (~2×)
     "q4_order_priority", "q17_small_qty_revenue",
     "q18_large_volume_orders", "q22_inactive_customers",
-    "a20_ams_f2_sketch", "w10_percent_rank")
+    "a20_ams_f2_sketch", "w10_percent_rank",
+    // round-11 fifth wave: Q1/Q6 are single fact scans (~2×); the
+    // Bellman-Ford frontier doubles with the sampled co-purchase graph;
+    // IVM folds a doubled CDC delta into a constant-width view
+    "q1_pricing_summary", "q6_forecast_revenue", "g4_shortest_paths",
+    "s44_incremental_view_maintenance")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
