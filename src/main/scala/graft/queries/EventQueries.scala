@@ -213,6 +213,44 @@ object EventQueries {
                         AS daily_spend
                FROM spine s LEFT JOIN daily d
                  ON s.user_id = d.user_id AND s.day = d.day
-               ORDER BY s.user_id, s.day"""))
+               ORDER BY s.user_id, s.day""")),
+
+    // E10: seasonal-naive forecast baseline + backtest — the standard
+    // first forecasting yardstick (forecast(d) = actual(d−7 observed
+    // points)) scored as per-type MAE over the whole daily series. All
+    // integer until the one final division, so the backtest sits under
+    // the hash. Observed-day semantics: calendar gaps are an upstream
+    // concern (e9's spine gap-fill composes in front when needed). The
+    // window runs over the per-(type, day) AGGREGATE — days × types
+    // rows, never fact rows.
+    Q("e10_seasonal_naive",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.withColumn("forecast", lag(col("n"), 7).over(w))
+          .filter(col("forecast").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored_days"),
+            sum(abs(col("n") - col("forecast"))).as("total_abs_err"),
+            (sum(abs(col("n") - col("forecast"))).cast("double")
+              / count(lit(1)).cast("double")).as("mae"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                    COUNT(*) AS n
+                             FROM events GROUP BY 1, 2),
+                   f AS (SELECT event_type, n,
+                                LAG(n, 7) OVER (PARTITION BY event_type
+                                                ORDER BY day) AS forecast
+                         FROM daily)
+              SELECT event_type, COUNT(*) AS n_scored_days,
+                     CAST(SUM(ABS(n - forecast)) AS BIGINT)
+                       AS total_abs_err,
+                     CAST(SUM(ABS(n - forecast)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mae
+              FROM f WHERE forecast IS NOT NULL
+              GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -301,6 +301,58 @@ object TpchQueries {
               JOIN customer ON c_custkey = o_custkey
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // Q7: volume shipping between nation groups — the ROLE-PLAYING
+    // dimension shape: nation joins the fact TWICE under different
+    // roles (supplier's nation, customer's nation), revenue grouped by
+    // the directed (supp_nation, cust_nation, year) triple. Nation
+    // broadcasts (25 rows at any SF); the supplier/customer joins stay
+    // unhinted — both scale with the fact at 100 TB, AQE picks
+    // broadcast at test scale. Adapted selectivity: supplier nations
+    // 0–4 shipping to customer nations 20–24 (the named-pair form of
+    // TPC-H Q7 selects zero rows at sf0.001's 15-customer population).
+    Q("q7_nation_trade",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(n.filter(col("n_nationkey") < 5)
+              .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(n.filter(col("n_nationkey") >= 20)
+              .select(col("n_nationkey").as("cnk"),
+                col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+          .select("c_custkey", "cust_nation")
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount")
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(dsum(expr("l_extendedprice * (1 - l_discount)"), 4)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(date_part('year', l_shipdate) AS BIGINT)
+                        AS l_year,
+                      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}
+                        AS revenue
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON n1.n_nationkey = s_nationkey
+               JOIN nation n2 ON n2.n_nationkey = c_nationkey
+               WHERE n1.n_nationkey < 5 AND n2.n_nationkey >= 20
+               GROUP BY 1, 2, 3
+               ORDER BY supp_nation, cust_nation, l_year""")),
+
     // Q22: global-sales opportunity — above-average-balance customers
     // with no RECENT order (every synthetic customer has SOME order, so
     // the anti-join is against the date-filtered fact), grouped by
