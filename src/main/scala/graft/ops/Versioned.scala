@@ -132,7 +132,8 @@ object Versioned {
       txn: Option[(String, Long)] = None, commitTs: Option[Long] = None,
       dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None,
       renames: Map[String, String] = Map.empty,
-      defaults: Map[String, (String, String)] = Map.empty)
+      defaults: Map[String, (String, String)] = Map.empty,
+      drops: Set[String] = Set.empty)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
@@ -182,10 +183,17 @@ object Versioned {
           .map { case (n, (t, value)) => s""""$n":["$t","$value"]""" }
           .mkString(",")}}"""
       }
+    val dropJson =
+      if (drops.isEmpty) ""
+      else {
+        drops.foreach(requireId("dropped column", _))
+        s""","drops":[${drops.toSeq.sorted
+          .map(c => "\"" + c + "\"").mkString(",")}]"""
+      }
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
       dJson + statsJson + stats2Json + txnJson + tsJson + renJson +
-      defJson + "}"
+      defJson + dropJson + "}"
   }
 
   /** Column-mapping state of a version: physical name (as stored in the
@@ -251,6 +259,26 @@ object Versioned {
       s"$verb at $dir requires materialized column defaults — groups are " +
         "carried by name and pre-ALTER groups lack the column physically; " +
         "run applyDefaultsCommit first")
+
+  /** Dropped-column state of a version ([[dropColumnCommit]]): logical
+    * names projected OUT of every read. Files keep the column bytes
+    * (the drop is metadata-only); pre-DROP versions still read it. */
+  def readDrops(dir: String, v: Int): Set[String] =
+    "\"drops\":\\[([^\\]]*)\\]".r.findFirstMatchIn(manifestText(dir, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSet)
+      .getOrElse(Set.empty)
+
+  /** Write-path enforcement of the drop: a batch still carrying a
+    * dropped column gets it stripped before its group is written. */
+  private def withoutDrops(df: DataFrame, drops: Set[String]): DataFrame =
+    if (drops.isEmpty) df else df.drop(drops.toSeq: _*)
+
+  private def requireNoDrops(dir: String, v: Int, verb: String): Unit =
+    require(readDrops(dir, v).isEmpty,
+      s"$verb at $dir requires materialized column drops — groups are " +
+        "carried by name and pre-DROP groups still carry the column " +
+        "physically; run applyDropsCommit first")
 
   /** Equality-DELETE file groups of a version (merge-on-read state) and
     * the key column they delete on. Empty for copy-on-write-only
@@ -341,7 +369,10 @@ object Versioned {
     val defaults =
       if (overwrite || parent == 0) Map.empty[String, (String, String)]
       else readDefaults(dir, parent)
-    withDefaults(toPhysical(df, renames), defaults)
+    val drops =
+      if (overwrite || parent == 0) Set.empty[String]
+      else readDrops(dir, parent)
+    withoutDrops(withDefaults(toPhysical(df, renames), defaults), drops)
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     val groups =
       (if (overwrite || parent == 0) Seq.empty
@@ -363,7 +394,8 @@ object Versioned {
       else readDeletes(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
       parentStats ++ newStats, txn = txn, commitTs = commitTs,
-      dgroups = dgs, dkey = dk, renames = renames, defaults = defaults)
+      dgroups = dgs, dkey = dk, renames = renames, defaults = defaults,
+      drops = drops)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -418,11 +450,13 @@ object Versioned {
     // commit lands before this group's manifest publishes; an overwrite
     // starts a fresh snapshot (logical = physical), so no translation
     val lvAtWrite = latestVersion(dir)
-    withDefaults(toPhysical(df,
+    withoutDrops(withDefaults(toPhysical(df,
         if (overwrite || lvAtWrite == 0) Map.empty
         else readRenames(dir, lvAtWrite)),
         if (overwrite || lvAtWrite == 0) Map.empty
-        else readDefaults(dir, lvAtWrite))
+        else readDefaults(dir, lvAtWrite)),
+        if (overwrite || lvAtWrite == 0) Set.empty
+        else readDrops(dir, lvAtWrite))
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     beforePublish()
     var attempts = 0
@@ -453,7 +487,10 @@ object Versioned {
         renames = ren,
         defaults =
           if (overwrite || parent == 0) Map.empty
-          else readDefaults(dir, parent))
+          else readDefaults(dir, parent),
+        drops =
+          if (overwrite || parent == 0) Set.empty
+          else readDrops(dir, parent))
       if (publishIfAbsent(dir, v, json)) return Some(v)
       attempts += 1
     }
@@ -697,6 +734,7 @@ object Versioned {
     require(parent > 0, s"nothing to delete from at $dir")
     requireNoRenames(dir, parent, "merge-on-read DELETE")
     requireNoDefaults(dir, parent, "merge-on-read DELETE")
+    requireNoDrops(dir, parent, "merge-on-read DELETE")
     val (pdgs, pdk) = readDeletes(dir, parent)
     require(pdk.forall(_ == key),
       s"pending MOR deletes use key '${pdk.get}', got '$key'")
@@ -730,6 +768,7 @@ object Versioned {
     require(parent > 0, s"nothing to apply at $dir")
     requireNoRenames(dir, parent, "applyDeletesCommit")
     requireNoDefaults(dir, parent, "applyDeletesCommit")
+    requireNoDrops(dir, parent, "applyDeletesCommit")
     val Some((delKeys, dk)) = morDeleteKeys(spark, dir, parent): @unchecked
     val (touched, carried) = touchedGroups(delKeys, dk, dir, parent)
     if (touched.isEmpty) {
@@ -771,7 +810,8 @@ object Versioned {
       readManifest(dir, toVersion), readStats(dir, toVersion),
       readStats2(dir, toVersion), dgroups = dgs, dkey = dk,
       renames = readRenames(dir, toVersion),
-      defaults = readDefaults(dir, toVersion))
+      defaults = readDefaults(dir, toVersion),
+      drops = readDrops(dir, toVersion))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"restore at $dir lost the race for version $v")
@@ -798,10 +838,11 @@ object Versioned {
     require(from != to, s"rename $from -> $to is a no-op")
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to rename at $dir")
-    // mutual exclusion with initial-default columns: a rename of (or
-    // over) a defaulted column would need the default map re-keyed and
-    // the per-group fill name-mapped — materialize one feature first
+    // mutual exclusion with initial-default/dropped columns: a rename
+    // of (or over) one would need the maps re-keyed and the per-group
+    // normalization name-mapped — materialize one feature first
     requireNoDefaults(dir, parent, "RENAME COLUMN")
+    requireNoDrops(dir, parent, "RENAME COLUMN")
     val cols = read(spark, dir, parent).columns.toSet
     require(cols(from), s"column $from not in snapshot schema $cols")
     require(!cols(to), s"column $to already exists in snapshot schema")
@@ -849,6 +890,9 @@ object Versioned {
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to alter at $dir")
     requireNoRenames(dir, parent, "ADD COLUMN")
+    require(!readDrops(dir, parent).contains(name),
+      s"column $name was dropped metadata-only — re-adding would " +
+        "resurrect stale pre-DROP values; run applyDropsCommit first")
     val cols = read(spark, dir, parent).columns.toSet
     require(!cols(name), s"column $name already exists in snapshot schema")
     val (dgs, dk) = readDeletes(dir, parent)
@@ -874,6 +918,52 @@ object Versioned {
     commit(read(spark, dir, parent), dir, overwrite = true)
   }
 
+  /** ALTER TABLE DROP COLUMN — the dual of [[addColumnCommit]], also
+    * METADATA-ONLY (Delta DROP COLUMN under column mapping, public
+    * design): files keep the column's bytes forever, the manifest
+    * records the dropped name, every read projects it out last, and
+    * batches still carrying it are stripped at write. Time travel is
+    * exact: pre-DROP versions still read the column. Re-adding a
+    * dropped name is refused (pre-DROP groups would resurrect stale
+    * values — the real systems avoid this with per-column physical
+    * ids; the guard is the honest equivalent). Returns the version. */
+  def dropColumnCommit(spark: SparkSession, dir: String,
+      name: String): Int = {
+    requireId("dropped column", name)
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to alter at $dir")
+    requireNoRenames(dir, parent, "DROP COLUMN")
+    require(!readDefaults(dir, parent).contains(name),
+      s"column $name has a pending initial default — materialize first")
+    val cols = read(spark, dir, parent).columns.toSet
+    require(cols(name), s"column $name not in snapshot schema $cols")
+    val (dgs, dk) = readDeletes(dir, parent)
+    require(!dk.contains(name),
+      s"column $name is the pending merge-on-read delete key — " +
+        "apply the deletes first")
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = false,
+      readManifest(dir, parent), readStats(dir, parent),
+      readStats2(dir, parent), dgroups = dgs, dkey = dk,
+      defaults = readDefaults(dir, parent),
+      drops = readDrops(dir, parent) + name)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"dropColumnCommit at $dir lost the race for version $v")
+    v
+  }
+
+  /** Materialize pending drops: rewrite the snapshot once so no group
+    * carries the dropped bytes and the drop set clears — unblocks the
+    * group-carrying rewrite verbs and RENAME, and reclaims the space
+    * a metadata-only drop deliberately does not. */
+  def applyDropsCommit(spark: SparkSession, dir: String): Int = {
+    val parent = latestVersion(dir)
+    require(readDrops(dir, parent).nonEmpty,
+      s"no column drops to materialize at $dir")
+    commit(read(spark, dir, parent), dir, overwrite = true)
+  }
+
   /** Publish `df` as version parent+1 whose manifest = `carried` (with
     * their existing stats/stats2 carried over verbatim) + the newly
     * written group holding `df` — the shared commit tail of every
@@ -885,6 +975,7 @@ object Versioned {
       parent: Int, carried: Seq[String], statsCol: Option[String],
       repartitionTo: Int = 0): Int = {
     requireNoDefaults(dir, parent, "file-granularity rewrite")
+    requireNoDrops(dir, parent, "file-granularity rewrite")
     val parentGroups = readManifest(dir, parent).toSet
     val v = parent + 1
     val group = s"c$v"
@@ -1025,6 +1116,29 @@ object Versioned {
   private def manifestIsOverwrite(dir: String, v: Int): Boolean =
     manifestText(dir, v).contains("\"overwrite\":true")
 
+  /** DESCRIBE HISTORY — the table's commit log as a DataFrame, oldest
+    * first: (version, parent, overwrite, n_groups, n_delete_groups,
+    * has_txn, schema_actions). O(commit count) manifest reads, zero
+    * data touched — the metadata-table verb (Delta DESCRIBE HISTORY /
+    * Iceberg `table$snapshots`, public designs). `schema_actions`
+    * counts pending renames + defaults + drops at that version, so
+    * metadata-only ALTERs are visible in the log. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    (1 to latestVersion(dir)).map { v =>
+      val parent = "\"parent\":(\\d+)".r
+        .findFirstMatchIn(manifestText(dir, v))
+        .map(_.group(1).toLong).getOrElse(0L)
+      (v.toLong, parent, manifestIsOverwrite(dir, v),
+        readManifest(dir, v).size.toLong,
+        readDeletes(dir, v)._1.size.toLong,
+        manifestText(dir, v).contains("\"txn\":"),
+        (readRenames(dir, v).size + readDefaults(dir, v).size +
+          readDrops(dir, v).size).toLong)
+    }.toDF("version", "parent", "overwrite", "n_groups",
+      "n_delete_groups", "has_txn", "schema_actions")
+  }
+
   /** True when commit `v` was an append (its manifest extends the parent's
     * file-group list), so [[changes]] serves that step FILE-LEVEL — reading
     * only the added groups, never diffing snapshots. v=1 counts: the first
@@ -1116,10 +1230,15 @@ object Versioned {
     // (a feed entirely after the ALTER is fine: post-ALTER appends are
     // physically complete and diff steps read through [[read]])
     val feedDefaults = readDefaults(dir, toVersion)
-    (math.max(1, fromVersion) to toVersion).foreach(v =>
+    val feedDrops = readDrops(dir, toVersion)
+    (math.max(1, fromVersion) to toVersion).foreach { v =>
       require(readDefaults(dir, v) == feedDefaults,
         s"change feed at $dir crosses an ADD COLUMN boundary (v$v) — " +
-          "read feeds entirely before or after the schema change"))
+          "read feeds entirely before or after the schema change")
+      require(readDrops(dir, v) == feedDrops,
+        s"change feed at $dir crosses a DROP COLUMN boundary (v$v) — " +
+          "read feeds entirely before or after the schema change")
+    }
     // canonical column order for the union (all commits share the schema)
     val dataCols = read(spark, dir, toVersion).columns.toSeq
     val steps = ((fromVersion + 1) to toVersion).map { v =>
@@ -1254,19 +1373,22 @@ object Versioned {
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
     val defaults = readDefaults(dir, v)
+    val drops = readDrops(dir, v)
     val base =
-      if (defaults.isEmpty)
+      if (defaults.isEmpty && drops.isEmpty)
         spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
       else {
-        // per-group initial-default fill (Iceberg initial-default /
+        // per-group schema normalization (Iceberg initial-default /
         // parquet schema-evolution semantics): only groups whose
-        // physical schema predates the column read the default — a
-        // post-ALTER group's genuine NULLs are never overwritten. The
+        // physical schema predates an added column read its default — a
+        // post-ALTER group's genuine NULLs are never overwritten — and
+        // dropped columns are projected out last (pre-DROP groups still
+        // carry the bytes; post-DROP groups never had them). The
         // per-group frames union pairwise (log-depth plan, same
         // discipline as the change feed's balancedUnion).
-        val canonical = withDefaults(
-          spark.read.parquet(resolveGroup(dir, groups.head)), defaults)
-          .columns.toSeq
+        val canonical = withoutDrops(withDefaults(
+          spark.read.parquet(resolveGroup(dir, groups.head)), defaults),
+          drops).columns.toSeq
         def merge(fs: Seq[DataFrame]): DataFrame =
           if (fs.size == 1) fs.head
           else merge(fs.grouped(2).map {
@@ -1274,7 +1396,8 @@ object Versioned {
             case Seq(a) => a
           }.toSeq)
         merge(groups.map(g =>
-          withDefaults(spark.read.parquet(resolveGroup(dir, g)), defaults)
+          withoutDrops(withDefaults(
+            spark.read.parquet(resolveGroup(dir, g)), defaults), drops)
             .select(canonical.map(org.apache.spark.sql.functions.col): _*)))
       }
     applyRenames(applyMorDeletes(spark, dir, v, base), readRenames(dir, v))
@@ -1317,9 +1440,10 @@ object Versioned {
     requireId("writerId", writerId)
     val group = s"w_$writerId"
     val lvAtWrite = latestVersion(dir)
-    withDefaults(toPhysical(df,
+    withoutDrops(withDefaults(toPhysical(df,
         if (lvAtWrite == 0) Map.empty else readRenames(dir, lvAtWrite)),
-        if (lvAtWrite == 0) Map.empty else readDefaults(dir, lvAtWrite))
+        if (lvAtWrite == 0) Map.empty else readDefaults(dir, lvAtWrite)),
+        if (lvAtWrite == 0) Set.empty else readDrops(dir, lvAtWrite))
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     var parent = latestVersion(dir)
     beforePublish() // race window: parent is captured, nothing published
@@ -1336,7 +1460,9 @@ object Versioned {
           renames = if (parent == 0) Map.empty
                     else readRenames(dir, parent),
           defaults = if (parent == 0) Map.empty
-                     else readDefaults(dir, parent)))) return v
+                     else readDefaults(dir, parent),
+          drops = if (parent == 0) Set.empty
+                  else readDrops(dir, parent)))) return v
       attempts += 1
       val newLatest = latestVersion(dir)
       ((parent + 1) to newLatest).foreach { w =>
@@ -1382,7 +1508,8 @@ object Versioned {
     Files.write(tmp, manifestJson(1, 0, overwrite = true, groups,
         dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk,
         renames = readRenames(srcDir, v),
-        defaults = readDefaults(srcDir, v))
+        defaults = readDefaults(srcDir, v),
+        drops = readDrops(srcDir, v))
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1

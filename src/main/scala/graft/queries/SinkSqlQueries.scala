@@ -2022,6 +2022,71 @@ object SinkSqlQueries {
                      TRUE AS matches_recompute
               FROM fin GROUP BY 1 ORDER BY 1""")),
 
+    // S46: DROP COLUMN as a METADATA-ONLY commit — the dual of s45
+    // (Delta DROP COLUMN under column mapping): files keep the bytes,
+    // reads project the column out, a post-DROP append still carrying
+    // it is STRIPPED at write (pinned: the c3 group is physically
+    // free of it), time travel keeps pre-DROP schemas, and re-adding
+    // the dropped name is refused (stale-value resurrection guard).
+    Q("s46_drop_column",
+      (s, d) => {
+        val dir = tmp(s"s46_drop_${Integer.toHexString(d.hashCode)}")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("o_orderpriority"))
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))) {
+          fs.delete(p, true)
+          graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+          graft.ops.Versioned.dropColumnCommit(s, dir, "o_orderpriority")
+          // the odd half still carries the column — stripped at write
+          graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
+        }
+        val metadataOnly =
+          graft.ops.Versioned.groupNames(dir, 2) ==
+            graft.ops.Versioned.groupNames(dir, 1)
+        val v1HasCol = graft.ops.Versioned.read(s, dir, 1)
+          .columns.contains("o_orderpriority")
+        val v3Stripped = !s.read.parquet(s"$dir/data/c3")
+          .columns.contains("o_orderpriority")
+        val latest = graft.ops.Versioned.read(s, dir)
+        latest
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("col_gone",
+            lit(!latest.columns.contains("o_orderpriority")))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("v1_has_col", lit(v1HasCol))
+          .withColumn("v3_stripped", lit(v3Stripped))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS col_gone, TRUE AS metadata_only,
+                      TRUE AS v1_has_col, TRUE AS v3_stripped
+               FROM orders""")),
+
+    // S47: DESCRIBE HISTORY — the metadata-table verb: the commit log
+    // of s20's merged table as a DataFrame (version, parent, overwrite,
+    // group/delete counts, txn + pending-schema-action flags), built
+    // from O(commits) manifest reads with zero data touched. The
+    // history of a DETERMINISTIC build replays as a VALUES oracle —
+    // the log itself sits under the hash.
+    Q("s47_describe_history",
+      (s, d) => {
+        val dir = mergedOrders(s, d)
+        graft.ops.Versioned.history(s, dir).orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+                 CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+                 CAST(0 AS BIGINT)),
+                (CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE,
+                 CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+                 CAST(0 AS BIGINT)))
+              AS t(version, parent, overwrite, n_groups, n_delete_groups,
+                   has_txn, schema_actions)
+              ORDER BY version""")),
+
     // S45: ADD COLUMN ... DEFAULT as a METADATA-ONLY commit (Iceberg
     // initial-default / Delta DEFAULT feature): pre-ALTER file groups
     // read the default without any rewrite, an append WITH the column

@@ -807,6 +807,53 @@ class VersionedSpec extends SparkSpec {
       == Seq("store", "store", "web", "∅", "store"))
   }
 
+  test("DROP COLUMN: metadata-only, reads project it out, time travel " +
+      "keeps it, appends carrying it are stripped, re-add refused, " +
+      "materialization unblocks rewrite verbs") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0, "a"), (2L, 20.0, "b"))
+      .toDF("id", "amount", "tag"), dir)
+    val preGroups = Versioned.groupNames(dir)
+    val v2 = Versioned.dropColumnCommit(spark, dir, "tag")
+    assert(v2 == 2)
+    // zero data rewritten; the column is gone from the latest read
+    assert(Versioned.groupNames(dir) == preGroups)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("id", "amount"))
+    // time travel: v1 still reads the column
+    assert(Versioned.read(spark, dir, 1).columns.contains("tag"))
+    // an append still carrying the column is stripped at write
+    Versioned.commit(Seq((3L, 30.0, "stale"))
+      .toDF("id", "amount", "tag"), dir)
+    assert(!spark.read.parquet(s"$dir/data/c3").columns.contains("tag"))
+    // an append without it works as-is
+    Versioned.commit(Seq((4L, 40.0)).toDF("id", "amount"), dir)
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // re-adding the dropped name would resurrect stale values: refused
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "tag", "string", "fresh")
+    }
+    // rewrite verbs + a feed crossing the DROP refuse
+    intercept[IllegalArgumentException] {
+      Versioned.compactBinPacked(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 1, Versioned.latestVersion(dir), "id")
+    }
+    // a feed entirely after the DROP is schema-clean
+    val feed = Versioned.changes(spark, dir, 2,
+      Versioned.latestVersion(dir), "id")
+    assert(feed.count() == 2 && !feed.columns.contains("tag"))
+    // materialize: drops clear, bytes reclaimed, re-add now legal
+    val vM = Versioned.applyDropsCommit(spark, dir)
+    assert(Versioned.readDrops(dir, vM).isEmpty)
+    Versioned.compactBinPacked(spark, dir)
+    Versioned.addColumnCommit(spark, dir, "tag", "string", "fresh")
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .collect().map(_.getString(2)).toSeq
+      == Seq("fresh", "fresh", "fresh", "fresh"))
+  }
+
   test("defaults survive clone and restore; hostile default literals " +
       "are rejected loudly") {
     val dir = freshDir()
