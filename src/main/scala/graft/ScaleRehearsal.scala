@@ -134,7 +134,12 @@ object ScaleRehearsal {
     // Bellman-Ford frontier doubles with the sampled co-purchase graph;
     // IVM folds a doubled CDC delta into a constant-width view
     "q1_pricing_summary", "q6_forecast_revenue", "g4_shortest_paths",
-    "s44_incremental_view_maintenance")
+    "s44_incremental_view_maintenance",
+    // round-11 sixth wave: the role-playing nation join (~2× fact),
+    // seasonal-naive backtest (window over the daily aggregate), and
+    // the metadata-only DROP read (per-group normalized union — the
+    // projection must stay scan-side at 2×)
+    "q7_nation_trade", "e10_seasonal_naive", "s46_drop_column")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
