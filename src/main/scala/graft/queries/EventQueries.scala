@@ -215,6 +215,43 @@ object EventQueries {
                  ON s.user_id = d.user_id AND s.day = d.day
                ORDER BY s.user_id, s.day""")),
 
+    // E11: consecutive-day activity streaks — the gaps-and-islands
+    // shape (day − row_number() is constant within a maximal
+    // consecutive run), the canonical way to sessionize at DAY
+    // granularity without a self-join. Two small shuffles over the
+    // DISTINCT (user, day) frame, never fact rows; all integer.
+    Q("e11_activity_streaks",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp",
+            (datediff(col("day"), lit("2024-01-01").cast("date"))
+              - row_number().over(w)).cast("long"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy(col("longest_streak").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                            FROM events),
+                   isl AS (SELECT user_id,
+                                  CAST(day - DATE '2024-01-01' AS BIGINT)
+                                    - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                         ORDER BY day) AS grp
+                           FROM days),
+                   runs AS (SELECT user_id, grp, COUNT(*) AS len
+                            FROM isl GROUP BY 1, 2)
+              SELECT user_id, MAX(len) AS longest_streak,
+                     COUNT(*) AS n_streaks
+              FROM runs GROUP BY user_id
+              ORDER BY longest_streak DESC, user_id LIMIT 20""")),
+
     // E10: seasonal-naive forecast baseline + backtest — the standard
     // first forecasting yardstick (forecast(d) = actual(d−7 observed
     // points)) scored as per-type MAE over the whole daily series. All

@@ -353,6 +353,64 @@ object TpchQueries {
                GROUP BY 1, 2, 3
                ORDER BY supp_nation, cust_nation, l_year""")),
 
+    // Q19: discounted revenue under a DISJUNCTION of conjunctive
+    // clauses — the predicate-normalization shape: three OR'd
+    // brand/type × quantity-band conditions spanning BOTH join sides.
+    // The join key stays a clean equi-join; the DNF filter evaluates
+    // post-join with its single-side implications (quantity bounds)
+    // available for scan pushdown. Part broadcasts at test scale.
+    Q("q19_disjunctive_revenue",
+      (s, d) => {
+        val pr = Tables.part(s, d).select("p_partkey", "p_brand", "p_type")
+        Tables.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#17" && col("l_quantity") < 15) ||
+            (col("p_brand") === "Brand#2" &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_type") === "ECONOMY" && col("l_quantity") > 40))
+          .agg(dsum(expr("l_extendedprice * (1 - l_discount)"), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)}
+                        AS revenue,
+                      COUNT(*) AS n_lines
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE (p_brand = 'Brand#17' AND l_quantity < 15)
+                  OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+                  OR (p_type = 'ECONOMY' AND l_quantity > 40)""")),
+
+    // Q15: top supplier — the ARGMAX-BY-SUBQUERY shape: an aggregate
+    // view (per-supplier revenue), then equality against the view's own
+    // MAX. The equality is on the EXACT decimal sum, so the argmax set
+    // can never flip on a last-bit difference; the one-row max
+    // broadcasts back onto the view.
+    Q("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("s_key"))
+          .agg(sum(expr("l_extendedprice * (1 - l_discount)")
+            .cast("decimal(18,4)")).as("rev_dec"))
+        val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+        rev.join(broadcast(top), col("rev_dec") === col("max_rev"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("s_key") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_dec").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH r AS (SELECT l_suppkey,
+                                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                                          AS DECIMAL(18,4))) AS rev
+                          FROM lineitem GROUP BY l_suppkey)
+               SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name,
+                      CAST(rev AS DOUBLE) AS total_revenue
+               FROM r JOIN supplier ON s_suppkey = l_suppkey
+               WHERE rev = (SELECT MAX(rev) FROM r)
+               ORDER BY s_suppkey""")),
+
     // Q22: global-sales opportunity — above-average-balance customers
     // with no RECENT order (every synthetic customer has SOME order, so
     // the anti-join is against the date-filtered fact), grouped by
