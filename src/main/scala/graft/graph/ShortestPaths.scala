@@ -36,15 +36,20 @@ object ShortestPaths {
     require(iters >= 1 && iters <= 64, s"iters: $iters")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+    val srcNodes = sources.select(col("node").cast("long").as("node"))
+    // self-loop set = edge endpoints ∪ SOURCES: an edgeless source must
+    // still carry its own (node, 0) row through every round, or the
+    // documented contract (the source itself is reachable at 0 edges)
+    // silently drops it at the first join
     val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+      .union(e0.select(col("dst").as("node")))
+      .union(srcNodes).distinct()
     // weight-0 self-loops: a reached node relaxes itself each round
     val e = graft.ops.Caches.tracked(
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst"),
           lit(0L).as("w")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var dist = sources.select(col("node").cast("long").as("node"),
-      lit(0L).as("dist"))
+    var dist = srcNodes.select(col("node"), lit(0L).as("dist"))
     for (i <- 1 to iters) {
       dist = e.join(dist.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))

@@ -652,6 +652,8 @@ object Versioned {
     require(parent > 0, s"nothing to merge into at $dir")
     requireNoMorDeletes(dir, parent, "file-granularity MERGE")
     requireNoRenames(dir, parent, "file-granularity MERGE")
+    requireNoDefaults(dir, parent, "file-granularity MERGE")
+    requireNoDrops(dir, parent, "file-granularity MERGE")
     val (touched, carried) = touchedGroups(updates, statsCol, dir, parent)
     val merged =
       if (touched.isEmpty) updates
@@ -687,6 +689,11 @@ object Versioned {
     require(parent > 0, s"nothing to delete from at $dir")
     requireNoMorDeletes(dir, parent, "file-granularity DELETE")
     requireNoRenames(dir, parent, "file-granularity DELETE")
+    // fail fast HERE, not in commitRewrite: the no-touch branch below
+    // mints its own manifest and would otherwise silently clear pending
+    // schema actions (drop resurrection / default loss)
+    requireNoDefaults(dir, parent, "file-granularity DELETE")
+    requireNoDrops(dir, parent, "file-granularity DELETE")
     val groups = readManifest(dir, parent)
     val stats = readStats(dir, parent)
     val touched = groups.filter(g =>
@@ -700,8 +707,11 @@ object Versioned {
     if (touched.isEmpty) {
       // nothing intersects: the delete is a metadata no-op — still mint
       // a version so the verb's contract (a new version exists) holds
+      // (2-D stats carry too, or a no-op delete would lose Z-ORDER
+      // pruning for every carried group)
       val v = parent + 1
-      val json = manifestJson(v, parent, overwrite = true, carried, stats)
+      val json = manifestJson(v, parent, overwrite = true, carried, stats,
+        readStats2(dir, parent))
       if (!publishIfAbsent(dir, v, json))
         throw new java.util.ConcurrentModificationException(
           s"deleteCommitCow at $dir lost the race for version $v")
@@ -895,6 +905,18 @@ object Versioned {
         "resurrect stale pre-DROP values; run applyDropsCommit first")
     val cols = read(spark, dir, parent).columns.toSet
     require(!cols(name), s"column $name already exists in snapshot schema")
+    // the cast must PARSE AND EVALUATE before anything publishes — a
+    // typo'd type ('strng') passes the charset check but would poison
+    // every subsequent read (and applyDefaultsCommit, the recovery verb)
+    try spark.range(1)
+      .select(org.apache.spark.sql.functions
+        .expr(s"CAST('$defaultLiteral' AS $sqlType)"))
+      .collect()
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"default CAST('$defaultLiteral' AS $sqlType) does not evaluate: " +
+          e.getMessage)
+    }
     val (dgs, dk) = readDeletes(dir, parent)
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = false,
@@ -1389,13 +1411,10 @@ object Versioned {
         val canonical = withoutDrops(withDefaults(
           spark.read.parquet(resolveGroup(dir, groups.head)), defaults),
           drops).columns.toSeq
-        def merge(fs: Seq[DataFrame]): DataFrame =
-          if (fs.size == 1) fs.head
-          else merge(fs.grouped(2).map {
-            case Seq(a, b) => a.unionByName(b)
-            case Seq(a) => a
-          }.toSeq)
-        merge(groups.map(g =>
+        // every frame is projected to the identical canonical order, so
+        // the positional balancedUnion (the change feed's log-depth
+        // helper) applies verbatim
+        balancedUnion(groups.map(g =>
           withoutDrops(withDefaults(
             spark.read.parquet(resolveGroup(dir, g)), defaults), drops)
             .select(canonical.map(org.apache.spark.sql.functions.col): _*)))

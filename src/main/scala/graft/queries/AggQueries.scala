@@ -386,14 +386,15 @@ object AggQueries {
           s"($i, $a3, $a2, $a1, $a0)" }.mkString(", ")}),
                    keys AS (SELECT CAST(l_orderkey AS BIGINT) AS k
                             FROM lineitem),
+                   kr AS (SELECT k, k % 2147483647 AS r FROM keys),
                    signs AS (SELECT i,
-                               SUM(CASE WHEN (a3 * (((k*k) % 2147483647) * k
+                               SUM(CASE WHEN (a3 * (((r*r) % 2147483647) * r
                                                     % 2147483647)
-                                            + a2 * ((k*k) % 2147483647)
-                                            + a1 * k + a0) % 2147483647
+                                            + a2 * ((r*r) % 2147483647)
+                                            + a1 * r + a0) % 2147483647
                                              < 1073741824
                                         THEN 1 ELSE -1 END) AS s
-                             FROM keys CROSS JOIN params GROUP BY i),
+                             FROM kr CROSS JOIN params GROUP BY i),
                    exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
                              FROM (SELECT COUNT(*) AS cnt
                                    FROM keys GROUP BY k) t),

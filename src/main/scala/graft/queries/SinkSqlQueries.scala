@@ -370,6 +370,43 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s46's dropped-column table: v1 = even-key orders WITH
+    * o_orderpriority, v2 = DROP COLUMN o_orderpriority (metadata only),
+    * v3 = the odd half appended STILL CARRYING the column (stripped at
+    * write). Built once per (session, sfDir) — delete-and-rebuild, so a
+    * crashed partial build or regenerated testdata can never serve a
+    * stale or half-built table. Cached value = (dir, metadataOnly,
+    * v1HasCol, v3Stripped). */
+  private val dropCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean, Boolean)]()
+
+  private def droppedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = dropCache.get(key)
+    if (hit != null) return hit
+    dropCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s46_drop_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderpriority"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    graft.ops.Versioned.dropColumnCommit(s, dir, "o_orderpriority")
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
+    val metadataOnly = graft.ops.Versioned.groupNames(dir, 2) ==
+      graft.ops.Versioned.groupNames(dir, 1)
+    val v1HasCol = graft.ops.Versioned.read(s, dir, 1)
+      .columns.contains("o_orderpriority")
+    val v3Stripped = !s.read.parquet(s"$dir/data/c3")
+      .columns.contains("o_orderpriority")
+    val out = (dir, metadataOnly, v1HasCol, v3Stripped)
+    dropCache.put(key, out)
+    out
+  }
+
   /** s45's defaulted table: v1 = keys ≡ 0 mod 3 (id, price), v2 = ADD
     * COLUMN channel STRING DEFAULT 'store' (metadata only), v3 = keys
     * ≡ 1 mod 3 appended WITH explicit channel values, v4 = keys ≡ 2
@@ -2030,27 +2067,7 @@ object SinkSqlQueries {
     // the dropped name is refused (stale-value resurrection guard).
     Q("s46_drop_column",
       (s, d) => {
-        val dir = tmp(s"s46_drop_${Integer.toHexString(d.hashCode)}")
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val o = Tables.orders(s, d)
-          .select(col("o_orderkey").cast("long").as("o_orderkey"),
-            col("o_totalprice").cast("double").as("o_totalprice"),
-            col("o_orderpriority"))
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))) {
-          fs.delete(p, true)
-          graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
-          graft.ops.Versioned.dropColumnCommit(s, dir, "o_orderpriority")
-          // the odd half still carries the column — stripped at write
-          graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
-        }
-        val metadataOnly =
-          graft.ops.Versioned.groupNames(dir, 2) ==
-            graft.ops.Versioned.groupNames(dir, 1)
-        val v1HasCol = graft.ops.Versioned.read(s, dir, 1)
-          .columns.contains("o_orderpriority")
-        val v3Stripped = !s.read.parquet(s"$dir/data/c3")
-          .columns.contains("o_orderpriority")
+        val (dir, metadataOnly, v1HasCol, v3Stripped) = droppedOrders(s, d)
         val latest = graft.ops.Versioned.read(s, dir)
         latest
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

@@ -47,13 +47,18 @@ object Ams {
         12345L + i * 7919L))
 
   /** ±1 sign of key column `k` (non-negative BIGINT) under row `i`'s
-    * degree-3 polynomial. Every intermediate stays below 2⁶² (k < p, so
-    * k·k < 2⁶²; aᵢ < 2²¹ and kʲ < 2³¹ keep the 4-term sum < 2⁵³). */
+    * degree-3 polynomial. The key reduces mod p FIRST — without it, a
+    * key ≥ 2³¹ overflows k·k in Spark (silent Long wrap → every sign
+    * collapses to +1) while DuckDB raises a BIGINT-overflow error: the
+    * engines would diverge exactly at the scale this is built for.
+    * After the reduction every intermediate stays below 2⁶² (kr < p so
+    * kr·kr < 2⁶²; aᵢ < 2²¹ and kʲ < 2³¹ keep the 4-term sum < 2⁵³). */
   def signCol(k: Column, i: Int): Column = {
     val (_, a3, a2, a1, a0) = Params(i)
-    val k2 = (k * k) % P
-    val k3 = (k2 * k) % P
-    val h = (lit(a3) * k3 + lit(a2) * k2 + lit(a1) * k + lit(a0)) % P
+    val kr = k % P
+    val k2 = (kr * kr) % P
+    val k3 = (k2 * kr) % P
+    val h = (lit(a3) * k3 + lit(a2) * k2 + lit(a1) * kr + lit(a0)) % P
     when(h < Half, 1L).otherwise(-1L)
   }
 

@@ -51,6 +51,14 @@ class ShortestPathsSpec extends SparkSpec {
       6L -> 0L))
   }
 
+  test("an edgeless source still reports (node, 0) — the contract that " +
+      "the source is reachable at zero edges") {
+    val d = ShortestPaths.run(pathEdges, "src", "dst", "w",
+      Seq(99L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(99L -> 0L))
+  }
+
   test("deterministic under repartitioning") {
     val src = Seq(1L).toDF("node")
     val a = ShortestPaths.run(pathEdges.repartition(7), "src", "dst", "w",

@@ -854,6 +854,35 @@ class VersionedSpec extends SparkSpec {
       == Seq("fresh", "fresh", "fresh", "fresh"))
   }
 
+  test("COW verbs refuse over pending schema actions even on the " +
+      "no-touch path; a malformed default type is rejected before " +
+      "anything publishes") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10.0, "a")).toDF("id", "amount", "tag"),
+      dir, statsCol = Some("id"))
+    Versioned.dropColumnCommit(spark, dir, "tag")
+    val vBefore = Versioned.latestVersion(dir)
+    // a COW delete whose range touches NOTHING mints its own manifest —
+    // it must refuse too, or the pending drop silently clears and the
+    // column resurrects with stale values
+    intercept[IllegalArgumentException] {
+      Versioned.deleteCommitCow(spark, dir, "id", 900L, 999L)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.mergeCommitCow(Seq((1L, 11.0)).toDF("id", "amount"),
+        dir, "id", "id")
+    }
+    assert(Versioned.latestVersion(dir) == vBefore,
+      "refused verbs must publish nothing")
+    assert(Versioned.readDrops(dir, vBefore) == Set("tag"))
+    // a typo'd default type passes the charset check but must fail the
+    // evaluate-once probe BEFORE the manifest publishes
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "c", "strng", "x")
+    }
+    assert(Versioned.latestVersion(dir) == vBefore)
+  }
+
   test("defaults survive clone and restore; hostile default literals " +
       "are rejected loudly") {
     val dir = freshDir()
