@@ -162,6 +162,60 @@ object DqQueries {
         s"""WITH t AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2))
                          AS o_totalprice_d FROM orders)
             $branches ORDER BY col_name"""
-      })
+      }),
+
+    // V12: CROSS-TABLE reconciliation — the warehouse parity check the
+    // single-table suites (v1–v11) cannot express: each order's header
+    // total against the exact decimal sum of its lineitems, drift
+    // bucketed by status. One fact↔fact shuffle keyed on the order key
+    // (the honest shape — neither side broadcasts at 100 TB); the
+    // lineitem side pre-aggregates BEFORE the join so the shuffle
+    // carries one row per order, not per line. The synthetic header
+    // totals deliberately do not reconcile — the operator's job is to
+    // MEASURE that, and the drift numbers themselves sit under the
+    // hash (exact decimal line sums; identical double ratio both
+    // engines).
+    Q("v12_cross_table_reconciliation",
+      (s, d) => {
+        val lineSums = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("line_total"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
+          .withColumn("rel_drift",
+            abs(coalesce(col("line_total"), lit(0.0)) - col("o_totalprice"))
+              / col("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("line_total").isNull, 1L).otherwise(0L))
+              .as("n_headerless"),
+            sum(when(col("rel_drift") > 0.05, 1L).otherwise(0L))
+              .as("n_drifted"),
+            round(max(col("rel_drift")), 6).as("max_rel_drift"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH ls AS (SELECT l_orderkey,
+                                 CAST(SUM(CAST(l_extendedprice
+                                               AS DECIMAL(18,2)))
+                                      AS DOUBLE) AS line_total
+                          FROM lineitem GROUP BY l_orderkey),
+                   j AS (SELECT o_orderstatus, line_total,
+                                ABS(COALESCE(line_total, 0.0)
+                                    - o_totalprice) / o_totalprice
+                                  AS rel_drift
+                         FROM orders LEFT JOIN ls
+                           ON o_orderkey = l_orderkey)
+              SELECT o_orderstatus, COUNT(*) AS n_orders,
+                     CAST(SUM(CASE WHEN line_total IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_headerless,
+                     CAST(SUM(CASE WHEN rel_drift > 0.05
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_drifted,
+                     ROUND(MAX(rel_drift), 6) AS max_rel_drift
+              FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
