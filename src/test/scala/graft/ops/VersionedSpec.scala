@@ -854,6 +854,26 @@ class VersionedSpec extends SparkSpec {
       == Seq("fresh", "fresh", "fresh", "fresh"))
   }
 
+  test("a 64-commit defaulted table reads through the per-group " +
+      "normalized union with BOUNDED plan depth and correct fills") {
+    val dir = freshDir()
+    Versioned.commit(Seq((0L, 0.0)).toDF("id", "amount"), dir)
+    Versioned.addColumnCommit(spark, dir, "src", "string", "legacy")
+    // 62 post-ALTER appends, each physically complete via write fill
+    (1L to 62L).foreach(i =>
+      Versioned.commit(Seq((i, i * 1.0)).toDF("id", "amount"), dir))
+    val df = Versioned.read(spark, dir)
+    assert(df.count() == 63)
+    // pre-ALTER row reads the default; fills land everywhere
+    assert(df.filter(col("src") =!= "legacy").count() == 0)
+    // the pairwise union keeps the ANALYZED plan logarithmic in groups —
+    // a left-deep fold would nest ~63 Union nodes; pairwise nests ~6.
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    assert(depth(df.queryExecution.analyzed) < 30,
+      s"plan depth ${depth(df.queryExecution.analyzed)} not bounded")
+  }
+
   test("COW verbs refuse over pending schema actions even on the " +
       "no-touch path; a malformed default type is rejected before " +
       "anything publishes") {
