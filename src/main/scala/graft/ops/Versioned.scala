@@ -133,7 +133,9 @@ object Versioned {
       dgroups: Seq[String] = Seq.empty, dkey: Option[String] = None,
       renames: Map[String, String] = Map.empty,
       defaults: Map[String, (String, String)] = Map.empty,
-      drops: Set[String] = Set.empty)
+      drops: Set[String] = Set.empty,
+      scol: Option[String] = None,
+      scol2: Option[(String, String)] = None)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
@@ -190,10 +192,17 @@ object Versioned {
         s""","drops":[${drops.toSeq.sorted
           .map(c => "\"" + c + "\"").mkString(",")}]"""
       }
+    val scolJson = scol.map { c =>
+      requireId("stats column", c); s""","scol":"$c""""
+    }.getOrElse("")
+    val scol2Json = scol2.map { case (a, b) =>
+      requireId("stats2 column a", a); requireId("stats2 column b", b)
+      s""","scol2":["$a","$b"]"""
+    }.getOrElse("")
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
       dJson + statsJson + stats2Json + txnJson + tsJson + renJson +
-      defJson + dropJson + "}"
+      defJson + dropJson + scolJson + scol2Json + "}"
   }
 
   /** Column-mapping state of a version: physical name (as stored in the
@@ -259,6 +268,29 @@ object Versioned {
       s"$verb at $dir requires materialized column defaults — groups are " +
         "carried by name and pre-ALTER groups lack the column physically; " +
         "run applyDefaultsCommit first")
+
+  /** The COLUMN the version's 1-D manifest statistics describe, when
+    * recorded. Manifest stats are otherwise column-anonymous numbers —
+    * without this label a verb could prune/plan on a DIFFERENT column's
+    * values against them and silently plan wrong groups (e.g. an
+    * applyDeletesCommit keyed on `id` against `ts` ranges resurrecting
+    * every deleted row via the no-intersection fast path). */
+  def readStatsCol(dir: String, v: Int): Option[String] =
+    "\"scol\":\"([^\"]+)\"".r.findFirstMatchIn(manifestText(dir, v))
+      .map(_.group(1))
+
+  /** The column PAIR the version's 2-D statistics describe. */
+  def readStatsCol2(dir: String, v: Int): Option[(String, String)] =
+    "\"scol2\":\\[\"([^\"]+)\",\"([^\"]+)\"\\]".r
+      .findFirstMatchIn(manifestText(dir, v))
+      .map(m => (m.group(1), m.group(2)))
+
+  private def requireStatsColMatch(dir: String, v: Int, requested: String,
+      verb: String): Unit =
+    readStatsCol(dir, v).foreach(rec => require(rec == requested,
+      s"$verb at $dir plans on '$requested' but version $v's manifest " +
+        s"statistics are recorded on '$rec' — planning a different " +
+        "column's values against them would select wrong groups"))
 
   /** Dropped-column state of a version ([[dropColumnCommit]]): logical
     * names projected OUT of every read. Files keep the column bytes
@@ -392,10 +424,25 @@ object Versioned {
     val (dgs, dk) =
       if (overwrite || parent == 0) (Seq.empty[String], None)
       else readDeletes(dir, parent)
+    // the stats column's IDENTITY travels with the stats: a caller
+    // recording a different column than the carried groups' stats
+    // describe would mix meanings in one manifest — refused loudly
+    val parentScol =
+      if (overwrite || parent == 0) None else readStatsCol(dir, parent)
+    statsCol.foreach(c => parentScol.foreach(pc => require(pc == c,
+      s"commit records stats on '$c' but carried groups' stats at $dir " +
+        s"describe '$pc'")))
+    val parentStats2 =
+      if (overwrite || parent == 0)
+        Map.empty[String, (Long, Long, Long, Long)]
+      else readStats2(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
-      parentStats ++ newStats, txn = txn, commitTs = commitTs,
-      dgroups = dgs, dkey = dk, renames = renames, defaults = defaults,
-      drops = drops)
+      parentStats ++ newStats, parentStats2, txn = txn,
+      commitTs = commitTs, dgroups = dgs, dkey = dk, renames = renames,
+      defaults = defaults, drops = drops,
+      scol = statsCol.orElse(parentScol),
+      scol2 = if (overwrite || parent == 0) None
+              else readStatsCol2(dir, parent))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -483,6 +530,9 @@ object Versioned {
         if (overwrite || parent == 0) Map.empty[String, String]
         else readRenames(dir, parent)
       val json = manifestJson(v, parent, overwrite, groups, stats,
+        stats2 =
+          if (overwrite || parent == 0) Map.empty
+          else readStats2(dir, parent),
         txn = Some((appId, txnVersion)), dgroups = dgs, dkey = dk,
         renames = ren,
         defaults =
@@ -490,8 +540,31 @@ object Versioned {
           else readDefaults(dir, parent),
         drops =
           if (overwrite || parent == 0) Set.empty
-          else readDrops(dir, parent))
+          else readDrops(dir, parent),
+        scol =
+          if (overwrite || parent == 0) None
+          else readStatsCol(dir, parent),
+        scol2 =
+          if (overwrite || parent == 0) None
+          else readStatsCol2(dir, parent))
       if (publishIfAbsent(dir, v, json)) return Some(v)
+      // losing the race to an APPEND is a false conflict (rebase and
+      // retry); an OVERWRITE landing concurrently (MOR delete, restore,
+      // compaction) is a TRUE conflict — the snapshot this commit (or
+      // its read-merge basis) was built on no longer exists. Silently
+      // rebasing past it would e.g. re-append a key a racing MOR delete
+      // just removed. Same rule as commitAppendOcc.
+      val newLatest = latestVersion(dir)
+      ((v + 1) to newLatest).foreach { w =>
+        if (manifestIsOverwrite(dir, w))
+          throw new java.util.ConcurrentModificationException(
+            s"idempotentCommit($appId, $txnVersion) based on v$parent " +
+              s"conflicts with concurrent OVERWRITE commit v$w at $dir")
+      }
+      if (manifestIsOverwrite(dir, v) && !overwrite)
+        throw new java.util.ConcurrentModificationException(
+          s"idempotentCommit($appId, $txnVersion) based on v$parent " +
+            s"lost the race to an OVERWRITE at v$v in $dir")
       attempts += 1
     }
     throw new IllegalStateException(
@@ -525,7 +598,10 @@ object Versioned {
     val eligible = stamped.filter(_._2 <= ts)
     require(eligible.nonEmpty,
       s"no retained commit at or before ts=$ts at $dir (stamped: $stamped)")
-    read(spark, dir, eligible.maxBy(_._2)._1)
+    // tie-break toward the HIGHEST version: two commits can share a
+    // stamp (the F9 pinned-clock discipline makes that routine in
+    // replays) and plain maxBy(ts) would return the OLDEST of them
+    read(spark, dir, eligible.maxBy(e => (e._2, e._1))._1)
   }
 
   /** Statistics-pruned snapshot read: plan only the file groups whose
@@ -537,6 +613,7 @@ object Versioned {
       lo: Long, hi: Long, version: Int = 0): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     val v = if (version == 0) latestVersion(dir) else version
+    requireStatsColMatch(dir, v, statsCol, "prunedRead")
     val groups = readManifest(dir, v)
     val stats = readStats(dir, v)
     val planned = groups.filter(g =>
@@ -547,7 +624,7 @@ object Versioned {
           .filter(org.apache.spark.sql.functions.lit(false))
       else
         applyRenames(applyMorDeletes(spark, dir, v,
-            spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)),
+            normalizedGroupsRead(spark, dir, v, planned)),
           readRenames(dir, v))
           .filter(col(statsCol) >= lo && col(statsCol) <= hi)
     (df, planned.size, groups.size)
@@ -564,6 +641,12 @@ object Versioned {
       version: Int = 0): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = if (version == 0) latestVersion(dir) else version
+    readStatsCol2(dir, v).foreach { case (ra, rb) =>
+      require(ra == aCol && rb == bCol,
+        s"boxPrunedRead at $dir prunes on ($aCol, $bCol) but version " +
+          s"$v's 2-D statistics are recorded on ($ra, $rb) — pruning on " +
+          "different columns would plan wrong groups")
+    }
     val groups = readManifest(dir, v)
     val stats2 = readStats2(dir, v)
     val planned = groups.filter(g => stats2.get(g).forall {
@@ -575,7 +658,7 @@ object Versioned {
     val df =
       if (planned.isEmpty) residual(read(spark, dir, v)).filter(lit(false))
       else residual(applyRenames(applyMorDeletes(spark, dir, v,
-          spark.read.parquet(planned.map(resolveGroup(dir, _)): _*)),
+          normalizedGroupsRead(spark, dir, v, planned)),
         readRenames(dir, v)))
     (df, planned.size, groups.size)
   }
@@ -654,6 +737,7 @@ object Versioned {
     requireNoRenames(dir, parent, "file-granularity MERGE")
     requireNoDefaults(dir, parent, "file-granularity MERGE")
     requireNoDrops(dir, parent, "file-granularity MERGE")
+    requireStatsColMatch(dir, parent, statsCol, "file-granularity MERGE")
     val (touched, carried) = touchedGroups(updates, statsCol, dir, parent)
     val merged =
       if (touched.isEmpty) updates
@@ -694,6 +778,7 @@ object Versioned {
     // schema actions (drop resurrection / default loss)
     requireNoDefaults(dir, parent, "file-granularity DELETE")
     requireNoDrops(dir, parent, "file-granularity DELETE")
+    requireStatsColMatch(dir, parent, statsCol, "file-granularity DELETE")
     val groups = readManifest(dir, parent)
     val stats = readStats(dir, parent)
     val touched = groups.filter(g =>
@@ -707,11 +792,12 @@ object Versioned {
     if (touched.isEmpty) {
       // nothing intersects: the delete is a metadata no-op — still mint
       // a version so the verb's contract (a new version exists) holds
-      // (2-D stats carry too, or a no-op delete would lose Z-ORDER
-      // pruning for every carried group)
+      // (2-D stats + both stats-column identities carry too, or a
+      // no-op delete would lose Z-ORDER pruning for every carried group)
       val v = parent + 1
       val json = manifestJson(v, parent, overwrite = true, carried, stats,
-        readStats2(dir, parent))
+        readStats2(dir, parent), scol = readStatsCol(dir, parent),
+        scol2 = readStatsCol2(dir, parent))
       if (!publishIfAbsent(dir, v, json))
         throw new java.util.ConcurrentModificationException(
           s"deleteCommitCow at $dir lost the race for version $v")
@@ -755,7 +841,9 @@ object Versioned {
       .write.mode("errorifexists").parquet(s"$dir/data/$dgroup")
     val json = manifestJson(v, parent, overwrite = true,
       readManifest(dir, parent), readStats(dir, parent),
-      readStats2(dir, parent), dgroups = pdgs :+ dgroup, dkey = Some(key))
+      readStats2(dir, parent), dgroups = pdgs :+ dgroup, dkey = Some(key),
+      scol = readStatsCol(dir, parent),
+      scol2 = readStatsCol2(dir, parent))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"deleteCommitMor at $dir lost the race for version $v")
@@ -780,7 +868,15 @@ object Versioned {
     requireNoDefaults(dir, parent, "applyDeletesCommit")
     requireNoDrops(dir, parent, "applyDeletesCommit")
     val Some((delKeys, dk)) = morDeleteKeys(spark, dir, parent): @unchecked
-    val (touched, carried) = touchedGroups(delKeys, dk, dir, parent)
+    // the manifest stats can only plan the fold when they describe the
+    // DELETE KEY's column; stats on any other column (or unlabeled
+    // legacy stats) make every group conservatively touched — comparing
+    // id keys against e.g. ts ranges would take the no-intersection
+    // fast path and RESURRECT every deleted row
+    val statsUsable = readStatsCol(dir, parent).contains(dk)
+    val (touched, carried) =
+      if (statsUsable) touchedGroups(delKeys, dk, dir, parent)
+      else (readManifest(dir, parent), Seq.empty[String])
     if (touched.isEmpty) {
       // no group can contain a deleted key: just drop the delete files
       val v = parent + 1
@@ -794,12 +890,10 @@ object Versioned {
       val purged = spark.read
         .parquet(touched.map(resolveGroup(dir, _)): _*)
         .join(delKeys, Seq(dk), "left_anti")
-      // statsCol only re-derivable when the delete key IS the stats
-      // column (the common layout); otherwise the new group reads
-      // conservatively
-      val statsCol =
-        if (readStats(dir, parent).nonEmpty) Some(dk) else None
-      val v = commitRewrite(purged, spark, dir, parent, carried, statsCol)
+      // in the pruned path the recorded stats column IS dk (checked
+      // above); in the conservative path nothing is carried, so fresh
+      // dk stats are consistent either way
+      val v = commitRewrite(purged, spark, dir, parent, carried, Some(dk))
       (v, touched, carried)
     }
   }
@@ -821,7 +915,9 @@ object Versioned {
       readStats2(dir, toVersion), dgroups = dgs, dkey = dk,
       renames = readRenames(dir, toVersion),
       defaults = readDefaults(dir, toVersion),
-      drops = readDrops(dir, toVersion))
+      drops = readDrops(dir, toVersion),
+      scol = readStatsCol(dir, toVersion),
+      scol2 = readStatsCol2(dir, toVersion))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"restore at $dir lost the race for version $v")
@@ -862,9 +958,18 @@ object Versioned {
     val newM = (m - phys) ++ (if (phys == to) Map.empty else Map(phys -> to))
     val (dgs, dk) = readDeletes(dir, parent)
     val v = parent + 1
+    // the stats-column identity is a LOGICAL name: renaming that very
+    // column remaps it so post-rename pruning on the new name still
+    // matches (s42 pins that carried stats keep pruning after a rename)
+    val scolRemapped = readStatsCol(dir, parent)
+      .map(c => if (c == from) to else c)
+    val scol2Remapped = readStatsCol2(dir, parent).map { case (a, b) =>
+      (if (a == from) to else a, if (b == from) to else b)
+    }
     val json = manifestJson(v, parent, overwrite = false,
       readManifest(dir, parent), readStats(dir, parent),
-      readStats2(dir, parent), dgroups = dgs, dkey = dk, renames = newM)
+      readStats2(dir, parent), dgroups = dgs, dkey = dk, renames = newM,
+      scol = scolRemapped, scol2 = scol2Remapped)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"renameColumnCommit at $dir lost the race for version $v")
@@ -923,7 +1028,9 @@ object Versioned {
       readManifest(dir, parent), readStats(dir, parent),
       readStats2(dir, parent), dgroups = dgs, dkey = dk,
       defaults = readDefaults(dir, parent) +
-        (name -> (sqlType, defaultLiteral)))
+        (name -> (sqlType, defaultLiteral)),
+      scol = readStatsCol(dir, parent),
+      scol2 = readStatsCol2(dir, parent))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"addColumnCommit at $dir lost the race for version $v")
@@ -963,12 +1070,18 @@ object Versioned {
     require(!dk.contains(name),
       s"column $name is the pending merge-on-read delete key — " +
         "apply the deletes first")
+    require(!readStatsCol(dir, parent).contains(name) &&
+      !readStatsCol2(dir, parent).exists(p => p._1 == name || p._2 == name),
+      s"column $name carries the manifest statistics — dropping it would " +
+        "orphan them; compact/OPTIMIZE onto another stats column first")
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = false,
       readManifest(dir, parent), readStats(dir, parent),
       readStats2(dir, parent), dgroups = dgs, dkey = dk,
       defaults = readDefaults(dir, parent),
-      drops = readDrops(dir, parent) + name)
+      drops = readDrops(dir, parent) + name,
+      scol = readStatsCol(dir, parent),
+      scol2 = readStatsCol2(dir, parent))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"dropColumnCommit at $dir lost the race for version $v")
@@ -1009,9 +1122,21 @@ object Versioned {
     val newStats = statsCol.flatMap(c =>
       writtenStats(spark, dir, group, c).map(group -> _))
     val overwrite = (parentGroups -- carriedSet).nonEmpty
+    // identity consistency only matters while carried groups still hold
+    // stats under the old label — a full rewrite (nothing carried) may
+    // legitimately re-key the statistics to a new column
+    val carriedStats = parentStats.filter(kv => carriedSet(kv._1))
+    val parentScol =
+      if (carriedStats.nonEmpty) readStatsCol(dir, parent) else None
+    statsCol.foreach(c => parentScol.foreach(pc => require(pc == c,
+      s"rewrite records stats on '$c' but carried groups' stats at $dir " +
+        s"describe '$pc'")))
+    val carriedStats2 = parentStats2.filter(kv => carriedSet(kv._1))
     val json = manifestJson(v, parent, overwrite, carried :+ group,
-      parentStats.filter(kv => carriedSet(kv._1)) ++ newStats,
-      parentStats2.filter(kv => carriedSet(kv._1)))
+      carriedStats ++ newStats, carriedStats2,
+      scol = statsCol.orElse(parentScol),
+      scol2 = if (carriedStats2.nonEmpty) readStatsCol2(dir, parent)
+              else None)
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"rewrite commit at $dir lost the race for version $v")
@@ -1116,11 +1241,16 @@ object Versioned {
       .drop("__z")
       .write.mode("errorifexists").partitionBy("__zb")
       .parquet(s"$dir/data/$base")
-    // 2-D stats from the WRITTEN buckets, one bounded aggregate
+    // 2-D stats from the WRITTEN buckets, one bounded aggregate — the
+    // explicit long casts keep getLong safe when aCol/bCol are INT
+    // (the docstring invites pre-gridded ints; zValue casts internally
+    // so the write succeeds and only the stats probe would crash)
     val statRows = spark.read.parquet(s"$dir/data/$base")
       .groupBy(col("__zb"))
-      .agg(min(col(aCol)).as("aLo"), max(col(aCol)).as("aHi"),
-        min(col(bCol)).as("bLo"), max(col(bCol)).as("bHi"))
+      .agg(min(col(aCol).cast("long")).as("aLo"),
+        max(col(aCol).cast("long")).as("aHi"),
+        min(col(bCol).cast("long")).as("bLo"),
+        max(col(bCol).cast("long")).as("bHi"))
       .collect() // bounded by 2^bucketBits
     val groups = statRows.map(r => s"$base/__zb=${r.getInt(0)}").toSeq.sorted
     val stats2 = statRows.map { r =>
@@ -1128,7 +1258,7 @@ object Versioned {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
     }.toMap
     val json = manifestJson(v, parent, overwrite = true, groups,
-      stats2 = stats2)
+      stats2 = stats2, scol2 = Some((aCol, bCol)))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"compactZOrder at $dir lost the race for version $v")
@@ -1271,9 +1401,24 @@ object Versioned {
               if (v == 1) Set.empty[String] else readManifest(dir, v - 1).toSet)
           // carried MOR delete files can mask rows of the appended group
           // (the key was deleted before the append) — apply them so the
-          // feed only emits rows the snapshot actually shows
-          applyMorDeletes(spark, dir, v,
-            spark.read.parquet(added.toSeq.sorted.map(resolveGroup(dir, _)): _*))
+          // feed only emits rows the snapshot actually shows. Under the
+          // feed's (constant) schema actions the groups normalize
+          // PER-GROUP exactly like read(): a shallow clone's v1
+          // references pre-ALTER source groups by path that lack a
+          // defaulted column while post-ALTER groups carry it — a raw
+          // multi-path read would crash or null where read() fills.
+          val sortedAdded = added.toSeq.sorted
+          val stepBase =
+            if (feedDefaults.isEmpty && feedDrops.isEmpty)
+              spark.read.parquet(sortedAdded.map(resolveGroup(dir, _)): _*)
+            else {
+              val frames = sortedAdded.map(g => withoutDrops(withDefaults(
+                spark.read.parquet(resolveGroup(dir, g)), feedDefaults),
+                feedDrops))
+              val canonical = frames.head.columns.toSeq
+              balancedUnion(frames.map(_.select(canonical.map(col): _*)))
+            }
+          applyMorDeletes(spark, dir, v, stepBase)
             .withColumn("_change_type", lit("insert"))
         } else {
           // MOR-delete fast path: data groups unchanged, delete files
@@ -1334,8 +1479,17 @@ object Versioned {
     * entries may be hive-style subpaths of one commit dir
     * ([[compactZOrder]]); retention is tested on the top-level commit
     * dir, so a commit's buckets live and die together. */
-  def vacuum(spark: SparkSession, dir: String, retainFromVersion: Int)
-      : (Int, Int) = {
+  /** Production default for [[vacuum]]'s orphan grace window: a data
+    * group younger than this is NEVER swept even if no retained
+    * manifest references it, because it may belong to an IN-FLIGHT
+    * commit whose manifest has not published yet (commitAppendOcc and
+    * idempotentCommit write data fully before publishing — the exact
+    * window a graceless sweep corrupts). Delta's retention-window
+    * design; tests pass 0 to sweep deliberately-orphaned fresh groups. */
+  val DefaultOrphanGraceMs: Long = 15L * 60L * 1000L
+
+  def vacuum(spark: SparkSession, dir: String, retainFromVersion: Int,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): (Int, Int) = {
     val latest = latestVersion(dir)
     require(retainFromVersion >= 1 && retainFromVersion <= latest,
       s"need 1 <= retainFrom <= $latest, got $retainFromVersion")
@@ -1349,8 +1503,10 @@ object Versioned {
     val onDisk =
       if (!fs.exists(dataRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(dataRoot)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val orphans = onDisk.filter(st =>
-      st.isDirectory && !retained.contains(st.getPath.getName))
+      st.isDirectory && !retained.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
     orphans.foreach(st => fs.delete(st.getPath, true))
     (expired.size, orphans.length)
   }
@@ -1366,6 +1522,11 @@ object Versioned {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
+    // mergeSchema reconciles raw footers — it would resurrect a
+    // metadata-only dropped column and null-fill where a pending
+    // default fills: the two sanctioned read verbs must never disagree
+    requireNoDefaults(dir, v, "readMerged")
+    requireNoDrops(dir, v, "readMerged")
     applyRenames(applyMorDeletes(spark, dir, v,
       spark.read.option("mergeSchema", "true")
         .parquet(groups.map(resolveGroup(dir, _)): _*)),
@@ -1390,36 +1551,40 @@ object Versioned {
     * is 0. Plans only the file groups in that version's manifest and
     * applies its pending merge-on-read deletes ([[deleteCommitMor]]) —
     * readers always see the logical snapshot. */
+  /** Read `groups` of version `v` with the version's full schema
+    * normalization — per-group initial-default fill / dropped-column
+    * projection (Iceberg initial-default / parquet schema-evolution
+    * semantics: only groups whose physical schema predates an added
+    * column read its default, a post-ALTER group's genuine NULLs are
+    * never overwritten, and dropped columns are projected out last).
+    * The per-group frames union pairwise (log-depth plan, the change
+    * feed's balancedUnion discipline). Shared by [[read]] and the
+    * pruning reads so EVERY sanctioned read verb shows the same rows —
+    * a pruned read that bypassed this would resurrect dropped columns
+    * and null where read() fills. */
+  private def normalizedGroupsRead(spark: SparkSession, dir: String,
+      v: Int, groups: Seq[String]): DataFrame = {
+    val defaults = readDefaults(dir, v)
+    val drops = readDrops(dir, v)
+    if (defaults.isEmpty && drops.isEmpty)
+      spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
+    else {
+      val canonical = withoutDrops(withDefaults(
+        spark.read.parquet(resolveGroup(dir, groups.head)), defaults),
+        drops).columns.toSeq
+      balancedUnion(groups.map(g =>
+        withoutDrops(withDefaults(
+          spark.read.parquet(resolveGroup(dir, g)), defaults), drops)
+          .select(canonical.map(org.apache.spark.sql.functions.col): _*)))
+    }
+  }
+
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest")
-    val defaults = readDefaults(dir, v)
-    val drops = readDrops(dir, v)
-    val base =
-      if (defaults.isEmpty && drops.isEmpty)
-        spark.read.parquet(groups.map(resolveGroup(dir, _)): _*)
-      else {
-        // per-group schema normalization (Iceberg initial-default /
-        // parquet schema-evolution semantics): only groups whose
-        // physical schema predates an added column read its default — a
-        // post-ALTER group's genuine NULLs are never overwritten — and
-        // dropped columns are projected out last (pre-DROP groups still
-        // carry the bytes; post-DROP groups never had them). The
-        // per-group frames union pairwise (log-depth plan, same
-        // discipline as the change feed's balancedUnion).
-        val canonical = withoutDrops(withDefaults(
-          spark.read.parquet(resolveGroup(dir, groups.head)), defaults),
-          drops).columns.toSeq
-        // every frame is projected to the identical canonical order, so
-        // the positional balancedUnion (the change feed's log-depth
-        // helper) applies verbatim
-        balancedUnion(groups.map(g =>
-          withoutDrops(withDefaults(
-            spark.read.parquet(resolveGroup(dir, g)), defaults), drops)
-            .select(canonical.map(org.apache.spark.sql.functions.col): _*)))
-      }
-    applyRenames(applyMorDeletes(spark, dir, v, base), readRenames(dir, v))
+    applyRenames(applyMorDeletes(spark, dir, v,
+      normalizedGroupsRead(spark, dir, v, groups)), readRenames(dir, v))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
@@ -1457,7 +1622,12 @@ object Versioned {
   def commitAppendOcc(df: DataFrame, dir: String, writerId: String,
       maxAttempts: Int = 64, beforePublish: () => Unit = () => ()): Int = {
     requireId("writerId", writerId)
-    val group = s"w_$writerId"
+    // attempt-unique name: a fixed w_<writer> would make the writer
+    // one-shot per table — an aborted true-conflict attempt leaves its
+    // group behind and every natural retry would then die in the data
+    // write with a misleading path-exists error until a vacuum sweeps it
+    val group = s"w_${writerId}_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val lvAtWrite = latestVersion(dir)
     withoutDrops(withDefaults(toPhysical(df,
         if (lvAtWrite == 0) Map.empty else readRenames(dir, lvAtWrite)),
@@ -1475,20 +1645,32 @@ object Versioned {
       val (dgs, dk) =
         if (parent == 0) (Seq.empty[String], None) else readDeletes(dir, parent)
       if (publishIfAbsent(dir, v, manifestJson(v, parent, overwrite = false,
-          groups, dgroups = dgs, dkey = dk,
+          groups,
+          stats = if (parent == 0) Map.empty else readStats(dir, parent),
+          stats2 = if (parent == 0) Map.empty else readStats2(dir, parent),
+          dgroups = dgs, dkey = dk,
           renames = if (parent == 0) Map.empty
                     else readRenames(dir, parent),
           defaults = if (parent == 0) Map.empty
                      else readDefaults(dir, parent),
           drops = if (parent == 0) Set.empty
-                  else readDrops(dir, parent)))) return v
+                  else readDrops(dir, parent),
+          scol = if (parent == 0) None else readStatsCol(dir, parent),
+          scol2 = if (parent == 0) None
+                  else readStatsCol2(dir, parent)))) return v
       attempts += 1
       val newLatest = latestVersion(dir)
       ((parent + 1) to newLatest).foreach { w =>
-        if (manifestIsOverwrite(dir, w))
+        if (manifestIsOverwrite(dir, w)) {
+          // true conflict: clean up the orphaned group before aborting
+          // so the caller's retry starts from a clean slate
+          val p = new org.apache.hadoop.fs.Path(resolveGroup(dir, group))
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
           throw new java.util.ConcurrentModificationException(
             s"append by '$writerId' based on v$parent conflicts with " +
               s"overwrite commit v$w at $dir")
+        }
       }
       parent = newLatest
     }

@@ -691,7 +691,7 @@ object SinkSqlQueries {
     graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
     val v3 = graft.ops.Versioned.compact(s, dir)
     require(v3 == 3, s"unexpected compacted version $v3")
-    val (m, g) = graft.ops.Versioned.vacuum(s, dir, retainFromVersion = 3)
+    val (m, g) = graft.ops.Versioned.vacuum(s, dir, retainFromVersion = 3, orphanGraceMs = 0)
     val entry = (dir, m, g)
     vacuumCache.put(key, entry)
     entry

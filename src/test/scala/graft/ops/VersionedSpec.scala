@@ -111,13 +111,13 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(Seq(1L, 2L).toDF("id"), dir)
     Versioned.commit(Seq(3L).toDF("id"), dir) // append: groups c1,c2
     Versioned.compact(spark, dir)             // v3 = overwrite group c3
-    val (manifests, groups) = Versioned.vacuum(spark, dir, 3)
+    val (manifests, groups) = Versioned.vacuum(spark, dir, 3, orphanGraceMs = 0)
     assert((manifests, groups) == (2, 2)) // v1,v2 manifests; c1,c2 groups
     assert(Versioned.read(spark, dir).as[Long].collect().sorted.toSeq
       == Seq(1L, 2L, 3L))
     intercept[IllegalArgumentException] { Versioned.read(spark, dir, 1) }
     // idempotent: nothing left to remove
-    assert(Versioned.vacuum(spark, dir, 3) == (0, 0))
+    assert(Versioned.vacuum(spark, dir, 3, orphanGraceMs = 0) == (0, 0))
   }
 
   test("deleteCommit drops matching rows in a new version; history " +
@@ -237,7 +237,7 @@ class VersionedSpec extends SparkSpec {
       == Set((1L, 10.0), (3L, 30.0), (9L, 90.0)))
     assert(Versioned.read(spark, src).count() == 4)
     // clone vacuum reclaims only clone-local storage, never source data
-    Versioned.vacuum(spark, dst, Versioned.latestVersion(dst))
+    Versioned.vacuum(spark, dst, Versioned.latestVersion(dst), orphanGraceMs = 0)
     assert(Versioned.read(spark, dst).count() == 3)
     assert(Versioned.read(spark, src).count() == 4)
   }
@@ -434,7 +434,7 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 256L)
     assert(Versioned.changes(spark, dir, 4, 5, "id").count() == 0L)
     // vacuum keeps the z-bucket groups (they share one commit dir)
-    Versioned.vacuum(spark, dir, 5)
+    Versioned.vacuum(spark, dir, 5, orphanGraceMs = 0)
     assert(Versioned.read(spark, dir).count() == 256L)
   }
 
@@ -506,7 +506,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(Seq(1L).toDF("id"), dir, commitTs = Some(1000L))
     Versioned.commit(Seq(2L).toDF("id"), dir, commitTs = Some(2000L))
     Versioned.commit(Seq(3L).toDF("id"), dir, commitTs = Some(3000L))
-    Versioned.vacuum(spark, dir, retainFromVersion = 2)
+    Versioned.vacuum(spark, dir, retainFromVersion = 2, orphanGraceMs = 0)
     // ts resolving to a RETAINED version: fine (expired v1 is ignored)
     assert(Versioned.readAsOfTimestamp(spark, dir, 2500L)
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
@@ -623,12 +623,12 @@ class VersionedSpec extends SparkSpec {
     threeRangeCommits(dir)
     Versioned.deleteCommitMor(Seq(5L).toDF("k"), dir, "k") // v4
     Versioned.commit(Seq((50L, 1.0)).toDF("k", "x"), dir)  // v5 carries d4
-    val (m, g) = Versioned.vacuum(spark, dir, 4)
+    val (m, g) = Versioned.vacuum(spark, dir, 4, orphanGraceMs = 0)
     assert(m == 3 && g == 0) // d4 still referenced: nothing orphaned
     assert(Versioned.read(spark, dir, 4).count() == 29L)
     // once the delete is applied and old versions expire, d4 sweeps
     val (v6, _, _) = Versioned.applyDeletesCommit(spark, dir)
-    val (_, g2) = Versioned.vacuum(spark, dir, v6)
+    val (_, g2) = Versioned.vacuum(spark, dir, v6, orphanGraceMs = 0)
     assert(g2 > 0)
     assert(!new java.io.File(s"$dir/data/d4").exists())
     assert(Versioned.read(spark, dir).count() == 30L)
@@ -872,6 +872,43 @@ class VersionedSpec extends SparkSpec {
       if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
     assert(depth(df.queryExecution.analyzed) < 30,
       s"plan depth ${depth(df.queryExecution.analyzed)} not bounded")
+  }
+
+  test("manifest stats carry their column identity: pruning on a " +
+      "different column is refused, and applyDeletesCommit folds " +
+      "conservatively instead of resurrecting deleted rows") {
+    val dir = freshDir()
+    // stats recorded on ts (values ~1e9); MOR delete keyed on id (1..3)
+    Versioned.commit(Seq((1L, 1000000001L), (2L, 1000000002L),
+      (3L, 1000000003L)).toDF("id", "ts"), dir, statsCol = Some("ts"))
+    assert(Versioned.readStatsCol(dir, 1).contains("ts"))
+    // pruning on the WRONG column is refused loudly, not planned wrong
+    intercept[IllegalArgumentException] {
+      Versioned.prunedRead(spark, dir, "id", 1L, 3L)
+    }
+    // the delete key never intersects any ts-range: a stats-blind fold
+    // would take the no-intersection fast path and RESURRECT id=2
+    Versioned.deleteCommitMor(Seq(2L).toDF("id"), dir, "id")
+    val (_, rewritten, carriedG) = Versioned.applyDeletesCommit(spark, dir)
+    assert(rewritten.nonEmpty && carriedG.isEmpty,
+      "mismatched stats identity must fold conservatively")
+    assert(Versioned.read(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L),
+      "deleted row resurrected")
+    // COW verbs refuse the mismatch outright
+    intercept[IllegalArgumentException] {
+      Versioned.deleteCommitCow(spark, dir, "ts", 0L, 1L)
+    }
+  }
+
+  test("timestamp travel with tied stamps resolves to the HIGHEST " +
+      "version (pinned-clock replays stamp commits identically)") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L).toDF("id"), dir, commitTs = Some(1000L))
+    Versioned.commit(Seq(2L).toDF("id"), dir, commitTs = Some(1000L))
+    val got = Versioned.readAsOfTimestamp(spark, dir, 1000L)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"tie broke to the older version: $got")
   }
 
   test("COW verbs refuse over pending schema actions even on the " +
