@@ -362,7 +362,8 @@ object EmbeddingQueries {
       Some("""SELECT vec_id, p AS dim,
                      ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
                        i -> CAST(embedding[i] AS DOUBLE)
-                            * CAST(((p * 131 + (i - 1) * 37) % 7) - 3 AS DOUBLE))),
+                            * CAST((((p * 131 + (i - 1) * 37) % 997) % 7) - 3
+                                   AS DOUBLE))),
                        6) AS proj_v
               FROM embeddings CROSS JOIN range(0, 8) t(p)
               ORDER BY vec_id, dim""")),
@@ -424,7 +425,7 @@ object EmbeddingQueries {
                      list_transform(range(0, 8), p ->
                        list_sum(list_transform(range(1, len(embedding) + 1),
                          i -> CAST(embedding[i] AS DOUBLE)
-                              * CAST(((p * 131 + (i - 1) * 37) % 7) - 3
+                              * CAST((((p * 131 + (i - 1) * 37) % 997) % 7) - 3
                                      AS DOUBLE)))) AS proj,
                      ${sqlBandCols("embedding")}
                      FROM embeddings),

@@ -132,18 +132,30 @@ object Ann {
     * product — hence the bucket — is engine-portable. */
   def planeWeight(p: Int, d: Int): Double = ((p * 131 + d * 37) % 7 - 3).toDouble
 
+  /** Projection weight family — NOT [[planeWeight]]: the legacy bucket
+    * family is periodic in p with period 7 (131 ≡ 5 mod 7), so any
+    * polynomial of p under mod 7 repeats every 7 planes and projection
+    * component p would DUPLICATE component p−7 — the default dims = 8
+    * would already carry one redundant coordinate and any dims > 7
+    * would add zero information. The inner mod 997 (prime, coprime to
+    * 7) breaks the period for every p < 997 while keeping the weights
+    * small integers in [−3, 3], exact in double. */
+  def projWeight(p: Int, d: Int): Double =
+    ((p * 131 + d * 37) % 997 % 7 - 3).toDouble
+
   /** Johnson–Lindenstrauss-style random projection: the `dims` plane
     * dot-products BEFORE the sign — a deterministic dimensionality
     * reduction (64 → `dims` components) that approximately preserves
     * pairwise distances, the standard shrink-then-search preprocessing
-    * for ANN at corpus scale. Same integer [[planeWeight]] scheme as the
-    * LSH bucket, so the components are engine-portable exactly like the
-    * emb3 bucket proof. Per-vector cost is dims×maxDims codegen'd
-    * multiply-adds (`graft_dot`), no shuffle, no data-sized explode. */
+    * for ANN at corpus scale. Integer [[projWeight]] scheme (the
+    * non-periodic variant of the bucket family), so the components are
+    * engine-portable exactly like the emb3 bucket proof. Per-vector
+    * cost is dims×maxDims codegen'd multiply-adds (`graft_dot`), no
+    * shuffle, no data-sized explode. */
   def randomProjection(vec: Column, dims: Int, maxDims: Int = 64): Seq[Column] = {
     val v = vec.cast("array<double>")
     (0 until dims).map { p =>
-      val weights = typedlit((0 until maxDims).map(d => planeWeight(p, d)))
+      val weights = typedlit((0 until maxDims).map(d => projWeight(p, d)))
       dot(v, weights)
     }
   }
@@ -164,8 +176,12 @@ object Ann {
       planesPerBand: Int = AutoPlanes, bands: Int = 8,
       docCount: Option[Long] = None): DataFrame = {
     val emb = withRegistry(emb0)
-    val proj = emb.select(col(idCol).as("__id"),
+    // two consumers (both sides of the pair join) — cache, or the
+    // dims×64 projection multiply-adds compute twice per row (the
+    // bandedCandidatePairs convention; Spark does not dedupe subplans)
+    val proj = graft.ops.Caches.tracked(emb.select(col(idCol).as("__id"),
       array(randomProjection(col(vecCol), dims): _*).as("__proj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // candidate enumeration auto-selects like Dedup.jaccardPairs: the
     // all-pairs join (exact prefilter recall) while the corpus is at or
     // below `maxExactDocs`, OR-amplified banded LSH above it (pairs form
@@ -364,6 +380,15 @@ object Ann {
     * lower `planes` to widen the probe. */
   def knnLshBucketed(emb0: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, planes: Int): DataFrame = {
+    // the legacy weight family is periodic in p with period 7 (AnnSpec
+    // pins legacy(0) == legacy(7)): beyond 7 planes every added bit
+    // duplicates bit p−7, so distinct buckets saturate at 2⁷ and the
+    // documented ~2^planes reduction silently stops — refuse instead;
+    // the banded family (graft_bands / bandedCandidatePairs) is the
+    // scale path for finer partitioning
+    require(planes >= 1 && planes <= 7,
+      s"planes=$planes: the legacy hyperplane family saturates at 7 " +
+        "planes; use bandedCandidatePairs (graft_bands) beyond that")
     val emb = withRegistry(emb0)
     val bucketed = emb.withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
     val q = bucketed.filter(col(idCol) === queryId)
@@ -389,7 +414,11 @@ object Ann {
     * to broadcast, drop the hint and the same plan shuffles both sides on
     * the bucket key. */
   def knnBatchLsh(emb0: DataFrame, queries0: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int): DataFrame = {
+      vecCol: String, k: Int, planes: Int,
+      queriesFromCorpus: Boolean = true): DataFrame = {
+    require(planes >= 1 && planes <= 7,
+      s"planes=$planes: the legacy hyperplane family saturates at 7 " +
+        "planes; use bandedCandidatePairs (graft_bands) beyond that")
     val emb = withRegistry(emb0)
     val corpus = emb
       .withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
@@ -399,8 +428,14 @@ object Ann {
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"),
         hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val scored = corpus.join(broadcast(q), Seq("__bucket"))
-      .filter(col(idCol) =!= col("query_id"))
+    // self-exclusion is only meaningful when the query batch is drawn
+    // FROM the corpus (the in-repo shape); an external query frame with
+    // its own id space would silently lose the corpus row whose id
+    // happens to collide with a query id
+    val joined = corpus.join(broadcast(q), Seq("__bucket"))
+    val scored = (if (queriesFromCorpus)
+        joined.filter(col(idCol) =!= col("query_id"))
+      else joined)
       .select(col("query_id"), col(idCol),
         cosineOrZero(dot(col("__cv"), col("__qv")), col("__cn"), col("__qn"))
           .as("score"))
@@ -478,13 +513,18 @@ object Ann {
       .groupBy("c_label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x("cv")).as("centroid"))
+    // norms precompute PER ROW, never per (vector, centroid) pair — the
+    // package invariant: k per-pair norm(__v) recomputes (a full dot +
+    // sqrt each) would triple the k×n scoring work
+    val withNorms = centroids.withColumn("__cnorm", norm(col("centroid")))
     val scored = emb
       .select(col(idCol).as("__vid"), col(labelCol).cast("long").as("label"),
         col(vecCol).cast("array<double>").as("__v"))
-      .crossJoin(broadcast(centroids))
+      .withColumn("__vnorm", norm(col("__v")))
+      .crossJoin(broadcast(withNorms))
       .select(col("__vid"), col("label"), col("c_label"),
-        cosineOrZero(dot(col("__v"), col("centroid")), norm(col("__v")),
-          norm(col("centroid"))).as("__cos"))
+        cosineOrZero(dot(col("__v"), col("centroid")), col("__vnorm"),
+          col("__cnorm")).as("__cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__vid").orderBy(col("__cos").desc, col("c_label"))
     scored.withColumn("__rn", row_number().over(w))
@@ -515,10 +555,14 @@ object Ann {
     val emb = withRegistry(emb0)
     val assign = nearestCentroid(emb, idCol, vecCol, labelCol)
       .select(col("__vid"), col("assigned").as("cluster"))
-    val v = emb
+    // three consumers (both pair-join sides + the per-cluster census)
+    // and Spark does not dedupe common subplans — without the cache the
+    // centroid crossJoin + argmax pipeline executes three times
+    val v = graft.ops.Caches.tracked(emb
       .select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("__v"))
       .join(assign, "__vid")
       .withColumn("__n", norm(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = v.select(col("cluster"), col("__vid").as("__id1"),
       col("__v").as("__v1"), col("__n").as("__n1"))
     val b = v.select(col("cluster"), col("__vid").as("__id2"),

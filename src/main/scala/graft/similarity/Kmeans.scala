@@ -35,10 +35,15 @@ object Kmeans {
     * to the lower centroid id. Input frames carry (__vid, __v) and
     * (c_id, centroid). Returns (__vid, cluster, __cos). */
   private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+    // norms precompute per ROW (the Ann package invariant): k per-pair
+    // vector-norm recomputes per Lloyd iteration would triple the
+    // dominant k×n scoring cost
+    val scored = emb.withColumn("__vn", Ann.norm(col("__v")))
+      .crossJoin(broadcast(
+        centroids.withColumn("__cn", Ann.norm(col("centroid")))))
       .select(col("__vid"), col("c_id"),
         Ann.cosineOrZero(Ann.dot(col("__v"), col("centroid")),
-          Ann.norm(col("__v")), Ann.norm(col("centroid"))).as("__cos"))
+          col("__vn"), col("__cn")).as("__cos"))
     val w = Window.partitionBy("__vid").orderBy(col("__cos").desc, col("c_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -49,20 +49,28 @@ object Pq {
     require(d % m == 0, s"m=$m must divide dim=$d")
     val dsub = d / m
     val xd = transform(col(vecCol), x => x.cast("double"))
+    // cached: the m sequential fits plus the final encode would each
+    // rebuild all m slice/array_to_vector projections from the source
+    // scan otherwise (m+1 redundant recomputes of the same pipeline)
     val sliced = (0 until m).foldLeft(emb.select(col(idCol), xd.as("__xd"))) {
       (df, j) =>
         df.withColumn(s"__f$j",
           array_to_vector(slice(col("__xd"), j * dsub + 1, dsub)))
-    }
-    val models = (0 until m).map { j =>
-      new KMeans().setK(k).setSeed(seed + j).setFeaturesCol(s"__f$j")
-        .setPredictionCol(s"__c$j")
-        .fit(sliced)
-    }
-    val encoded = models.foldLeft(sliced)((df, mod) => mod.transform(df))
-      .select(col(idCol),
-        array((0 until m).map(j => col(s"__c$j")): _*).as("codes"))
-    Index(encoded, models.map(_.clusterCenters.map(_.toArray)).toArray, idCol)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val models = (0 until m).map { j =>
+        new KMeans().setK(k).setSeed(seed + j).setFeaturesCol(s"__f$j")
+          .setPredictionCol(s"__c$j")
+          .fit(sliced)
+      }
+      val encoded = models.foldLeft(sliced: DataFrame)(
+          (df, mod) => mod.transform(df))
+        .select(col(idCol),
+          array((0 until m).map(j => col(s"__c$j")): _*).as("codes"))
+        .localCheckpoint() // materialize before the source unpersists
+      Index(encoded, models.map(_.clusterCenters.map(_.toArray)).toArray,
+        idCol)
+    } finally sliced.unpersist(blocking = false)
   }
 
   /** Sum of per-subspace table lookups: zip the code array with its

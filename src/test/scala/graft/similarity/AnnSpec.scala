@@ -183,6 +183,17 @@ class AnnSpec extends SparkSpec {
     // exists — if this ever fails, the families diverged)
     def legacy(p: Int): Seq[Int] = (0 until 64).map(d => (p * 131 + d * 37) % 7 - 3)
     assert(legacy(0) == legacy(7) && legacy(3) == legacy(10))
+    // the PROJECTION family must not inherit the period: component 7
+    // duplicating component 0 would double-weight a coordinate in every
+    // JL estimate at the default dims = 8 (and the legacy-period
+    // serving verbs now refuse planes > 7 outright)
+    def projv(p: Int): Seq[Double] = (0 until 64).map(Ann.projWeight(p, _))
+    assert((0 until 32).map(projv).distinct.size == 32,
+      "projection weight family has a short period in p")
+    intercept[IllegalArgumentException] {
+      Ann.knnLshBucketed(spark.range(1).toDF("vec_id"), "vec_id", "v",
+        0L, 1, planes = 8)
+    }
   }
 
   test("codegen'd graft_dot is bit-identical to the interpreted fold") {
