@@ -139,7 +139,13 @@ object ScaleRehearsal {
     // seasonal-naive backtest (window over the daily aggregate), and
     // the metadata-only DROP read (per-group normalized union — the
     // projection must stay scan-side at 2×)
-    "q7_nation_trade", "e10_seasonal_naive", "s46_drop_column")
+    "q7_nation_trade", "e10_seasonal_naive", "s46_drop_column",
+    // round-11 seventh wave: DNF filter over a broadcast join, argmax
+    // view self-subquery, gaps-and-islands over the distinct (user,
+    // day) frame, and the fact↔fact reconciliation join (pre-aggregated
+    // lineitem side — shuffle carries one row per order)
+    "q19_disjunctive_revenue", "q15_top_supplier",
+    "e11_activity_streaks", "v12_cross_table_reconciliation")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
