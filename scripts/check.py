@@ -54,6 +54,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # dtype-family guard (r11 g-family root cause): DuckDB HUGEINT
+        # aggregates (SUM over BIGINT) render as float64 in pandas while
+        # Spark's parquet stays int64 — value-equality passes (123 ==
+        # 123.0) but the driver's hasher formats them differently and
+        # hash-fails. Flag any int-vs-float column pair whose float side
+        # carries no NaN (a NaN means SQL NULL rendering, which the value
+        # compare below catches on its own).
+        fam = lambda d: "i" if d.kind in "iu" else ("f" if d.kind == "f" else d.kind)
+        dtype_bad = [
+            c for c in got.columns
+            if {fam(got[c].dtype), fam(want[c].dtype)} == {"i", "f"}
+            and not (got[c].isna().any() or want[c].isna().any())]
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype mismatch (driver hasher "
+                  f"formats these differently) in columns {dtype_bad}: "
+                  f"spark={[str(got[c].dtype) for c in dtype_bad]} "
+                  f"oracle={[str(want[c].dtype) for c in dtype_bad]} — "
+                  f"CAST the oracle aggregate AS BIGINT or align the types")
+            n_fail += 1
+            continue
         g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)],
                    key=repr)
         w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)],

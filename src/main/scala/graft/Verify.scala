@@ -47,17 +47,46 @@ object Verify {
       System.err.println(s"[preflight] $t: $line")
     }
 
+    // canonical per-query digest (r11 g-family post-mortem): the driver's
+    // hash gate is a boolean, so a driver-vs-builder disagreement gives
+    // nothing to diff. This digest — computed from the DUMPED parquet
+    // (exactly the bytes the driver's checker reads), columns sorted by
+    // name, values cast to string, per-row md5 summed order-insensitively
+    // — is dumped alongside, so two Verify runs (driver box vs builder
+    // box) can be compared value-for-value without rerunning queries.
+    def digestOf(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      import org.apache.spark.sql.functions._
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000NULL")))
+      val agg = df
+        .select(md5(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(col("h"), 1, 15), 16, 10)
+            .cast("decimal(38,0)")).as("s"))
+        .collect()(0)
+      (agg.getLong(0),
+        Option(agg.getDecimal(1)).map(_.toBigInteger.toString(16))
+          .getOrElse("empty"))
+    }
     val declared = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
     var failed = List.empty[String]
+    var digests = List.empty[(String, Long, String)]
     declared.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val (n, dg) = digestOf(spark.read.parquet(s"$outDir/$name"))
+        digests ::= ((name, n, dg))
+      } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/row_digests.json"),
+      digests.sortBy(_._1).map { case (n, rows, dg) =>
+        s""""$n":{"rows":$rows,"digest":"$dg"}""" }
+        .mkString("{", ",", "}"))
     System.err.println(
       s"[preflight] dumped ${declared.size - failed.size} of ${declared.size} " +
         s"declared queries" +

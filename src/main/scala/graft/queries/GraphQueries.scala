@@ -8,6 +8,14 @@ import graft.io.Tables
   * trade graph, in the fixed-point integer discipline that lets the
   * ITERATION itself sit under the DuckDB hash gate (see
   * [[graft.graph.PageRank]]).
+  *
+  * Oracle type discipline (the r11 g-family hash-fail root cause):
+  * DuckDB's SUM over BIGINT returns HUGEINT (int128), which the
+  * pandas bridge renders as float64 — check.py's value-equality compare
+  * accepts 123 == 123.0 but the driver's hasher formats the two
+  * differently ("123" vs "123.0") and hash-fails with rows+schema green.
+  * So every integer aggregate that reaches a gated output column is
+  * CAST(... AS BIGINT), and no derived DOUBLE sits on a gated surface.
   */
 object GraphQueries {
 
@@ -72,7 +80,7 @@ object GraphQueries {
                 l0 AS (SELECT DISTINCT src AS node, src AS comp FROM e),
                 ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
            SELECT comp, COUNT(*) AS n_nodes, MIN(node) AS min_node,
-                  MAX(node) AS max_node, SUM(node) AS sum_node
+                  MAX(node) AS max_node, CAST(SUM(node) AS BIGINT) AS sum_node
            FROM l4 GROUP BY comp ORDER BY n_nodes DESC, comp"""
       }),
 
@@ -99,7 +107,7 @@ object GraphQueries {
                          UNION ALL SELECT b FROM tri
                          UNION ALL SELECT c FROM tri)
                        GROUP BY node),
-                tot AS (SELECT SUM(tri) // 3 AS total_tri FROM pn)
+                tot AS (SELECT CAST(SUM(tri) // 3 AS BIGINT) AS total_tri FROM pn)
            SELECT node, tri, total_tri FROM pn CROSS JOIN tot
            ORDER BY tri DESC, node LIMIT 20""")),
 
@@ -127,7 +135,12 @@ object GraphQueries {
           .select("src", "dst").distinct()
         val sym = edges0.unionAll(
           edges0.select(col("dst").as("src"), col("src").as("dst")))
+        // gated surface is BIGINT-only: the derived real-valued `rank`
+        // is dropped here (DuckDB's ROUND/double formatting is the one
+        // engine-specific surface in the family; rank_nano pins the same
+        // information exactly)
         graft.graph.PageRank.run(sym, "src", "dst", iters = 3)
+          .select(col("node"), col("rank_nano"))
           .orderBy(col("rank_nano").desc, col("node"))
           .limit(20)
       },
@@ -135,8 +148,8 @@ object GraphQueries {
         def iter(i: Int): String = {
           val prev = if (i == 1) "r0" else s"r${i - 1}"
           s"""r$i AS (SELECT e.dst AS node,
-                             t.t + (SUM($prev.rank_nano // deg.deg) * 17) // 20
-                               AS rank_nano
+                             CAST(t.t + (SUM($prev.rank_nano // deg.deg) * 17) // 20
+                               AS BIGINT) AS rank_nano
                       FROM e
                       JOIN deg ON deg.src = e.src
                       JOIN $prev ON $prev.node = e.src
@@ -158,8 +171,7 @@ object GraphQueries {
                 ${iter(1)},
                 ${iter(2)},
                 ${iter(3)}
-           SELECT node, rank_nano,
-                  ROUND(CAST(rank_nano AS DOUBLE) / 1e9, 9) AS rank
+           SELECT node, rank_nano
            FROM r3
            ORDER BY rank_nano DESC, node LIMIT 20"""
       }),
@@ -208,7 +220,7 @@ object GraphQueries {
                        FROM e),
                 ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
            SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
-                  MAX(node) AS max_node, SUM(node) AS sum_node
+                  MAX(node) AS max_node, CAST(SUM(node) AS BIGINT) AS sum_node
            FROM d4 GROUP BY dist ORDER BY dist"""
       })
   )
