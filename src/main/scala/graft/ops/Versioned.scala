@@ -54,6 +54,22 @@ object Versioned {
     require(s != null && s.matches(IdPattern),
       s"$kind '$s' must match $IdPattern (it flows into paths and manifest JSON)")
 
+  /** Default-column type/literal charsets — shared by the manifest writer
+    * and [[addColumnCommit]]'s pre-publish probe. Both strings are
+    * interpolated into Spark SQL `expr` text AND manifest JSON, so no
+    * quote characters of any kind are representable: a literal like
+    * `' || java_method(...) || '` is rejected here, BEFORE the probe
+    * expression is built and evaluated. */
+  private val DefaultTypePattern = "[A-Za-z0-9(), ]+"
+  private val DefaultLiteralPattern = "[A-Za-z0-9_. :\\-]*"
+
+  private def requireDefault(t: String, value: String): Unit = {
+    require(t != null && t.matches(DefaultTypePattern),
+      s"default column type has forbidden characters: $t")
+    require(value != null && value.matches(DefaultLiteralPattern),
+      s"default literal has forbidden characters: $value")
+  }
+
   /** Group entries (local names or clone paths/URIs) live inside the
     * manifest's quoted, comma-separated groups array — characters that
     * would break that framing are rejected at write time. */
@@ -176,10 +192,7 @@ object Versioned {
       else {
         defaults.foreach { case (n, (t, value)) =>
           requireId("default column", n)
-          require(t.matches("[A-Za-z0-9(), ]+"),
-            s"default column type has forbidden characters: $t")
-          require(value.matches("[A-Za-z0-9_. :\\-]*"),
-            s"default literal has forbidden characters: $value")
+          requireDefault(t, value)
         }
         s""","defaults":{${defaults.toSeq.sortBy(_._1)
           .map { case (n, (t, value)) => s""""$n":["$t","$value"]""" }
@@ -404,14 +417,34 @@ object Versioned {
     val drops =
       if (overwrite || parent == 0) Set.empty[String]
       else readDrops(dir, parent)
+    val parentStats =
+      if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
+      else readStats(dir, parent)
+    // the stats column's IDENTITY travels with the stats: a caller
+    // recording a different column than the carried groups' stats
+    // describe would mix meanings in one manifest — refused loudly,
+    // BEFORE the data write so a refusal never orphans a group
+    val parentScol =
+      if (overwrite || parent == 0) None else readStatsCol(dir, parent)
+    statsCol.foreach { c =>
+      parentScol match {
+        case Some(pc) => require(pc == c,
+          s"commit records stats on '$c' but carried groups' stats at " +
+            s"$dir describe '$pc'")
+        // UNLABELED legacy stats on carried groups: stamping '$c' would
+        // relabel stats of an UNKNOWN column, re-enabling the wrong-column
+        // pruning the label exists to prevent — refused loudly
+        case None => require(parentStats.isEmpty,
+          s"commit records stats on '$c' but carried groups at $dir hold " +
+            "unlabeled legacy stats (column unknown) — an overwrite or " +
+            "OPTIMIZE must re-key them first")
+      }
+    }
     withoutDrops(withDefaults(toPhysical(df, renames), defaults), drops)
       .write.mode("errorifexists").parquet(s"$dir/data/$group")
     val groups =
       (if (overwrite || parent == 0) Seq.empty
        else readManifest(dir, parent)) :+ group
-    val parentStats =
-      if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
-      else readStats(dir, parent)
     val newStats = statsCol.flatMap { c =>
       // the written group carries physical names; map the caller's
       // logical stats column back before probing it
@@ -424,14 +457,6 @@ object Versioned {
     val (dgs, dk) =
       if (overwrite || parent == 0) (Seq.empty[String], None)
       else readDeletes(dir, parent)
-    // the stats column's IDENTITY travels with the stats: a caller
-    // recording a different column than the carried groups' stats
-    // describe would mix meanings in one manifest — refused loudly
-    val parentScol =
-      if (overwrite || parent == 0) None else readStatsCol(dir, parent)
-    statsCol.foreach(c => parentScol.foreach(pc => require(pc == c,
-      s"commit records stats on '$c' but carried groups' stats at $dir " +
-        s"describe '$pc'")))
     val parentStats2 =
       if (overwrite || parent == 0)
         Map.empty[String, (Long, Long, Long, Long)]
@@ -511,10 +536,34 @@ object Versioned {
       val parent = latestVersion(dir)
       if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) {
         // a racing replay won: drop the orphaned group, report skip
+        // (checked FIRST — if our own txn already landed, we publish
+        // nothing, so a racing overwrite's staleness is moot)
         val p = new org.apache.hadoop.fs.Path(resolveGroup(dir, group))
         p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
           .delete(p, true)
         return None
+      }
+      // a racing OVERWRITE anywhere past the basis snapshot (captured at
+      // the data write) is a TRUE conflict — the snapshot this commit
+      // (or its read-merge basis, the st10 IVM shape) was built on no
+      // longer exists; silently rebasing would e.g. re-append a key a
+      // racing MOR delete just removed, or republish a merge computed
+      // from the stale snapshot (lost update). UNCONDITIONAL — our own
+      // commit being an overwrite does not exempt it; a blind overwrite
+      // that truly reads nothing can run commit(overwrite = true).
+      // Checked against the BASIS, not just the failed publish slot, so
+      // an overwrite landing in the beforePublish window (before the
+      // first attempt ever reads latestVersion) is caught too — the
+      // commitAppendOcc rule.
+      ((lvAtWrite + 1) to parent).foreach { w =>
+        if (manifestIsOverwrite(dir, w)) {
+          val p = new org.apache.hadoop.fs.Path(resolveGroup(dir, group))
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          throw new java.util.ConcurrentModificationException(
+            s"idempotentCommit($appId, $txnVersion) based on v$lvAtWrite " +
+              s"conflicts with concurrent OVERWRITE commit v$w at $dir")
+        }
       }
       val v = parent + 1
       val groups =
@@ -548,23 +597,10 @@ object Versioned {
           if (overwrite || parent == 0) None
           else readStatsCol2(dir, parent))
       if (publishIfAbsent(dir, v, json)) return Some(v)
-      // losing the race to an APPEND is a false conflict (rebase and
-      // retry); an OVERWRITE landing concurrently (MOR delete, restore,
-      // compaction) is a TRUE conflict — the snapshot this commit (or
-      // its read-merge basis) was built on no longer exists. Silently
-      // rebasing past it would e.g. re-append a key a racing MOR delete
-      // just removed. Same rule as commitAppendOcc.
-      val newLatest = latestVersion(dir)
-      ((v + 1) to newLatest).foreach { w =>
-        if (manifestIsOverwrite(dir, w))
-          throw new java.util.ConcurrentModificationException(
-            s"idempotentCommit($appId, $txnVersion) based on v$parent " +
-              s"conflicts with concurrent OVERWRITE commit v$w at $dir")
-      }
-      if (manifestIsOverwrite(dir, v) && !overwrite)
-        throw new java.util.ConcurrentModificationException(
-          s"idempotentCommit($appId, $txnVersion) based on v$parent " +
-            s"lost the race to an OVERWRITE at v$v in $dir")
+      // publish lost to a racing APPEND (a false conflict): loop back —
+      // the next iteration's basis sweep ((lvAtWrite+1)..parent) vets
+      // every commit that landed, including the one that beat us, and
+      // throws if ANY of them is an overwrite
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1002,6 +1038,12 @@ object Versioned {
   def addColumnCommit(spark: SparkSession, dir: String, name: String,
       sqlType: String, defaultLiteral: String): Int = {
     requireId("added column", name)
+    // charset gate FIRST — the probe below interpolates both strings
+    // into expr() text, so a quote-bearing literal would inject an
+    // arbitrary SQL expression (e.g. java_method) into the probe's
+    // evaluation if this ran after it (the manifest writer re-checks,
+    // but by then the probe has already executed)
+    requireDefault(sqlType, defaultLiteral)
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to alter at $dir")
     requireNoRenames(dir, parent, "ADD COLUMN")
@@ -1114,23 +1156,34 @@ object Versioned {
     val parentGroups = readManifest(dir, parent).toSet
     val v = parent + 1
     val group = s"c$v"
-    val out = if (repartitionTo > 0) df.repartition(repartitionTo) else df
-    out.write.mode("errorifexists").parquet(s"$dir/data/$group")
     val parentStats = readStats(dir, parent)
     val parentStats2 = readStats2(dir, parent)
     val carriedSet = carried.toSet
-    val newStats = statsCol.flatMap(c =>
-      writtenStats(spark, dir, group, c).map(group -> _))
     val overwrite = (parentGroups -- carriedSet).nonEmpty
     // identity consistency only matters while carried groups still hold
     // stats under the old label — a full rewrite (nothing carried) may
-    // legitimately re-key the statistics to a new column
+    // legitimately re-key the statistics to a new column. Guarded BEFORE
+    // the data write so a refusal never orphans a group.
     val carriedStats = parentStats.filter(kv => carriedSet(kv._1))
     val parentScol =
       if (carriedStats.nonEmpty) readStatsCol(dir, parent) else None
-    statsCol.foreach(c => parentScol.foreach(pc => require(pc == c,
-      s"rewrite records stats on '$c' but carried groups' stats at $dir " +
-        s"describe '$pc'")))
+    statsCol.foreach { c =>
+      parentScol match {
+        case Some(pc) => require(pc == c,
+          s"rewrite records stats on '$c' but carried groups' stats at " +
+            s"$dir describe '$pc'")
+        // same rule as commit(): never stamp a label over carried
+        // UNLABELED legacy stats (their column is unknown)
+        case None => require(carriedStats.isEmpty,
+          s"rewrite records stats on '$c' but carried groups at $dir " +
+            "hold unlabeled legacy stats (column unknown) — a full " +
+            "rewrite must re-key them first")
+      }
+    }
+    val out = if (repartitionTo > 0) df.repartition(repartitionTo) else df
+    out.write.mode("errorifexists").parquet(s"$dir/data/$group")
+    val newStats = statsCol.flatMap(c =>
+      writtenStats(spark, dir, group, c).map(group -> _))
     val carriedStats2 = parentStats2.filter(kv => carriedSet(kv._1))
     val json = manifestJson(v, parent, overwrite, carried :+ group,
       carriedStats ++ newStats, carriedStats2,

@@ -486,6 +486,65 @@ class VersionedSpec extends SparkSpec {
     assert(dataDirs.count(_.startsWith("t_zombie_1_")) == 1)
   }
 
+  test("idempotentCommit aborts on a racing OVERWRITE even when its own " +
+      "commit is an overwrite (read-merge-overwrite lost-update guard)") {
+    val dir = freshDir()
+    Versioned.commit(Seq(1L, 2L).toDF("id"), dir)
+    // an IVM-style writer reads v1, merges, and overwrites — but a
+    // concurrent OVERWRITE (e.g. a RESTORE or compaction) lands in its
+    // publish window. Silently rebasing would republish a merge computed
+    // from the DEAD v1 snapshot, discarding the racing writer's changes.
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.idempotentCommit(Seq(9L).toDF("id"), dir, "ivm", 1L,
+        overwrite = true,
+        beforePublish = () =>
+          Versioned.commit(Seq(7L).toDF("id"), dir, overwrite = true))
+    }
+    // the racing overwrite survives untouched; the loser published
+    // nothing, recorded no txn marker, and swept its orphaned group
+    assert(Versioned.latestVersion(dir) == 2)
+    assert(Versioned.read(spark, dir).as[Long].collect().toSeq == Seq(7L))
+    assert(Versioned.lastTxnVersion(dir, "ivm").isEmpty)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(!dataDirs.exists(_.startsWith("t_ivm_")),
+      s"orphaned group not cleaned: ${dataDirs.toSeq}")
+    // ...and the writer's honest retry (re-read, re-merge, re-commit)
+    // lands cleanly on the new basis
+    assert(Versioned.idempotentCommit(Seq(8L).toDF("id"), dir, "ivm", 1L,
+      overwrite = true).contains(3))
+    assert(Versioned.read(spark, dir).as[Long].collect().toSeq == Seq(8L))
+  }
+
+  test("a label is never stamped over carried UNLABELED legacy stats — " +
+      "append and rewrite refuse; unlabeled appends still work") {
+    val dir = freshDir()
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "ts"), dir,
+      statsCol = Some("ts"))
+    // simulate a legacy manifest written before stats labels existed:
+    // stats present, scol absent
+    val mp = java.nio.file.Paths.get(dir, "_manifests", "v1.json")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mp))
+      .replaceAll(""","scol":"ts"""", "")
+    java.nio.file.Files.write(mp, legacy.getBytes)
+    assert(Versioned.readStatsCol(dir, 1).isEmpty, "legacy sim failed")
+    // stamping a label over the carried unknown-column stats would
+    // re-enable exactly the wrong-column pruning labels prevent
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((3L, 30L)).toDF("id", "ts"), dir,
+        statsCol = Some("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((3L, 30L)).toDF("id", "ts"), dir,
+        statsCol = Some("ts")) // even the "right" name is unprovable
+    }
+    // unlabeled append over legacy stats stays fine (readers conservative)
+    assert(Versioned.commit(Seq((3L, 30L)).toDF("id", "ts"), dir) == 2)
+    // an overwrite carries nothing, so it may re-key the statistics
+    assert(Versioned.commit(Seq((4L, 40L)).toDF("id", "ts"), dir,
+      overwrite = true, statsCol = Some("id")) == 3)
+    assert(Versioned.readStatsCol(dir, 3).contains("id"))
+  }
+
   test("manifest publish is put-if-absent: a racing publish at the same " +
       "version loses and the winner's manifest is byte-untouched") {
     val dir = freshDir()
@@ -962,5 +1021,19 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Versioned.addColumnCommit(spark, dir, "evil", "str\"ing", "x")
     }
+    // SINGLE-quote payloads must be rejected BEFORE the evaluate-once
+    // probe runs — interpolated into expr() text, a quote would close
+    // the literal and splice an arbitrary SQL expression (e.g.
+    // java_method reflection) into the probe's evaluation
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "evil", "string",
+        "' || java_method('java.lang.System','getenv') || '")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addColumnCommit(spark, dir, "evil",
+        "string) from x --", "v")
+    }
+    assert(Versioned.latestVersion(dir) == vr,
+      "refused ALTERs must publish nothing")
   }
 }
