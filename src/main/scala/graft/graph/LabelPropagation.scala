@@ -37,12 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
-  /** Run `iters` min-label rounds over `edges` (src, dst — already
-    * distinct; pass a symmetrized list for undirected semantics).
-    * Returns (node, comp) for every node appearing in the edge list. */
-  def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters: $iters")
+  /** Self-loop-augmented edge list + initial self-labels + one min-label
+    * round — the shared setup of both iteration forms. */
+  private def prepared(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame => DataFrame, DataFrame) = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e0.select(col("src").as("node"))
@@ -51,12 +49,36 @@ object LabelPropagation {
     val e = graft.ops.Caches.tracked(
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var labels = nodes.withColumn("comp", col("node"))
-    for (i <- 1 to iters) {
-      labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+    val step = (labels: DataFrame) =>
+      e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("comp").as("comp"))
-      if (i % 8 == 0) labels = labels.localCheckpoint()
+    (step, nodes.withColumn("comp", col("node")))
+  }
+
+  /** Run `iters` min-label rounds over `edges` (src, dst — already
+    * distinct; pass a symmetrized list for undirected semantics).
+    * Returns (node, comp) for every node appearing in the edge list. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val (step, init) = prepared(edges, srcCol, dstCol)
+    Iterate.fixedRounds(init, iters)(step)
+  }
+
+  /** Run to CONVERGENCE — connected components by HashMin: iterate until
+    * no node's label changed in a round (labels only decrease, so a
+    * zero-change round IS the fixpoint), or `maxIters`. Rounds needed =
+    * the largest distance from any node to its component's minimum, so
+    * prefer [[graft.dedup.Clusters]]' large-star/small-star (O(log n)
+    * rounds) on graphs whose diameter is unknown. Returns
+    * ((node, comp), roundsRun) — roundsRun includes the final
+    * zero-change probe round. */
+  def runUntil(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int): (DataFrame, Int) = {
+    val (step, init) = prepared(edges, srcCol, dstCol)
+    Iterate.untilFixpoint(init, maxIters)(step) { (prev, next) =>
+      prev.select(col("node"), col("comp").as("p"))
+        .join(next.select(col("node"), col("comp").as("q")), "node")
+        .filter(col("p") =!= col("q")).limit(1).count() == 0L
     }
-    labels
   }
 }

@@ -32,12 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Run `iters` fixed-point iterations over `edges` (src, dst — already
-    * distinct). Returns (node, rank_nano, rank) for every node appearing
-    * in the edge list. */
-  def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters: $iters")
+  /** Edge list + degrees + initial uniform rank — the shared setup of
+    * both iteration forms. Returns (step, init) where step is ONE
+    * fixed-point round (one edge⋈rank equi-join + one dst shuffle,
+    * referencing the rank frame exactly once — the [[Iterate]] rule). */
+  private def prepared(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame => DataFrame, DataFrame) = {
     val e = graft.ops.Caches.tracked(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
@@ -50,23 +50,52 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val teleportNano = 150000000L / n // (0.15 × 10⁹) ÷ N, floor — exact
-    var ranks = nodes.withColumn("rank_nano", lit(1000000000L / n))
-    for (i <- 1 to iters) {
-      val contribs = e
-        .join(deg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank_nano div deg").as("c")) // BIGINT floor div, exact
-      ranks = contribs.groupBy("node")
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"),
-          (lit(teleportNano) + expr("(s * 17) div 20")).as("rank_nano"))
-      // each round references the previous frame ONCE, so the rounds
-      // form a linear shuffle chain executed once per action; the
-      // checkpoint only bounds PLAN depth (the LabelPropagation rule)
-      if (i % 8 == 0) ranks = ranks.localCheckpoint()
+    val step = (ranks: DataFrame) => e
+      .join(deg, "src")
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"),
+        expr("rank_nano div deg").as("c")) // BIGINT floor div, exact
+      .groupBy("node")
+      .agg(sum(col("c")).as("s"))
+      .select(col("node"),
+        (lit(teleportNano) + expr("(s * 17) div 20")).as("rank_nano"))
+    (step, nodes.withColumn("rank_nano", lit(1000000000L / n)))
+  }
+
+  /** Run `iters` fixed-point iterations over `edges` (src, dst — already
+    * distinct). Returns (node, rank_nano, rank) for every node appearing
+    * in the edge list. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    val (step, init) = prepared(edges, srcCol, dstCol)
+    withRank(Iterate.fixedRounds(init, iters)(step))
+  }
+
+  /** Run to CONVERGENCE: iterate until no node's rank moved by more than
+    * `tolNano` nano-units in a round (max-norm — the standard PageRank
+    * stopping rule, exact here because ranks are integers), or `maxIters`
+    * rounds ran. Returns (ranks, roundsRun). The probe is one
+    * prev⋈next equi-join + a max aggregate per round — O(|V|), never
+    * touching the edge list. */
+  def runUntil(edges: DataFrame, srcCol: String, dstCol: String,
+      tolNano: Long, maxIters: Int): (DataFrame, Int) = {
+    require(tolNano >= 0, s"tolNano: $tolNano")
+    val (step, init) = prepared(edges, srcCol, dstCol)
+    val (ranks, rounds) = Iterate.untilFixpoint(init, maxIters)(step) {
+      (prev, next) => maxDeltaNano(prev, next) <= tolNano
     }
+    (withRank(ranks), rounds)
+  }
+
+  /** Largest per-node |rank_nano| move between two rank frames (both
+    * carry every node — the rank table is dense by construction). */
+  def maxDeltaNano(prev: DataFrame, next: DataFrame): Long =
+    prev.select(col("node"), col("rank_nano").as("p"))
+      .join(next.select(col("node"), col("rank_nano").as("q")), "node")
+      .agg(max(abs(col("q") - col("p"))).as("d"))
+      .collect()(0).getLong(0)
+
+  private def withRank(ranks: DataFrame): DataFrame =
     ranks.select(col("node"), col("rank_nano"),
       round(col("rank_nano").cast("double") / 1e9, 9).as("rank"))
-  }
 }

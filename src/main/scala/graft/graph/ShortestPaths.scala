@@ -33,7 +33,35 @@ object ShortestPaths {
     * for every node reachable within `iters` edges. */
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       sources: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters: $iters")
+    val (step, init) = prepared(edges, srcCol, dstCol, wCol, sources)
+    Iterate.fixedRounds(init, iters)(step)
+  }
+
+  /** Run to CONVERGENCE (full Bellman-Ford): iterate until a round
+    * neither reaches a new node nor improves a distance — with
+    * non-negative weights that round IS the fixpoint — or `maxIters`.
+    * The probe is one next⋈prev left-join + count per round over the
+    * REACHED set only (the frontier sparsity carries over). Returns
+    * ((node, dist), roundsRun). */
+  def runUntil(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    val (step, init) = prepared(edges, srcCol, dstCol, wCol, sources)
+    Iterate.untilFixpoint(init, maxIters)(step) { (prev, next) =>
+      // improved = newly reached (no prev row) OR strictly smaller dist;
+      // dist never increases, so zero improvements ends the iteration
+      next.select(col("node"), col("dist").as("q"))
+        .join(prev.select(col("node"), col("dist").as("p")), Seq("node"),
+          "left_outer")
+        .filter(col("p").isNull || col("q") < col("p"))
+        .limit(1).count() == 0L
+    }
+  }
+
+  /** Weight-0-self-loop-augmented edge list + (sources, 0) frontier +
+    * one relaxation round — the shared setup of both iteration forms. */
+  private def prepared(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: DataFrame)
+      : (DataFrame => DataFrame, DataFrame) = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
     val srcNodes = sources.select(col("node").cast("long").as("node"))
@@ -49,13 +77,10 @@ object ShortestPaths {
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst"),
           lit(0L).as("w")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    var dist = srcNodes.select(col("node"), lit(0L).as("dist"))
-    for (i <- 1 to iters) {
-      dist = e.join(dist.withColumnRenamed("node", "src"), "src")
+    val step = (dist: DataFrame) =>
+      e.join(dist.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("w")).as("dist"))
-      if (i % 8 == 0) dist = dist.localCheckpoint()
-    }
-    dist
+    (step, srcNodes.select(col("node"), lit(0L).as("dist")))
   }
 }
