@@ -147,7 +147,14 @@ object Bench {
       val best = if (ok) secs.min else -1.0
       val spreadPct =
         if (ok && secs.min > 0) (secs.max - secs.min) / secs.min * 100.0 else -1.0
-      (name, best, spreadPct, secs, ok)
+      // median-of-k (r11 VERDICT item 3): best-of-k hides sustained
+      // contention, mean lets ONE contended rep dominate (r11 t21: reps
+      // [1.7, 14.4, 1.9] → mean 6.0 read as a 3.6x regression); the
+      // median is robust to a single poisoned rep while still moving
+      // when the box is genuinely slower — cross-round comparisons
+      // should read it next to best
+      val med = if (ok) secs.sorted.apply(secs.size / 2) else -1.0
+      (name, best, spreadPct, secs, ok, med)
     }
     canaries(names.size) = canaryOnce()
     // drift vs the session-best canary (the steady cost this box is
@@ -168,14 +175,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    val total = results.collect { case (_, v, _, _, true, _) => v }.sum
+    val medianTotal = results.collect { case (_, _, _, _, true, m) => m }.sum
     // split the board by execution model so the streaming family's fixed
     // per-run cost reads separately from the batch engine number
     // (r9 VERDICT item 6): st* queries run real StreamingQuery executions
     val streamTotal =
-      results.collect { case (k, v, _, _, true) if k.startsWith("st") => v }.sum
+      results.collect { case (k, v, _, _, true, _) if k.startsWith("st") => v }.sum
     val batchTotal = total - streamTotal
     val headline = results.filter(r => Headline.contains(r._1))
     val drifts = names.indices.map(qi => (names(qi), driftPct(qi)))
@@ -183,7 +191,9 @@ object Bench {
 
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
       s""""rep_k":$reps,"errors":$errors,""" +
+      s""""median_total_s":${fmt(medianTotal)},""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
+      s""""queries_median":${jmap(results.map(r => (r._1, r._6)))},""" +
       s""""spread_pct":${jmap(results.map(r => (r._1, r._3)))},""" +
       s""""canary_base_s":${fmt(cBase)},""" +
       s""""canary_drift_pct":${jmap(drifts)},""" +
@@ -200,13 +210,18 @@ object Bench {
     // representative map. The full error list, per-query map, spreads and
     // raw reps live in bench_full.json only — an error-bearing run must
     // not blow the line past the driver's tail buffer again.
-    val errNames = results.collect { case (k, _, _, _, false) => k }
+    val errNames = results.collect { case (k, _, _, _, false, _) => k }
     val errPreview = errNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
       s""""batch_s":${fmt(batchTotal)},"stream_s":${fmt(streamTotal)},""" +
+      // median next to best (r11 VERDICT item 3): best-of-k is the
+      // steady-state claim, median_total_s is the contention-robust
+      // cross-round comparator — one poisoned rep moves neither
+      s""""median_total_s":${fmt(medianTotal)},""" +
       s""""n_errors":${errNames.size},"errors":$errPreview,""" +
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +
+      s""""queries_median":${jmap(headline.map(r => (r._1, r._6)))},""" +
       // headline spreads on the PRINTED line (r8 VERDICT item 4): a
       // contended driver box shows up as large spread_pct right in
       // BENCH_r{N}.json instead of re-litigating "regression or noise"

@@ -389,10 +389,14 @@ object TpchQueries {
     // broadcasts back onto the view.
     Q("q15_top_supplier",
       (s, d) => {
-        val rev = Tables.lineitem(s, d)
+        // rev feeds TWO consumers (its own MAX and the equality join) —
+        // persisted so the lineitem fact is scanned and aggregated ONCE;
+        // the cached frame is |suppliers| rows, not fact-sized
+        val rev = graft.ops.Caches.tracked(Tables.lineitem(s, d)
           .groupBy(col("l_suppkey").as("s_key"))
           .agg(sum(expr("l_extendedprice * (1 - l_discount)")
             .cast("decimal(18,4)")).as("rev_dec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val top = rev.agg(max(col("rev_dec")).as("max_rev"))
         rev.join(broadcast(top), col("rev_dec") === col("max_rev"))
           .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
