@@ -292,4 +292,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "scalar combine regressed to a cartesian product")
   }
+
+  test("q21: EXISTS plans as LEFT SEMI and NOT EXISTS as LEFT ANTI — " +
+      "never a count-based or cartesian rewrite") {
+    val plan = planString("q21_waiting_suppliers")
+    assert(plan.contains("LeftSemi"), s"EXISTS lost the semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS lost the anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "non-equi residual regressed to a cartesian")
+  }
+
+  test("q13: the order predicate lives in the LEFT JOIN condition (a " +
+      "WHERE would drop order-less customers) and the histogram " +
+      "aggregates two-phase") {
+    val plan = planString("q13_order_count_distribution")
+    assert(plan.contains("LeftOuter"), s"left join lost:\n$plan")
+    // the o_orderpriority filter must sit on the orders SIDE (pushed to
+    // its scan), never above the join
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+        "Not(EqualTo(o_orderpriority,5-LOW))]")
+      || plan.contains("Not(EqualTo(o_orderpriority,5-LOW))"),
+      s"priority predicate did not push to the orders scan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"count lost map-side partial aggregation:\n$plan")
+  }
+
+  test("q16: the complaints exclusion is a BROADCAST anti-join and the " +
+      "part dims broadcast — the fact-derived pair relation never " +
+      "joins by shuffle against a 100-row dim") {
+    val plan = planString("q16_supplier_census")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"NOT IN lost the broadcast anti-join:\n$plan")
+  }
+
+  test("q2: the correlated-min equality joins back as a BROADCAST (the " +
+      "per-part min table is dim-sized) and the part filters push to " +
+      "the part scan") {
+    val plan = planString("q2_min_cost_supplier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"min-bal join lost the broadcast:\n$plan")
+    assert(plan.contains("EqualTo(p_size,15)")
+      && plan.contains("EqualTo(p_type,SMALL)"),
+      s"part filters did not push to the scan:\n$plan")
+  }
 }
