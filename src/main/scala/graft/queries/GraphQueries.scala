@@ -176,6 +176,58 @@ object GraphQueries {
            ORDER BY rank_nano DESC, node LIMIT 20"""
       }),
 
+    // G5: DEEP PageRank — 10 rounds, crossing the Iterate checkpoint
+    // boundary (localCheckpoint fires at round 8), so the truncate-and-
+    // continue path itself sits under the cross-engine hash: a
+    // checkpoint that perturbed (or dropped) a single rank unit would
+    // flip the verbatim top-20 against the oracle's 10-round CTE chain.
+    // Same trade graph and fixed-point discipline as g1.
+    Q("g5_pagerank_deep",
+      (s, d) => {
+        val edges0 = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("long").as("ok"),
+            (col("o_custkey").cast("long") * 2L).as("src"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").cast("long").as("ok"),
+              (col("l_suppkey").cast("long") * 2L + 1L).as("dst")), "ok")
+          .select("src", "dst").distinct()
+        val sym = edges0.unionAll(
+          edges0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.PageRank.run(sym, "src", "dst", iters = 10)
+          .select(col("node"), col("rank_nano"))
+          .orderBy(col("rank_nano").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s"""r$i AS (SELECT e.dst AS node,
+                             CAST(t.t + (SUM($prev.rank_nano // deg.deg) * 17) // 20
+                               AS BIGINT) AS rank_nano
+                      FROM e
+                      JOIN deg ON deg.src = e.src
+                      JOIN $prev ON $prev.node = e.src
+                      CROSS JOIN t
+                      GROUP BY e.dst, t.t)"""
+        }
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                               CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+                        FROM orders
+                        JOIN lineitem ON l_orderkey = o_orderkey),
+                e AS (SELECT src, dst FROM e0
+                      UNION ALL SELECT dst, src FROM e0),
+                deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+                nodes AS (SELECT DISTINCT src AS node FROM e),
+                n AS (SELECT COUNT(*) AS n FROM nodes),
+                t AS (SELECT 150000000 // n AS t FROM n),
+                r0 AS (SELECT node, 1000000000 // n.n AS rank_nano
+                       FROM nodes, n),
+                ${(1 to 10).map(iter).mkString(",\n                ")}
+           SELECT node, rank_nano
+           FROM r10
+           ORDER BY rank_nano DESC, node LIMIT 20"""
+      }),
+
     // G4: single-source shortest paths (4 Bellman-Ford relaxation
     // rounds) over the weighted, symmetrized part co-purchase graph —
     // the min-plus semiring workload completing the iterative triple
