@@ -351,7 +351,7 @@ object Dedup {
   /** (id, band, band_hash) buckets of a MinHash signature frame: the k
     * signature slots split into bands of `rowsPerBand`, each band's slots
     * hashed into one bucket key. */
-  private def bandBuckets(sigs: DataFrame, idCol: String,
+  private[dedup] def bandBuckets(sigs: DataFrame, idCol: String,
       rowsPerBand: Int): DataFrame =
     sigs
       .withColumn("band", floor(col("j") / rowsPerBand).cast("long"))

@@ -1,0 +1,110 @@
+package graft.dedup
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = NearDupIndex.Params(n = 3, k = 12, rowsPerBand = 3,
+    minJaccard = 0.2)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-ndidx").toString + "/idx"
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely different content about spark engines entirely here"),
+    (3L, "a third unrelated corpus document describing weather patterns"))
+    .toDF("doc_id", "text")
+
+  test("probe finds exact-verified near-dups of indexed docs; unrelated " +
+      "batch docs match nothing") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "totally novel text never seen in any indexed document"))
+      .toDF("doc_id", "text")
+    val pairs = NearDupIndex.probe(spark, batch, "doc_id", "text", P, dir)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("ingest appends ONLY survivors: a dup of the corpus never enters " +
+      "the index, a novel doc becomes probe-able by the NEXT batch") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup
+      (11L, "fresh survivor text about distributed minhash indexing steps"))
+      .toDF("doc_id", "text")
+    val p1 = NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir)
+    assert(p1.select("batch_id").as[Long].collect().toSeq == Seq(10L))
+    // batch2 near-dups batch1's SURVIVOR (11) and the dropped dup's
+    // original (1) — both must be found via the stored index; a pair
+    // against 10 must NOT exist (10 was never appended)
+    val batch2 = Seq(
+      (20L, "fresh survivor text about distributed minhash indexing steps"),
+      (21L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val p2 = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((20L, 11L), (21L, 1L)), s"got $p2")
+  }
+
+  test("probe result is pinned to the index version at call time — a " +
+      "later append cannot leak into an already-built frame") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch = Seq(
+      (30L, "a third unrelated corpus document describing weather patterns"))
+      .toDF("doc_id", "text")
+    val before = NearDupIndex.probe(spark, batch, "doc_id", "text", P, dir)
+    NearDupIndex.ingest(spark,
+      Seq((31L, "a third unrelated corpus document describing weather patterns x"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", P, dir)
+    // the pre-append frame still sees exactly one match (corpus doc 3),
+    // not 31's appended near-dup
+    assert(before.select("corpus_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("params must tile the signature and stay positive") {
+    intercept[IllegalArgumentException] {
+      NearDupIndex.Params(3, 12, 5, 0.2) // 5 does not divide 12
+    }
+    intercept[IllegalArgumentException] {
+      NearDupIndex.Params(3, 12, 3, 0.0)
+    }
+  }
+
+  test("incremental two-step protocol equals the one-shot cross-corpus " +
+      "recompute on the final index content") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "fresh survivor text about distributed minhash indexing steps"))
+      .toDF("doc_id", "text")
+    NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir)
+    val batch2 = Seq(
+      (20L, "fresh survivor text about distributed minhash indexing steps"))
+      .toDF("doc_id", "text")
+    val inc = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir)
+      .select("batch_id", "corpus_id", "inter", "sz1", "sz2", "jaccard")
+      .collect().toSet
+    // ground truth: crossCorpusPairs of batch2 vs (corpus + batch1
+    // survivors) recomputed from text
+    val surv1 = Seq(
+      (11L, "fresh survivor text about distributed minhash indexing steps"))
+      .toDF("doc_id", "text")
+    val full = Dedup.crossCorpusPairs(batch2, corpus.unionByName(surv1),
+        "doc_id", "text", P.n, P.k, P.rowsPerBand, P.minJaccard)
+      .collect().toSet
+    assert(inc == full, s"incremental $inc != recompute $full")
+  }
+}
