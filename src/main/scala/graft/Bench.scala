@@ -122,7 +122,7 @@ object Bench {
     // canary sample before each query's rep block + one after the last
     // block; query i's neighborhood = (canary_i, canary_{i+1})
     val canaries = new Array[Double](names.size + 1)
-    // (name, best, spreadPct, allReps, ok)
+    // (name, best, spreadPct, allReps, ok, median)
     val results = names.zipWithIndex.map { case (name, qi) =>
       // ...and an explicit UNTIMED gc before each query's block drains
       // the previous block's orphans eagerly, so no query starts its
@@ -152,8 +152,10 @@ object Bench {
       // [1.7, 14.4, 1.9] → mean 6.0 read as a 3.6x regression); the
       // median is robust to a single poisoned rep while still moving
       // when the box is genuinely slower — cross-round comparisons
-      // should read it next to best
-      val med = if (ok) secs.sorted.apply(secs.size / 2) else -1.0
+      // should read it next to best. LOWER median for even k: the upper
+      // middle of [fast, poisoned] IS the poisoned rep, which would
+      // defeat the robustness claim at SPARK_GRAFT_BENCH_REPS=2.
+      val med = if (ok) secs.sorted.apply((secs.size - 1) / 2) else -1.0
       (name, best, spreadPct, secs, ok, med)
     }
     canaries(names.size) = canaryOnce()

@@ -76,27 +76,24 @@ object NearDupIndex {
     append(bands, sh, sizes, dir)
   }
 
-  /** Which batch documents near-duplicate the INDEXED corpus — reads the
-    * stored index, never re-sketches it. Returns
-    * (batch_id, corpus_id, inter, sz1, sz2, jaccard), exact-verified.
-    * The returned frame is pinned to the index version visible at call
-    * time (Versioned reads plan concrete file groups), so a subsequent
-    * [[ingest]] append cannot leak into it. */
-  def probe(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, p: Params, dir: String): DataFrame = {
-    val (bB0, shB, szB0) = sketch(batch, idCol, textCol, p)
-    val bB = bB0.select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+  /** Probe from an ALREADY-built batch sketch — the shared core of
+    * [[probe]] and [[ingest]], so ingest never sketches twice. */
+  private def probeWith(spark: SparkSession, idCol: String,
+      bands: DataFrame, sh: DataFrame, sizes: DataFrame, p: Params,
+      dir: String): DataFrame = {
+    val bB = bands.select(col(idCol).as("batch_id"), col("band"),
+      col("band_hash"))
     val bC = Versioned.read(spark, bandsDir(dir))
       .select(col(idCol).as("corpus_id"), col("band"), col("band_hash"))
     val cands = bB.join(bC, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
     val shC = Versioned.read(spark, shinglesDir(dir))
     val inter = cands
-      .join(shB.select(col(idCol).as("batch_id"), col("shingle")), "batch_id")
+      .join(sh.select(col(idCol).as("batch_id"), col("shingle")), "batch_id")
       .join(shC.select(col(idCol).as("corpus_id"), col("shingle")),
         Seq("corpus_id", "shingle"))
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    val szB = szB0.select(col(idCol).as("batch_id"), col("sz").as("sz1"))
+    val szB = sizes.select(col(idCol).as("batch_id"), col("sz").as("sz1"))
     val szC = Versioned.read(spark, sizesDir(dir))
       .select(col(idCol).as("corpus_id"), col("sz").as("sz2"))
     inter.join(szB, "batch_id").join(szC, "corpus_id")
@@ -108,16 +105,34 @@ object NearDupIndex {
         col("sz2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Which batch documents near-duplicate the INDEXED corpus — reads the
+    * stored index, never re-sketches it. Returns
+    * (batch_id, corpus_id, inter, sz1, sz2, jaccard), exact-verified.
+    * The returned frame is pinned to the index version visible at call
+    * time (Versioned reads plan concrete file groups), so a subsequent
+    * [[ingest]] append cannot leak into it. */
+  def probe(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, p: Params, dir: String): DataFrame = {
+    val (bands, sh, sizes) = sketch(batch, idCol, textCol, p)
+    probeWith(spark, idCol, bands, sh, sizes, p, dir)
+  }
+
   /** One recurring-crawl step: probe, then append the NON-duplicate
     * survivors' sketch to the index (new versions of all three tables).
-    * Returns the duplicate pairs the probe found. */
+    * The batch is sketched ONCE — the survivor append anti-joins the
+    * probe's own cached sketch frames by the dup ids instead of
+    * re-tokenizing — and the returned pairs frame is persisted, so the
+    * probe's candidate+verification joins run once even though both the
+    * survivor derivation and the caller consume it. */
   def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, p: Params, dir: String): DataFrame = {
-    val pairs = probe(spark, batch, idCol, textCol, p, dir)
+    val (bands, sh, sizes) = sketch(batch, idCol, textCol, p)
+    val pairs = Dedup.tracked(
+      probeWith(spark, idCol, bands, sh, sizes, p, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dupIds = pairs.select(col("batch_id").as(idCol)).distinct()
-    val surv = batch.join(dupIds, idCol :: Nil, "left_anti")
-    val (bands, sh, sizes) = sketch(surv, idCol, textCol, p)
-    append(bands, sh, sizes, dir)
+    def surv(f: DataFrame) = f.join(dupIds, idCol :: Nil, "left_anti")
+    append(surv(bands), surv(sh), surv(sizes), dir)
     pairs
   }
 }

@@ -87,13 +87,23 @@ object PageRank {
     (withRank(ranks), rounds)
   }
 
-  /** Largest per-node |rank_nano| move between two rank frames (both
-    * carry every node — the rank table is dense by construction). */
-  def maxDeltaNano(prev: DataFrame, next: DataFrame): Long =
-    prev.select(col("node"), col("rank_nano").as("p"))
-      .join(next.select(col("node"), col("rank_nano").as("q")), "node")
-      .agg(max(abs(col("q") - col("p"))).as("d"))
-      .collect()(0).getLong(0)
+  /** Largest per-node |rank_nano| move between two rank frames. FULL
+    * OUTER + coalesce(0): on a symmetrized graph both frames carry every
+    * node, but with DIRECTED edges (documented-supported — dangling mass
+    * leaks) a zero-in-degree node VANISHES from the next round's frame;
+    * its delta is then its whole previous rank, and a node the frames
+    * merely disagree on must never be silently excluded from the max
+    * (an inner join would declare convergence while the node set still
+    * shrinks — or NPE outright when a round empties the frame). */
+  def maxDeltaNano(prev: DataFrame, next: DataFrame): Long = {
+    val row = prev.select(col("node"), col("rank_nano").as("p"))
+      .join(next.select(col("node"), col("rank_nano").as("q")),
+        Seq("node"), "full_outer")
+      .agg(max(abs(coalesce(col("q"), lit(0L)) - coalesce(col("p"), lit(0L))))
+        .as("d"))
+      .collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0) // both empty → converged
+  }
 
   private def withRank(ranks: DataFrame): DataFrame =
     ranks.select(col("node"), col("rank_nano"),

@@ -603,6 +603,12 @@ object Versioned {
       // throws if ANY of them is an overwrite
       attempts += 1
     }
+    // exhaustion aborts like the other two abort paths: no manifest ever
+    // referenced the group, so leaving it would leak one full data group
+    // per starved writer (nothing sweeps unreferenced UNCOMMITTED groups)
+    val orphan = new org.apache.hadoop.fs.Path(resolveGroup(dir, group))
+    orphan.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(orphan, true)
     throw new IllegalStateException(
       s"idempotentCommit($appId, $txnVersion) lost 64 straight races at $dir")
   }

@@ -1343,8 +1343,7 @@ object TextQueries {
         import graft.dedup.NearDupIndex
         val p = NearDupIndex.Params(n = 3, k = 12, rowsPerBand = 3,
           minJaccard = 0.2)
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_" +
-          s"${ProcessHandle.current().pid()}/${ndidxRuns.incrementAndGet()}"
+        val dir = ndidxDir()
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(col("doc_id") % 3 =!= 0)
         val batch1 = docs.filter(col("doc_id") % 6 === 0)
@@ -1434,6 +1433,31 @@ object TextQueries {
 
   /** Per-process run counter for t45's index root: Versioned tables are
     * append-only, so every run (bench warmup + reps, repeated Verify)
-    * must build its index in a FRESH directory. */
+    * must build its index in a FRESH directory. Bounded two ways: run N
+    * deletes run N−1's tree (both harnesses fully consume a run's result
+    * before the next begins), and a shutdown hook sweeps this process's
+    * whole root so long-lived boxes never accumulate dead indexes. */
   private val ndidxRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val ndidxRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_" +
+      s"${ProcessHandle.current().pid()}"
+
+  private def deleteTree(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return
+    java.nio.file.Files.walk(root.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { p.toFile.delete(); () })
+  }
+
+  java.lang.Runtime.getRuntime.addShutdownHook(
+    new Thread(() => deleteTree(ndidxRoot), "graft-ndidx-sweep"))
+
+  /** Fresh index dir for this t45 run; sweeps the previous run's tree. */
+  private def ndidxDir(): String = {
+    val run = ndidxRuns.incrementAndGet()
+    if (run > 1) deleteTree(s"$ndidxRoot/${run - 1}")
+    s"$ndidxRoot/$run"
+  }
 }

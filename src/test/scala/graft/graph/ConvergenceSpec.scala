@@ -82,6 +82,26 @@ class ConvergenceSpec extends SparkSpec {
       s"deltas not monotone: $deltas")
   }
 
+  test("PageRank runUntil survives DIRECTED graphs where zero-in-degree " +
+      "nodes vanish from the rank frame (the full-outer delta rule)") {
+    // single directed edge 1→2: after round 1 only node 2 carries a
+    // rank row; an inner-join delta probe would compute max over an
+    // EMPTY join (NPE) and, on larger graphs, silently exclude vanished
+    // nodes — declaring convergence while the node set still shrinks
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val (ranks, rounds) = PageRank.runUntil(e, "src", "dst",
+      tolNano = 0L, maxIters = 10)
+    // the leaking semantics drain this degenerate graph completely:
+    // round 1 leaves only node 2 ranked, round 2 empties the frame (2
+    // has no out-edge to feed anyone — an inner-join probe would NPE
+    // HERE on max over the empty join), round 3 probes {} vs {} → stop.
+    // Each vanish must COUNT as a delta, never as convergence.
+    assert(rounds == 3, s"vanish rounds must count as deltas: $rounds")
+    assert(ranks.count() == 0L, "total leak drains the rank table")
+    // delta between two empty frames is 0 (converged), not an NPE
+    assert(PageRank.maxDeltaNano(ranks, ranks) == 0L)
+  }
+
   test("32 fixed rounds keep the plan BOUNDED (the every-8th-round " +
       "checkpoint) and stay exact on a converged graph") {
     val labels = LabelPropagation.run(ccEdges, "src", "dst", iters = 32)
