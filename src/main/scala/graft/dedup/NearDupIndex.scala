@@ -6,32 +6,32 @@ import graft.ops.Versioned
 
 /** PERSISTENT near-duplicate index — the stored-index evolution of
   * [[Dedup.crossCorpusPairs]] its scaladoc promises: the corpus side's
-  * MinHash band buckets, shingle sets and shingle counts live as three
-  * [[graft.ops.Versioned]] tables an ingest run maintains, so a
-  * recurring crawl pays O(new batch + touched buckets) per step instead
-  * of re-sketching the whole corpus (the t14 digest-index pattern,
-  * lifted from exact to NEAR dedup — the shape RefinedWeb/CCNet-style
-  * pipelines actually run at crawl cadence).
+  * MinHash band buckets, shingle sets and shingle counts live in ONE
+  * [[graft.ops.Versioned]] table (a `kind` discriminator separates the
+  * three row families, plus a `p` family recording each step's found
+  * pairs), so a recurring crawl pays O(new batch + touched buckets) per
+  * step instead of re-sketching the whole corpus — the t14 digest-index
+  * pattern lifted from exact to NEAR dedup, the shape RefinedWeb/
+  * CCNet-style pipelines run at crawl cadence.
   *
   * Per [[ingest]] step: sketch the batch once (one cached shingle scan
   * feeds signatures, verification and the survivor append), probe the
   * stored bands for candidates, verify exactly against the stored
   * shingles (never the estimate — the [[Dedup.lshThenExactPairs]]
-  * precision contract), then append ONLY the non-duplicate survivors'
-  * bands/shingles/counts as new index versions. Recall is bounded by
-  * the banding probability; precision is exact.
+  * precision contract), then append the NON-duplicate survivors' sketch
+  * AND the step's pair results as ONE ATOMIC commit — the single-table
+  * layout exists precisely so a crawl step is all-or-nothing, and
+  * [[ingestIdempotent]] makes it exactly-once under at-least-once
+  * delivery (a streaming foreachBatch keyed on the batch id).
   *
-  * 100 TB notes: the stored shingle table is the big side — bucket it by
-  * doc id so the per-probe verification join co-partitions (the
-  * candidate set carries batch-bounded distinct corpus ids); the bands
-  * table shuffles on (band, band_hash) — the same key the probe joins
-  * on. The three commits per step are sequential, not one cross-table
-  * transaction: a crashed ingest can leave bands ahead of shingles —
-  * re-running the SAME batch re-probes against the richer bands and
-  * re-appends survivors idempotently at the pair level (dup pairs only
-  * grow), the honest limitation short of a multi-table commit log.
-  * Within-batch near-duplicates are NOT this verb's job (both survive —
-  * run [[Dedup.lshThenExactPairs]] inside the batch first).
+  * 100 TB notes: shingle rows dominate the table — bucket the stored
+  * table by doc id so the per-probe verification join co-partitions
+  * (the candidate set carries batch-bounded distinct corpus ids); the
+  * band family shuffles on (band, band_hash), the same key the probe
+  * joins on; the extra all-null columns of the unified schema are free
+  * in parquet. Within-batch near-duplicates are NOT this verb's job
+  * (both survive — run [[Dedup.lshThenExactPairs]] inside the batch
+  * first).
   */
 object NearDupIndex {
 
@@ -45,10 +45,6 @@ object NearDupIndex {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard: $minJaccard")
   }
 
-  private def bandsDir(dir: String) = s"$dir/bands"
-  private def shinglesDir(dir: String) = s"$dir/shingles"
-  private def sizesDir(dir: String) = s"$dir/sizes"
-
   /** (bands, shingles, sizes) of one document frame, all fed by ONE
     * cached shingle scan. */
   private def sketch(df: DataFrame, idCol: String, textCol: String,
@@ -61,40 +57,63 @@ object NearDupIndex {
     (bands, sh, sizes)
   }
 
-  private def append(bands: DataFrame, sh: DataFrame, sizes: DataFrame,
-      dir: String): Unit = {
-    Versioned.commit(bands, bandsDir(dir))
-    Versioned.commit(sh, shinglesDir(dir))
-    Versioned.commit(sizes, sizesDir(dir))
+  private def nl = lit(null).cast("long")
+  private def ns = lit(null).cast("string")
+  private def nd = lit(null).cast("double")
+
+  /** The unified single-table rows of one sketch (+ optionally one
+    * step's pairs) — identical schema on every commit. */
+  private def unified(idCol: String, bands: DataFrame, sh: DataFrame,
+      sizes: DataFrame, pairs: Option[(DataFrame, Long)]): DataFrame = {
+    val b = bands.select(lit("b").as("kind"), col(idCol),
+      col("band"), col("band_hash"), ns.as("shingle"), nl.as("sz"),
+      nl.as("corpus_id"), nl.as("inter"), nl.as("sz2"),
+      nd.as("jaccard"), nl.as("step"))
+    val s = sh.select(lit("s").as("kind"), col(idCol),
+      nl.as("band"), ns.as("band_hash"), col("shingle"), nl.as("sz"),
+      nl.as("corpus_id"), nl.as("inter"), nl.as("sz2"),
+      nd.as("jaccard"), nl.as("step"))
+    val z = sizes.select(lit("z").as("kind"), col(idCol),
+      nl.as("band"), ns.as("band_hash"), ns.as("shingle"), col("sz"),
+      nl.as("corpus_id"), nl.as("inter"), nl.as("sz2"),
+      nd.as("jaccard"), nl.as("step"))
+    val base = b.unionByName(s).unionByName(z)
+    pairs.fold(base) { case (pr, step) =>
+      base.unionByName(pr.select(lit("p").as("kind"),
+        col("batch_id").as(idCol), nl.as("band"), ns.as("band_hash"),
+        ns.as("shingle"), col("sz1").as("sz"), col("corpus_id"),
+        col("inter"), col("sz2"), col("jaccard"), lit(step).as("step")))
+    }
   }
 
-  /** Initialize the index from the existing corpus (version 1 of each
-    * index table). */
+  /** Initialize the index from the existing corpus (version 1). */
   def build(corpus: DataFrame, idCol: String, textCol: String,
       p: Params, dir: String): Unit = {
     val (bands, sh, sizes) = sketch(corpus, idCol, textCol, p)
-    append(bands, sh, sizes, dir)
+    Versioned.commit(unified(idCol, bands, sh, sizes, None), dir)
+    ()
   }
 
   /** Probe from an ALREADY-built batch sketch — the shared core of
-    * [[probe]] and [[ingest]], so ingest never sketches twice. */
+    * [[probe]] and the ingest verbs, so ingest never sketches twice. */
   private def probeWith(spark: SparkSession, idCol: String,
       bands: DataFrame, sh: DataFrame, sizes: DataFrame, p: Params,
       dir: String): DataFrame = {
+    val t = Versioned.read(spark, dir)
     val bB = bands.select(col(idCol).as("batch_id"), col("band"),
       col("band_hash"))
-    val bC = Versioned.read(spark, bandsDir(dir))
+    val bC = t.filter(col("kind") === "b")
       .select(col(idCol).as("corpus_id"), col("band"), col("band_hash"))
     val cands = bB.join(bC, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
-    val shC = Versioned.read(spark, shinglesDir(dir))
+    val shC = t.filter(col("kind") === "s")
+      .select(col(idCol).as("corpus_id"), col("shingle"))
     val inter = cands
       .join(sh.select(col(idCol).as("batch_id"), col("shingle")), "batch_id")
-      .join(shC.select(col(idCol).as("corpus_id"), col("shingle")),
-        Seq("corpus_id", "shingle"))
+      .join(shC, Seq("corpus_id", "shingle"))
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
     val szB = sizes.select(col(idCol).as("batch_id"), col("sz").as("sz1"))
-    val szC = Versioned.read(spark, sizesDir(dir))
+    val szC = t.filter(col("kind") === "z")
       .select(col(idCol).as("corpus_id"), col("sz").as("sz2"))
     inter.join(szB, "batch_id").join(szC, "corpus_id")
       .withColumn("jaccard",
@@ -117,22 +136,56 @@ object NearDupIndex {
     probeWith(spark, idCol, bands, sh, sizes, p, dir)
   }
 
-  /** One recurring-crawl step: probe, then append the NON-duplicate
-    * survivors' sketch to the index (new versions of all three tables).
-    * The batch is sketched ONCE — the survivor append anti-joins the
-    * probe's own cached sketch frames by the dup ids instead of
-    * re-tokenizing — and the returned pairs frame is persisted, so the
-    * probe's candidate+verification joins run once even though both the
-    * survivor derivation and the caller consume it. */
-  def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, p: Params, dir: String): DataFrame = {
+  /** The probe + survivor-rows half shared by both ingest verbs: the
+    * batch is sketched ONCE (the survivor append anti-joins the probe's
+    * own cached sketch frames by the dup ids) and the pairs frame is
+    * persisted so its candidate+verification joins run once even though
+    * the survivor derivation, the commit and the caller all consume it. */
+  private def ingestRows(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, p: Params, dir: String,
+      step: Long): (DataFrame, DataFrame) = {
     val (bands, sh, sizes) = sketch(batch, idCol, textCol, p)
     val pairs = Dedup.tracked(
       probeWith(spark, idCol, bands, sh, sizes, p, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dupIds = pairs.select(col("batch_id").as(idCol)).distinct()
     def surv(f: DataFrame) = f.join(dupIds, idCol :: Nil, "left_anti")
-    append(surv(bands), surv(sh), surv(sizes), dir)
+    (unified(idCol, surv(bands), surv(sh), surv(sizes),
+      Some((pairs, step))), pairs)
+  }
+
+  /** One recurring-crawl step: probe, then append the NON-duplicate
+    * survivors' sketch AND the step's pair results as ONE atomic commit.
+    * Returns the duplicate pairs the probe found. */
+  def ingest(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, p: Params, dir: String, step: Long): DataFrame = {
+    val (rows, pairs) = ingestRows(spark, batch, idCol, textCol, p, dir, step)
+    Versioned.commit(rows, dir)
     pairs
   }
+
+  /** EXACTLY-ONCE ingest under at-least-once delivery (the streaming
+    * foreachBatch contract): the whole step — survivors and pair
+    * results — lands through one [[Versioned.idempotentCommit]] keyed on
+    * (appId, txnVersion), so a zombie replay of the same micro-batch is
+    * a no-op and the single-table layout makes the step all-or-nothing.
+    * Returns true when the step landed, false when it was skipped as a
+    * replay. Pair results of every landed step stay queryable via
+    * [[pairsOf]]. */
+  def ingestIdempotent(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, p: Params, dir: String,
+      appId: String, txnVersion: Long): Boolean = {
+    if (Versioned.lastTxnVersion(dir, appId).exists(_ >= txnVersion))
+      return false // replay — don't even probe
+    val (rows, _) = ingestRows(spark, batch, idCol, textCol, p, dir,
+      step = txnVersion + 1)
+    Versioned.idempotentCommit(rows, dir, appId, txnVersion).isDefined
+  }
+
+  /** The recorded pair results of every landed step:
+    * (step, batch_id, corpus_id, inter, sz1, sz2, jaccard). */
+  def pairsOf(spark: SparkSession, dir: String, idCol: String): DataFrame =
+    Versioned.read(spark, dir).filter(col("kind") === "p")
+      .select(col("step"), col(idCol).as("batch_id"), col("corpus_id"),
+        col("inter"), col("sz").as("sz1"), col("sz2"), col("jaccard"))
 }

@@ -546,7 +546,37 @@ object StreamingQueries {
       Some(s"""SELECT event_type, COUNT(*) AS n,
                       ${sqlDsum("value", 6)} AS sum_value,
                       TRUE AS multi_batch, TRUE AS exactly_once_replay
-               FROM events GROUP BY event_type ORDER BY event_type"""))
+               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ST11: STREAMING near-dup index maintenance — t45's recurring-crawl
+    // protocol run as a real stream: the corpus sketch is built once,
+    // then each micro-batch lands through NearDupIndex.ingestIdempotent
+    // (survivors + pair results in ONE atomic idempotentCommit keyed on
+    // the batchId — the single-table layout exists for exactly this).
+    // Gated surface: the STORED pair rows of both steps (batch 2 must
+    // catch dups against the corpus AND batch 1's survivors — the
+    // maintenance semantics, not just one probe) plus the multi-batch
+    // and zombie-replay contract columns. The oracle replays the whole
+    // two-step protocol from the documents table (t45's CTE chain).
+    Q("st11_stream_neardup_ingest",
+      (s, d) => {
+        val (dir, replayOk) = streamedNdidx(s, d)
+        graft.dedup.NearDupIndex.pairsOf(s, dir, "doc_id")
+          .withColumn("multi_batch",
+            lit(graft.ops.Versioned.latestVersion(dir) >= 3))
+          .withColumn("exactly_once_replay", lit(replayOk))
+          .orderBy("step", "batch_id", "corpus_id")
+      },
+      Some(TextQueries.sqlNdidxTwoStepChain +
+        """
+              SELECT CAST(1 AS BIGINT) AS step, batch_id, corpus_id, inter,
+                     sz1, sz2, ROUND(j, 6) AS jaccard,
+                     TRUE AS multi_batch, TRUE AS exactly_once_replay
+              FROM p1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), batch_id, corpus_id, inter,
+                     sz1, sz2, ROUND(j, 6), TRUE, TRUE FROM p2
+              ORDER BY step, batch_id, corpus_id"""))
   )
 
   /** st8's consumed change feed: a versioned orders table built commit by
@@ -823,6 +853,77 @@ object StreamingQueries {
     require(matches, "streamed acceptance diverged from batch mode")
     val out = (dir, replayOk, matches)
     curateCache.put(key, out)
+    out
+  }
+
+  /** st11's streamed near-dup index: corpus sketch built once, then the
+    * two crawl batches (doc_id % 6 = 0, then % 6 = 3) arrive as
+    * mtime-ordered files consumed one per trigger; every micro-batch
+    * lands through NearDupIndex.ingestIdempotent (survivors + pair rows,
+    * ONE atomic commit keyed on the batchId). Built once per
+    * (session, sfDir). Returns (indexDir, replayOk). */
+  private val ndidxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, Boolean)]()
+
+  private def streamedNdidx(s: SparkSession, d: String): (String, Boolean) = {
+    val key = (s, d)
+    val hit = ndidxCache.get(key)
+    if (hit != null) return hit
+    ndidxCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val src = tmp(s"st11/src_$suffix")
+    val dir = tmp(s"st11/idx_$suffix")
+    val ckpt = tmp(s"st11/ckpt_$suffix")
+    clean(s, src, dir, ckpt)
+    val p = graft.dedup.NearDupIndex.Params(n = 3, k = 12, rowsPerBand = 3,
+      minJaccard = 0.2)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.dedup.NearDupIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", p, dir)
+    // two source files, mtimes strictly increasing, one per trigger —
+    // batch 0 MUST be the %6=0 crawl and batch 1 the %6=3 crawl (the
+    // st9 eventSource discipline; step semantics depend on the order)
+    val f = fs(s)
+    Seq(col("doc_id") % 6 === 0, col("doc_id") % 6 === 3).zipWithIndex
+      .foreach { case (cond, i) =>
+        docs.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        f.listStatus(new Path(src))
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .sortBy(_.getModificationTime)
+          .zipWithIndex
+          .foreach { case (st, j) => f.setTimes(st.getPath,
+            1000000000000L + j * 60000L, -1) }
+      }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.dedup.NearDupIndex.ingestIdempotent(s, batch.toDF(),
+          "doc_id", "text", p, dir, "st11-ndidx", batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { if (q.isActive) q.stop() }
+    require(graft.ops.Versioned.latestVersion(dir) >= 3,
+      "expected build + two ingest commits")
+    // zombie replay of the LAST micro-batch must be a no-op: skipped,
+    // no new version, no duplicate pair rows
+    val vBefore = graft.ops.Versioned.latestVersion(dir)
+    val replayLanded = graft.dedup.NearDupIndex.ingestIdempotent(s,
+      docs.filter(col("doc_id") % 6 === 3), "doc_id", "text", p, dir,
+      "st11-ndidx", 1L)
+    val replayOk = !replayLanded &&
+      graft.ops.Versioned.latestVersion(dir) == vBefore
+    require(replayOk, "zombie replay was not skipped")
+    val out = (dir, replayOk)
+    ndidxCache.put(key, out)
     out
   }
 }

@@ -349,6 +349,78 @@ object TextQueries {
                             WHERE doc_id NOT IN (SELECT batch_id FROM drops))
 """
 
+  /** The two-step NearDupIndex protocol as oracle CTEs (t45; st11 runs
+    * the SAME protocol as a stream): corpus = doc_id % 3 ≠ 0, step 1
+    * ingests % 6 = 0, step 2 ingests % 6 = 3 against corpus + step-1
+    * survivors. Ends at `p1` / `p2` (each step's verified pairs). */
+  private[queries] val sqlNdidxTwoStepChain: String =
+    """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                            FROM documents),
+                   sh AS (SELECT DISTINCT doc_id,
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
+                   sig AS (SELECT doc_id, j,
+                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
+                                      AS BIGINT)) AS mh
+                           FROM sh CROSS JOIN range(0, 12) t(j)
+                           GROUP BY doc_id, j),
+                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
+                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
+                                       AS band_hash
+                              FROM sig GROUP BY doc_id, 2),
+                   role AS (SELECT doc_id,
+                                   CASE WHEN doc_id % 3 <> 0 THEN 'c'
+                                        WHEN doc_id % 6 = 0 THEN 'b1'
+                                        ELSE 'b2' END AS role
+                            FROM documents),
+                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                   c1 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                          FROM banded a
+                          JOIN role ra ON ra.doc_id = a.doc_id AND ra.role = 'b1'
+                          JOIN banded b ON a.band = b.band
+                                       AND a.band_hash = b.band_hash
+                          JOIN role rb ON rb.doc_id = b.doc_id AND rb.role = 'c'),
+                   i1 AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
+                          FROM c1 c
+                          JOIN sh a ON a.doc_id = c.batch_id
+                          JOIN sh b ON b.doc_id = c.corpus_id
+                                   AND b.shingle = a.shingle
+                          GROUP BY 1, 2),
+                   p1 AS (SELECT i1.batch_id, i1.corpus_id, inter,
+                                 s1.sz AS sz1, s2.sz AS sz2,
+                                 CAST(inter AS DOUBLE)
+                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS j
+                          FROM i1
+                          JOIN sizes s1 ON i1.batch_id = s1.doc_id
+                          JOIN sizes s2 ON i1.corpus_id = s2.doc_id
+                          WHERE CAST(inter AS DOUBLE)
+                                / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2),
+                   idx2 AS (SELECT doc_id FROM role WHERE role = 'c'
+                            UNION ALL
+                            SELECT doc_id FROM role WHERE role = 'b1'
+                              AND doc_id NOT IN (SELECT batch_id FROM p1)),
+                   c2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                          FROM banded a
+                          JOIN role ra ON ra.doc_id = a.doc_id AND ra.role = 'b2'
+                          JOIN banded b ON a.band = b.band
+                                       AND a.band_hash = b.band_hash
+                          JOIN idx2 ib ON ib.doc_id = b.doc_id),
+                   i2 AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
+                          FROM c2 c
+                          JOIN sh a ON a.doc_id = c.batch_id
+                          JOIN sh b ON b.doc_id = c.corpus_id
+                                   AND b.shingle = a.shingle
+                          GROUP BY 1, 2),
+                   p2 AS (SELECT i2.batch_id, i2.corpus_id, inter,
+                                 s1.sz AS sz1, s2.sz AS sz2,
+                                 CAST(inter AS DOUBLE)
+                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS j
+                          FROM i2
+                          JOIN sizes s1 ON i2.batch_id = s1.doc_id
+                          JOIN sizes s2 ON i2.corpus_id = s2.doc_id
+                          WHERE CAST(inter AS DOUBLE)
+                                / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2)"""
+
   val all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -1349,80 +1421,16 @@ object TextQueries {
         val batch1 = docs.filter(col("doc_id") % 6 === 0)
         val batch2 = docs.filter(col("doc_id") % 6 === 3)
         NearDupIndex.build(corpus, "doc_id", "text", p, dir)
-        val p1 = NearDupIndex.ingest(s, batch1, "doc_id", "text", p, dir)
-        val p2 = NearDupIndex.ingest(s, batch2, "doc_id", "text", p, dir)
-        p1.withColumn("step", lit(1L))
-          .unionByName(p2.withColumn("step", lit(2L)))
-          .select("step", "batch_id", "corpus_id", "inter", "sz1", "sz2",
-            "jaccard")
+        NearDupIndex.ingest(s, batch1, "doc_id", "text", p, dir, step = 1L)
+        NearDupIndex.ingest(s, batch2, "doc_id", "text", p, dir, step = 2L)
+        // gate the STORED pair rows, not the returned frames — pins that
+        // each step's results landed in the same atomic commit as its
+        // survivor sketch
+        NearDupIndex.pairsOf(s, dir, "doc_id")
           .orderBy("step", "batch_id", "corpus_id")
       },
-      Some("""WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                            FROM documents),
-                   sh AS (SELECT DISTINCT doc_id,
-                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-                          FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)),
-                   sig AS (SELECT doc_id, j,
-                                  MIN(CAST(('0x' || substr(md5(j || '|' || shingle), 1, 15))
-                                      AS BIGINT)) AS mh
-                           FROM sh CROSS JOIN range(0, 12) t(j)
-                           GROUP BY doc_id, j),
-                   banded AS (SELECT doc_id, CAST(floor(j / 3) AS BIGINT) AS band,
-                                     md5(string_agg(j || ':' || mh, ',' ORDER BY j))
-                                       AS band_hash
-                              FROM sig GROUP BY doc_id, 2),
-                   role AS (SELECT doc_id,
-                                   CASE WHEN doc_id % 3 <> 0 THEN 'c'
-                                        WHEN doc_id % 6 = 0 THEN 'b1'
-                                        ELSE 'b2' END AS role
-                            FROM documents),
-                   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-                   c1 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-                          FROM banded a
-                          JOIN role ra ON ra.doc_id = a.doc_id AND ra.role = 'b1'
-                          JOIN banded b ON a.band = b.band
-                                       AND a.band_hash = b.band_hash
-                          JOIN role rb ON rb.doc_id = b.doc_id AND rb.role = 'c'),
-                   i1 AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
-                          FROM c1 c
-                          JOIN sh a ON a.doc_id = c.batch_id
-                          JOIN sh b ON b.doc_id = c.corpus_id
-                                   AND b.shingle = a.shingle
-                          GROUP BY 1, 2),
-                   p1 AS (SELECT i1.batch_id, i1.corpus_id, inter,
-                                 s1.sz AS sz1, s2.sz AS sz2,
-                                 CAST(inter AS DOUBLE)
-                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS j
-                          FROM i1
-                          JOIN sizes s1 ON i1.batch_id = s1.doc_id
-                          JOIN sizes s2 ON i1.corpus_id = s2.doc_id
-                          WHERE CAST(inter AS DOUBLE)
-                                / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2),
-                   idx2 AS (SELECT doc_id FROM role WHERE role = 'c'
-                            UNION ALL
-                            SELECT doc_id FROM role WHERE role = 'b1'
-                              AND doc_id NOT IN (SELECT batch_id FROM p1)),
-                   c2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
-                          FROM banded a
-                          JOIN role ra ON ra.doc_id = a.doc_id AND ra.role = 'b2'
-                          JOIN banded b ON a.band = b.band
-                                       AND a.band_hash = b.band_hash
-                          JOIN idx2 ib ON ib.doc_id = b.doc_id),
-                   i2 AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS inter
-                          FROM c2 c
-                          JOIN sh a ON a.doc_id = c.batch_id
-                          JOIN sh b ON b.doc_id = c.corpus_id
-                                   AND b.shingle = a.shingle
-                          GROUP BY 1, 2),
-                   p2 AS (SELECT i2.batch_id, i2.corpus_id, inter,
-                                 s1.sz AS sz1, s2.sz AS sz2,
-                                 CAST(inter AS DOUBLE)
-                                   / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS j
-                          FROM i2
-                          JOIN sizes s1 ON i2.batch_id = s1.doc_id
-                          JOIN sizes s2 ON i2.corpus_id = s2.doc_id
-                          WHERE CAST(inter AS DOUBLE)
-                                / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.2)
+      Some(sqlNdidxTwoStepChain +
+        """
               SELECT CAST(1 AS BIGINT) AS step, batch_id, corpus_id, inter,
                      sz1, sz2, ROUND(j, 6) AS jaccard FROM p1
               UNION ALL
@@ -1430,6 +1438,7 @@ object TextQueries {
                      sz1, sz2, ROUND(j, 6) FROM p2
               ORDER BY step, batch_id, corpus_id"""))
   )
+
 
   /** Per-process run counter for t45's index root: Versioned tables are
     * append-only, so every run (bench warmup + reps, repeated Verify)

@@ -42,7 +42,7 @@ class NearDupIndexSpec extends SparkSpec {
       (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup
       (11L, "fresh survivor text about distributed minhash indexing steps"))
       .toDF("doc_id", "text")
-    val p1 = NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir)
+    val p1 = NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir, step = 1L)
     assert(p1.select("batch_id").as[Long].collect().toSeq == Seq(10L))
     // batch2 near-dups batch1's SURVIVOR (11) and the dropped dup's
     // original (1) — both must be found via the stored index; a pair
@@ -51,7 +51,7 @@ class NearDupIndexSpec extends SparkSpec {
       (20L, "fresh survivor text about distributed minhash indexing steps"),
       (21L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
-    val p2 = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir)
+    val p2 = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir, step = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p2 == Set((20L, 11L), (21L, 1L)), s"got $p2")
   }
@@ -67,7 +67,7 @@ class NearDupIndexSpec extends SparkSpec {
     NearDupIndex.ingest(spark,
       Seq((31L, "a third unrelated corpus document describing weather patterns x"))
         .toDF("doc_id", "text"),
-      "doc_id", "text", P, dir)
+      "doc_id", "text", P, dir, step = 1L)
     // the pre-append frame still sees exactly one match (corpus doc 3),
     // not 31's appended near-dup
     assert(before.select("corpus_id").as[Long].collect().toSeq == Seq(3L))
@@ -90,11 +90,11 @@ class NearDupIndexSpec extends SparkSpec {
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
       (11L, "fresh survivor text about distributed minhash indexing steps"))
       .toDF("doc_id", "text")
-    NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir)
+    NearDupIndex.ingest(spark, batch1, "doc_id", "text", P, dir, step = 1L)
     val batch2 = Seq(
       (20L, "fresh survivor text about distributed minhash indexing steps"))
       .toDF("doc_id", "text")
-    val inc = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir)
+    val inc = NearDupIndex.ingest(spark, batch2, "doc_id", "text", P, dir, step = 2L)
       .select("batch_id", "corpus_id", "inter", "sz1", "sz2", "jaccard")
       .collect().toSet
     // ground truth: crossCorpusPairs of batch2 vs (corpus + batch1
@@ -106,5 +106,34 @@ class NearDupIndexSpec extends SparkSpec {
         "doc_id", "text", P.n, P.k, P.rowsPerBand, P.minJaccard)
       .collect().toSet
     assert(inc == full, s"incremental $inc != recompute $full")
+  }
+
+  test("ingestIdempotent: a replayed micro-batch is a no-op (no version, " +
+      "no duplicate pair rows, no double-appended survivors)") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup
+      (11L, "fresh survivor text about distributed minhash indexing steps"))
+      .toDF("doc_id", "text")
+    assert(NearDupIndex.ingestIdempotent(spark, batch, "doc_id", "text",
+      P, dir, "crawl", 0L), "first delivery must land")
+    val vAfter = graft.ops.Versioned.latestVersion(dir)
+    // zombie replay of the same micro-batch id
+    assert(!NearDupIndex.ingestIdempotent(spark, batch, "doc_id", "text",
+      P, dir, "crawl", 0L), "replay must be skipped")
+    assert(graft.ops.Versioned.latestVersion(dir) == vAfter)
+    val pairs = NearDupIndex.pairsOf(spark, dir, "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((1L, 10L, 1L)), s"got ${pairs.toSeq}") // step 1: 10 dups 1
+    // survivor 11 appended exactly once — a second batch still sees ONE
+    // match against it, and the step numbering continues
+    assert(NearDupIndex.ingestIdempotent(spark,
+      Seq((20L, "fresh survivor text about distributed minhash indexing steps"))
+        .toDF("doc_id", "text"), "doc_id", "text", P, dir, "crawl", 1L))
+    val p2 = NearDupIndex.pairsOf(spark, dir, "doc_id")
+      .filter(col("step") === 2L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(p2 == Seq((20L, 11L)), s"got $p2")
   }
 }
