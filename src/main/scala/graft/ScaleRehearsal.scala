@@ -145,7 +145,19 @@ object ScaleRehearsal {
     // day) frame, and the fact↔fact reconciliation join (pre-aggregated
     // lineitem side — shuffle carries one row per order)
     "q19_disjunctive_revenue", "q15_top_supplier",
-    "e11_activity_streaks", "v12_cross_table_reconciliation")
+    "e11_activity_streaks", "v12_cross_table_reconciliation",
+    // round-12: PageRank rides the key-shifted trade graph (disjoint
+    // copies — edges ~k×, rounds fixed); the deep form adds the
+    // checkpoint boundary; the stored near-dup index pays k× corpus
+    // sketch + k× batch probes (salted copies keep pair counts exact);
+    // the new TPC-H shapes are one-to-two fact shuffles each (~k×);
+    // q11's per-part frame and q13's left-join histogram both shuffle
+    // the fact once
+    "g1_pagerank", "g5_pagerank_deep", "t45_incremental_neardup_index",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_priority_census",
+    "q13_order_count_distribution", "q16_supplier_census",
+    "q20_excess_shipments", "q21_waiting_suppliers")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
