@@ -34,7 +34,7 @@ object Kmeans {
   /** One Lloyd ASSIGNMENT: every vector to its max-cosine centroid, ties
     * to the lower centroid id. Input frames carry (__vid, __v) and
     * (c_id, centroid). Returns (__vid, cluster, __cos). */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  private[similarity] def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     // norms precompute per ROW (the Ann package invariant): k per-pair
     // vector-norm recomputes per Lloyd iteration would triple the
     // dominant k×n scoring cost
@@ -71,7 +71,15 @@ object Kmeans {
     * assignment (id, cluster, cos): each vector's cluster and its cosine
     * to the centroid it was scored against in that final assignment. */
   def lloyd(emb0: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    lloydWithCodebook(emb0, idCol, vecCol, k, iters)._1
+
+  /** [[lloyd]] returning BOTH the final assignment and the codebook it
+    * was scored against — the build half of a persistent IVF index
+    * ([[VectorIndex]]) needs the centroids, not just the labels.
+    * Codebook columns: (c_id, centroid). */
+  def lloydWithCodebook(emb0: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got ($k, $iters)")
     graft.functions.ArrayDotProduct.register(emb0.sparkSession)
     val emb = emb0.select(col(idCol).as("__vid"),
@@ -91,7 +99,7 @@ object Kmeans {
       centroids = update(emb, assignment).localCheckpoint(true)
       assignment = assign(emb, centroids)
     }
-    assignment.select(col("__vid").as(idCol), col("cluster"),
-      col("__cos").as("cos"))
+    (assignment.select(col("__vid").as(idCol), col("cluster"),
+      col("__cos").as("cos")), centroids)
   }
 }
