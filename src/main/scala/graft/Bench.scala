@@ -41,7 +41,10 @@ object Bench {
     "w6_rolling_30d_spend", "t6_ngram_jaccard_pairs", "t28_sequence_packing",
     "emb6_knn_ivf", "emb12_semantic_dedup", "e1_hourly_rollup",
     "st1_stream_hourly_rollup", "t33_curation_pipeline",
-    "emb15_ivf_adc_knn", "t35_curated_shard_sink")
+    "emb15_ivf_adc_knn", "t35_curated_shard_sink",
+    // r12: the two new most-expensive rows — deep PageRank (10 exact
+    // rounds) and the stored near-dup index protocol (build + 2 ingests)
+    "g5_pagerank_deep", "t45_incremental_neardup_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
