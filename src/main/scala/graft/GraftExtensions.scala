@@ -79,5 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     // Optimizer rule: hmac_detokenize(hmac_tokenize(x, k), k) → x.
     ext.injectOptimizerRule(_ => graft.privacy.EliminateHmacRoundTrip)
+    // Optimizer rule: aggregate-over-base-table → re-aggregate over a
+    // registered materialized view (graft.plans.Mv). No-op until a session
+    // registers an MV; Mv.enable is the runtime twin for extension-less
+    // sessions.
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

@@ -157,7 +157,12 @@ object ScaleRehearsal {
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q12_late_priority_census",
     "q13_order_count_distribution", "q16_supplier_census",
-    "q20_excess_shipments", "q21_waiting_suppliers")
+    "q20_excess_shipments", "q21_waiting_suppliers",
+    // round-13: MV build is one map-combined fact shuffle (~k×) and the
+    // rewritten query is a |groups|-row MV scan (expect ~flat modulo the
+    // cached build); the incremental refresh folds a k×-sized delta into
+    // a constant-width MV; chunking is pure narrow per-row work (~k×)
+    "mv1_rewrite_agg", "mv3_incremental_refresh", "t46_chunk_overlap")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -31,6 +31,7 @@ object SparkEntry {
       TimeJoinQueries.all ++
       GraphQueries.all ++
       TpchQueries.all ++
+      MvQueries.all ++
       StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,352 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Materialized-view auto-rewrite: an optimizer [[Rule]] that rewrites an
+  * aggregate over a registered base table into a (re-)aggregate over a much
+  * smaller materialized partial-aggregate table.
+  *
+  * Reference behavior being reproduced: the reference keeps mart-level
+  * pre-aggregated tables next to the facts and its dashboards query the mart
+  * instead of the fact (dbt marts `fact_subject_outcomes`,
+  * `dim_study_overview` — reference `dbt/clinical_dbt/models/marts` SQL models,
+  * `analytics/queries.py:22,44`), but the *user* must know to point the query
+  * at the mart. Here the engine does it: the query is written against the
+  * base fact and Catalyst swaps the scan when a registered MV can answer it.
+  *
+  * Rewrite algebra (classic partial-aggregate MV maintenance, e.g.
+  * Gupta & Mumick, "Maintenance of Materialized Views"): the MV stores, per
+  * MV group, `__cnt = COUNT(*)` and per measure `SUM/MIN/MAX/COUNT(x)`.
+  * A query aggregate over any SUBSET of the MV's grouping columns (optionally
+  * with a filter over grouping columns) folds per the usual semiring:
+  *
+  *   COUNT(*)  → SUM(__cnt)          SUM(x) → SUM(sum_x)
+  *   COUNT(x)  → SUM(cnt_x)          MIN(x) → MIN(min_x),  MAX(x) → MAX(max_x)
+  *
+  * Exactness: SUM folding is exact for integral and DECIMAL measures
+  * (associative exact addition — the repo's `Q.dsum` discipline), and
+  * MIN/MAX/COUNT are exact for any type, so a rewritten query is bit-identical
+  * to the base-table plan. Plain DOUBLE sums are rewritten too (Spark's own
+  * partial aggregation already reorders float addition; the MV fold is no
+  * weaker), but gated queries keep to the decimal discipline.
+  *
+  * 100 TB shape: the MV is |groups| rows instead of |fact| rows, maintained
+  * once per load; every rewritten dashboard query drops from a fact scan +
+  * shuffle to a scan of the tiny MV. The rule itself fires only on aggregates
+  * whose scan root is a REGISTERED path, so unrelated plans never pay more
+  * than one map lookup.
+  *
+  * Scope (kept deliberately conservative — anything outside falls through to
+  * the base plan untouched, never a wrong rewrite):
+  *  - grouping expressions must be bare columns ⊆ the MV's grouping columns;
+  *  - filters (anywhere between the aggregate and the scan) must reference
+  *    only MV grouping columns — such predicates commute with the group-by;
+  *  - aggregate functions must be non-DISTINCT, FILTER-free COUNT(lit) /
+  *    COUNT(col) / SUM(col or CAST(col)) / MIN / MAX with the exact child
+  *    shape registered for the MV (a `CAST(x AS DECIMAL(18,2))` measure
+  *    matches only that cast).
+  */
+object Mv {
+
+  /** One registered measure: `kind` ∈ sum|min|max|count over base column
+    * `column`, optionally pre-cast (matching `CAST(column AS castTo)` in the
+    * query). `mvCol` is the MV column holding the partial aggregate. */
+  final case class Measure(kind: String, column: String,
+      castTo: Option[DataType], mvCol: String)
+
+  final case class Entry(
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      measures: Seq[Measure])
+
+  /** Registry keyed by the canonical base path (URI path, trailing-slash
+    * stripped) — the same form [[HadoopFsRelation]] root paths reduce to. */
+  private val registry = TrieMap.empty[String, Entry]
+
+  def canonical(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val raw = if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+    raw.stripSuffix("/")
+  }
+
+  def lookup(path: String): Option[Entry] = registry.get(canonical(path))
+
+  /** Canonical root paths of every parquet scan in the optimized plan —
+    * the assertion surface for "did the rewrite fire". */
+  def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => canonical(p.toString))
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  def clear(): Unit = registry.clear()
+
+  /** Idempotent per-session enablement: appends the rewrite rule to
+    * `spark.experimental.extraOptimizations` (the runtime twin of the
+    * `GraftExtensions` injection, for sessions built without
+    * `spark.sql.extensions`). */
+  def enable(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq MvRewrite))
+      spark.experimental.extraOptimizations = cur :+ MvRewrite
+  }
+
+  /** The MV's partial-aggregate projection of `rows` (used for the initial
+    * build over the base AND for per-batch deltas in [[refresh]]). */
+  private def partialsOf(rows: DataFrame, groupCols: Seq[String],
+      ms: Seq[Measure]): DataFrame = {
+    val aggs = ms.map { m =>
+      val c0 = org.apache.spark.sql.functions.col(m.column)
+      val c = m.castTo.map(t => c0.cast(t)).getOrElse(c0)
+      val f = m.kind match {
+        case "sum" => sum(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case "count" => count(c)
+        case other => throw new IllegalArgumentException(
+          s"unsupported MV measure kind: $other")
+      }
+      f.as(m.mvCol)
+    }
+    val cnt = count(lit(1)).as("__cnt")
+    rows.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(cnt, aggs: _*)
+  }
+
+  /** Build the MV parquet at `mvPath` from the parquet base table at
+    * `basePath` and register it for rewrite. `measures` are
+    * (kind, baseColumn, optional cast target). Returns the entry.
+    *
+    * The MV write runs once; re-`create` over an existing MV directory just
+    * re-registers (the s17/s18 cached-immutable-artifact discipline — MV
+    * content is a pure function of the immutable base). */
+  def create(spark: SparkSession, basePath: String, mvPath: String,
+      groupCols: Seq[String],
+      measures: Seq[(String, String, Option[DataType])]): Entry = {
+    val ms = measures.zipWithIndex.map { case ((kind, c, cast), i) =>
+      Measure(kind, c, cast, s"__m$i")
+    }
+    val done = new java.io.File(mvPath, "_SUCCESS")
+    if (!done.isFile) {
+      // |groups| rows — tiny next to the fact; one shuffle, once per load.
+      partialsOf(spark.read.parquet(basePath), groupCols, ms)
+        .write.mode("overwrite").parquet(mvPath)
+    }
+    val e = Entry(canonical(basePath), mvPath, groupCols.map(_.toLowerCase),
+      "__cnt", ms)
+    registry.put(e.basePath, e)
+    e
+  }
+
+  /** Incremental MV maintenance for an APPEND-ONLY base table: fold the
+    * appended rows' partial aggregates into the existing MV and publish the
+    * result as a NEW immutable MV directory (`newMvPath`), re-registering the
+    * base to point at it. Never rescans the base: cost is
+    * O(|delta| + |groups|) — the same self-maintainable-view fold the
+    * streaming IVM query (st10) applies per micro-batch, here as the
+    * batch-side verb. SUM/COUNT partials fold by addition, MIN/MAX by
+    * MIN/MAX — all exact, so a query rewritten onto the refreshed MV stays
+    * bit-identical to a full base rescan (gated by mv3's oracle). Updates
+    * and deletes are NOT foldable here (MIN/MAX are not subtractable);
+    * those require a rebuild. */
+  def refresh(spark: SparkSession, entry: Entry, delta: DataFrame,
+      newMvPath: String): Entry = {
+    val old = spark.read.parquet(entry.mvPath)
+    val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+    val deltaPart = partialsOf(delta, entry.groupCols, entry.measures)
+    val folds = (Seq((entry.cntCol, "sum")) ++
+        entry.measures.map(m => (m.mvCol, m.kind match {
+          case "count" => "sum"
+          case k => k
+        }))).map { case (c, fold) =>
+      val f = fold match {
+        case "sum" => sum(org.apache.spark.sql.functions.col(c))
+        case "min" => min(org.apache.spark.sql.functions.col(c))
+        case "max" => max(org.apache.spark.sql.functions.col(c))
+      }
+      // cast folded sums back to the stored partial type (decimal widening
+      // would otherwise drift the MV schema one precision step per refresh)
+      f.cast(oldTypes(c)).as(c)
+    }
+    old.unionByName(deltaPart)
+      .groupBy(entry.groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(folds.head, folds.tail: _*)
+      .write.mode("overwrite").parquet(newMvPath)
+    val e = entry.copy(mvPath = newMvPath)
+    registry.put(e.basePath, e)
+    e
+  }
+}
+
+/** The optimizer rule. Runs late (extraOptimizations / injected rule batch),
+  * i.e. after predicate pushdown and column pruning, so the matched shape is
+  * `Aggregate [Project] [Filter] LogicalRelation(parquet)` in any
+  * Project/Filter order. Idempotent: the rewritten plan scans the MV path,
+  * which is never a registered base, so the fixed-point batch converges in
+  * one application. */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case agg: Aggregate =>
+        tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Walk from the aggregate child down to a parquet scan, collecting filter
+    * conditions and tolerating attribute-only Projects (column pruning). */
+  private def scanOf(p: LogicalPlan,
+      conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        scanOf(child, conds)
+      case Filter(cond, child) =>
+        scanOf(child, conds ++ splitConjuncts(cond))
+      case lr: LogicalRelation => Some((lr, conds))
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def rootPath(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        Some(Mv.canonical(fs.location.rootPaths.head.toString))
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (lr, conds) <- scanOf(agg.child, Nil)
+      path <- rootPath(lr)
+      entry <- Mv.lookup(path)
+      rewritten <- rewriteWith(agg, conds, entry)
+    } yield rewritten
+  }
+
+  private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+      entry: Mv.Entry): Option[LogicalPlan] = {
+    // 1. Grouping must be bare columns ⊆ MV grouping columns.
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if entry.groupCols.contains(a.name.toLowerCase) => a
+      case _ => return None
+    }
+    val groupNames = groupAttrs.map(_.name.toLowerCase).toSet
+
+    // 2. Filters must reference only MV grouping columns (then they commute
+    //    with the MV's finer grouping and can run over the MV directly).
+    //    NOTE: filter columns need not be in the QUERY's group-by, only in
+    //    the MV's.
+    if (!conds.forall(_.references.forall(a =>
+        entry.groupCols.contains(a.name.toLowerCase)))) return None
+
+    // Fresh MV scan (fresh exprIds per rewrite — no cross-plan sharing).
+    val spark = SparkSession.active
+    val mvRel = spark.read.parquet(entry.mvPath).queryExecution.analyzed
+    val mvOut: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name.toLowerCase -> a.asInstanceOf[AttributeReference]).toMap
+
+    def mvAttr(name: String): AttributeReference = mvOut(name.toLowerCase)
+
+    // 3. Rewrite every aggregate function; bail on anything unsupported.
+    def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete) return None
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          // COUNT(*) → SUM(__cnt); coalesce pins nullable=false like Count.
+          Some(Coalesce(Seq(
+            Sum(mvAttr(entry.cntCol)).toAggregateExpression(),
+            Literal(0L, LongType))))
+        case Count(Seq(child)) =>
+          matchMeasure("count", child, entry).map { m =>
+            Coalesce(Seq(
+              Sum(mvAttr(m.mvCol)).toAggregateExpression(),
+              Literal(0L, LongType)))
+          }
+        case s @ Sum(child, _) =>
+          matchMeasure("sum", child, entry).map { m =>
+            val folded = Sum(mvAttr(m.mvCol)).toAggregateExpression()
+            // sum-of-partial-sums may widen (decimal p+10); cast back — exact,
+            // the fold holds the same value the single-level sum would.
+            if (folded.dataType == s.dataType) folded
+            else Cast(folded, s.dataType)
+          }
+        case Min(child) =>
+          matchMeasure("min", child, entry).map(m =>
+            Min(mvAttr(m.mvCol)).toAggregateExpression())
+        case Max(child) =>
+          matchMeasure("max", child, entry).map(m =>
+            Max(mvAttr(m.mvCol)).toAggregateExpression())
+        case _ => None
+      }
+    }
+
+    // 4. Rebuild the aggregate list, preserving every output name, exprId
+    //    and dataType (parent operators keep resolving). Manual top-down
+    //    recursion that treats AggregateExpression as an opaque leaf — its
+    //    internals are the MEASURE side (rewritten wholesale by
+    //    rewriteAggFn), while attributes outside aggregate functions are the
+    //    GROUPING side (must map to MV grouping columns).
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAggFn(ae)
+      case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
+        Some(mvAttr(a.name))
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        rewriteExpr(child) match {
+          case Some(newChild) if newChild.dataType == child.dataType =>
+            Alias(newChild, name)(exprId = al.exprId)
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    val newGrouping: Seq[Expression] = groupAttrs.map(a => mvAttr(a.name))
+    val newConds = conds.map(_.transformUp {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val newChild =
+      if (newConds.isEmpty) mvRel
+      else Filter(newConds.reduce(And), mvRel)
+    Some(Aggregate(newGrouping, newAggExprs, newChild))
+  }
+
+  /** A query-side agg child matches a registered measure iff it is the bare
+    * base column (no cast registered) or exactly the registered cast of it. */
+  private def matchMeasure(kind: String, child: Expression,
+      entry: Mv.Entry): Option[Mv.Measure] = {
+    val (colName, castTo) = child match {
+      case a: AttributeReference => (a.name.toLowerCase, None)
+      case Cast(a: AttributeReference, dt, _, _) => (a.name.toLowerCase, Some(dt))
+      case _ => return None
+    }
+    entry.measures.find(m =>
+      m.kind == kind && m.column.toLowerCase == colName && m.castTo == castTo)
+  }
+}

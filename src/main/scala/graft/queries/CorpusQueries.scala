@@ -925,6 +925,106 @@ object CorpusQueries {
                      CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                      CAST(0 - sc.s AS BIGINT) AS nll_nano
               FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id
-              ORDER BY dd.doc_id"""))
+              ORDER BY dd.doc_id""")),
+
+    // T47: hybrid retrieval — BM25 top-50 (lexical, t29's scorer) fused
+    // with brute-force cosine top-50 against vec_id 0's embedding (dense,
+    // emb1's scorer) by Reciprocal Rank Fusion (similarity.Hybrid; Cormack
+    // et al. 2009). doc_id ≡ vec_id on the overlap of the two tables, so
+    // the two retrievers genuinely rank the same corpus. Contributions are
+    // ROUND(1/(60+rank), 9) summed in exact DECIMAL; the gate pins the
+    // fused ORDER, the per-doc source sets AND the fused scores — a
+    // one-position rank slip in either retriever flips the row hash.
+    Q("t47_hybrid_retrieval_rrf",
+      (s, d) => {
+        import graft.similarity.{Ann, Hybrid}
+        val bm25 = Hybrid.ranked(
+          graft.text.Corpus.bm25TopDocs(Tables.documents(s, d), "doc_id",
+            "text", terms = Seq("spark", "stream", "window"), k = 50),
+          "doc_id", "bm25")
+        val dense = Hybrid.ranked(
+          Ann.knnBruteForce(Tables.embeddings(s, d), "vec_id", "embedding",
+              queryId = 0L, k = 50)
+            .withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", "score")
+        Hybrid.rrf(Seq("bm25" -> bm25, "dense" -> dense), "doc_id",
+          k0 = 60, topK = 20)
+      },
+      Some(s"""WITH lens AS (SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS BIGINT) AS dl
+                     FROM documents),
+                   stats AS (SELECT CAST(SUM(dl) AS DOUBLE)
+                                      / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                                    COUNT(*) AS n
+                             FROM lens),
+                   tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                     FROM documents),
+                   tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                          FROM tok
+                          WHERE term IN ('spark', 'stream', 'window')
+                          GROUP BY 1, 2),
+                   idf AS (SELECT term,
+                     ROUND(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                              / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+                     FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats),
+                   comp AS (SELECT tf.doc_id,
+                     ROUND(idf * (CAST(tf AS DOUBLE) * 2.2)
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75
+                                + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6) AS comp
+                     FROM tf
+                     JOIN idf USING (term)
+                     JOIN lens ON tf.doc_id = lens.doc_id, stats),
+                   bm_top AS (SELECT doc_id,
+                            SUM(CAST(comp AS DECIMAL(18,6))) AS score_dec
+                          FROM comp GROUP BY doc_id
+                          ORDER BY score_dec DESC, doc_id LIMIT 50),
+                   bm_rank AS (SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY
+                       CAST(score_dec AS DOUBLE) DESC, doc_id) AS BIGINT)
+                       AS rank
+                     FROM bm_top),
+                   dn_top AS (SELECT e.vec_id AS doc_id,
+                       ${sqlCosineFor("e.embedding", "q.embedding")} AS score
+                     FROM embeddings e,
+                          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                     WHERE e.vec_id != 0
+                     ORDER BY score DESC, e.vec_id LIMIT 50),
+                   dn_rank AS (SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS BIGINT) AS rank
+                     FROM dn_top),
+                   contrib AS (
+                     SELECT doc_id,
+                            CAST(ROUND(1.0 / (60 + rank), 9)
+                                 AS DECIMAL(18,9)) AS c,
+                            'bm25' AS src
+                     FROM bm_rank
+                     UNION ALL
+                     SELECT doc_id,
+                            CAST(ROUND(1.0 / (60 + rank), 9)
+                                 AS DECIMAL(18,9)),
+                            'dense'
+                     FROM dn_rank),
+                   fused AS (SELECT doc_id,
+                       SUM(c) AS rrf_dec,
+                       COUNT(*) AS n_sources,
+                       string_agg(src, ',' ORDER BY src) AS sources
+                     FROM contrib GROUP BY doc_id)
+              SELECT doc_id, CAST(rrf_dec AS DOUBLE) AS rrf,
+                     n_sources, sources
+              FROM fused
+              ORDER BY rrf_dec DESC, doc_id LIMIT 20"""))
   )
+
+  /** SQL cosine of two FLOAT[] columns (emb1's expression shape —
+    * sequential double folds, engine-identical IEEE). */
+  private def sqlCosineFor(a: String, b: String): String = {
+    def dot(x: String, y: String): String =
+      s"""list_sum(list_transform(range(1, len($x) + 1),
+          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
 }

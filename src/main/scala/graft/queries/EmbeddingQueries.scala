@@ -879,7 +879,44 @@ object EmbeddingQueries {
                      CAST(10 AS BIGINT) AS got,
                      TRUE AS recall_ok, TRUE AS exactly_once_replay,
                      TRUE AS multi_step
-              FROM embeddings ORDER BY vec_id LIMIT 3"""))
+              FROM embeddings ORDER BY vec_id LIMIT 3""")),
+
+    // EMB22: int8 scalar quantization + quantized kNN (similarity.Quantize
+    // — FAISS's SQ8 scheme): per-vector symmetric scale, explicit
+    // floor(x+0.5) rounding (engine-portable, unlike round()'s tie rule),
+    // clamp ±127. The integer dot product is an exact BIGINT surface under
+    // the hash; ranking uses the dequantized double product mirrored
+    // operand-for-operand by the oracle. 4× storage compression with the
+    // scan staying whole-stage codegen'd.
+    Q("emb22_int8_quantized_knn",
+      (s, d) => graft.similarity.Quantize.knnInt8(
+          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("vec_id"), col("score_int"),
+          round(col("approx"), 6).as("approx")),
+      Some("""WITH qv AS (SELECT vec_id,
+                     greatest(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30)
+                       AS scale,
+                     embedding
+                   FROM embeddings),
+                   q8 AS (SELECT vec_id, scale,
+                     list_transform(embedding,
+                       x -> CAST(least(greatest(
+                              floor(CAST(x AS DOUBLE) / scale + 0.5),
+                              -127), 127) AS BIGINT)) AS qvec
+                   FROM qv),
+                   qq AS (SELECT qvec AS q0, scale AS s0 FROM q8
+                          WHERE vec_id = 0),
+                   sc AS (SELECT e.vec_id,
+                     CAST(list_sum(list_transform(range(1, len(e.qvec) + 1),
+                         i -> e.qvec[i] * q0[i])) AS BIGINT) AS score_int,
+                     e.scale * s0 AS ss
+                   FROM q8 e, qq WHERE e.vec_id != 0)
+              SELECT vec_id, score_int,
+                     ROUND(CAST(score_int AS DOUBLE) * ss, 6) AS approx
+              FROM sc
+              ORDER BY CAST(score_int AS DOUBLE) * ss DESC, vec_id
+              LIMIT 10"""))
   )
 
   /** emb21 probe budget: 5 of 8 cells. The synthetic embeddings are

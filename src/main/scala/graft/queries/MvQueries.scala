@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.io.Tables
+import graft.plans.Mv
+
+/** Materialized-view auto-rewrite family (`mv*`): the query is written
+  * against the BASE fact table; [[graft.plans.MvRewrite]] swaps the scan for
+  * a registered partial-aggregate MV at optimization time. The DuckDB oracle
+  * replays the SAME SQL over the base `lineitem` rows, so a green row proves
+  * the rewritten (MV-scanning) plan is bit-identical to the base-table
+  * aggregate — the whole point of the rewrite.
+  *
+  * Reference behavior: the reference pre-aggregates marts
+  * (`dbt/clinical_dbt/models/marts/fact_subject_outcomes.sql`,
+  * `analytics/queries.py:22,44`) and its dashboards must *know* to query the
+  * mart. Here the engine redirects automatically and provably.
+  *
+  * Each query ASSERTS the rewrite fired (optimized plan scans the MV path and
+  * not the base path) before returning — a silently-disabled rule fails the
+  * row loudly instead of passing through the base plan.
+  *
+  * 100 TB shape: the MV has |distinct(l_returnflag, l_linestatus)| rows
+  * (single digits) vs the fact's billions; a rewritten dashboard aggregate is
+  * a metadata-sized scan. MV build is one map-side-combined shuffle, once per
+  * load.
+  */
+object MvQueries {
+
+  private val mvRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mv_${ProcessHandle.current().pid()}"
+
+  /** Base-table copy + MV, built once per (session, sfDir) — the s17/s18
+    * cached-immutable-artifact discipline (warmup and measured reps share one
+    * write). The base is a column-projection COPY of lineitem (identical
+    * rows, so the DuckDB oracle can replay over `lineitem` itself) written to
+    * a private path: registering the rewrite on a private path means no other
+    * query on the board can ever be rewritten by accident. */
+  private val mvCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def baseAndMv(s: SparkSession, d: String): (String, String) = {
+    val key = (s, d)
+    val hit = mvCache.get(key)
+    if (hit != null) { register(s, hit._1, hit._2); return hit }
+    mvCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val h = Integer.toHexString(d.hashCode)
+    val basePath = s"$mvRoot/mv_base_$h"
+    val mvPath = s"$mvRoot/mv_agg_$h"
+    if (!new java.io.File(basePath, "_SUCCESS").isFile) {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_suppkey")
+        .write.mode("overwrite").parquet(basePath)
+    }
+    register(s, basePath, mvPath)
+    mvCache.put(key, (basePath, mvPath))
+    (basePath, mvPath)
+  }
+
+  private def register(s: SparkSession, basePath: String, mvPath: String): Unit = {
+    Mv.enable(s)
+    Mv.create(s, basePath, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        ("sum", "l_quantity", Some(DecimalType(18, 2))),
+        ("min", "l_extendedprice", None),
+        ("max", "l_extendedprice", None),
+        ("count", "l_suppkey", None)))
+  }
+
+  /** mv3's incrementally-maintained MV: base starts at 3/4 of lineitem,
+    * the remaining quarter is APPENDED, and the MV is refreshed by folding
+    * only the delta's partials ([[Mv.refresh]] — never rescanning the base).
+    * Built once per (session, sfDir); the whole build-append-refresh
+    * protocol must run exactly once (a second append would duplicate rows),
+    * which the cache guarantees within a process and the pid-scoped root
+    * guarantees across processes. */
+  private val incrCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def incrementalBaseAndMv(s: SparkSession, d: String): (String, String) = {
+    val key = (s, d)
+    val hit = incrCache.get(key)
+    if (hit != null) { Mv.enable(s); return hit }
+    incrCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val h = Integer.toHexString(d.hashCode)
+    val basePath = s"$mvRoot/mv3_base_$h"
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+    li.where(col("l_orderkey") % 4 =!= 0)
+      .write.mode("overwrite").parquet(basePath)
+    Mv.enable(s)
+    val v1 = Mv.create(s, basePath, s"$mvRoot/mv3_agg_${h}_v1",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        ("sum", "l_quantity", Some(DecimalType(18, 2))),
+        ("max", "l_extendedprice", None),
+        ("count", "l_extendedprice", None)))
+    val delta = li.where(col("l_orderkey") % 4 === 0)
+    delta.write.mode("append").parquet(basePath)
+    val v2 = Mv.refresh(s, v1, delta, s"$mvRoot/mv3_agg_${h}_v2")
+    incrCache.put(key, (basePath, v2.mvPath))
+    (basePath, v2.mvPath)
+  }
+
+  /** Loud gate: the optimized plan must scan the MV and must NOT scan the
+    * base — the rewrite either fired or the query row fails. */
+  private def assertScansMv(df: DataFrame, mvPath: String, basePath: String): DataFrame = {
+    val paths = Mv.scanPaths(df)
+    require(paths.contains(Mv.canonical(mvPath)),
+      s"MV rewrite did not fire — scans: ${paths.mkString(", ")}")
+    require(!paths.contains(Mv.canonical(basePath)),
+      s"MV rewrite left a base scan — scans: ${paths.mkString(", ")}")
+    df
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // MV1: same-grain aggregate over the base table — COUNT(*), exact
+    // decimal SUM, MIN/MAX, COUNT(col) all fold from the MV partials.
+    Q("mv1_rewrite_agg",
+      (s, d) => {
+        val (basePath, mvPath) = baseAndMv(s, d)
+        val df = s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            Q.dsum(col("l_quantity")).as("sum_qty"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"),
+            count(col("l_suppkey")).as("cnt_supp"))
+          .orderBy("l_returnflag", "l_linestatus")
+        assertScansMv(df, mvPath, basePath)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               COUNT(l_suppkey) AS cnt_supp
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // MV2: COARSER grain + filter — the query groups by a SUBSET of the MV's
+    // grouping columns and filters on an MV grouping column that is not in
+    // its own GROUP BY; the rule pushes the filter onto the MV and
+    // re-aggregates the partials (roll-up).
+    Q("mv2_rewrite_rollup_filter",
+      (s, d) => {
+        val (basePath, mvPath) = baseAndMv(s, d)
+        val df = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("cnt"),
+            Q.dsum(col("l_quantity")).as("sum_qty"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy("l_returnflag")
+        assertScansMv(df, mvPath, basePath)
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+        WHERE l_linestatus = 'F'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // MV3: INCREMENTAL maintenance — the base is appended to after the MV
+    // is built, the MV is refreshed by folding only the delta's partials
+    // (Mv.refresh, O(|delta| + |groups|)), and the query is answered from
+    // the REFRESHED MV. The oracle aggregates the full lineitem (base ∪
+    // delta reconstructs it exactly), so any fold error — a lost group, a
+    // double-counted partial, a drifted decimal — flips the row.
+    Q("mv3_incremental_refresh",
+      (s, d) => {
+        val (basePath, mvPath) = incrementalBaseAndMv(s, d)
+        val df = s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            Q.dsum(col("l_quantity")).as("sum_qty"),
+            max("l_extendedprice").as("max_price"),
+            count(col("l_extendedprice")).as("cnt_price"))
+          .orderBy("l_returnflag", "l_linestatus")
+        assertScansMv(df, mvPath, basePath)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               MAX(l_extendedprice) AS max_price,
+               COUNT(l_extendedprice) AS cnt_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
+  )
+}

@@ -1436,7 +1436,38 @@ object TextQueries {
               UNION ALL
               SELECT CAST(2 AS BIGINT), batch_id, corpus_id, inter,
                      sz1, sz2, ROUND(j, 6) FROM p2
-              ORDER BY step, batch_id, corpus_id"""))
+              ORDER BY step, batch_id, corpus_id""")),
+
+    // T46: RAG-style sliding-window chunking (text.Chunking) — window 32
+    // tokens, stride 24 (8-token overlap). The gate pins every chunk's
+    // position, width AND content md5, so an off-by-one in start/slice
+    // arithmetic or a dropped short tail chunk flips a row. Pure narrow
+    // codegen'd column work — no shuffle (the ORDER BY here is the gate's
+    // determinism requirement, not the operator).
+    Q("t46_chunk_overlap",
+      (s, d) => graft.text.Chunking.slidingChunks(
+          Tables.documents(s, d), "doc_id", "text", window = 32, stride = 24)
+        .withColumn("chunk_md5", md5(col("chunk_text")))
+        .drop("chunk_text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (SELECT doc_id,
+                                regexp_split_to_array(trim(text), '\s+') AS w
+                         FROM documents),
+                   st AS (SELECT doc_id, w,
+                                 UNNEST(range(0, len(w), 24)) AS tok_start
+                          FROM w WHERE len(w) > 0
+                            AND len(array_to_string(w, '')) > 0),
+                   ch AS (SELECT doc_id, tok_start,
+                                 list_slice(w, tok_start+1, tok_start+32)
+                                   AS chunk
+                          FROM st)
+              SELECT doc_id,
+                     CAST(tok_start//24 AS BIGINT) AS chunk_idx,
+                     CAST(tok_start AS BIGINT) AS tok_start,
+                     CAST(len(chunk) AS BIGINT) AS n_tok,
+                     md5(array_to_string(chunk, ' ')) AS chunk_md5
+              FROM ch
+              ORDER BY doc_id, chunk_idx"""))
   )
 
 

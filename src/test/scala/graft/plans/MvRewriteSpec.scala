@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.SparkSpec
+
+/** MV auto-rewrite: the rule fires exactly on the supported shapes, the
+  * rewritten plan scans the MV (not the base), results are bit-identical to
+  * the base plan, and every unsupported shape falls through UNREWRITTEN
+  * (never a wrong rewrite). */
+class MvRewriteSpec extends SparkSpec {
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+  private lazy val basePath = s"$root/base"
+  private lazy val mvPath = s"$root/mv"
+
+  /** 4 groups × uneven sizes, nulls in the counted column. */
+  private lazy val entry: Mv.Entry = {
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 400).map { i =>
+      org.apache.spark.sql.Row(
+        if (i % 2 == 0) "A" else "B",
+        if (i % 3 == 0) "x" else "y",
+        i.toDouble / 4.0,
+        if (i % 7 == 0) null else s"s$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g1", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("g2", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(basePath)
+    Mv.enable(spark)
+    Mv.create(spark, basePath, mvPath,
+      groupCols = Seq("g1", "g2"),
+      measures = Seq(
+        ("sum", "qty", Some(DecimalType(18, 2))),
+        ("min", "qty", None),
+        ("max", "qty", None),
+        ("count", "tag", None)))
+  }
+
+  private def scansMv(df: DataFrame): Boolean = {
+    val paths = Mv.scanPaths(df)
+    paths.contains(Mv.canonical(mvPath)) && !paths.contains(entry.basePath)
+  }
+
+  private def scansBaseOnly(df: DataFrame): Boolean = {
+    val paths = Mv.scanPaths(df)
+    paths.contains(entry.basePath) && !paths.contains(Mv.canonical(mvPath))
+  }
+
+  /** The same logical query with the rewrite suppressed (scan via a path
+    * alias DataFrame built from unregistered location is impossible here, so
+    * compare against manually computed base numbers by reading base into a
+    * local view without the rule firing: the rule keys on the scan path, so
+    * reading base through a LIMIT-less union trick is unnecessary — just
+    * compute from the MV-disabled registry-free aggregate over a renamed
+    * copy). Simpler: compute expected with plain Scala over collected rows. */
+  private lazy val baseRows: Seq[(String, String, Double, String)] = {
+    entry // force build
+    spark.read.parquet(basePath).collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+  }
+
+  test("same-grain aggregate rewrites to the MV and matches the base result") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("cnt"),
+        graft.queries.Q.dsum(col("qty")).as("sum_qty"),
+        min("qty").as("min_q"), max("qty").as("max_q"),
+        count(col("tag")).as("cnt_tag"))
+    assert(scansMv(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    val exp = baseRows.groupBy(t => (t._1, t._2)).map { case ((a, b), rs) =>
+      val sumQ = rs.map(t => BigDecimal(t._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (a, b, rs.size.toLong, sumQ.toDouble, rs.map(_._3).min, rs.map(_._3).max,
+        rs.count(_._4 != null).toLong)
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("subset grouping + filter on an MV group column rolls up from the MV") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .where(col("g2") === "x")
+      .groupBy("g1")
+      .agg(count(lit(1)).as("cnt"), max("qty").as("max_q"))
+    assert(scansMv(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = baseRows.filter(_._2 == "x").groupBy(_._1).map { case (a, rs) =>
+      (a, rs.size.toLong, rs.map(_._3).max)
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("global (no group-by) aggregate rewrites too") {
+    entry
+    val df = spark.read.parquet(basePath).agg(count(lit(1)).as("n"))
+    assert(scansMv(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().head.getLong(0) == 400L)
+  }
+
+  test("filter on a NON-grouping column blocks the rewrite (falls back, stays correct)") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .where(col("qty") > 50.0)
+      .groupBy("g1").agg(count(lit(1)).as("cnt"))
+    assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
+    val exp = baseRows.filter(_._3 > 50.0).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == exp)
+  }
+
+  test("unregistered agg shapes block the rewrite: DISTINCT, AVG, expression child, unknown cast") {
+    entry
+    val base = spark.read.parquet(basePath)
+    val shapes = Seq(
+      base.groupBy("g1").agg(countDistinct(col("g2")).as("v")),
+      base.groupBy("g1").agg(avg(col("qty")).as("v")),
+      base.groupBy("g1").agg(sum(col("qty") * 2).as("v")),
+      base.groupBy("g1").agg(sum(col("qty").cast("decimal(20,3)")).as("v")),
+      base.groupBy("g1").agg(sum(col("qty")).as("v")))
+    for (df <- shapes)
+      assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("grouping by a non-MV column blocks the rewrite") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .groupBy("tag").agg(count(lit(1)).as("cnt"))
+    assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("aggregates over unregistered paths are untouched") {
+    entry
+    val other = s"$root/other"
+    spark.read.parquet(basePath).write.mode("overwrite").parquet(other)
+    val df = spark.read.parquet(other).groupBy("g1").agg(count(lit(1)).as("cnt"))
+    val paths = Mv.scanPaths(df)
+    assert(paths.contains(Mv.canonical(other)))
+    assert(!paths.contains(Mv.canonical(mvPath)))
+  }
+
+  test("downstream operators over the rewritten aggregate keep resolving (sort + projection)") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 0)
+      .select(col("g1"), (col("cnt") * 2).as("cnt2"))
+      .orderBy("g1", "cnt2")
+    assert(scansMv(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().length == 4)
+  }
+}
