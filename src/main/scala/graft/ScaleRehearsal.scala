@@ -162,7 +162,14 @@ object ScaleRehearsal {
     // rewritten query is a |groups|-row MV scan (expect ~flat modulo the
     // cached build); the incremental refresh folds a k×-sized delta into
     // a constant-width MV; chunking is pure narrow per-row work (~k×)
-    "mv1_rewrite_agg", "mv3_incremental_refresh", "t46_chunk_overlap")
+    "mv1_rewrite_agg", "mv3_incremental_refresh", "t46_chunk_overlap",
+    // round-13 second wave: the cross-table txn stages two table writes
+    // (fact batch ~k×, audit row constant) + metadata puts; hybrid RRF is
+    // two top-50 retrievals (BM25 fact scan ~k×, dense scan ~k×) + a
+    // 100-row fusion; int8 kNN is one quantized corpus scan (~k×); the
+    // hopping window doubles each event into a constant-width agg (~k×)
+    "s48_multi_table_txn", "t47_hybrid_retrieval_rrf",
+    "emb22_int8_quantized_knn", "e12_sliding_window")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -288,6 +288,32 @@ object EventQueries {
                      CAST(SUM(ABS(n - forecast)) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS mae
               FROM f WHERE forecast IS NOT NULL
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // E12: HOPPING (sliding) window aggregate — Spark's native
+    // window(ts, "2 hours", "1 hour"): every event lands in exactly two
+    // overlapping epoch-aligned windows (length/slide = 2). Complements
+    // e1 (tumbling) and e8/st2 (session); the oracle replays the window
+    // assignment as trunc-hour minus {0,1} hours. Same shape runs
+    // unchanged as a Structured Streaming agg with a watermark.
+    Q("e12_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""WITH hops AS (
+                 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                          - to_hours(h) AS wstart,
+                        event_type, value
+                 FROM events CROSS JOIN (VALUES (0), (1)) AS t(h))
+               SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                      event_type, COUNT(*) AS n,
+                      ${sqlDsum("value", 6)} AS sum_value
+               FROM hops
+               GROUP BY 1, 2 ORDER BY window_start, event_type"""))
   )
 }

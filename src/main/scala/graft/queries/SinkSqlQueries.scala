@@ -2133,6 +2133,103 @@ object SinkSqlQueries {
                       TRUE AS metadata_only,
                       TRUE AS v1_lacks_col,
                       TRUE AS v4_materialized
-               FROM orders GROUP BY 1 ORDER BY 1"""))
+               FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // S48: cross-TABLE atomic transaction (ops.MultiTxn — the catalog
+    // commit protocol): a fact batch and its audit row publish together or
+    // not at all. The run stages txn2 and CRASHES the coordinator before
+    // the catalog record (fault-injection seam), reads both tables THROUGH
+    // the catalog mid-crash (the gated crash_* rows — any leaked staging
+    // visibility inflates them), vacuums the orphaned staged versions,
+    // re-runs the transaction, and gates the final state plus the sweep
+    // count. The oracle recomputes every row from `orders` alone.
+    Q("s48_multi_table_txn",
+      (s, d) => {
+        import graft.ops.MultiTxn
+        import graft.ops.MultiTxn.Write
+        val root = txnDir()
+        val orders = Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        val b1 = orders.where(col("o_orderkey") % 2 === 1)
+        val b2 = orders.where(col("o_orderkey") % 2 === 0)
+        def auditRow(batchId: Long,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+              dsum(col("o_totalprice")).as("sum_price"))
+            .withColumn("batch_id", lit(batchId))
+        MultiTxn.commit(root,
+          Seq(Write("fact", b1), Write("audit", auditRow(1L, b1))))
+        MultiTxn.commit(root,
+          Seq(Write("fact", b2), Write("audit", auditRow(2L, b2))),
+          crashBeforePublish = true)
+        def stepAgg(df: org.apache.spark.sql.DataFrame, step: String,
+            priceCol: String) =
+          df.agg(count(lit(1)).as("n"),
+              sum(col(priceCol).cast("decimal(18,2)")).cast("double")
+                .as("sum_price"))
+            .select(lit(step).as("step"), col("n"), col("sum_price"))
+        val crashFact = stepAgg(MultiTxn.read(s, root, "fact"),
+          "crash_fact", "o_totalprice")
+        val crashAudit = stepAgg(MultiTxn.read(s, root, "audit"),
+          "crash_audit", "sum_price")
+        val sweptN = MultiTxn.vacuumOrphans(root).size.toLong
+        MultiTxn.commit(root,
+          Seq(Write("fact", b2), Write("audit", auditRow(2L, b2))))
+        val finalFact = stepAgg(MultiTxn.read(s, root, "fact"),
+          "final_fact", "o_totalprice")
+        val finalAudit = stepAgg(MultiTxn.read(s, root, "audit"),
+          "final_audit", "sum_price")
+        val swept = crashFact.sparkSession.range(1).select(
+          lit("swept_orphans").as("step"), lit(sweptN).as("n"),
+          lit(null).cast("double").as("sum_price"))
+        crashFact.unionByName(crashAudit).unionByName(finalFact)
+          .unionByName(finalAudit).unionByName(swept)
+          .orderBy("step")
+      },
+      Some(s"""WITH b1 AS (SELECT o_totalprice FROM orders
+                           WHERE o_orderkey % 2 = 1)
+               SELECT 'crash_audit' AS step, CAST(1 AS BIGINT) AS n,
+                      ${sqlDsum("o_totalprice")} AS sum_price FROM b1
+               UNION ALL
+               SELECT 'crash_fact', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM b1
+               UNION ALL
+               SELECT 'final_audit', CAST(2 AS BIGINT),
+                      ${sqlDsum("o_totalprice")} FROM orders
+               UNION ALL
+               SELECT 'final_fact', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders
+               UNION ALL
+               SELECT 'swept_orphans', CAST(2 AS BIGINT),
+                      CAST(NULL AS DOUBLE)
+               ORDER BY step"""))
   )
+
+  /** Fresh catalog root for each s48 run (Versioned tables are append-only
+    * and the txn protocol must run exactly once per measurement — the t45
+    * fresh-dir discipline: run N sweeps run N−1, a shutdown hook sweeps the
+    * whole pid-scoped root). */
+  private val txnRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val txnRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mtxn_" +
+      s"${ProcessHandle.current().pid()}"
+
+  private def deleteTreeAt(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return
+    java.nio.file.Files.walk(root.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { p.toFile.delete(); () })
+  }
+
+  java.lang.Runtime.getRuntime.addShutdownHook(
+    new Thread(() => deleteTreeAt(txnRoot), "graft-mtxn-sweep"))
+
+  private def txnDir(): String = {
+    val run = txnRuns.incrementAndGet()
+    if (run > 1) deleteTreeAt(s"$txnRoot/${run - 1}")
+    s"$txnRoot/$run"
+  }
 }

@@ -335,4 +335,47 @@ class PlanSpec extends SparkSpec {
       && plan.contains("EqualTo(p_type,SMALL)"),
       s"part filters did not push to the scan:\n$plan")
   }
+
+  test("mv1: the physical plan scans the MV parquet, never the base — and " +
+      "the MV2 filter lands as a pushed filter on the MV scan") {
+    val p1 = planString("mv1_rewrite_agg")
+    assert(p1.contains("mv_agg_") && !p1.contains("mv_base_"),
+      s"mv1 did not serve from the MV:\n$p1")
+    val p2 = planString("mv2_rewrite_rollup_filter")
+    assert(p2.contains("mv_agg_") && !p2.contains("mv_base_"),
+      s"mv2 did not serve from the MV:\n$p2")
+    assert(p2.contains("EqualTo(l_linestatus,F)"),
+      s"mv2's group-column filter did not push to the MV scan:\n$p2")
+  }
+
+  test("t46: chunking is narrow scan-side work — the only exchange is the " +
+      "gate's final ORDER BY") {
+    val plan = planString("t46_chunk_overlap")
+    val exchanges = "Exchange rangepartitioning|Exchange hashpartitioning".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"chunking grew a non-sort shuffle:\n$plan")
+    assert(plan.contains("Generate posexplode"),
+      s"chunk starts lost the codegen explode:\n$plan")
+  }
+
+  test("emb22: quantized kNN is one corpus scan into a top-k — no shuffle, " +
+      "no cartesian, query row broadcast") {
+    val plan = planString("emb22_int8_quantized_knn")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost the TakeOrdered fusion:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query-row broadcast lost:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantized scan grew a shuffle:\n$plan")
+  }
+
+  test("t47: hybrid RRF's corpus work is the two retrievers' own top-k " +
+      "scans; the fusion aggregate runs on ≤100 fused rows") {
+    val plan = planString("t47_hybrid_retrieval_rrf")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"retriever top-k lost TakeOrdered fusion:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fusion grew a cartesian:\n$plan")
+  }
 }
