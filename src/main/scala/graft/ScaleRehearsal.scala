@@ -169,7 +169,8 @@ object ScaleRehearsal {
     // 100-row fusion; int8 kNN is one quantized corpus scan (~k×); the
     // hopping window doubles each event into a constant-width agg (~k×)
     "s48_multi_table_txn", "t47_hybrid_retrieval_rrf",
-    "emb22_int8_quantized_knn", "e12_sliding_window")
+    "emb22_int8_quantized_knn", "e12_sliding_window",
+    "f20_variant_extract")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -75,6 +75,17 @@ object MultiTxn {
   /** One write of a transaction: enrolled table name + its rows. */
   final case class Write(table: String, df: DataFrame)
 
+  /** Table names flow into filesystem paths AND the txn record's JSON
+    * (regex-parsed back by [[pins]]); the same loud charset gate
+    * `Versioned` applies to ids that flow into paths/manifests. A `../`
+    * would stage data OUTSIDE the catalog root; a quote/colon would
+    * corrupt the record en route to silently-wrong pins. */
+  private def requireTable(t: String): Unit =
+    require(t.nonEmpty && t.length <= 128 &&
+      t.forall(c => c.isLetterOrDigit || c == '_' || c == '-') &&
+      t != "_txnlog",
+      s"table name must be [A-Za-z0-9_-]{1,128} and not _txnlog, got '$t'")
+
   /** Atomically publish `writes` (appends) across their tables. Returns the
     * committed txn number. `crashBeforePublish` is the deterministic
     * fault-injection seam (stage everything, then stop — simulating a
@@ -82,6 +93,7 @@ object MultiTxn {
   def commit(root: String, writes: Seq[Write],
       crashBeforePublish: Boolean = false): Int = {
     require(writes.nonEmpty, "empty transaction")
+    writes.foreach(w => requireTable(w.table))
     require(writes.map(_.table).distinct.size == writes.size,
       "a transaction writes each table at most once")
     val before = latestTxn(root)

@@ -250,12 +250,42 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     val groupNames = groupAttrs.map(_.name.toLowerCase).toSet
 
-    // 2. Filters must reference only MV grouping columns (then they commute
-    //    with the MV's finer grouping and can run over the MV directly).
+    // 2. Filters must be DETERMINISTIC and reference only MV grouping
+    //    columns (then they commute with the MV's finer grouping and can
+    //    run over the MV directly). Non-deterministic predicates (rand())
+    //    would otherwise pass the reference check vacuously and get
+    //    re-evaluated per GROUP instead of per base row — silently wrong.
     //    NOTE: filter columns need not be in the QUERY's group-by, only in
     //    the MV's.
-    if (!conds.forall(_.references.forall(a =>
+    if (!conds.forall(c => c.deterministic && c.references.forall(a =>
         entry.groupCols.contains(a.name.toLowerCase)))) return None
+
+    // 2b. CHEAP shape pre-check (no I/O): every aggregate function and every
+    //    attribute must be rewritable, decided from the Entry alone. Only a
+    //    plan that passes pays the MV relation analysis below — an AVG or
+    //    DISTINCT over a registered base falls through without touching the
+    //    filesystem.
+    def aggFnOk(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && ae.mode == Complete &&
+        (ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case Count(Seq(child)) => matchMeasure("count", child, entry).isDefined
+          case Sum(child, _) => matchMeasure("sum", child, entry).isDefined
+          case Min(child) => matchMeasure("min", child, entry).isDefined
+          case Max(child) => matchMeasure("max", child, entry).isDefined
+          case _ => false
+        })
+    def exprOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => aggFnOk(ae)
+      case a: AttributeReference => groupNames.contains(a.name.toLowerCase)
+      case other => other.children.forall(exprOk)
+    }
+    val shapesOk = agg.aggregateExpressions.forall {
+      case a: AttributeReference => groupNames.contains(a.name.toLowerCase)
+      case Alias(child, _) => exprOk(child)
+      case _ => false
+    }
+    if (!shapesOk) return None
 
     // Fresh MV scan (fresh exprIds per rewrite — no cross-plan sharing).
     val spark = SparkSession.active

@@ -1020,11 +1020,16 @@ object CorpusQueries {
   )
 
   /** SQL cosine of two FLOAT[] columns (emb1's expression shape —
-    * sequential double folds, engine-identical IEEE). */
+    * sequential double folds, engine-identical IEEE), INCLUDING the
+    * zero-norm guard `Ann.cosineOrZero` applies on the Spark side (a zero
+    * embedding — failed encoder output — must score 0.0 in both engines,
+    * not NaN in one). */
   private def sqlCosineFor(a: String, b: String): String = {
     def dot(x: String, y: String): String =
       s"""list_sum(list_transform(range(1, len($x) + 1),
           i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
-    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+    s"""CASE WHEN sqrt(${dot(a, a)}) > 0 AND sqrt(${dot(b, b)}) > 0
+             THEN ${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})
+             ELSE 0.0 END"""
   }
 }

@@ -32,6 +32,18 @@ object MvQueries {
   private val mvRoot =
     s"${System.getProperty("java.io.tmpdir")}/graft_mv_${ProcessHandle.current().pid()}"
 
+  // pid-scoped lineitem copies + MVs are multi-hundred-MB at rehearsal
+  // scales — sweep the whole root on exit (the t45/s48 tmp discipline)
+  java.lang.Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      val root = new java.io.File(mvRoot)
+      if (root.exists()) {
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { p.toFile.delete(); () })
+      }
+    }, "graft-mv-sweep"))
+
   /** Base-table copy + MV, built once per (session, sfDir) — the s17/s18
     * cached-immutable-artifact discipline (warmup and measured reps share one
     * write). The base is a column-projection COPY of lineitem (identical
@@ -44,7 +56,9 @@ object MvQueries {
   private def baseAndMv(s: SparkSession, d: String): (String, String) = {
     val key = (s, d)
     val hit = mvCache.get(key)
-    if (hit != null) { register(s, hit._1, hit._2); return hit }
+    // hit path: create() already registered for THIS session (cache key);
+    // only the rule enablement is per-call cheap insurance
+    if (hit != null) { Mv.enable(s); return hit }
     mvCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val h = Integer.toHexString(d.hashCode)
     val basePath = s"$mvRoot/mv_base_$h"

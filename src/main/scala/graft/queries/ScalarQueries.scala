@@ -331,6 +331,30 @@ object ScalarQueries {
                      ROUND(list_sum(list_transform(embedding,
                          x -> least(greatest(CAST(x AS DOUBLE), -0.5), 0.5))), 6)
                        AS clipped_sum
-              FROM embeddings ORDER BY vec_id"""))
+              FROM embeddings ORDER BY vec_id""")),
+
+    // F20: VARIANT semi-structured path (Spark 4's shredded binary JSON —
+    // the 100 TB answer to string-JSON columns: parse ONCE into a typed
+    // binary encoding, then path extraction is a cheap binary probe, not a
+    // per-access reparse like f16's get_json_object). The gate pins typed
+    // extraction, the missing-path null contract (try_variant_get), and
+    // the is_variant_null/typeof surfaces; the oracle replays from the
+    // JSON text.
+    Q("f20_variant_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "long").as("k_val"),
+          try_variant_get(col("v"), "$.missing", "long").as("absent"),
+          schema_of_variant(col("v")).as("vschema"),
+          is_variant_null(col("v")).as("v_is_null"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                     CAST(NULL AS BIGINT) AS absent,
+                     'OBJECT<k: BIGINT>' AS vschema,
+                     FALSE AS v_is_null
+              FROM events ORDER BY event_id"""))
   )
 }

@@ -91,6 +91,16 @@ class MultiTxnSpec extends SparkSpec {
     assert(MultiTxn.read(spark, root, "b").count() == 7)
   }
 
+  test("table names that would escape the root or corrupt the record JSON are refused") {
+    val root = freshRoot()
+    for (bad <- Seq("../elsewhere", "a\",\"b\":9", "", "_txnlog", "a/b"))
+      intercept[IllegalArgumentException] {
+        MultiTxn.commit(root, Seq(Write(bad, rows(1, "x"))))
+      }
+    // nothing staged, nothing published
+    assert(MultiTxn.latestTxn(root) == 0)
+  }
+
   test("reading an unenrolled table refuses") {
     val root = freshRoot()
     MultiTxn.commit(root, Seq(Write("a", rows(1, "x"))))

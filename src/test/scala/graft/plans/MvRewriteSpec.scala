@@ -130,6 +130,14 @@ class MvRewriteSpec extends SparkSpec {
       assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
   }
 
+  test("a NON-DETERMINISTIC filter blocks the rewrite (would re-evaluate per group)") {
+    entry
+    val df = spark.read.parquet(basePath)
+      .where(rand(7) < 0.5 && col("g2") === "x")
+      .groupBy("g1").agg(count(lit(1)).as("cnt"))
+    assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
+  }
+
   test("grouping by a non-MV column blocks the rewrite") {
     entry
     val df = spark.read.parquet(basePath)
