@@ -170,7 +170,7 @@ object ScaleRehearsal {
     // hopping window doubles each event into a constant-width agg (~k×)
     "s48_multi_table_txn", "t47_hybrid_retrieval_rrf",
     "emb22_int8_quantized_knn", "e12_sliding_window",
-    "f20_variant_extract")
+    "f20_variant_extract", "t48_weighted_sample")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

@@ -118,6 +118,38 @@ object Sampling {
     * 100 TB shape: one stratum-count aggregate broadcast back, then a
     * per-stratum top-k window — WindowGroupLimit territory (the o5/t39
     * plan shape), rows never sort beyond their stratum's k. */
+  /** Weighted sample WITHOUT replacement — Efraimidis–Spirakis A-Res
+    * (IPL 2006, the standard one-pass distributed weighted reservoir):
+    * each row draws key u^(1/w) with u uniform in (0,1] and the k LARGEST
+    * keys win; equivalently (monotone) rank by ln(u)/w, which is what we
+    * compute — no pow(), whose last-ulp behavior differs across libm
+    * implementations. u is the portable hash-uniform
+    * (hash60(id)+1)/2^60, so membership is a pure function of (id, seed):
+    * same sample every run, every engine, every cluster size. The key is
+    * rounded to 6 decimals (the repo's ln discipline — BM25 idf
+    * precedent) with ties broken on id.
+    *
+    * This is the QUALITY-WEIGHTED subsample step of a curation pipeline
+    * (weight = quality score, token count, dedup multiplicity…) —
+    * distinct from uniform splits ([[hashSample]]) and stratum quotas
+    * ([[temperatureSample]]): here every row competes globally with
+    * probability proportional to weight.
+    *
+    * 100 TB shape: one narrow projection + a TakeOrdered top-k — no
+    * shuffle of the corpus, O(k) driver memory. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: Int = 7): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    df.withColumn("__u",
+        (TextFunctions.hash60(col(idCol).cast("string"), seed) + 1)
+          .cast("double") / lit(1152921504606846976.0)) // 2^60
+      .withColumn("weight", weight.cast("long"))
+      .withColumn("es_key", round(log(col("__u")) / col("weight").cast("double"), 6))
+      .drop("__u")
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
       targetTotal: Long, seed: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window

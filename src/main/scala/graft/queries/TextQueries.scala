@@ -1467,7 +1467,33 @@ object TextQueries {
                      CAST(len(chunk) AS BIGINT) AS n_tok,
                      md5(array_to_string(chunk, ' ')) AS chunk_md5
               FROM ch
-              ORDER BY doc_id, chunk_idx"""))
+              ORDER BY doc_id, chunk_idx""")),
+
+    // T48: weighted sample without replacement (ops.Sampling.weightedSample
+    // — Efraimidis–Spirakis A-Res): 50 docs drawn with probability
+    // proportional to token count, membership a pure function of
+    // (doc_id, seed) via the portable hash-uniform. The gate pins WHICH
+    // docs win AND their keys — a changed hash, tie rule, or weight
+    // arithmetic flips the row hash. One projection + top-k, no shuffle.
+    Q("t48_weighted_sample",
+      (s, d) => graft.ops.Sampling.weightedSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              graft.text.TextFunctions.tokenCount(col("text")).as("w")),
+          "doc_id", col("w"), k = 50)
+        .select(col("doc_id"), col("weight"), col("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS w,
+                     (CAST(('0x' || substr(md5('7|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                       / 1152921504606846976.0 AS u
+                   FROM documents)
+              SELECT doc_id, w AS weight,
+                     ROUND(ln(u) / CAST(w AS DOUBLE), 6) AS es_key
+              FROM t
+              ORDER BY es_key DESC, doc_id LIMIT 50"""))
   )
 
 

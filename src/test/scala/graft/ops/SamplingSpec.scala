@@ -133,4 +133,26 @@ class SamplingSpec extends SparkSpec {
     // stratum b has only 4 rows; its quota is capped at 4
     assert(a.count(_ > 50) <= 4)
   }
+
+  test("weightedSample: heavier rows dominate, membership is deterministic " +
+      "across repartitionings, k >= n keeps everything") {
+    import spark.implicits._
+    // ids 1..20 weight 1000, ids 21..200 weight 1 — the heavy ids should
+    // crowd the top of a k=25 sample (A-Res: P(win) ∝ weight)
+    val docs = ((1L to 20L).map(i => (i, 1000L)) ++
+      (21L to 200L).map(i => (i, 1L))).toDF("doc_id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "doc_id", col("w"), k = 25)
+        .select("doc_id").as[Long].collect().toSet
+    val got = sample(docs)
+    assert(got.size == 25)
+    assert((1L to 20L).toSet.subsetOf(got),
+      s"heavy rows must all survive a k=25 draw: $got")
+    assert(sample(docs.repartition(9)) == got)
+    val all = Sampling.weightedSample(docs, "doc_id", col("w"), k = 500)
+    assert(all.count() == 200)
+    // weight must be recorded verbatim
+    assert(all.filter(col("doc_id") === 1L).select("weight")
+      .as[Long].head() == 1000L)
+  }
 }
