@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -7,15 +12,28 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The container has no media codecs, so the DECODE step is a clearly
-  * marked deterministic fake (`fakeDecode`) — a real deployment swaps in a
-  * codec with the same signature. Everything around it — the schema, the
-  * per-partition batch shape, the partition-preserving plumbing — is real
-  * Spark and is what matters at 100 TB: payloads never pass through a
-  * shuffle (metadata is extracted first, heavy bytes stay columnar in
-  * parquet until the map stage that needs them).
+  * Header parsing (container sniff + dimensions) is pure byte arithmetic
+  * ([[parseImageHeader]] / [[parseAudioHeader]] / [[parseVideoHeader]]).
+  * PIXEL and SAMPLE decode are REAL as of round 14: the JDK's standard
+  * `javax.imageio` codecs (PNG/BMP/GIF/JPEG — no external jars) and
+  * `javax.sound.sampled` (RIFF/WAVE PCM) run inside the same
+  * partition-preserving `mapPartitions` batch shape. PNG/BMP/GIF and WAV
+  * PCM16 round-trip bit-exactly, so decoded pixel/sample statistics sit
+  * under the cross-engine hash gate (the oracle replays the generation
+  * arithmetic the codec must reproduce). [[fakeDecode]] remains only as
+  * the fallback featurizer for payloads no codec recognizes.
+  *
+  * 100 TB shape: payloads never pass through a shuffle — metadata is
+  * extracted first, heavy bytes stay columnar in parquet until the map
+  * stage that needs them, and every decode pass is one fused
+  * partition-preserving map.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache adds disk I/O (and temp files)
+  // per encode/decode on every executor thread; byte-array streams need
+  // no cache at all.
+  ImageIO.setUseCache(false)
 
   final case class MediaMeta(
       media_id: Long, kind: String, n_bytes: Long,
@@ -313,10 +331,12 @@ object Multimodal {
       })
   }
 
-  /** DECODE STUB — deterministic fake: a real build replaces this body
-    * with a codec call (e.g. TwelveMonkeys/JavaCV). Signature and batch
-    * shape (bytes per row, fixed-size float feature vector out) are the
-    * real contract. */
+  /** Fallback featurizer for payloads no codec recognizes — a
+    * deterministic byte-hash profile with the same signature and batch
+    * shape (bytes per row, fixed-size float vector out) as the real
+    * decode path ([[realImageFeatures]]). Kept so feature extraction is
+    * total over mixed corpora: decodable images go through the real
+    * codec, opaque blobs still land in the same feature space. */
   def fakeDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var h = 1125899906842597L // FNV-ish rolling seed
@@ -361,4 +381,208 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("media_id"), col("frame_idx"), col("n_frames"))
+
+  // --------------------------------------------------------------------
+  // REAL pixel / sample decode — JDK standard-library codecs
+  // (javax.imageio, javax.sound.sampled), no external jars.
+  // --------------------------------------------------------------------
+
+  /** Deterministic test-pattern image — every channel value is integer
+    * arithmetic an oracle can replay:
+    *   grayscale: r = g = b = (13x + 7y + id) mod 256  (≤ 256 distinct
+    *     colors, so the GIF palette encodes it losslessly);
+    *   truecolor: r = (31x + 17y + id) mod 256, g = (7x + 3y + 5·id)
+    *     mod 256, b = (x + y + 11·id) mod 256.
+    */
+  def patternImage(w: Int, h: Int, id: Long, grayscale: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (grayscale) {
+            val v = ((13L * x + 7L * y + id) % 256L).toInt
+            (v << 16) | (v << 8) | v
+          } else {
+            val r = ((31L * x + 17L * y + id) % 256L).toInt
+            val g = ((7L * x + 3L * y + 5L * id) % 256L).toInt
+            val b = ((x.toLong + y + 11L * id) % 256L).toInt
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** REAL image encode through the JDK codec (PNG/BMP/GIF/JPEG). */
+  def encodeImage(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, out), s"no JDK writer for '$format'")
+    out.toByteArray
+  }
+
+  /** REAL image decode through the JDK codec; None when no installed
+    * reader recognizes the container. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+
+  final case class DecodedImage(
+      media_id: Long, format: String, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel-decode statistics over a binary column: one
+    * partition-preserving map pass sniffs the container
+    * ([[parseImageHeader]]), runs the JDK decoder, and folds per-channel
+    * BIGINT pixel sums. Undecodable payloads → ("unknown", −1 dims,
+    * zero sums) so the pass is total. The sums are the gate surface: for
+    * losslessly-encoded patterns they replay in an oracle bit-for-bit —
+    * any codec, offset, or channel-order error breaks the equality. */
+  def decodeImageStats(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fmt = parseImageHeader(bytes)._1
+        decodeImage(bytes) match {
+          case Some(img) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(id, fmt, img.getWidth.toLong, img.getHeight.toLong,
+              img.getWidth.toLong * img.getHeight, sr, sg, sb)
+          case None =>
+            DecodedImage(id, "unknown", -1L, -1L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** REAL nearest-neighbor half resize on DECODED pixels:
+    * out(x, y) = in(2x, 2y), output dims ⌈w/2⌉ × ⌈h/2⌉ — deterministic
+    * integer index arithmetic (no resampling kernel), so the resized
+    * image's pixel sums replay in an oracle as the even-coordinate
+    * subset of the source pattern. */
+  def resizeHalfNearest(img: BufferedImage): BufferedImage = {
+    val rw = (img.getWidth + 1) / 2
+    val rh = (img.getHeight + 1) / 2
+    val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        out.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real-decode featurizer: decoded-luminance histogram (`dims` equal
+    * bins over 0..255, normalized to sum 1) for decodable images, the
+    * [[fakeDecode]] byte profile otherwise — feature extraction stays
+    * total over mixed corpora. */
+  def realImageFeatures(payload: Array[Byte], dims: Int): Array[Float] =
+    decodeImage(payload) match {
+      case Some(img) =>
+        val counts = new Array[Long](dims)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            // integer ITU-R 601 luma; bin = luma * dims / 256
+            val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            counts((luma * dims) / 256) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        counts.map(c => c.toFloat / n)
+      case None => fakeDecode(payload, dims)
+    }
+
+  /** REAL WAV PCM16 encode through javax.sound (RIFF/WAVE container,
+    * little-endian signed 16-bit, interleaved). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    val af = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), af,
+      samples.length.toLong / channels)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV decode through javax.sound: sample rate + interleaved
+    * PCM16 samples; None when the container is not a decodable WAV or
+    * is not 16-bit PCM. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.isBigEndian) None
+      else {
+        val raw = ais.readAllBytes()
+        val samples = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((f.getSampleRate.toInt, samples))
+      }
+    } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+
+  final case class DecodedAudio(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      sum_s: Long, sum_abs: Long, n_sign_flips: Long)
+
+  /** REAL sample-decode statistics over a binary column — the audio twin
+    * of [[decodeImageStats]]: one partition-preserving map pass decodes
+    * WAV PCM16 through javax.sound and folds BIGINT sample sum, absolute
+    * sum, and strict sign-flip count (consecutive samples with negative
+    * product). Undecodable payloads → (−1, 0, 0, 0, 0). */
+  def decodeAudioStats(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWavPcm16(bytes) match {
+          case Some((rate, s)) =>
+            var (sum, sabs, flips) = (0L, 0L, 0L)
+            var i = 0
+            while (i < s.length) {
+              sum += s(i); sabs += math.abs(s(i).toLong)
+              if (i > 0 && s(i - 1).toLong * s(i) < 0L) flips += 1L
+              i += 1
+            }
+            DecodedAudio(id, rate.toLong, s.length.toLong, sum, sabs, flips)
+          case None => DecodedAudio(id, -1L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
 }

@@ -345,6 +345,195 @@ object PrivacyMiscQueries {
               JOIN thr USING (format) JOIN tot t USING (format)
               ORDER BY format""")),
 
+    // MM6: REAL pixel decode under the hash gate. Each doc synthesizes a
+    // deterministic test-pattern image (integer channel arithmetic),
+    // encodes it through the REAL JDK codec (PNG / BMP / GIF — all
+    // lossless here: PNG/BMP by design, GIF because the grayscale
+    // pattern stays within one 256-color palette), then the production
+    // decodeImageStats pass sniffs the container, runs the REAL decoder,
+    // and folds per-channel BIGINT pixel sums. The oracle replays only
+    // the pattern ARITHMETIC over unnest(range(w)) × unnest(range(h)) —
+    // so the row hash-fails unless the codec round-trips every pixel of
+    // every format bit-exactly (channel order, palette, scanline layout,
+    // filter/compression all under the gate).
+    Q("mm6_real_image_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val fmt = (id % 3) match {
+              case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+            }
+            val w = (id % 24L).toInt + 9
+            val h = (id * 7L % 16L).toInt + 9
+            val img = graft.multimodal.Multimodal.patternImage(
+              w, h, id, grayscale = fmt == "gif")
+            (id, graft.multimodal.Multimodal.encodeImage(img, fmt))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.decodeImageStats(media).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                          ELSE 'gif' END AS format,
+                     CAST(doc_id % 24 + 9 AS BIGINT) AS w,
+                     CAST((doc_id * 7) % 16 + 9 AS BIGINT) AS h
+                   FROM documents),
+                 xs AS (SELECT media_id, format, w, h,
+                               unnest(range(w)) AS x FROM m),
+                 px AS (SELECT media_id, format, w, h, x,
+                               unnest(range(h)) AS y FROM xs)
+              SELECT media_id, format, w AS width, h AS height,
+                     w * h AS n_px,
+                     CAST(SUM(CASE WHEN format = 'gif'
+                              THEN (13*x + 7*y + media_id) % 256
+                              ELSE (31*x + 17*y + media_id) % 256 END)
+                          AS BIGINT) AS sum_r,
+                     CAST(SUM(CASE WHEN format = 'gif'
+                              THEN (13*x + 7*y + media_id) % 256
+                              ELSE (7*x + 3*y + 5*media_id) % 256 END)
+                          AS BIGINT) AS sum_g,
+                     CAST(SUM(CASE WHEN format = 'gif'
+                              THEN (13*x + 7*y + media_id) % 256
+                              ELSE (x + y + 11*media_id) % 256 END)
+                          AS BIGINT) AS sum_b
+              FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""")),
+
+    // MM7: REAL lossy JPEG decode, contract-gated like a5b/a6b — the DCT
+    // round-trip is deterministic but not value-replayable cross-engine,
+    // so the exact surface under the hash is (format, dims, n_px) and
+    // the decode QUALITY is a boolean contract: each decoded channel's
+    // pixel sum within ±3 gray levels per pixel of the encoded pattern
+    // (measured worst mean error ≈ 0.5 on this JDK codec — a broken DCT,
+    // chroma subsample, or color-convert path is off by far more). The
+    // pattern is a smooth grayscale ramp, the shape JPEG is built for.
+    Q("mm7_real_jpeg_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 24L).toInt + 9
+            val h = (id * 7L % 16L).toInt + 9
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var psum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((3L * x + 2L * y + id) % 160L).toInt + 40
+                img.setRGB(x, y, (v << 16) | (v << 8) | v); psum += v
+                x += 1
+              }
+              y += 1
+            }
+            (id, psum,
+              graft.multimodal.Multimodal.encodeImage(img, "jpeg"))
+          }.toDF("media_id", "pattern_sum", "payload")
+        val stats = graft.multimodal.Multimodal
+          .decodeImageStats(media.select("media_id", "payload")).toDF()
+        stats.join(media.select("media_id", "pattern_sum"), "media_id")
+          .select(col("media_id"), col("format"), col("width"),
+            col("height"), col("n_px"),
+            (abs(col("sum_r") - col("pattern_sum")) <= col("n_px") * 3L)
+              .as("err_r_ok"),
+            (abs(col("sum_g") - col("pattern_sum")) <= col("n_px") * 3L)
+              .as("err_g_ok"),
+            (abs(col("sum_b") - col("pattern_sum")) <= col("n_px") * 3L)
+              .as("err_b_ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS format,
+                     CAST(doc_id % 24 + 9 AS BIGINT) AS width,
+                     CAST((doc_id * 7) % 16 + 9 AS BIGINT) AS height,
+                     CAST((doc_id % 24 + 9) * ((doc_id * 7) % 16 + 9)
+                          AS BIGINT) AS n_px,
+                     TRUE AS err_r_ok, TRUE AS err_g_ok, TRUE AS err_b_ok
+              FROM documents ORDER BY media_id""")),
+
+    // MM8: REAL audio sample decode under the hash gate — deterministic
+    // PCM16 samples encoded through javax.sound's REAL RIFF/WAVE writer
+    // and decoded back through its reader (bit-exact by PCM's nature);
+    // the gated surface is BIGINT sample sum, absolute sum, and strict
+    // sign-flip count, replayed by the oracle from the generation
+    // arithmetic — any container, endianness, or sample-width error in
+    // the codec path breaks the equality.
+    Q("mm8_real_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 256L).toInt + 64
+            val sr = 8000 + (id % 6L).toInt * 8000
+            val samples = Array.tabulate(n)(i =>
+              ((i.toLong * 7919L + id * 104729L) % 65536L - 32768L).toShort)
+            (id, graft.multimodal.Multimodal.encodeWavPcm16(samples, sr))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.decodeAudioStats(media).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                     CAST(doc_id % 256 + 64 AS BIGINT) AS n,
+                     CAST(8000 + (doc_id % 6) * 8000 AS BIGINT) AS sr
+                   FROM documents),
+                 s AS (SELECT media_id, n, sr, unnest(range(n)) AS i FROM m),
+                 v AS (SELECT media_id, n, sr, i,
+                              (i * 7919 + media_id * 104729) % 65536 - 32768
+                                AS v
+                       FROM s),
+                 l AS (SELECT media_id, n, sr, v,
+                              lag(v) OVER (PARTITION BY media_id ORDER BY i)
+                                AS pv
+                       FROM v)
+              SELECT media_id, sr AS sample_rate, n AS n_samples,
+                     CAST(SUM(v) AS BIGINT) AS sum_s,
+                     CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                     CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sign_flips
+              FROM l GROUP BY 1, 2, 3 ORDER BY media_id""")),
+
+    // MM9: the full decode→transform→encode→decode chain — REAL PNG
+    // decode, deterministic nearest-neighbor half resize on the DECODED
+    // pixels (out(x,y) = in(2x,2y), dims ⌈w/2⌉×⌈h/2⌉ — index arithmetic,
+    // no resampling kernel), REAL PNG re-encode, REAL re-decode, pixel
+    // sums gated. The oracle replays the even-coordinate subset of the
+    // source pattern, so BOTH codec passes and the resize indexing sit
+    // under one hash.
+    Q("mm9_real_resize_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 24L).toInt + 9
+            val h = (id * 7L % 16L).toInt + 9
+            val mm = graft.multimodal.Multimodal
+            val orig = mm.encodeImage(
+              mm.patternImage(w, h, id, grayscale = false), "png")
+            val resized = mm.resizeHalfNearest(mm.decodeImage(orig).get)
+            (id, mm.encodeImage(resized, "png"))
+          }.toDF("media_id", "payload")
+        graft.multimodal.Multimodal.decodeImageStats(media).toDF()
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                     (CAST(doc_id % 24 + 9 AS BIGINT) + 1) // 2 AS rw,
+                     (CAST((doc_id * 7) % 16 + 9 AS BIGINT) + 1) // 2 AS rh
+                   FROM documents),
+                 xs AS (SELECT media_id, rw, rh,
+                               unnest(range(rw)) AS x FROM m),
+                 px AS (SELECT media_id, rw, rh, x,
+                               unnest(range(rh)) AS y FROM xs)
+              SELECT media_id, 'png' AS format, rw AS width, rh AS height,
+                     rw * rh AS n_px,
+                     CAST(SUM((62*x + 34*y + media_id) % 256) AS BIGINT)
+                       AS sum_r,
+                     CAST(SUM((14*x + 6*y + 5*media_id) % 256) AS BIGINT)
+                       AS sum_g,
+                     CAST(SUM((2*x + 2*y + 11*media_id) % 256) AS BIGINT)
+                       AS sum_b
+              FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""")),
+
     // A6 companion: the approximate sketch itself (reference uses
     // approx_quantile). Sketch VALUES differ across engines by design, so
     // the value is not oracle-able — but the sketch's ERROR CONTRACT is:

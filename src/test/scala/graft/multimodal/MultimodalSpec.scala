@@ -136,6 +136,93 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseVideoHeader(whole.dropRight(20))._1 == "unknown")
   }
 
+  test("real codec round-trip: PNG/BMP/GIF encode→decode is pixel-exact") {
+    // PNG/BMP are lossless by design; GIF is lossless here because the
+    // grayscale pattern stays within one 256-color palette. Any codec,
+    // channel-order, or scanline bug shows as a pixel mismatch.
+    for (id <- Seq(0L, 3L, 17L); fmt <- Seq("png", "bmp", "gif")) {
+      val (w, h) = ((id % 24).toInt + 9, (id * 7 % 16).toInt + 9)
+      val src = Multimodal.patternImage(w, h, id, grayscale = fmt == "gif")
+      val back = Multimodal.decodeImage(Multimodal.encodeImage(src, fmt)).get
+      assert(back.getWidth == w && back.getHeight == h, s"$fmt dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((back.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff),
+          s"$fmt pixel ($x,$y) id=$id")
+    }
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("real JPEG decode: dims exact, mean channel error within contract bound") {
+    for (id <- Seq(1L, 8L, 23L)) {
+      val (w, h) = ((id % 24).toInt + 9, (id * 7 % 16).toInt + 9)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var psum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((3L * x + 2L * y + id) % 160L).toInt + 40
+        img.setRGB(x, y, (v << 16) | (v << 8) | v); psum += v
+      }
+      val back = Multimodal.decodeImage(Multimodal.encodeImage(img, "jpeg")).get
+      assert(back.getWidth == w && back.getHeight == h)
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w) sr += (back.getRGB(x, y) >> 16) & 0xff
+      assert(math.abs(sr - psum) <= 3L * w * h,
+        s"jpeg mean-luma error out of bound: |$sr - $psum| > ${3L * w * h}")
+    }
+  }
+
+  test("nearest-neighbor half resize: out(x,y) = in(2x,2y), ceil dims, odd sizes") {
+    for ((w, h) <- Seq((9, 9), (10, 16), (1, 1), (2, 3))) {
+      val src = Multimodal.patternImage(w, h, 5L, grayscale = false)
+      val out = Multimodal.resizeHalfNearest(src)
+      assert(out.getWidth == (w + 1) / 2 && out.getHeight == (h + 1) / 2)
+      for (y <- 0 until out.getHeight; x <- 0 until out.getWidth)
+        assert(out.getRGB(x, y) == src.getRGB(2 * x, 2 * y))
+    }
+  }
+
+  test("real WAV PCM16 encode→decode round-trips samples and rate exactly") {
+    val samples = Array.tabulate(300)(i =>
+      ((i.toLong * 7919L + 42L * 104729L) % 65536L - 32768L).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    // real RIFF container: the header parser agrees with the codec
+    assert(Multimodal.parseAudioHeader(bytes) == (("wav", 1, 44100)))
+    val Some((rate, got)) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 44100 && got.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWavPcm16("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeImageStats / decodeAudioStats: total over mixed corpora") {
+    val good = Multimodal.encodeImage(
+      Multimodal.patternImage(9, 9, 1L, grayscale = false), "png")
+    val img = Seq((1L, good), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val istats = Multimodal.decodeImageStats(img).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(istats(1L).format == "png" && istats(1L).n_px == 81L)
+    assert(istats(2L).format == "unknown" && istats(2L).width == -1L
+      && istats(2L).sum_r == 0L)
+    val wav = Multimodal.encodeWavPcm16(Array[Short](100, -100, 50), 8000)
+    val aud = Seq((1L, wav), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val astats = Multimodal.decodeAudioStats(aud).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(astats(1L) == Multimodal.DecodedAudio(1L, 8000L, 3L, 50L, 250L, 2L))
+    assert(astats(2L).sample_rate == -1L && astats(2L).n_samples == 0L)
+  }
+
+  test("realImageFeatures: decoded-luma histogram for images, byte profile fallback") {
+    val good = Multimodal.encodeImage(
+      Multimodal.patternImage(16, 16, 7L, grayscale = true), "png")
+    val f = Multimodal.realImageFeatures(good, dims = 16)
+    assert(f.length == 16 && math.abs(f.sum - 1.0f) < 1e-4)
+    // grayscale ramp touches many bins
+    assert(f.count(_ > 0f) > 8)
+    val junk = "opaque blob".getBytes("UTF-8")
+    assert(Multimodal.realImageFeatures(junk, 16).toSeq
+      == Multimodal.fakeDecode(junk, 16).toSeq)
+  }
+
   test("frame sampling explodes every k-th frame index") {
     val frames = Multimodal.sampleFrames(Multimodal.extractMeta(media), everyK = 10)
     val byId = frames.groupBy("media_id").agg(
