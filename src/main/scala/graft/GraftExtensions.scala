@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_heavy_hitters k must be an integer literal, got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NgramGenerator].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => graft.functions.NgramGenerator.build(children)))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "graft_simhash"),
       (children: Seq[Expression]) => graft.functions.SimHashAgg(children(0))))

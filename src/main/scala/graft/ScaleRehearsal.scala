@@ -170,7 +170,19 @@ object ScaleRehearsal {
     // hopping window doubles each event into a constant-width agg (~k×)
     "s48_multi_table_txn", "t47_hybrid_retrieval_rrf",
     "emb22_int8_quantized_knn", "e12_sliding_window",
-    "f20_variant_extract", "t48_weighted_sample")
+    "f20_variant_extract", "t48_weighted_sample",
+    // round-14: real codec decode rides the documents DIM (per-row
+    // encode+decode CPU — expect ~k× rows at constant per-row cost);
+    // the n-gram generator is one streamed tokenize pass (~k×); the
+    // DSv2 connector legs rebuild their orders-derived version logs at
+    // k× (read = pruned parquet-mr scan ~k× of a fraction; write = two
+    // staged appends ~k×; the MIN/MAX leg stays metadata-only flat);
+    // the streaming source replays k×-sized versions through the same
+    // four-append protocol
+    "mm6_real_image_decode", "mm8_real_audio_decode",
+    "mm9_real_resize_pipeline", "t49_ngram_generate",
+    "s49_dsv2_versioned_read", "s50_dsv2_write_read",
+    "st12_stream_versioned_source")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

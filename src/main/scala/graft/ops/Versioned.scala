@@ -1646,6 +1646,124 @@ object Versioned {
       normalizedGroupsRead(spark, dir, v, groups)), readRenames(dir, v))
   }
 
+  /** Connector WRITE surface (graft.sources.VersionedSource): publish a
+    * directory of parquet files that executors ALREADY wrote (staged
+    * under the table root, same filesystem) as the next version's file
+    * group — data moves once (atomic rename), the manifest publishes
+    * last via put-if-absent, so a crash anywhere leaves the staged dir
+    * invisible to every reader (the commit() crash-invisibility
+    * contract, minus the DataFrame write this path's caller did
+    * itself). Carried state follows commit(): appends inherit parent
+    * groups, stats, and pending MOR delete files; overwrites start
+    * fresh. Appends are REFUSED over pending renames / defaults /
+    * drops (the staged files bypass the normalization commit() applies
+    * — publishing them would mix schemas in one snapshot) and when the
+    * staged schema's field names do not match the table's. */
+  def commitStagedGroup(spark: SparkSession, dir: String, stagedDir: String,
+      overwrite: Boolean = false, statsCol: Option[String] = None): Int = {
+    val parent = latestVersion(dir)
+    val v = parent + 1
+    val group = s"c$v"
+    if (!overwrite && parent != 0) {
+      require(readRenames(dir, parent).isEmpty &&
+          readDefaults(dir, parent).isEmpty && readDrops(dir, parent).isEmpty,
+        s"staged append at $dir: pending column mapping/defaults/drops — " +
+          "raw staged files bypass the schema normalization; use " +
+          "Versioned.commit or materialize first")
+      val tableCols = read(spark, dir, parent).columns.toSet
+      val stagedCols = spark.read.parquet(stagedDir).columns.toSet
+      require(stagedCols == tableCols,
+        s"staged append schema $stagedCols does not match table $tableCols")
+    }
+    val parentStats =
+      if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
+      else readStats(dir, parent)
+    val parentScol =
+      if (overwrite || parent == 0) None else readStatsCol(dir, parent)
+    statsCol.foreach { c =>
+      parentScol match {
+        case Some(pc) => require(pc == c,
+          s"staged commit records stats on '$c' but carried groups at " +
+            s"$dir describe '$pc'")
+        case None => require(parentStats.isEmpty,
+          s"staged commit records stats on '$c' but carried groups at " +
+            s"$dir hold unlabeled legacy stats")
+      }
+    }
+    val target = Paths.get(dir, "data", group)
+    Files.createDirectories(target.getParent)
+    require(!Files.exists(target), s"group $group already exists at $dir")
+    Files.move(Paths.get(stagedDir), target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val groups =
+      (if (overwrite || parent == 0) Seq.empty
+       else readManifest(dir, parent)) :+ group
+    val newStats = statsCol.flatMap(c =>
+      writtenStats(spark, dir, group, c).map(group -> _))
+    val (dgs, dk) =
+      if (overwrite || parent == 0) (Seq.empty[String], None)
+      else readDeletes(dir, parent)
+    val json = manifestJson(v, parent, overwrite, groups,
+      parentStats ++ newStats,
+      if (overwrite || parent == 0) Map.empty else readStats2(dir, parent),
+      dgroups = dgs, dkey = dk,
+      scol = statsCol.orElse(parentScol),
+      scol2 = if (overwrite || parent == 0) None else readStatsCol2(dir, parent))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"staged commit at $dir lost the race for version $v")
+    v
+  }
+
+  /** Streaming-source planning surface (graft.sources.VersionedSource,
+    * micro-batch read — the Delta streaming-source analog where the
+    * OFFSET is the committed version number): the group directories an
+    * APPEND step `v` added. Refuses overwrite steps (a consumed
+    * snapshot was replaced — the Delta source's ignoreChanges=false
+    * contract) and the connector-scope normalization states (pending
+    * MOR deletes / renames / drops / defaults), mirroring
+    * [[connectorScanPlan]]. */
+  def connectorStreamStep(dir: String, v: Int): Seq[String] = {
+    require(stepIsAppend(dir, v),
+      s"streaming read at $dir: v$v is an OVERWRITE step — the stream " +
+        "serves append-only histories (reprocess from a fresh checkpoint)")
+    require(readDeletes(dir, v)._1.isEmpty && readRenames(dir, v).isEmpty &&
+        readDrops(dir, v).isEmpty && readDefaults(dir, v).isEmpty,
+      s"streaming read at $dir: v$v carries pending deletes/renames/" +
+        "drops/defaults the raw-file stream cannot serve faithfully")
+    val added = readManifest(dir, v).toSet --
+      (if (v == 1) Set.empty[String] else readManifest(dir, v - 1).toSet)
+    added.toSeq.sorted.map(resolveGroup(dir, _))
+  }
+
+  /** Connector planning surface (graft.sources.VersionedSource — the
+    * DataSourceV2 reader): the resolved version, its file groups as
+    * (manifest name, absolute directory), per-group [min, max] stats,
+    * and the stats column they describe. REFUSES table states the
+    * connector's v1 read scope cannot serve faithfully — pending
+    * merge-on-read delete files, column renames, drops, or
+    * initial-defaults all require the normalization only [[read]]
+    * applies; serving raw files under them would resurrect deleted or
+    * dropped data (the s38/s42 row-resurrection guards, applied to the
+    * external read path). */
+  def connectorScanPlan(dir: String, version: Int = 0)
+      : (Int, Seq[(String, String)], Map[String, (Long, Long)], Option[String]) = {
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    require(groups.nonEmpty, s"version $v has an empty manifest at $dir")
+    require(readDeletes(dir, v)._1.isEmpty,
+      s"v$v at $dir carries pending merge-on-read delete files — " +
+        "apply them (applyDeletesCommit) before reading through the connector")
+    require(readRenames(dir, v).isEmpty,
+      s"v$v at $dir carries a pending column mapping — materialize it " +
+        "(applyRenamesCommit) before reading through the connector")
+    require(readDrops(dir, v).isEmpty && readDefaults(dir, v).isEmpty,
+      s"v$v at $dir carries dropped or defaulted columns — the connector " +
+        "serves raw physical files and would mis-serve them")
+    (v, groups.map(g => g -> resolveGroup(dir, g)), readStats(dir, v),
+      readStatsCol(dir, v))
+  }
+
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`
     * exists yet — the put-if-absent primitive optimistic concurrency
     * needs. A plain rename(2) silently REPLACES an existing target (a

@@ -636,6 +636,41 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s50's connector-written table: two year-split appends through
+    * df.write.format("graft-versioned") (executors stage parquet-mr
+    * files, commit publishes the manifest) with od stats. Built once
+    * per (session, sfDir) — the s17/s18 immutable-derived-data
+    * discipline. */
+  private val dsv2WriteCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def dsv2WrittenOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = dsv2WriteCache.get(key)
+    if (hit != null) return hit
+    dsv2WriteCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s50_dsv2_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val yr = year(date_add(lit("1970-01-01").cast("date"),
+      col("od").cast("int")))
+    // testdata orders span 1995..2001 — split at the midpoint so both
+    // connector-written groups are materially sized
+    Seq(yr <= 1997, yr >= 1998).foreach(cond =>
+      o.filter(cond).write.format("graft-versioned").option("path", dir)
+        .option("statsCol", "od").mode("append").save())
+    require(graft.ops.Versioned.latestVersion(dir) == 2,
+      s"connector write did not land two versions at $dir")
+    dsv2WriteCache.put(key, dir)
+    dir
+  }
+
   /** s22's compacted table: the s21 four-commit shape in its own dir
     * (compacting s21's table would break its pruning contract), then
     * one OPTIMIZE pass. */
@@ -987,6 +1022,92 @@ object SinkSqlQueries {
                FROM orders
                WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
                  AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'""")),
+
+    // S49: the versioned table behind a STANDARD Spark API — the
+    // DataSourceV2 connector (graft.sources.VersionedSource, registered
+    // as format "graft-versioned"): spark.read.format(...).load() plans
+    // from the manifest, pushes the 1996 range filter onto the
+    // manifest's od stats (whole groups pruned before any file opens),
+    // compiles it to parquet row-group predicates executor-side, and
+    // serves rows through parquet-mr — no Spark parquet reader in the
+    // path. `pruned` pins the planning mechanism in the gated row (the
+    // filtered scan planned strictly fewer input partitions than the
+    // full-table scan); the second leg time-travels to v1 via the
+    // versionAsOf option. The oracle replays both legs from source, so
+    // the whole connector read path (planning, projection, parquet
+    // decode, version isolation) sits under the hash.
+    Q("s49_dsv2_versioned_read",
+      (s, d) => {
+        val dir = versionedByYear(s, d)
+        val (lo, hi) = (java.time.LocalDate.of(1996, 1, 1).toEpochDay,
+          java.time.LocalDate.of(1996, 12, 31).toEpochDay)
+        def conn(v: Int) = {
+          val r = s.read.format("graft-versioned").option("path", dir)
+          (if (v > 0) r.option("versionAsOf", v.toString) else r).load()
+        }
+        def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }.getOrElse(-1)
+        val filtered = conn(0).filter(col("od") >= lo && col("od") <= hi)
+        val nf = partsOf(filtered)
+        val pruned = nf > 0 && nf < partsOf(conn(0))
+        val leg1996 = filtered
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("1996_latest").as("leg"), col("n"), col("total"),
+            lit(pruned).as("pruned"))
+        val legV1 = conn(1)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("v1_time_travel").as("leg"), col("n"), col("total"),
+            lit(pruned).as("pruned"))
+        leg1996.unionAll(legV1).orderBy("leg")
+      },
+      Some(s"""SELECT '1996_latest' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS pruned
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                 AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+               UNION ALL
+               SELECT 'v1_time_travel', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders
+               WHERE year(CAST(o_orderdate AS DATE)) <= 1993
+               ORDER BY leg""")),
+
+    // S50: the connector WRITE path + metadata-only aggregates. The
+    // table is built ENTIRELY through df.write.format("graft-versioned")
+    // — two appends whose executors stage parquet via parquet-mr and
+    // whose commit publishes a Versioned manifest (atomic staged-group
+    // rename; Versioned.commitStagedGroup). The gated row reads it back
+    // through the connector: full-table count + exact decimal total
+    // (write→read round-trip under the hash), plus global MIN/MAX of
+    // the stats column answered FROM THE MANIFEST — `meta_only` pins
+    // that the aggregate scan planned exactly one metadata partition
+    // with aggPushed in its description (zero data files opened — the
+    // Iceberg/Delta answer-from-stats path). Oracle replays everything
+    // from the source table.
+    Q("s50_dsv2_write_read",
+      (s, d) => {
+        val dir = dsv2WrittenOrders(s, d)
+        def conn = s.read.format("graft-versioned").option("path", dir).load()
+        val aggDf = conn.agg(min("od").as("od_lo"), max("od").as("od_hi"))
+        val metaOnly = aggDf.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.description().contains("aggPushed") &&
+              b.inputRDD.getNumPartitions == 1
+        }.getOrElse(false)
+        conn.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .crossJoin(aggDf)
+          .withColumn("meta_only", lit(metaOnly))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      CAST(MIN(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS BIGINT) AS od_lo,
+                      CAST(MAX(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS BIGINT) AS od_hi,
+                      TRUE AS meta_only
+               FROM orders""")),
 
     // S22: OPTIMIZE/compaction on the version log — the remaining
     // lakehouse verb (Delta OPTIMIZE / Iceberg rewrite_data_files): an

@@ -576,8 +576,75 @@ object StreamingQueries {
               UNION ALL
               SELECT CAST(2 AS BIGINT), batch_id, corpus_id, inter,
                      sz1, sz2, ROUND(j, 6), TRUE, TRUE FROM p2
-              ORDER BY step, batch_id, corpus_id"""))
+              ORDER BY step, batch_id, corpus_id""")),
+
+    // ST12: the version log as a STREAMING SOURCE through the DSv2
+    // connector (readStream.format("graft-versioned") — the Delta
+    // streaming-source design: the offset IS the committed version
+    // number, each micro-batch serves exactly the groups its append
+    // steps added). Protocol (built once per session): three appends →
+    // AvailableNow pass 1 over a fresh checkpoint → a FOURTH append →
+    // pass 2 over the SAME checkpoint. `incremental_ok` pins that pass 1
+    // delivered exactly v1..v3's rows and pass 2 delivered ONLY v4's
+    // (exactly-once version consumption — the checkpoint's offset commit,
+    // not file mtimes, drives progress). The oracle replays the full
+    // table from source, so the streamed union is value-exact too.
+    Q("st12_stream_versioned_source",
+      (s, d) => {
+        val (sink, incrementalOk) = versionedSourceStreamed(s, d)
+        s.read.parquet(sink)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("incremental_ok", lit(incrementalOk))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS incremental_ok
+               FROM orders"""))
   )
+
+  /** st12's streamed versioned source: three appends consumed by pass 1,
+    * a fourth consumed incrementally by pass 2 over the same checkpoint.
+    * Returns (sinkDir, incrementalOk). Built once per (session, sfDir). */
+  private val vsrcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Boolean)]()
+
+  private def versionedSourceStreamed(s: SparkSession, d: String)
+      : (String, Boolean) = {
+    val key = (s, d)
+    val hit = vsrcCache.get(key)
+    if (hit != null) return hit
+    vsrcCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val table = tmp(s"st12/table_$suffix")
+    val sink = tmp(s"st12/sink_$suffix")
+    val ckpt = tmp(s"st12/ckpt_$suffix")
+    clean(s, table, sink, ckpt)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    (0L to 2L).foreach(q =>
+      graft.ops.Versioned.commit(o.filter(pmod(col("o_orderkey"), lit(4L)) === q),
+        table))
+    def pass(): Long = {
+      val q = s.readStream.format("graft-versioned").option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+      s.read.parquet(sink).count()
+    }
+    val n1 = pass()
+    graft.ops.Versioned.commit(o.filter(pmod(col("o_orderkey"), lit(4L)) === 3L),
+      table)
+    val n2 = pass()
+    val firstThree = o.filter(pmod(col("o_orderkey"), lit(4L)) =!= 3L).count()
+    val fourth = o.filter(pmod(col("o_orderkey"), lit(4L)) === 3L).count()
+    val ok = n1 == firstThree && (n2 - n1) == fourth
+    val out = (sink, ok)
+    vsrcCache.put(key, out)
+    out
+  }
 
   /** st8's consumed change feed: a versioned orders table built commit by
     * commit with a file-source stream consuming the `data` directory glob

@@ -1493,7 +1493,45 @@ object TextQueries {
               SELECT doc_id, w AS weight,
                      ROUND(ln(u) / CAST(w AS DOUBLE), 6) AS es_key
               FROM t
-              ORDER BY es_key DESC, doc_id LIMIT 50"""))
+              ORDER BY es_key DESC, doc_id LIMIT 50""")),
+
+    // T49: the custom Catalyst GENERATOR tier (graft_ngrams — one input
+    // row streams out one row per word 3-gram with position; the UDTF
+    // shape of explode/posexplode/inline). Unlike the
+    // tokens→sequence→explode→element_at chain, no per-doc all-ngrams
+    // array ever materializes — the generator streams windows, so a
+    // 100k-token document costs one live window, not a 100k-element
+    // array. The oracle replays tokenize + slide with DuckDB list
+    // slicing; per-doc count / distinct / lexicographic min / last-by-
+    // position all sit under the hash (position semantics included, via
+    // max_by/arg_max).
+    Q("t49_ngram_generate",
+      (s, d) => {
+        graft.functions.NgramGenerator.register(s)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "graft_ngrams(text, 3)")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ngrams"),
+            countDistinct(col("ngram")).as("n_distinct"),
+            min("ngram").as("first_lex"),
+            max_by(col("ngram"), col("pos")).as("last_ngram"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+                   FROM documents
+                   WHERE text IS NOT NULL AND trim(text) <> ''),
+                 g AS (SELECT doc_id, w, unnest(range(len(w) - 2)) AS pos
+                       FROM t WHERE len(w) >= 3),
+                 n AS (SELECT doc_id, pos,
+                              array_to_string(w[pos + 1 : pos + 3], ' ')
+                                AS ngram
+                       FROM g)
+              SELECT doc_id, COUNT(*) AS n_ngrams,
+                     COUNT(DISTINCT ngram) AS n_distinct,
+                     MIN(ngram) AS first_lex,
+                     arg_max(ngram, pos) AS last_ngram
+              FROM n GROUP BY doc_id ORDER BY doc_id"""))
   )
 
 

@@ -1,0 +1,687 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Types => PTypes}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type.Repetition
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Max, Min}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Versioned
+
+/** DataSourceV2 connector for the [[graft.ops.Versioned]] lakehouse
+  * format — the external read surface Delta/Iceberg expose for their
+  * logs, in minimal Spark-first form:
+  *
+  * {{{
+  *   spark.read.format("graft-versioned")
+  *     .option("path", dir)
+  *     .option("versionAsOf", 2)   // optional time travel; latest otherwise
+  *     .load()
+  * }}}
+  *
+  * Planning (driver): the version's manifest yields the file groups;
+  * pushed range/equality filters on the manifest's stats column prune
+  * whole groups BEFORE any file is opened (the Iceberg scan-planning
+  * path, s21's mechanism behind a standard Spark API). One
+  * InputPartition per parquet file.
+  *
+  * Execution (per partition): parquet-mr reads the file directly —
+  * column pruning via a projected read schema (only requested columns
+  * are materialized) and the pushed filters compiled to parquet
+  * FilterPredicates, so row groups whose column statistics exclude the
+  * predicate are skipped at the parquet layer. All pushed filters are
+  * ALSO retained as Spark-side residuals (pushFilters returns every
+  * filter), so connector pruning is a pure performance layer — exactly
+  * parquet's own row-group-statistics contract.
+  *
+  * v1 read scope: tables without pending MOR deletes / renames / drops
+  * / defaults ([[Versioned.connectorScanPlan]] refuses those loudly —
+  * serving raw files under them would resurrect deleted rows or dropped
+  * columns). Column types: BIGINT / INT / DOUBLE / FLOAT / STRING /
+  * BOOLEAN / DATE — the gate discipline's surface.
+  */
+class VersionedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-versioned"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (dir, version) = VersionedSource.pathAndVersion(options)
+    val (_, groups, _, _) = Versioned.connectorScanPlan(dir, version)
+    // schema from the first group's footers via Spark's parquet reader
+    // (driver-side planning only; executors never touch this path)
+    SparkSession.active.read.parquet(groups.head._2).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VersionedTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object VersionedSource {
+  def pathAndVersion(options: CaseInsensitiveStringMap): (String, Int) = {
+    val dir = options.get("path")
+    require(dir != null && dir.nonEmpty,
+      "graft-versioned requires .option(\"path\", <table dir>)")
+    (dir, Option(options.get("versionAsOf")).map(_.toInt).getOrElse(0))
+  }
+
+  val supportedTypes: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+    FloatType, StringType, BooleanType, DateType)
+}
+
+private[sources] class VersionedTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_versioned_${options.get("path")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new VersionedScanBuilder(tableSchema, caseInsensitiveOptions)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VersionedWriteBuilder(info)
+}
+
+private[sources] class VersionedScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var aggMinMax: Option[Seq[(Boolean, String)]] = None
+
+  /** Accept the filters the parquet/stats layers can use; EVERYTHING is
+    * returned as residual — connector-side pruning is best-effort
+    * (group stats + row-group stats), never exact row filtering. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(VersionedScan.supportsPushdown)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands back a subset of fullSchema in table-schema order;
+    // empty projection (e.g. COUNT(*)) stays empty — rows carry 0 cols
+    required = requiredSchema
+
+  /** Metadata-only aggregates — the Iceberg/Delta answer-from-manifest
+    * path: a global (no GROUP BY, no residual filters) MIN/MAX on the
+    * manifest's stats column is answered from the per-group [min, max]
+    * entries alone; ZERO data files open. Complete pushdown only —
+    * anything the manifest cannot answer exactly declines, and Spark
+    * runs the normal scan+aggregate. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerableMinMax(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answerableMinMax(agg) match {
+      case some @ Some(_) => aggMinMax = some; true
+      case None => false
+    }
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def answerableMinMax(agg: Aggregation)
+      : Option[Seq[(Boolean, String)]] = {
+    // residual filters would make manifest bounds over-wide; grouped
+    // aggregates need per-group bounds the manifest does not hold
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val (dir, version) = VersionedSource.pathAndVersion(options)
+    val (_, groups, stats, scolOpt) =
+      try Versioned.connectorScanPlan(dir, version)
+      catch { case _: IllegalArgumentException => return None }
+    val scol = scolOpt.getOrElse(return None)
+    // every group must carry stats (an all-NULL-column group records
+    // none → its rows are invisible to the bounds → decline)
+    if (!groups.forall { case (name, _) => stats.contains(name) }) return None
+    if (!fullSchema.fields.exists(f => f.name == scol &&
+        f.dataType == LongType)) return None
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case m: Min => refName(m.column).filter(_ == scol).map(c => (true, c))
+      case m: Max => refName(m.column).filter(_ == scol).map(c => (false, c))
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get))
+    else None
+  }
+
+  override def build(): Scan = {
+    val (dir, version) = VersionedSource.pathAndVersion(options)
+    new VersionedScan(dir, version, fullSchema, required, pushed, aggMinMax)
+  }
+}
+
+private[sources] case class VersionedFilePartition(file: String)
+  extends InputPartition
+
+/** The answered-from-manifest aggregate: one row, no files opened. */
+private[sources] case class VersionedAggPartition(values: Seq[Long])
+  extends InputPartition
+
+private[sources] class VersionedScan(dir: String, version: Int,
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    aggMinMax: Option[Seq[(Boolean, String)]] = None)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggMinMax match {
+    case Some(specs) => StructType(specs.map { case (isMin, c) =>
+      StructField(s"${if (isMin) "min" else "max"}($c)", LongType)
+    })
+    case None => required
+  }
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val (v, _, _, scol) = Versioned.connectorScanPlan(dir, version)
+    s"graft-versioned $dir v$v cols=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      s"statsCol=${scol.getOrElse("-")}" +
+      aggMinMax.map(s => s" aggPushed=[${s.map { case (m, c) =>
+        s"${if (m) "min" else "max"}($c)" }.mkString(",")}]").getOrElse("")
+  }
+
+  /** Driver-side planning: manifest → groups → stats pruning → one
+    * InputPartition per parquet file; a pushed MIN/MAX aggregation
+    * plans ONE metadata partition and opens nothing. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (v, groups, stats, scol) = Versioned.connectorScanPlan(dir, version)
+    aggMinMax match {
+      case Some(specs) =>
+        val gs = groups.map { case (name, _) => stats(name) } // gated in builder
+        val vals = specs.map { case (isMin, _) =>
+          if (isMin) gs.map(_._1).min else gs.map(_._2).max
+        }
+        Array(VersionedAggPartition(vals))
+      case None =>
+        val bounds = scol.map(c => VersionedScan.filterBounds(pushed, c))
+        val kept = groups.filter { case (name, _) =>
+          (bounds, stats.get(name)) match {
+            case (Some((lo, hi)), Some((gLo, gHi))) => gLo <= hi && gHi >= lo
+            case _ => true // no stats recorded for the group → conservative
+          }
+        }
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        kept.flatMap { case (_, groupDir) =>
+          VersionedScan.listParquetFiles(new Path(groupDir), conf)
+        }.map(f => VersionedFilePartition(f): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (aggMinMax.isEmpty)
+      required.fields.foreach(f =>
+        require(VersionedSource.supportedTypes.contains(f.dataType),
+          s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
+            s"for '${f.name}'"))
+    // hadoop Configuration is not serializable as-is; the executor-side
+    // reader builds a fresh default Configuration (local/HDFS defaults) —
+    // object-store credentials would ride SerializableConfiguration in a
+    // cluster deployment
+    new VersionedReaderFactory(required, pushed)
+  }
+
+  /** Streaming read: the version log IS the offset log (the Delta
+    * streaming-source design) — offset = committed version number, each
+    * micro-batch serves the file groups appended in (start, end]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new VersionedMicroBatchStream(dir, required, pushed)
+}
+
+/** Offsets are committed version numbers; planInputPartitions((s, e]) =
+  * one partition per parquet file of the groups the append steps
+  * s+1..e added ([[Versioned.connectorStreamStep]] — overwrite steps and
+  * pending-normalization states refuse loudly). The checkpoint's offset
+  * commit gives the consumer exactly-once version consumption: a
+  * restarted query resumes at its last committed version and a commit
+  * landing mid-run is served incrementally by the next batch. */
+private[sources] class VersionedMicroBatchStream(dir: String,
+    required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VOffset(v: Int) extends Offset {
+    override def json: String = s"""{"version":$v}"""
+  }
+
+  override def initialOffset(): Offset = VOffset(0)
+  override def latestOffset(): Offset = VOffset(Versioned.latestVersion(dir))
+  override def deserializeOffset(json: String): Offset =
+    VOffset("[0-9]+".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad offset json: $json")).toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VOffset].v, end.asInstanceOf[VOffset].v)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ((s + 1) to e).flatMap(v =>
+      Versioned.connectorStreamStep(dir, v).flatMap(g =>
+        VersionedScan.listParquetFiles(new Path(g), conf)))
+      .map(f => VersionedFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object VersionedScan {
+
+  def supportsPushdown(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => isAtom(v)
+    case GreaterThan(_, v) => isAtom(v)
+    case GreaterThanOrEqual(_, v) => isAtom(v)
+    case LessThan(_, v) => isAtom(v)
+    case LessThanOrEqual(_, v) => isAtom(v)
+    case And(l, r) => supportsPushdown(l) && supportsPushdown(r)
+    case _ => false
+  }
+
+  private def isAtom(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Double | _: Float | _: String | _: Boolean => true
+    case _ => false
+  }
+
+  /** Conjunctive [lo, hi] bounds the pushed filters imply for `col`
+    * (integral comparisons only — the manifest stats are BIGINT). */
+  def filterBounds(pushed: Array[Filter], col: String): (Long, Long) = {
+    var (lo, hi) = (Long.MinValue, Long.MaxValue)
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(c, v) if c == col =>
+        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(c, v) if c == col =>
+        asLong(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(c, v) if c == col =>
+        asLong(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(c, v) if c == col =>
+        asLong(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(c, v) if c == col =>
+        asLong(v).foreach(l => hi = math.min(hi, l))
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    pushed.foreach(walk)
+    (lo, hi)
+  }
+
+  /** Data files under a group dir (recursive — OPTIMIZE ZORDER groups
+    * are hive-style subdirs), skipping hidden/metadata entries. */
+  def listParquetFiles(root: Path, conf: Configuration): Seq[String] = {
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        out += s.getPath.toString
+    }
+    out.toSeq
+  }
+}
+
+private[sources] class VersionedReaderFactory(required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case VersionedAggPartition(values) =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(values.map(v => v: Any).toArray)
+          override def close(): Unit = ()
+        }
+      case fp: VersionedFilePartition =>
+        new VersionedPartitionReader(fp.file, required, pushed)
+    }
+}
+
+/** Executor-side reader: parquet-mr over ONE file, with a projected read
+  * schema (column pruning at the parquet layer) and the pushed filters
+  * compiled to FilterPredicates (row-group statistics skipping). */
+private[sources] class VersionedPartitionReader(file: String,
+    required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val path = new Path(file)
+
+  /** The file's own schema — the projection must reuse the file's
+    * physical types verbatim, and evolution-added columns missing here
+    * are served as NULL. */
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  private val present: Map[String, PrimitiveType] =
+    fileSchema.getFields.asScala.collect {
+      case p: PrimitiveType => p.getName -> p
+    }.toMap
+
+  private val reader: ParquetReader[Group] = {
+    val projected = required.fieldNames.flatMap(present.get)
+    if (projected.nonEmpty)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        new MessageType("projected", projected.toList.asJava.asInstanceOf[
+          java.util.List[org.apache.parquet.schema.Type]]).toString)
+    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    VersionedPartitionReader.toParquetPredicate(pushed, present)
+      .foreach(p => b.withFilter(FilterCompat.get(p)))
+    b.build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val schema = g.getType.asInstanceOf[GroupType]
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      vals(i) =
+        if (!schema.containsField(f.name)) null // evolution-added column
+        else {
+          val idx = schema.getFieldIndex(f.name)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else f.dataType match {
+            case LongType => g.getLong(idx, 0)
+            case IntegerType => g.getInteger(idx, 0)
+            case DoubleType => g.getDouble(idx, 0)
+            case FloatType => g.getFloat(idx, 0)
+            case BooleanType => g.getBoolean(idx, 0)
+            case DateType => g.getInteger(idx, 0) // parquet DATE = epoch days
+            case StringType =>
+              UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+            case t => throw new IllegalStateException(s"unreachable type $t")
+          }
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object VersionedPartitionReader {
+
+  /** Compile the pushed Spark filters to ONE conjunctive parquet
+    * FilterPredicate over columns present in this file with a matching
+    * physical type; anything else is simply not compiled (Spark's
+    * residual filters keep correctness). */
+  def toParquetPredicate(pushed: Array[Filter],
+      present: Map[String, PrimitiveType]): Option[FilterPredicate] = {
+
+    def leaf(c: String, v: Any,
+        mk: (String, Any) => FilterPredicate): Option[FilterPredicate] =
+      present.get(c).flatMap { p =>
+        (p.getPrimitiveTypeName, v) match {
+          case (PrimitiveTypeName.INT64, l: Long) => Some(mk(c, l))
+          case (PrimitiveTypeName.INT32, i: Int) => Some(mk(c, i))
+          case (PrimitiveTypeName.DOUBLE, d: Double) => Some(mk(c, d))
+          case (PrimitiveTypeName.FLOAT, fl: Float) => Some(mk(c, fl))
+          case (PrimitiveTypeName.BINARY, s: String) => Some(mk(c, s))
+          case _ => None
+        }
+      }
+
+    def convert(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v) => leaf(c, v, {
+        case (n, l: Long) => FilterApi.eq(FilterApi.longColumn(n), Long.box(l))
+        case (n, i: Int) => FilterApi.eq(FilterApi.intColumn(n), Int.box(i))
+        case (n, d: Double) => FilterApi.eq(FilterApi.doubleColumn(n), Double.box(d))
+        case (n, fl: Float) => FilterApi.eq(FilterApi.floatColumn(n), Float.box(fl))
+        case (n, s: String) =>
+          FilterApi.eq(FilterApi.binaryColumn(n), Binary.fromString(s))
+      })
+      case GreaterThan(c, v) => leaf(c, v, {
+        case (n, l: Long) => FilterApi.gt(FilterApi.longColumn(n), Long.box(l))
+        case (n, i: Int) => FilterApi.gt(FilterApi.intColumn(n), Int.box(i))
+        case (n, d: Double) => FilterApi.gt(FilterApi.doubleColumn(n), Double.box(d))
+        case (n, fl: Float) => FilterApi.gt(FilterApi.floatColumn(n), Float.box(fl))
+        case (n, s: String) =>
+          FilterApi.gt(FilterApi.binaryColumn(n), Binary.fromString(s))
+      })
+      case GreaterThanOrEqual(c, v) => leaf(c, v, {
+        case (n, l: Long) => FilterApi.gtEq(FilterApi.longColumn(n), Long.box(l))
+        case (n, i: Int) => FilterApi.gtEq(FilterApi.intColumn(n), Int.box(i))
+        case (n, d: Double) => FilterApi.gtEq(FilterApi.doubleColumn(n), Double.box(d))
+        case (n, fl: Float) => FilterApi.gtEq(FilterApi.floatColumn(n), Float.box(fl))
+        case (n, s: String) =>
+          FilterApi.gtEq(FilterApi.binaryColumn(n), Binary.fromString(s))
+      })
+      case LessThan(c, v) => leaf(c, v, {
+        case (n, l: Long) => FilterApi.lt(FilterApi.longColumn(n), Long.box(l))
+        case (n, i: Int) => FilterApi.lt(FilterApi.intColumn(n), Int.box(i))
+        case (n, d: Double) => FilterApi.lt(FilterApi.doubleColumn(n), Double.box(d))
+        case (n, fl: Float) => FilterApi.lt(FilterApi.floatColumn(n), Float.box(fl))
+        case (n, s: String) =>
+          FilterApi.lt(FilterApi.binaryColumn(n), Binary.fromString(s))
+      })
+      case LessThanOrEqual(c, v) => leaf(c, v, {
+        case (n, l: Long) => FilterApi.ltEq(FilterApi.longColumn(n), Long.box(l))
+        case (n, i: Int) => FilterApi.ltEq(FilterApi.intColumn(n), Int.box(i))
+        case (n, d: Double) => FilterApi.ltEq(FilterApi.doubleColumn(n), Double.box(d))
+        case (n, fl: Float) => FilterApi.ltEq(FilterApi.floatColumn(n), Float.box(fl))
+        case (n, s: String) =>
+          FilterApi.ltEq(FilterApi.binaryColumn(n), Binary.fromString(s))
+      })
+      case And(l, r) =>
+        (convert(l), convert(r)) match {
+          case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+          case (a, b) => a.orElse(b) // partial conjunction still prunes
+        }
+      case _ => None
+    }
+
+    pushed.flatMap(convert(_)) match {
+      case Array() => None
+      case ps => Some(ps.reduce(FilterApi.and))
+    }
+  }
+}
+
+// ------------------------------------------------------------------------
+// WRITE path: df.write.format("graft-versioned").mode(append|overwrite)
+// ------------------------------------------------------------------------
+
+private[sources] class VersionedWriteBuilder(info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  /** mode("overwrite") arrives as truncate-then-append in DSv2 — mapped
+    * to a Versioned OVERWRITE commit (new snapshot, history retained). */
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new VersionedWrite(info, overwrite)
+}
+
+private[sources] class VersionedWrite(info: LogicalWriteInfo,
+    overwrite: Boolean) extends Write {
+  override def toBatch: BatchWrite = {
+    val (dir, _) = VersionedSource.pathAndVersion(info.options())
+    info.schema().fields.foreach(f =>
+      require(VersionedSource.supportedTypes.contains(f.dataType),
+        s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
+          s"for '${f.name}'"))
+    new VersionedBatchWrite(info.schema(), dir, overwrite,
+      Option(info.options().get("statsCol")), info.queryId())
+  }
+}
+
+/** Executors stage parquet part files under `<table>/_staging/<queryId>`
+  * (same filesystem as `data/`, so the publish is ONE atomic rename);
+  * the driver's commit() turns the staged dir into the next version's
+  * file group via [[Versioned.commitStagedGroup]] — manifest last, so a
+  * failed/aborted job leaves nothing any reader can see. */
+private[sources] class VersionedBatchWrite(schema: StructType, dir: String,
+    overwrite: Boolean, statsCol: Option[String], queryId: String)
+    extends BatchWrite {
+
+  private val staging = s"$dir/_staging/q$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    VersionedDataWriterFactory(schema, staging)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case m: VersionedCommitMessage => m.nFiles }
+    require(files.sum > 0,
+      "graft-versioned: zero rows staged — an empty commit would publish " +
+        "an unreadable empty group; filter-to-empty writes are refused")
+    Versioned.commitStagedGroup(SparkSession.active, dir, staging,
+      overwrite, statsCol)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = java.nio.file.Paths.get(staging)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+}
+
+private[sources] case class VersionedCommitMessage(nFiles: Int, nRows: Long)
+  extends WriterCommitMessage
+
+private[sources] case class VersionedDataWriterFactory(schema: StructType,
+    staging: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new VersionedDataWriter(schema,
+      s"$staging/part-$partitionId-$taskId.parquet")
+}
+
+/** Per-partition parquet-mr writer; the file is created lazily on the
+  * first row, so empty partitions stage nothing. */
+private[sources] class VersionedDataWriter(schema: StructType, file: String)
+  extends DataWriter[InternalRow] {
+
+  private val messageType = VersionedDataWriter.toMessageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer: ParquetWriter[Group] = _
+  private var rows = 0L
+
+  private def ensureWriter(): Unit = if (writer == null) {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(messageType, conf)
+    writer = ExampleParquetWriter.builder(new Path(file)).withConf(conf).build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureWriter()
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val n = schema.fields(i).name
+        schema.fields(i).dataType match {
+          case LongType => g.add(n, row.getLong(i))
+          case IntegerType => g.add(n, row.getInt(i))
+          case DoubleType => g.add(n, row.getDouble(i))
+          case FloatType => g.add(n, row.getFloat(i))
+          case BooleanType => g.add(n, row.getBoolean(i))
+          case DateType => g.add(n, row.getInt(i)) // epoch days = parquet DATE
+          case StringType =>
+            g.add(n, Binary.fromString(row.getUTF8String(i).toString))
+          case t => throw new IllegalStateException(s"unreachable type $t")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    VersionedCommitMessage(if (writer != null) 1 else 0, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] object VersionedDataWriter {
+
+  /** StructType → parquet MessageType with the standard logical
+    * annotations (UTF8 strings, DATE int32) — the same physical layout
+    * Spark's own writer produces for these types, so Versioned.read and
+    * the read connector serve connector-written groups identically. */
+  def toMessageType(schema: StructType): MessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+      val prim = f.dataType match {
+        case LongType => PTypes.primitive(PrimitiveTypeName.INT64, rep)
+        case IntegerType => PTypes.primitive(PrimitiveTypeName.INT32, rep)
+        case DoubleType => PTypes.primitive(PrimitiveTypeName.DOUBLE, rep)
+        case FloatType => PTypes.primitive(PrimitiveTypeName.FLOAT, rep)
+        case BooleanType => PTypes.primitive(PrimitiveTypeName.BOOLEAN, rep)
+        case DateType => PTypes.primitive(PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType())
+        case StringType => PTypes.primitive(PrimitiveTypeName.BINARY, rep)
+          .as(LogicalTypeAnnotation.stringType())
+        case t => throw new IllegalArgumentException(
+          s"graft-versioned write: unsupported type $t for '${f.name}'")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("graft_versioned")
+  }
+}

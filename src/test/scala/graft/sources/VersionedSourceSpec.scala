@@ -1,0 +1,292 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.SparkSpec
+import graft.ops.Versioned
+
+class VersionedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Four stats-annotated commits over k = 0..399: quartile ranges
+    * [0,100), [100,200), [200,300), [300,400). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_versioned").toString
+    (0 until 4).foreach { q =>
+      val part = spark.range(q * 100L, (q + 1) * 100L)
+        .select(col("id").as("k"), (col("id") * 2).as("v"),
+          concat(lit("s"), col("id") % 7).as("tag"),
+          (col("id").cast("double") / 4.0).as("x"))
+      Versioned.commit(part, d, statsCol = Some("k"))
+    }
+    d
+  }
+
+  private def load(version: Int = 0) = {
+    val r = spark.read.format("graft-versioned").option("path", dir)
+    (if (version > 0) r.option("versionAsOf", version.toString) else r).load()
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    // sparkPlan, not executedPlan: AQE wraps exchange-bearing plans in
+    // AdaptiveSparkPlanExec, which hides the scan from tree traversal
+    df.queryExecution.sparkPlan.collectFirst { case s: BatchScanExec => s }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("connector read equals Versioned.read, all columns and types") {
+    val got = load().orderBy("k").collect().toSeq
+    val want = Versioned.read(spark, dir).orderBy("k").collect().toSeq
+    assert(got == want)
+    assert(load().schema == Versioned.read(spark, dir).schema)
+  }
+
+  test("time travel: versionAsOf serves each historical snapshot") {
+    for (v <- 1 to 4) {
+      val got = load(v).agg(count(lit(1)), sum("k")).collect().head
+      val want = Versioned.read(spark, dir, v)
+        .agg(count(lit(1)), sum("k")).collect().head
+      assert(got == want, s"v$v mismatch")
+    }
+    assert(load(1).count() == 100L)
+  }
+
+  test("manifest-stats pruning: a range filter plans fewer input partitions") {
+    val all = scanOf(load()).inputRDD.getNumPartitions
+    val pruned = scanOf(load().filter(col("k") >= 250L && col("k") < 260L))
+      .inputRDD.getNumPartitions
+    assert(pruned > 0 && pruned < all,
+      s"expected strict pruning, got $pruned of $all")
+    // correctness under pruning
+    assert(load().filter(col("k") >= 250L && col("k") < 260L).count() == 10L)
+    // equality filter prunes to one group's files
+    val one = scanOf(load().filter(col("k") === 42L)).inputRDD.getNumPartitions
+    assert(one <= all / 4)
+    assert(load().filter(col("k") === 42L).select("v").as[Long].head() == 84L)
+  }
+
+  test("disjoint range plans zero partitions and returns zero rows") {
+    val df = load().filter(col("k") >= 1000L)
+    assert(scanOf(df).inputRDD.getNumPartitions == 0)
+    assert(df.count() == 0L)
+  }
+
+  test("column pruning and filters reach the scan (plan surfaces)") {
+    val df = load().filter(col("k") >= 250L).select("v")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("cols=[k,v]") || desc.contains("cols=[v,k]"),
+      s"projection not pruned: $desc")
+    assert(desc.contains("GreaterThanOrEqual"), s"filter not pushed: $desc")
+    assert(!desc.contains("tag"), s"unrequested column materialized: $desc")
+    assert(df.as[Long].collect().sorted.toSeq == (250L until 400L).map(_ * 2))
+  }
+
+  test("residual semantics: non-prunable filters still evaluate exactly") {
+    // tag is a string column with no manifest stats; double filter mixes in
+    val got = load().filter(col("tag") === "s3" && col("x") > 50.0)
+      .select("k").as[Long].collect().sorted.toSeq
+    val want = (0L until 400L).filter(k => k % 7 == 3 && k / 4.0 > 50.0)
+    assert(got == want)
+  }
+
+  test("parquet predicate compiles for long/string/double, skips the rest") {
+    import org.apache.spark.sql.sources._
+    val present = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val f = VersionedScan.listParquetFiles(p, conf).head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields
+        .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+      finally r.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val prim = present.asScala.collect {
+      case p: org.apache.parquet.schema.PrimitiveType => p.getName -> p
+    }.toMap
+    val pred = VersionedPartitionReader.toParquetPredicate(
+      Array(GreaterThanOrEqual("k", 5L), EqualTo("tag", "s3"),
+        LessThan("x", 9.5), EqualTo("missing_col", 1L)), prim)
+    assert(pred.isDefined)
+    val s = pred.get.toString
+    assert(s.contains("k") && s.contains("tag") && s.contains("x"))
+    assert(!s.contains("missing_col"))
+  }
+
+  test("filterBounds folds conjunctions; unrelated columns ignored") {
+    import org.apache.spark.sql.sources._
+    assert(VersionedScan.filterBounds(
+      Array(GreaterThanOrEqual("k", 10L), LessThan("k", 20L),
+        EqualTo("other", 99L)), "k") == ((10L, 19L)))
+    assert(VersionedScan.filterBounds(
+      Array(And(GreaterThan("k", 5L), LessThanOrEqual("k", 7L))), "k")
+      == ((6L, 7L)))
+    assert(VersionedScan.filterBounds(Array(EqualTo("k", 3L)), "k")
+      == ((3L, 3L)))
+  }
+
+  test("connector refuses table states it cannot serve faithfully") {
+    val d2 = java.nio.file.Files.createTempDirectory("dsv2_mor").toString
+    Versioned.commit(spark.range(10).select(col("id").as("k")), d2,
+      statsCol = Some("k"))
+    Versioned.deleteCommitMor(
+      spark.range(3).select(col("id").as("k")), d2, "k")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("path", d2).load().count()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+
+    val d3 = java.nio.file.Files.createTempDirectory("dsv2_ren").toString
+    Versioned.commit(spark.range(10).select(col("id").as("k")), d3)
+    Versioned.renameColumnCommit(spark, d3, "k", "kk")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("path", d3).load().count()
+    }
+    assert(e2.getMessage.contains("column mapping"))
+  }
+
+  test("write path: append + overwrite commit real versions, read back exactly") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_write").toString
+    val part1 = spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 3).as("v"),
+        concat(lit("w"), col("id") % 5).as("tag"))
+    part1.write.format("graft-versioned").option("path", d)
+      .option("statsCol", "k").mode("append").save()
+    assert(Versioned.latestVersion(d) == 1)
+    spark.range(50, 100)
+      .select(col("id").as("k"), (col("id") * 3).as("v"),
+        concat(lit("w"), col("id") % 5).as("tag"))
+      .write.format("graft-versioned").option("path", d)
+      .option("statsCol", "k").mode("append").save()
+    assert(Versioned.latestVersion(d) == 2)
+    // both the library read and the connector read serve the union
+    val viaLib = Versioned.read(spark, d).orderBy("k").collect().toSeq
+    val viaConn = spark.read.format("graft-versioned").option("path", d)
+      .load().orderBy("k").collect().toSeq
+    assert(viaLib == viaConn && viaLib.size == 100)
+    assert(viaLib.head.getAs[String]("tag") == "w0")
+    // connector-written stats drive pruning: v1's group excluded
+    val scan = spark.read.format("graft-versioned").option("path", d)
+      .load().filter(col("k") >= 80L)
+    assert(scanOf(scan).inputRDD.getNumPartitions <
+      scanOf(spark.read.format("graft-versioned").option("path", d).load())
+        .inputRDD.getNumPartitions)
+  }
+
+  test("overwrite mode commits a fresh snapshot, history retained") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_ow").toString
+    spark.range(0, 20).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    spark.range(100, 105).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d)
+      .mode("overwrite").save()
+    assert(Versioned.latestVersion(d) == 2)
+    assert(Versioned.read(spark, d).count() == 5)
+    assert(Versioned.read(spark, d, 1).count() == 20) // time travel intact
+    // empty writes are refused, version log untouched
+    val e = intercept[Exception] {
+      spark.range(0, 0).select(col("id").as("k"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("zero rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero rows")))
+    assert(Versioned.latestVersion(d) == 2)
+  }
+
+  test("staged append refuses schema drift and stays invisible") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_drift").toString
+    spark.range(0, 5).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    intercept[Exception] {
+      spark.range(0, 5).select(col("id").as("other"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
+    assert(Versioned.latestVersion(d) == 1)
+    assert(Versioned.read(spark, d).columns.toSeq == Seq("k"))
+  }
+
+  test("aggregate pushdown: global MIN/MAX answered from the manifest, zero files") {
+    val df = load().agg(min("k").as("lo"), max("k").as("hi"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("aggPushed"),
+      s"MIN/MAX not answered from metadata: ${scan.scan.description()}")
+    assert(scan.inputRDD.getNumPartitions == 1)
+    assert(df.as[(Long, Long)].head() == ((0L, 399L)))
+    // per-version bounds
+    val v2 = spark.read.format("graft-versioned").option("path", dir)
+      .option("versionAsOf", "2").load().agg(min("k"), max("k"))
+    assert(v2.as[(Long, Long)].head() == ((0L, 199L)))
+  }
+
+  test("aggregate pushdown declines when it cannot be exact") {
+    // residual filter → bounds would lie
+    val f = load().filter(col("tag") === "s3").agg(min("k"))
+    assert(!scanOf(f).scan.description().contains("aggPushed"))
+    assert(f.as[Long].head() == 3L)
+    // grouped aggregate → no per-group manifest bounds
+    val g = load().groupBy("tag").agg(min("k"))
+    assert(!scanOf(g).scan.description().contains("aggPushed"))
+    // non-stats column → manifest holds no bounds for v
+    val o = load().agg(min("v"))
+    assert(!scanOf(o).scan.description().contains("aggPushed"))
+    assert(o.as[Long].head() == 0L)
+    // mixed answerable + not → whole aggregation declines
+    val m = load().agg(min("k"), count(lit(1)))
+    assert(!scanOf(m).scan.description().contains("aggPushed"))
+    assert(m.as[(Long, Long)].head() == ((0L, 400L)))
+  }
+
+  test("streaming source: versions are offsets, appends arrive incrementally, overwrite refuses") {
+    val base = java.nio.file.Files.createTempDirectory("dsv2_stream")
+    val (table, sink, ckpt) =
+      (s"$base/table", s"$base/sink", s"$base/ckpt")
+    Versioned.commit(spark.range(0, 10).select(col("id").as("k")), table)
+    Versioned.commit(spark.range(10, 25).select(col("id").as("k")), table)
+    def pass(): Long = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", table).load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+      spark.read.parquet(sink).count()
+    }
+    assert(pass() == 25L) // v1+v2 in the first run
+    assert(pass() == 25L) // no new version → no-op resume
+    Versioned.commit(spark.range(25, 31).select(col("id").as("k")), table)
+    assert(pass() == 31L) // only v3's 6 rows appended
+    // streamed content equals the table
+    assert(spark.read.parquet(sink).as[Long].collect().sorted.toSeq ==
+      (0L until 31L))
+    // an overwrite step refuses (consumed snapshot replaced)
+    Versioned.commit(spark.range(0, 3).select(col("id").as("k")), table,
+      overwrite = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", table).load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    assert(e.getMessage.contains("OVERWRITE") ||
+      Option(e.getCause).exists(_.getMessage.contains("OVERWRITE")))
+  }
+
+  test("missing path option and empty table fail loudly") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").load().count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned")
+        .option("path", "/tmp/does_not_exist_graft").load().count()
+    }
+  }
+}
