@@ -182,7 +182,7 @@ object ScaleRehearsal {
     "mm6_real_image_decode", "mm8_real_audio_decode",
     "mm9_real_resize_pipeline", "t49_ngram_generate",
     "s49_dsv2_versioned_read", "s50_dsv2_write_read",
-    "st12_stream_versioned_source")
+    "st12_stream_versioned_source", "s51_sql_catalog_dml")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

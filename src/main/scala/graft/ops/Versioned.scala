@@ -1715,6 +1715,19 @@ object Versioned {
     v
   }
 
+  /** Version in effect at `tsMillis` (the SQL TIMESTAMP AS OF resolver):
+    * the newest commit whose recorded commit timestamp is ≤ the asked
+    * time. Only commits that recorded a `commitTs` participate; fails
+    * loudly when none qualify ([[readAsOfTimestamp]]'s rule). */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Int = {
+    val stamped = (1 to latestVersion(dir))
+      .flatMap(v => readTs(dir, v).map(v -> _))
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained commit at or before ts=$tsMillis at $dir (stamped: $stamped)")
+    eligible.maxBy(_._2)._1
+  }
+
   /** Streaming-source planning surface (graft.sources.VersionedSource,
     * micro-batch read — the Delta streaming-source analog where the
     * OFFSET is the committed version number): the group directories an

@@ -671,6 +671,46 @@ object SinkSqlQueries {
     dir
   }
 
+  /** s51's SQL-catalog table: a per-sfDir VersionedCatalog (catalog
+    * name + warehouse keyed on the sfDir hash — catalog confs are
+    * session-global) populated via CTAS (even keys, v1) + INSERT INTO
+    * (odd keys, v2). Returns the fully-qualified table name. Built once
+    * per (session, sfDir). */
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def catalogOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = catalogCache.get(key)
+    if (hit != null) return hit
+    catalogCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val cat = s"graftlake_$suffix"
+    val wh = tmp(s"s51_wh_$suffix")
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val view = s"s51_src_$suffix"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"""CREATE TABLE $cat.lake.orders_v AS
+              SELECT * FROM $view WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""INSERT INTO $cat.lake.orders_v
+              SELECT * FROM $view WHERE o_orderkey % 2 != 0""")
+    s.sql(s"DELETE FROM $cat.lake.orders_v WHERE o_orderkey <= 100")
+    require(graft.ops.Versioned.latestVersion(s"$wh/lake/orders_v") == 3,
+      s"SQL catalog DML did not land three versions under $wh")
+    val name = s"$cat.lake.orders_v"
+    catalogCache.put(key, name)
+    name
+  }
+
   /** s22's compacted table: the s21 four-commit shape in its own dir
     * (compacting s21's table would break its pruning contract), then
     * one OPTIMIZE pass. */
@@ -1108,6 +1148,40 @@ object SinkSqlQueries {
                         CAST(o_orderdate AS DATE))) AS BIGINT) AS od_hi,
                       TRUE AS meta_only
                FROM orders""")),
+
+    // S51: the lakehouse through PURE SQL — the TableCatalog plugin
+    // (sources.VersionedCatalog) maps catalog identifiers onto Versioned
+    // dirs, so CTAS, INSERT INTO (append commit), DELETE FROM (survivor
+    // overwrite commit via SupportsDelete), SELECT, and VERSION AS OF
+    // time travel all run as SQL statements with no DataFrame calls in
+    // the user's hands (Delta's catalog-integration surface). The gated
+    // rows read the post-DELETE head, the pre-DELETE v2, and the CTAS v1
+    // through SQL; the oracle replays all three from source — catalog
+    // resolution, the connector write path under INSERT, SQL DELETE
+    // semantics, and SQL time travel all sit under one hash.
+    Q("s51_sql_catalog_dml",
+      (s, d) => {
+        val t = catalogOrders(s, d)
+        def leg(name: String, from: String) =
+          s"""SELECT '$name' AS leg, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+              FROM $from"""
+        s.sql(s"""${leg("a_post_delete", t)}
+                  UNION ALL ${leg("b_pre_delete", s"$t VERSION AS OF 2")}
+                  UNION ALL ${leg("c_ctas_half", s"$t VERSION AS OF 1")}
+                  ORDER BY leg""")
+      },
+      Some(s"""SELECT 'a_post_delete' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey > 100
+               UNION ALL
+               SELECT 'b_pre_delete', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders
+               UNION ALL
+               SELECT 'c_ctas_half', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders WHERE o_orderkey % 2 = 0
+               ORDER BY leg""")),
 
     // S22: OPTIMIZE/compaction on the version log — the remaining
     // lakehouse verb (Delta OPTIMIZE / Iceberg rewrite_data_files): an

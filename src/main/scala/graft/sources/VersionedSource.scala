@@ -96,17 +96,67 @@ private[sources] object VersionedSource {
 
 private[sources] class VersionedTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_versioned_${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    new VersionedScanBuilder(tableSchema, caseInsensitiveOptions)
+      : ScanBuilder = {
+    // catalog-managed tables carry path/versionAsOf in the TABLE's
+    // options, not the per-read options — merge with read options winning
+    val merged = new java.util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(caseInsensitiveOptions)
+    new VersionedScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new VersionedWriteBuilder(info)
+    // table options carry the path for catalog-managed tables
+    // (VersionedCatalog); write options win on conflicts (statsCol)
+    new VersionedWriteBuilder(info, options)
+
+  /** SQL `DELETE FROM t WHERE ...` — [[Versioned.deleteCommit]] (an
+    * overwrite version of the survivors; history retained). Only
+    * predicates expressible as source Filters arrive here; anything the
+    * translation below cannot express is refused via canDeleteWhere. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(VersionedTable.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val dir = options.get("path")
+    require(options.get("versionAsOf") == null,
+      "DELETE on a time-travel read makes no sense — load the table head")
+    val pred = filters.flatMap(VersionedTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Versioned.deleteCommit(SparkSession.active, dir, pred)
+  }
+}
+
+private[sources] object VersionedTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Source Filter → Column predicate (the DELETE translation). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(not)
+    case AlwaysTrue => Some(lit(true))
+    case AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 private[sources] class VersionedScanBuilder(fullSchema: StructType,
@@ -204,9 +254,15 @@ private[sources] class VersionedScan(dir: String, version: Int,
   }
   override def toBatch: Batch = this
 
+  /** A CREATEd-but-never-committed catalog table has no manifest yet —
+    * it is a valid empty table (zero partitions), not an error. */
+  private def isEmptyTable: Boolean =
+    version == 0 && Versioned.latestVersion(dir) == 0
+
   override def description(): String = {
-    val (v, _, _, scol) = Versioned.connectorScanPlan(dir, version)
-    s"graft-versioned $dir v$v cols=[${required.fieldNames.mkString(",")}] " +
+    val scol =
+      if (isEmptyTable) None else Versioned.connectorScanPlan(dir, version)._4
+    s"graft-versioned $dir cols=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}] " +
       s"statsCol=${scol.getOrElse("-")}" +
       aggMinMax.map(s => s" aggPushed=[${s.map { case (m, c) =>
@@ -217,6 +273,7 @@ private[sources] class VersionedScan(dir: String, version: Int,
     * InputPartition per parquet file; a pushed MIN/MAX aggregation
     * plans ONE metadata partition and opens nothing. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (isEmptyTable) return Array.empty
     val (v, groups, stats, scol) = Versioned.connectorScanPlan(dir, version)
     aggMinMax match {
       case Some(specs) =>
@@ -535,25 +592,37 @@ private[sources] object VersionedPartitionReader {
 // WRITE path: df.write.format("graft-versioned").mode(append|overwrite)
 // ------------------------------------------------------------------------
 
-private[sources] class VersionedWriteBuilder(info: LogicalWriteInfo)
-  extends WriteBuilder with SupportsTruncate {
+private[sources] class VersionedWriteBuilder(info: LogicalWriteInfo,
+    tableOptions: CaseInsensitiveStringMap)
+  extends WriteBuilder with SupportsOverwrite {
   private var overwrite = false
-  /** mode("overwrite") arrives as truncate-then-append in DSv2 — mapped
-    * to a Versioned OVERWRITE commit (new snapshot, history retained). */
+  /** mode("overwrite") / INSERT OVERWRITE arrive as truncate or an
+    * always-true overwrite filter in DSv2 — both map to a Versioned
+    * OVERWRITE commit (new snapshot, history retained). Partial
+    * (filtered) overwrites are not a Versioned verb — refused. */
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new VersionedWrite(info, overwrite)
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_ == AlwaysTrue),
+      "graft-versioned: only full-table overwrite is supported " +
+        s"(got ${filters.mkString(", ")}) — use MERGE/DELETE via ops.Versioned")
+    truncate()
+  }
+  override def build(): Write = new VersionedWrite(info, tableOptions, overwrite)
 }
 
 private[sources] class VersionedWrite(info: LogicalWriteInfo,
-    overwrite: Boolean) extends Write {
+    tableOptions: CaseInsensitiveStringMap, overwrite: Boolean) extends Write {
   override def toBatch: BatchWrite = {
-    val (dir, _) = VersionedSource.pathAndVersion(info.options())
+    def opt(k: String): Option[String] =
+      Option(info.options().get(k)).orElse(Option(tableOptions.get(k)))
+    val dir = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-versioned requires .option(\"path\", <table dir>)"))
     info.schema().fields.foreach(f =>
       require(VersionedSource.supportedTypes.contains(f.dataType),
         s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
           s"for '${f.name}'"))
     new VersionedBatchWrite(info.schema(), dir, overwrite,
-      Option(info.options().get("statsCol")), info.queryId())
+      opt("statsCol"), info.queryId())
   }
 }
 

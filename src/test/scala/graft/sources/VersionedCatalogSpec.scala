@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Versioned
+
+class VersionedCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.lakecat",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakecat.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakecat.ns")
+    w
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip through pure SQL") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.t1 (k BIGINT, v DOUBLE, tag STRING)")
+    // pre-commit table: declared schema served from the sidecar
+    assert(spark.table("lakecat.ns.t1").schema.fieldNames.toSeq ==
+      Seq("k", "v", "tag"))
+    assert(spark.table("lakecat.ns.t1").count() == 0L)
+    spark.sql(
+      """INSERT INTO lakecat.ns.t1
+         SELECT id AS k, id * 0.5 AS v, concat('s', id % 3) AS tag
+         FROM range(0, 30)""")
+    assert(Versioned.latestVersion(s"$warehouse/ns/t1") == 1)
+    assert(spark.sql("SELECT sum(k) FROM lakecat.ns.t1").as[Long].head()
+      == (0L until 30L).sum)
+    // second INSERT = append commit
+    spark.sql(
+      """INSERT INTO lakecat.ns.t1
+         SELECT id AS k, id * 0.5 AS v, 'x' AS tag FROM range(30, 40)""")
+    assert(Versioned.latestVersion(s"$warehouse/ns/t1") == 2)
+    assert(spark.table("lakecat.ns.t1").count() == 40L)
+  }
+
+  test("SQL VERSION AS OF time travel serves historical snapshots") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.tt (k BIGINT)")
+    spark.sql("INSERT INTO lakecat.ns.tt SELECT id FROM range(0, 5)")
+    spark.sql("INSERT INTO lakecat.ns.tt SELECT id FROM range(5, 12)")
+    assert(spark.sql("SELECT count(*) FROM lakecat.ns.tt VERSION AS OF 1")
+      .as[Long].head() == 5L)
+    assert(spark.sql("SELECT count(*) FROM lakecat.ns.tt VERSION AS OF 2")
+      .as[Long].head() == 12L)
+  }
+
+  test("INSERT OVERWRITE commits a fresh snapshot; filtered overwrite refused") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.ow (k BIGINT)")
+    spark.sql("INSERT INTO lakecat.ns.ow SELECT id FROM range(0, 10)")
+    spark.sql("INSERT OVERWRITE lakecat.ns.ow SELECT id FROM range(100, 103)")
+    assert(spark.table("lakecat.ns.ow").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 101L, 102L))
+    // history intact underneath
+    assert(Versioned.read(spark, s"$warehouse/ns/ow", 1).count() == 10L)
+  }
+
+  test("CTAS creates and populates in one statement") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE lakecat.ns.ctas AS
+         SELECT id AS k, id * 2 AS dbl FROM range(0, 8)""")
+    assert(spark.sql("SELECT sum(dbl) FROM lakecat.ns.ctas").as[Long].head()
+      == (0L until 8L).map(_ * 2).sum)
+  }
+
+  test("DROP / RENAME / list surfaces") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.gone (k BIGINT)")
+    spark.sql("INSERT INTO lakecat.ns.gone SELECT id FROM range(0, 3)")
+    // the RENAME TO target is catalog-relative (Spark reuses the source
+    // catalog; a catalog-qualified target would nest it as a namespace)
+    spark.sql("ALTER TABLE lakecat.ns.gone RENAME TO ns.kept")
+    assert(spark.table("lakecat.ns.kept").count() == 3L)
+    assert(!spark.catalog.tableExists("lakecat.ns.gone"))
+    spark.sql("DROP TABLE lakecat.ns.kept")
+    assert(!spark.catalog.tableExists("lakecat.ns.kept"))
+    val listed = spark.sql("SHOW TABLES IN lakecat.ns")
+      .select("tableName").as[String].collect().toSet
+    assert(!listed.contains("kept") && !listed.contains("gone"))
+  }
+
+  test("SQL DELETE FROM commits a survivor snapshot; history retained") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.del (k BIGINT, tag STRING)")
+    spark.sql(
+      """INSERT INTO lakecat.ns.del
+         SELECT id AS k, concat('s', id % 2) AS tag FROM range(0, 20)""")
+    spark.sql("DELETE FROM lakecat.ns.del WHERE k < 5 OR tag = 's1'")
+    val kept = spark.table("lakecat.ns.del").select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == (5L until 20L).filter(_ % 2 == 0))
+    // the delete is a new version; pre-delete snapshot intact
+    assert(Versioned.latestVersion(s"$warehouse/ns/del") == 2)
+    assert(spark.sql("SELECT count(*) FROM lakecat.ns.del VERSION AS OF 1")
+      .as[Long].head() == 20L)
+  }
+
+  test("identifier charset and partition transforms are refused") {
+    warehouse
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lakecat.ns.`bad/name` (k BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakecat.ns.parted (k BIGINT) PARTITIONED BY (k)")
+    }
+  }
+
+  test("catalog tables ride the connector: pushdown + stats pruning intact") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.pruned (k BIGINT) TBLPROPERTIES ('statsCol'='k')")
+    spark.sql("INSERT INTO lakecat.ns.pruned SELECT id FROM range(0, 100)")
+    spark.sql("INSERT INTO lakecat.ns.pruned SELECT id FROM range(100, 200)")
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputRDD.getNumPartitions
+      }.get
+    val all = parts(spark.table("lakecat.ns.pruned"))
+    val few = parts(spark.table("lakecat.ns.pruned").filter(col("k") >= 150L))
+    assert(few > 0 && few < all, s"stats pruning inactive: $few of $all")
+    assert(spark.sql("SELECT count(*) FROM lakecat.ns.pruned WHERE k >= 150")
+      .as[Long].head() == 50L)
+  }
+}
