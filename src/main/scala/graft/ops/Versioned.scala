@@ -1670,10 +1670,15 @@ object Versioned {
         s"staged append at $dir: pending column mapping/defaults/drops — " +
           "raw staged files bypass the schema normalization; use " +
           "Versioned.commit or materialize first")
-      val tableCols = read(spark, dir, parent).columns.toSet
-      val stagedCols = spark.read.parquet(stagedDir).columns.toSet
-      require(stagedCols == tableCols,
-        s"staged append schema $stagedCols does not match table $tableCols")
+      // names AND types: a name-only check would accept an INT32 append
+      // onto an INT64 column — the commit lands, then every head read
+      // dies on the mixed-type merge (silently-accepted poison version)
+      def sig(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(f => f.name -> f.dataType).toMap
+      val tableSig = sig(read(spark, dir, parent).schema)
+      val stagedSig = sig(spark.read.parquet(stagedDir).schema)
+      require(stagedSig == tableSig,
+        s"staged append schema $stagedSig does not match table $tableSig")
     }
     val parentStats =
       if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
@@ -1725,7 +1730,9 @@ object Versioned {
     val eligible = stamped.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"no retained commit at or before ts=$tsMillis at $dir (stamped: $stamped)")
-    eligible.maxBy(_._2)._1
+    // tie-break toward the HIGHEST version — readAsOfTimestamp's rule
+    // (equal stamps are routine under the F9 pinned-clock discipline)
+    eligible.maxBy(e => (e._2, e._1))._1
   }
 
   /** Streaming-source planning surface (graft.sources.VersionedSource,

@@ -80,12 +80,17 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = loadAt(ident, 0)
 
   /** SQL `VERSION AS OF <v>` lands here. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident,
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
       try version.toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"graft-versioned versions are integers, got '$version'") })
+          s"graft-versioned versions are integers, got '$version'") }
+    // 0 is the internal latest sentinel, never a committed version — a
+    // user asking for it must get the same loud miss as VERSION AS OF 99
+    require(v >= 1, s"graft-versioned versions start at 1, got $v")
+    loadAt(ident, v)
+  }
 
   /** SQL `TIMESTAMP AS OF <ts>` lands here (micros since epoch). */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -184,18 +189,29 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
 
   // -- SupportsNamespaces (directories under the warehouse root) --------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val root = Paths.get(warehouse)
-    if (!Files.isDirectory(root)) return Array.empty
-    val s = Files.list(root)
-    try s.iterator().asScala.filter(Files.isDirectory(_))
-      .map(p => Array(p.getFileName.toString)).toArray
+  /** A child directory is a TABLE iff it carries a manifest log or the
+    * pre-commit schema sidecar; any other directory is a namespace. */
+  private def isTableDir(p: java.nio.file.Path): Boolean =
+    Files.isDirectory(p.resolve("_manifests")) ||
+      Files.exists(p.resolve("_schema.json"))
+
+  private def childNamespaces(parent: Array[String]): Array[Array[String]] = {
+    val dir = Paths.get(
+      (parent.map(requirePart)).foldLeft(warehouse)(_ + "/" + _))
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => parent :+ p.getFileName.toString).toArray
     finally s.close()
   }
 
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Array.empty)
+
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty
+    else if (namespaceExists(namespace)) childNamespaces(namespace)
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =

@@ -87,7 +87,17 @@ private[sources] object VersionedSource {
     val dir = options.get("path")
     require(dir != null && dir.nonEmpty,
       "graft-versioned requires .option(\"path\", <table dir>)")
-    (dir, Option(options.get("versionAsOf")).map(_.toInt).getOrElse(0))
+    val v = Option(options.get("versionAsOf")).map { s =>
+      val parsed =
+        try s.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft-versioned versionAsOf must be an integer ≥ 1, got '$s'") }
+      require(parsed >= 1,
+        s"graft-versioned versions start at 1, got versionAsOf=$parsed")
+      parsed
+    }.getOrElse(0)
+    (dir, v)
   }
 
   val supportedTypes: Set[DataType] = Set(LongType, IntegerType, DoubleType,
@@ -131,7 +141,13 @@ private[sources] class VersionedTable(tableSchema: StructType,
     val pred = filters.flatMap(VersionedTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    Versioned.deleteCommit(SparkSession.active, dir, pred)
+    // SQL DELETE removes rows where the predicate is TRUE — a NULL
+    // predicate keeps the row. deleteCommit keeps survivors via
+    // filter(!pred), and NOT(NULL) = NULL would silently DROP
+    // NULL-predicate rows; coalesce pins NULL → not deleted.
+    Versioned.deleteCommit(SparkSession.active, dir,
+      org.apache.spark.sql.functions.coalesce(pred,
+        org.apache.spark.sql.functions.lit(false)))
   }
 }
 
@@ -448,11 +464,12 @@ private[sources] class VersionedPartitionReader(file: String,
 
   /** The file's own schema — the projection must reuse the file's
     * physical types verbatim, and evolution-added columns missing here
-    * are served as NULL. */
-  private val fileSchema: MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
+    * are served as NULL. Cached per path: committed files are immutable
+    * (the manifest-log discipline), and the builder's own read would
+    * otherwise parse the same footer a second time — plus once more per
+    * warm bench rep. */
+  private val fileSchema: MessageType =
+    VersionedPartitionReader.schemaOf(path, conf)
 
   private val present: Map[String, PrimitiveType] =
     fileSchema.getFields.asScala.collect {
@@ -511,6 +528,19 @@ private[sources] class VersionedPartitionReader(file: String,
 }
 
 private[sources] object VersionedPartitionReader {
+
+  /** Footer-schema cache keyed on the file path — safe because
+    * committed data files are immutable; bounded by a coarse clear. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+
+  def schemaOf(path: Path, conf: Configuration): MessageType = {
+    if (schemaCache.size() > 65536) schemaCache.clear()
+    schemaCache.computeIfAbsent(path.toString, _ => {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    })
+  }
 
   /** Compile the pushed Spark filters to ONE conjunctive parquet
     * FilterPredicate over columns present in this file with a matching
@@ -642,10 +672,26 @@ private[sources] class VersionedBatchWrite(schema: StructType, dir: String,
     VersionedDataWriterFactory(schema, staging)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case m: VersionedCommitMessage => m.nFiles }
-    require(files.sum > 0,
+    // compare by file NAME (unique per partition+task attempt) — the
+    // staged path string may differ from the listed path in prefix form
+    val acked = messages.collect {
+      case VersionedCommitMessage(Some(f), _) =>
+        java.nio.file.Paths.get(f).getFileName.toString
+    }.toSet
+    require(acked.nonEmpty,
       "graft-versioned: zero rows staged — an empty commit would publish " +
         "an unreadable empty group; filter-to-empty writes are refused")
+    // publish ONLY acknowledged files: a crashed/killed/retried task
+    // attempt can leave a truncated or duplicate part file in staging
+    // without ever running abort() — committing the whole directory
+    // would publish duplicated rows or an unreadable file
+    val root = java.nio.file.Paths.get(staging)
+    val s = java.nio.file.Files.list(root)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !acked.contains(n))
+        java.nio.file.Files.deleteIfExists(p)
+    } finally s.close()
     Versioned.commitStagedGroup(SparkSession.active, dir, staging,
       overwrite, statsCol)
   }
@@ -661,8 +707,10 @@ private[sources] class VersionedBatchWrite(schema: StructType, dir: String,
   }
 }
 
-private[sources] case class VersionedCommitMessage(nFiles: Int, nRows: Long)
-  extends WriterCommitMessage
+/** `file` = the task's staged path IFF it wrote rows — the driver's
+  * commit publishes only acknowledged files (crash/retry hygiene). */
+private[sources] case class VersionedCommitMessage(file: Option[String],
+    nRows: Long) extends WriterCommitMessage
 
 private[sources] case class VersionedDataWriterFactory(schema: StructType,
     staging: String) extends DataWriterFactory {
@@ -715,7 +763,7 @@ private[sources] class VersionedDataWriter(schema: StructType, file: String)
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    VersionedCommitMessage(if (writer != null) 1 else 0, rows)
+    VersionedCommitMessage(if (writer != null) Some(file) else None, rows)
   }
 
   override def abort(): Unit = {

@@ -101,6 +101,44 @@ class VersionedCatalogSpec extends SparkSpec {
       .as[Long].head() == 20L)
   }
 
+  test("SQL DELETE keeps rows where the predicate is NULL (three-valued logic)") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.nulldel (k BIGINT, tag STRING)")
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("k", "tag").createOrReplaceTempView("nulldel_src")
+    spark.sql("INSERT INTO lakecat.ns.nulldel SELECT * FROM nulldel_src")
+    spark.sql("DELETE FROM lakecat.ns.nulldel WHERE tag = 'a'")
+    // SQL deletes only TRUE predicates: the NULL-tag row must SURVIVE
+    assert(spark.table("lakecat.ns.nulldel").select("k").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("VERSION AS OF 0 refuses instead of silently serving latest") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.v0 (k BIGINT)")
+    spark.sql("INSERT INTO lakecat.ns.v0 SELECT id FROM range(0, 4)")
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM lakecat.ns.v0 VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage.contains("versions start at 1"))
+  }
+
+  test("versionAtTimestamp tie-breaks toward the highest version") {
+    val d = java.nio.file.Files.createTempDirectory("vts").toString
+    Versioned.commit(spark.range(0, 3).select(col("id").as("k")), d,
+      commitTs = Some(1000L))
+    Versioned.commit(spark.range(3, 5).select(col("id").as("k")), d,
+      commitTs = Some(2000L))
+    Versioned.commit(spark.range(5, 6).select(col("id").as("k")), d,
+      commitTs = Some(2000L)) // same stamp as v2 — pinned-clock replay
+    assert(Versioned.versionAtTimestamp(d, 1000L) == 1)
+    assert(Versioned.versionAtTimestamp(d, 1999L) == 1)
+    assert(Versioned.versionAtTimestamp(d, 2000L) == 3) // newest of the tie
+    intercept[IllegalArgumentException] {
+      Versioned.versionAtTimestamp(d, 999L)
+    }
+  }
+
   test("identifier charset and partition transforms are refused") {
     warehouse
     intercept[Exception] {

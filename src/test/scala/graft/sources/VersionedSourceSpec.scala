@@ -204,8 +204,29 @@ class VersionedSourceSpec extends SparkSpec {
         .write.format("graft-versioned").option("path", d)
         .mode("append").save()
     }
+    // TYPE drift under a matching name is refused too — a name-only
+    // check would publish a poison version every later read dies on
+    intercept[Exception] {
+      spark.range(0, 5).select(col("id").cast("int").as("k"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
     assert(Versioned.latestVersion(d) == 1)
     assert(Versioned.read(spark, d).columns.toSeq == Seq("k"))
+    assert(Versioned.read(spark, d).count() == 5) // still readable
+  }
+
+  test("versionAsOf option: non-integer and 0 refuse with a typed message") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("path", dir)
+        .option("versionAsOf", "latest").load().count()
+    }
+    assert(e.getMessage.contains("versionAsOf must be an integer"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("path", dir)
+        .option("versionAsOf", "0").load().count()
+    }
+    assert(e2.getMessage.contains("versions start at 1"))
   }
 
   test("aggregate pushdown: global MIN/MAX answered from the manifest, zero files") {
