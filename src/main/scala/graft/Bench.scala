@@ -125,7 +125,7 @@ object Bench {
     // canary sample before each query's rep block + one after the last
     // block; query i's neighborhood = (canary_i, canary_{i+1})
     val canaries = new Array[Double](names.size + 1)
-    // (name, best, spreadPct, allReps, ok, median)
+    // (name, repSeconds, ok, perRepBracketCanaries)
     val results = names.zipWithIndex.map { case (name, qi) =>
       // ...and an explicit UNTIMED gc before each query's block drains
       // the previous block's orphans eagerly, so no query starts its
@@ -138,30 +138,58 @@ object Bench {
         System.err.println(s"[bench] warmup failure: $name: ${e.getMessage}")
       }
       canaries(qi) = canaryOnce()
+      // PER-REP canary gating (r12 VERDICT item 5): one canary sample
+      // after EVERY measured rep, so each rep is bracketed by two
+      // samples. A rep whose BOTH brackets drifted past the drop
+      // threshold ran on a contended box — it is DROPPED from best/
+      // median (and counted in n_reps_dropped) instead of poisoning the
+      // cross-round comparison. min-of-brackets, same rationale as the
+      // per-query drift: sustained external contention inflates both
+      // brackets; a heavy rep's self-induced tail usually hits one.
       val timed = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { run(name); true }
           catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok, canaryOnce())
       }
       val ok = timed.forall(_._2)
       val secs = timed.map(_._1)
-      val best = if (ok) secs.min else -1.0
-      val spreadPct =
-        if (ok && secs.min > 0) (secs.max - secs.min) / secs.min * 100.0 else -1.0
-      // median-of-k (r11 VERDICT item 3): best-of-k hides sustained
-      // contention, mean lets ONE contended rep dominate (r11 t21: reps
-      // [1.7, 14.4, 1.9] → mean 6.0 read as a 3.6x regression); the
-      // median is robust to a single poisoned rep while still moving
-      // when the box is genuinely slower — cross-round comparisons
-      // should read it next to best. LOWER median for even k: the upper
-      // middle of [fast, poisoned] IS the poisoned rep, which would
-      // defeat the robustness claim at SPARK_GRAFT_BENCH_REPS=2.
-      val med = if (ok) secs.sorted.apply((secs.size - 1) / 2) else -1.0
-      (name, best, spreadPct, secs, ok, med)
+      val repBrackets = timed.indices.map { r =>
+        val before = if (r == 0) canaries(qi) else timed(r - 1)._3
+        math.min(before, timed(r)._3)
+      }
+      (name, secs, ok, repBrackets)
     }
     canaries(names.size) = canaryOnce()
+    // the drop threshold is evaluated against the SESSION-best canary,
+    // known only after the sweep — gate now, per rep
+    val dropPct = sys.env.getOrElse("SPARK_GRAFT_CANARY_DROP_PCT", "150")
+      .toDouble
+    val allSamples = canaries ++ results.flatMap(_._4)
+    val cBaseAll = allSamples.min
+    // (name, best, spreadPct, allReps, ok, median, nDropped)
+    val gated = results.map { case (name, secs, ok, brackets) =>
+      val drifts = brackets.map(b => (b - cBaseAll) / cBaseAll * 100.0)
+      val keptIdx = secs.indices.filter(i => drifts(i) <= dropPct)
+      // if EVERY rep was contended there is nothing trustworthy to trim
+      // to — keep them all (n_dropped 0) and let the drift columns tell
+      val kept = if (keptIdx.nonEmpty) keptIdx.map(secs) else secs
+      val nDropped = if (keptIdx.nonEmpty) secs.size - keptIdx.size else 0
+      val best = if (ok) kept.min else -1.0
+      val spreadPct =
+        if (ok && kept.min > 0) (kept.max - kept.min) / kept.min * 100.0
+        else -1.0
+      // median-of-k (r11 VERDICT item 3): best-of-k hides sustained
+      // contention, mean lets ONE contended rep dominate; the median is
+      // robust to a single poisoned rep while still moving when the box
+      // is genuinely slower. LOWER median for even k: the upper middle
+      // of [fast, poisoned] IS the poisoned rep. Computed over the
+      // KEPT reps — the canary gate already removed provably-contended
+      // ones.
+      val med = if (ok) kept.sorted.apply((kept.size - 1) / 2) else -1.0
+      (name, best, spreadPct, secs, ok, med, nDropped)
+    }
     // drift vs the session-best canary (the steady cost this box is
     // capable of). Per-query drift = the BETTER of its two bracketing
     // samples: external contention (the r6/r8/r9 class this exists for)
@@ -180,30 +208,34 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
+    val errors = gated.collect { case (k, _, _, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true, _) => v }.sum
-    val medianTotal = results.collect { case (_, _, _, _, true, m) => m }.sum
+    val total = gated.collect { case (_, v, _, _, true, _, _) => v }.sum
+    val medianTotal = gated.collect { case (_, _, _, _, true, m, _) => m }.sum
+    val nRepsDropped = gated.map(_._7).sum
     // split the board by execution model so the streaming family's fixed
     // per-run cost reads separately from the batch engine number
     // (r9 VERDICT item 6): st* queries run real StreamingQuery executions
     val streamTotal =
-      results.collect { case (k, v, _, _, true, _) if k.startsWith("st") => v }.sum
+      gated.collect { case (k, v, _, _, true, _, _) if k.startsWith("st") => v }.sum
     val batchTotal = total - streamTotal
-    val headline = results.filter(r => Headline.contains(r._1))
+    val headline = gated.filter(r => Headline.contains(r._1))
     val drifts = names.indices.map(qi => (names(qi), driftPct(qi)))
     val driftByName = drifts.toMap
 
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
       s""""rep_k":$reps,"errors":$errors,""" +
       s""""median_total_s":${fmt(medianTotal)},""" +
-      s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
-      s""""queries_median":${jmap(results.map(r => (r._1, r._6)))},""" +
-      s""""spread_pct":${jmap(results.map(r => (r._1, r._3)))},""" +
+      s""""queries":${jmap(gated.map(r => (r._1, r._2)))},""" +
+      s""""queries_median":${jmap(gated.map(r => (r._1, r._6)))},""" +
+      s""""spread_pct":${jmap(gated.map(r => (r._1, r._3)))},""" +
+      s""""n_reps_dropped":$nRepsDropped,""" +
+      s""""reps_dropped":${gated.filter(_._7 > 0).map(r =>
+        "\"" + r._1 + "\":" + r._7).mkString("{", ",", "}")},""" +
       s""""canary_base_s":${fmt(cBase)},""" +
       s""""canary_drift_pct":${jmap(drifts)},""" +
       s""""canary_samples":[${canaries.map(fmt).mkString(",")}],""" +
-      s""""reps":${results.map(r => "\"" + r._1 + "\":[" +
+      s""""reps":${gated.map(r => "\"" + r._1 + "\":[" +
         r._4.map(fmt).mkString(",") + "]").mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir"}"""
     // subset runs (perf attribution) must not clobber the full-board artifact
@@ -215,7 +247,7 @@ object Bench {
     // representative map. The full error list, per-query map, spreads and
     // raw reps live in bench_full.json only — an error-bearing run must
     // not blow the line past the driver's tail buffer again.
-    val errNames = results.collect { case (k, _, _, _, false, _) => k }
+    val errNames = gated.collect { case (k, _, _, _, false, _, _) => k }
     val errPreview = errNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
       s""""batch_s":${fmt(batchTotal)},"stream_s":${fmt(streamTotal)},""" +
@@ -225,6 +257,7 @@ object Bench {
       s""""median_total_s":${fmt(medianTotal)},""" +
       s""""n_errors":${errNames.size},"errors":$errPreview,""" +
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
+      s""""n_reps_dropped":$nRepsDropped,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +
       s""""queries_median":${jmap(headline.map(r => (r._1, r._6)))},""" +
       // headline spreads on the PRINTED line (r8 VERDICT item 4): a

@@ -182,7 +182,15 @@ object ScaleRehearsal {
     "mm6_real_image_decode", "mm8_real_audio_decode",
     "mm9_real_resize_pipeline", "t49_ngram_generate",
     "s49_dsv2_versioned_read", "s50_dsv2_write_read",
-    "st12_stream_versioned_source", "s51_sql_catalog_dml")
+    "st12_stream_versioned_source", "s51_sql_catalog_dml",
+    // round-15: SQL row-level DML (two COW rewrites whose cost tracks
+    // the touched groups — the table rebuild dominates the first run,
+    // steady = the SELECT over the DML'd table), the native streaming
+    // sink (k×-sized epochs through the same two-wave protocol), and
+    // the vector-index reindex (one Lloyd refit over the accumulated
+    // index — expect ~k×, same O as build)
+    "s52_sql_merge_update", "st13_stream_versioned_sink",
+    "emb23_vector_index_reindex")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

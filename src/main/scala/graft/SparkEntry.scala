@@ -27,6 +27,8 @@ object SparkEntry {
       ClinicalQueries.all ++
       OmopQueries.all ++
       SinkSqlQueries.all ++
+      LakehouseQueries.all ++
+      ConnectorQueries.all ++
       PrivacyMiscQueries.all ++
       TimeJoinQueries.all ++
       GraphQueries.all ++

@@ -93,8 +93,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 object ArrayDotProduct {
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
+    Registry.ifAbsent(spark, "graft_dot",
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1)))
 }

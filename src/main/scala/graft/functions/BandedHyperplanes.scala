@@ -185,8 +185,7 @@ object BandedHyperplanes {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_bands"),
+    Registry.ifAbsent(spark, "graft_bands",
       new ExpressionInfo(classOf[BandedHyperplanes].getName, "graft_bands"),
       (children: Seq[Expression]) => build(children))
 }

@@ -171,8 +171,7 @@ object Bloom {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_bloom"),
+    Registry.ifAbsent(spark, "graft_bloom",
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
       (children: Seq[Expression]) => (children(1), children(2)) match {
         case (Literal(b: Int, IntegerType), Literal(h: Int, IntegerType)) =>
@@ -180,8 +179,7 @@ object Bloom {
         case other => throw new IllegalArgumentException(
           s"graft_bloom numBits/numHashes must be integer literals, got $other")
       })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_bloom_contains"),
+    Registry.ifAbsent(spark, "graft_bloom_contains",
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children(0), children(1)))
   }

@@ -131,8 +131,7 @@ object CharEntropy {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_char_entropy"),
+    Registry.ifAbsent(spark, "graft_char_entropy",
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
       (children: Seq[Expression]) => build(children))
 }

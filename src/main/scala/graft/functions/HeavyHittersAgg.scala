@@ -125,8 +125,7 @@ case class HeavyHittersAgg(
 object HeavyHittersAgg {
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_heavy_hitters"),
+    Registry.ifAbsent(spark, "graft_heavy_hitters",
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (children: Seq[Expression]) => children(1) match {
         case Literal(v: Int, IntegerType) => HeavyHittersAgg(children(0), v)

@@ -160,8 +160,7 @@ object HyperplaneBucket {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_hplanes"),
+    Registry.ifAbsent(spark, "graft_hplanes",
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hplanes"),
       (children: Seq[Expression]) => build(children))
 }

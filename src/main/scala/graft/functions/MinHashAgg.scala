@@ -116,8 +116,7 @@ object MinHashAgg {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash"),
+    Registry.ifAbsent(spark, "graft_minhash",
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (children: Seq[Expression]) => children(1) match {
         case Literal(v: Int, IntegerType) => MinHashAgg(children(0), v)

@@ -98,8 +98,7 @@ object NgramGenerator {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_ngrams"),
+    Registry.ifAbsent(spark, "graft_ngrams",
       new ExpressionInfo(classOf[NgramGenerator].getName, "graft_ngrams"),
       (children: Seq[Expression]) => build(children))
 }

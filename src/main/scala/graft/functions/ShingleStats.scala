@@ -126,8 +126,7 @@ object ShingleStats {
 
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingle_stats"),
+    Registry.ifAbsent(spark, "graft_shingle_stats",
       new ExpressionInfo(classOf[ShingleStats].getName, "graft_shingle_stats"),
       (children: Seq[Expression]) => build(children))
 }

@@ -86,8 +86,7 @@ case class SimHashAgg(
 object SimHashAgg {
   /** Idempotent session registration (also injected by GraftExtensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash"),
+    Registry.ifAbsent(spark, "graft_simhash",
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashAgg(children(0)))
 }

@@ -163,14 +163,15 @@ object Multimodal {
       bytes.length >= i + 4 && (0 until 4).forall(k => u8(i + k) == s.charAt(k))
     val n = bytes.length
     if (tag(0, "RIFF") && n >= 12 && tag(8, "WAVE")) {
-      // chunk walk: [id(4) size(4) payload(size, word-aligned)]*
-      var i = 12
+      // chunk walk: [id(4) size(4) payload(size, word-aligned)]*; the
+      // cursor is a Long — a crafted 32-bit chunk size must land in the
+      // "unknown" row, never drive the cursor negative (Int overflow)
+      var i = 12L
       while (i + 8 <= n) {
-        val size = le32(i + 4)
-        if (tag(i, "fmt ") && size >= 16 && i + 8 + 8 <= n)
-          return ("wav", le16(i + 10), le32(i + 12).toInt)
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
-        if (size > Int.MaxValue - 16) return ("unknown", -1, -1)
+        val size = le32(i.toInt + 4)
+        if (tag(i.toInt, "fmt ") && size >= 16 && i + 8 + 8 <= n)
+          return ("wav", le16(i.toInt + 10), le32(i.toInt + 12).toInt)
+        i += 8 + size + (size & 1) // chunks are 2-byte aligned
       }
       ("unknown", -1, -1)
     } else if (tag(0, "fLaC") && n >= 4 + 4 + 18) {
@@ -578,17 +579,19 @@ object Multimodal {
     if (!(tag(0, "RIFF") && n >= 12 && tag(8, "WAVE"))) return None
     var (rate, bits, fmtCode) = (-1, -1, -1)
     var data: Option[(Int, Int)] = None // (offset, length)
-    var i = 12
+    // Long cursor: a crafted chunk size near 2^32 must yield the
+    // undecodable row (None), not an Int-overflowed negative index
+    var i = 12L
     while (i + 8 <= n) {
-      val size = le32(i + 4)
-      if (size > Int.MaxValue - 16) return None
-      if (tag(i, "fmt ") && size >= 16 && i + 8 + 16 <= n) {
-        fmtCode = le16(i + 8); rate = le32(i + 12).toInt; bits = le16(i + 22)
-      } else if (tag(i, "data")) {
-        val len = math.min(size.toInt, n - i - 8)
-        data = Some((i + 8, len))
+      val size = le32(i.toInt + 4)
+      if (tag(i.toInt, "fmt ") && size >= 16 && i + 8 + 16 <= n) {
+        fmtCode = le16(i.toInt + 8); rate = le32(i.toInt + 12).toInt
+        bits = le16(i.toInt + 22)
+      } else if (tag(i.toInt, "data")) {
+        val len = math.min(size, n - i - 8).toInt
+        data = Some((i.toInt + 8, len))
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+      i += 8 + size + (size & 1) // chunks are 2-byte aligned
     }
     if (fmtCode != 1 || bits != 16 || rate <= 0) return None
     data.map { case (off, len) =>

@@ -129,6 +129,19 @@ object Versioned {
           .map(g => g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
       }.getOrElse(Map.empty)
 
+  /** Per-group EXACT row counts recorded at commit time (summed from the
+    * group's parquet footers — metadata, not a data scan). The manifest
+    * half of metadata-only `COUNT(*)`: the connector's aggregate
+    * pushdown answers a global count from these entries alone, zero data
+    * files opened. Empty for groups minted by commits that predate (or
+    * don't record) counts — the pushdown then declines, conservatively. */
+  def readCounts(dir: String, v: Int): Map[String, Long] =
+    "\"counts\":\\{([^}]*)\\}".r.findFirstMatchIn(manifestText(dir, v))
+      .map { m =>
+        "\"([^\"]+)\":([0-9]+)".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toLong).toMap
+      }.getOrElse(Map.empty)
+
   /** TWO-dimensional per-group statistics ([aLo,aHi,bLo,bHi]) recorded by
     * [[compactZOrder]] — the manifest half of Z-ORDER clustering. */
   private def readStats2(dir: String, v: Int)
@@ -151,7 +164,8 @@ object Versioned {
       defaults: Map[String, (String, String)] = Map.empty,
       drops: Set[String] = Set.empty,
       scol: Option[String] = None,
-      scol2: Option[(String, String)] = None)
+      scol2: Option[(String, String)] = None,
+      counts: Map[String, Long] = Map.empty)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
@@ -212,10 +226,14 @@ object Versioned {
       requireId("stats2 column a", a); requireId("stats2 column b", b)
       s""","scol2":["$a","$b"]"""
     }.getOrElse("")
+    val countsJson =
+      if (counts.isEmpty) ""
+      else s""","counts":{${counts.toSeq.sortBy(_._1).map { case (g, n) =>
+        s""""$g":$n""" }.mkString(",")}}"""
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
       dJson + statsJson + stats2Json + txnJson + tsJson + renJson +
-      defJson + dropJson + scolJson + scol2Json + "}"
+      defJson + dropJson + scolJson + scol2Json + countsJson + "}"
   }
 
   /** Column-mapping state of a version: physical name (as stored in the
@@ -381,6 +399,31 @@ object Versioned {
     if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
   }
 
+  /** EXACT row count of a freshly-written file group, summed from its
+    * parquet footers — driver-side metadata reads (one footer per file,
+    * bounded by files-per-commit), never a data scan or Spark job. Feeds
+    * the manifest's per-group `counts`, which make a global `COUNT(*)`
+    * answerable from the manifest alone through the connector. */
+  private def writtenRowCount(dir: String, group: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = Paths.get(resolveGroup(dir, group))
+    val s = Files.walk(root)
+    val files =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.toList
+      finally s.close()
+    files.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Commit `df` as the next version. `overwrite = false` (append)
     * makes the new version = parent's file groups + the new group;
     * `overwrite = true` makes it the new group alone. Returns the
@@ -461,13 +504,20 @@ object Versioned {
       if (overwrite || parent == 0)
         Map.empty[String, (Long, Long, Long, Long)]
       else readStats2(dir, parent)
+    val parentCounts =
+      if (overwrite || parent == 0) Map.empty[String, Long]
+      else readCounts(dir, parent)
+    // counts only stay exact while EVERY group carries one — a parent
+    // group minted before counts existed leaves the map partial and the
+    // pushdown declines (the same all-groups gate as stats)
     val json = manifestJson(v, parent, overwrite, groups,
       parentStats ++ newStats, parentStats2, txn = txn,
       commitTs = commitTs, dgroups = dgs, dkey = dk, renames = renames,
       defaults = defaults, drops = drops,
       scol = statsCol.orElse(parentScol),
       scol2 = if (overwrite || parent == 0) None
-              else readStatsCol2(dir, parent))
+              else readStatsCol2(dir, parent),
+      counts = parentCounts + (group -> writtenRowCount(dir, group)))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"commit at $dir lost the race for version $v — " +
@@ -595,7 +645,11 @@ object Versioned {
           else readStatsCol(dir, parent),
         scol2 =
           if (overwrite || parent == 0) None
-          else readStatsCol2(dir, parent))
+          else readStatsCol2(dir, parent),
+        counts =
+          (if (overwrite || parent == 0) Map.empty[String, Long]
+           else readCounts(dir, parent)) +
+            (group -> writtenRowCount(dir, group)))
       if (publishIfAbsent(dir, v, json)) return Some(v)
       // publish lost to a racing APPEND (a false conflict): loop back —
       // the next iteration's basis sweep ((lvAtWrite+1)..parent) vets
@@ -839,7 +893,8 @@ object Versioned {
       val v = parent + 1
       val json = manifestJson(v, parent, overwrite = true, carried, stats,
         readStats2(dir, parent), scol = readStatsCol(dir, parent),
-        scol2 = readStatsCol2(dir, parent))
+        scol2 = readStatsCol2(dir, parent),
+        counts = readCounts(dir, parent).filter(kv => carried.contains(kv._1)))
       if (!publishIfAbsent(dir, v, json))
         throw new java.util.ConcurrentModificationException(
           s"deleteCommitCow at $dir lost the race for version $v")
@@ -1195,7 +1250,9 @@ object Versioned {
       carriedStats ++ newStats, carriedStats2,
       scol = statsCol.orElse(parentScol),
       scol2 = if (carriedStats2.nonEmpty) readStatsCol2(dir, parent)
-              else None)
+              else None,
+      counts = readCounts(dir, parent).filter(kv => carriedSet(kv._1)) +
+        (group -> writtenRowCount(dir, group)))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"rewrite commit at $dir lost the race for version $v")
@@ -1660,7 +1717,8 @@ object Versioned {
     * — publishing them would mix schemas in one snapshot) and when the
     * staged schema's field names do not match the table's. */
   def commitStagedGroup(spark: SparkSession, dir: String, stagedDir: String,
-      overwrite: Boolean = false, statsCol: Option[String] = None): Int = {
+      overwrite: Boolean = false, statsCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Int = {
     val parent = latestVersion(dir)
     val v = parent + 1
     val group = s"c$v"
@@ -1708,15 +1766,133 @@ object Versioned {
     val (dgs, dk) =
       if (overwrite || parent == 0) (Seq.empty[String], None)
       else readDeletes(dir, parent)
+    val parentCounts =
+      if (overwrite || parent == 0) Map.empty[String, Long]
+      else readCounts(dir, parent)
     val json = manifestJson(v, parent, overwrite, groups,
       parentStats ++ newStats,
       if (overwrite || parent == 0) Map.empty else readStats2(dir, parent),
-      dgroups = dgs, dkey = dk,
+      dgroups = dgs, dkey = dk, txn = txn,
       scol = statsCol.orElse(parentScol),
-      scol2 = if (overwrite || parent == 0) None else readStatsCol2(dir, parent))
+      scol2 = if (overwrite || parent == 0) None else readStatsCol2(dir, parent),
+      counts = parentCounts + (group -> writtenRowCount(dir, group)))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"staged commit at $dir lost the race for version $v")
+    v
+  }
+
+  /** IDEMPOTENT staged-group commit — [[idempotentCommit]]'s contract on
+    * [[commitStagedGroup]]'s write path: the native streaming sink's
+    * epoch commit (graft.sources.VersionedSource STREAMING_WRITE), where
+    * `appId` is the streaming QUERY id (stable across checkpoint
+    * restarts) and `txnVersion` the epoch. A replayed epoch (txnVersion ≤
+    * the manifest log's recorded high-water mark for the app) deletes its
+    * re-staged files and commits NOTHING — exactly-once on the table.
+    * Single-writer per app (the streaming engine's guarantee); a racing
+    * foreign commit still fails loudly via put-if-absent. Returns
+    * Some(version) when the commit landed, None on a replay skip. */
+  def commitStagedGroupIdempotent(spark: SparkSession, dir: String,
+      stagedDir: String, appId: String, txnVersion: Long,
+      statsCol: Option[String] = None): Option[Int] = {
+    requireId("appId", appId)
+    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) {
+      val root = Paths.get(stagedDir)
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+      return None
+    }
+    Some(commitStagedGroup(spark, dir, stagedDir, overwrite = false,
+      statsCol = statsCol, txn = Some((appId, txnVersion))))
+  }
+
+  /** Row-level-operation commit — the write half of the SQL
+    * UPDATE / MERGE INTO surface (graft.sources — group-based
+    * copy-on-write, the Iceberg COW `ReplaceData` shape): publish the
+    * staged replacement rows as one new file group and a manifest whose
+    * group list = parent's groups MINUS `removed` (the groups the
+    * operation's scan planned — runtime group filtering narrows them to
+    * the groups that actually hold matches) PLUS the staged group.
+    * Carried groups keep their stats/counts verbatim; a zero-removed
+    * operation (e.g. a pure-insert MERGE) publishes as an APPEND step, a
+    * group-rewriting one as an overwrite step (a consumed snapshot was
+    * replaced — the streaming source must refuse it, [[stepIsAppend]]).
+    * `expectParent` pins the snapshot the scan planned against: a commit
+    * landing in between fails loudly (write-serializable, the OCC rule).
+    * An EMPTY staged dir with removed groups publishes the survivors
+    * alone (a whole-group delete); empty with nothing removed is a no-op
+    * returning the parent version. */
+  def replaceGroupsStagedCommit(spark: SparkSession, dir: String,
+      stagedDir: String, removed: Seq[String], expectParent: Int,
+      statsCol: Option[String] = None): Int = {
+    val parent = latestVersion(dir)
+    require(parent == expectParent,
+      s"row-level commit at $dir planned against v$expectParent but the " +
+        s"table is now at v$parent — concurrent write conflict")
+    require(parent > 0, s"nothing to replace at $dir")
+    // the scan already refused these states; re-check at commit (cheap,
+    // and the write must not depend on the scan having run first)
+    requireNoMorDeletes(dir, parent, "row-level operation")
+    requireNoRenames(dir, parent, "row-level operation")
+    requireNoDefaults(dir, parent, "row-level operation")
+    requireNoDrops(dir, parent, "row-level operation")
+    statsCol.foreach(c =>
+      requireStatsColMatch(dir, parent, c, "row-level operation"))
+    val parentGroups = readManifest(dir, parent)
+    val removedSet = removed.toSet
+    require(removedSet.subsetOf(parentGroups.toSet),
+      s"removed groups ${removedSet -- parentGroups.toSet} are not in v$parent")
+    val carried = parentGroups.filterNot(removedSet)
+    val hasStaged = {
+      val root = Paths.get(stagedDir)
+      Files.isDirectory(root) && {
+        val s = Files.list(root)
+        try s.iterator().asScala.exists(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    if (!hasStaged) {
+      // nothing staged: drop the (possibly existing, empty) staging dir
+      val root = Paths.get(stagedDir)
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+      if (removed.isEmpty) return parent // nothing changed at all
+    }
+    val v = parent + 1
+    val group = s"c$v"
+    val newGroups = if (hasStaged) Seq(group) else Seq.empty
+    if (hasStaged) {
+      val target = Paths.get(dir, "data", group)
+      Files.createDirectories(target.getParent)
+      require(!Files.exists(target), s"group $group already exists at $dir")
+      Files.move(Paths.get(stagedDir), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val keep = carried.toSet
+    val parentScol = readStatsCol(dir, parent)
+    val newStats = if (hasStaged) statsCol.orElse(parentScol).flatMap(c =>
+      writtenStats(spark, dir, group, c).map(group -> _)) else None
+    val newCounts =
+      if (hasStaged) Map(group -> writtenRowCount(dir, group))
+      else Map.empty[String, Long]
+    val json = manifestJson(v, parent, overwrite = removed.nonEmpty,
+      carried ++ newGroups,
+      readStats(dir, parent).filter(kv => keep(kv._1)) ++ newStats,
+      readStats2(dir, parent).filter(kv => keep(kv._1)),
+      scol = statsCol.orElse(parentScol),
+      scol2 = readStatsCol2(dir, parent),
+      counts = readCounts(dir, parent).filter(kv => keep(kv._1)) ++ newCounts)
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"row-level commit at $dir lost the race for version $v")
     v
   }
 

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import Q.{dsum, sqlDsum}
+
+/** The EXTERNAL SURFACE tier of the lakehouse: the DataSourceV2
+  * connector (s49 read + pushdown + time travel, s50 write +
+  * metadata-only aggregates) and the SQL TableCatalog (s51 pure-SQL
+  * DDL/DML, s52 row-level MERGE INTO / UPDATE). Split from
+  * SinkSqlQueries (r13 hygiene).
+  */
+
+object ConnectorQueries {
+
+  /** Per-PROCESS sink root — see [[SinkSqlQueries.sinkRoot]]'s rationale
+    * (concurrent Verify/Bench isolation; stable within the process). */
+  private val sinkRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink_${ProcessHandle.current().pid()}"
+
+  private def tmp(name: String): String = s"$sinkRoot/$name"
+
+  /** s50's connector-written table: two year-split appends through
+    * df.write.format("graft-versioned") (executors stage parquet-mr
+    * files, commit publishes the manifest) with od stats. Built once
+    * per (session, sfDir) — the s17/s18 immutable-derived-data
+    * discipline. */
+  private val dsv2WriteCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def dsv2WrittenOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = dsv2WriteCache.get(key)
+    if (hit != null) return hit
+    dsv2WriteCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s50_dsv2_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"))
+    val yr = year(date_add(lit("1970-01-01").cast("date"),
+      col("od").cast("int")))
+    // testdata orders span 1995..2001 — split at the midpoint so both
+    // connector-written groups are materially sized
+    Seq(yr <= 1997, yr >= 1998).foreach(cond =>
+      o.filter(cond).write.format("graft-versioned").option("path", dir)
+        .option("statsCol", "od").mode("append").save())
+    require(graft.ops.Versioned.latestVersion(dir) == 2,
+      s"connector write did not land two versions at $dir")
+    dsv2WriteCache.put(key, dir)
+    dir
+  }
+
+  /** s51's SQL-catalog table: a per-sfDir VersionedCatalog (catalog
+    * name + warehouse keyed on the sfDir hash — catalog confs are
+    * session-global) populated via CTAS (even keys, v1) + INSERT INTO
+    * (odd keys, v2). Returns the fully-qualified table name. Built once
+    * per (session, sfDir). */
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
+  private def catalogOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = catalogCache.get(key)
+    if (hit != null) return hit
+    catalogCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val cat = s"graftlake_$suffix"
+    val wh = tmp(s"s51_wh_$suffix")
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val view = s"s51_src_$suffix"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"""CREATE TABLE $cat.lake.orders_v AS
+              SELECT * FROM $view WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""INSERT INTO $cat.lake.orders_v
+              SELECT * FROM $view WHERE o_orderkey % 2 != 0""")
+    s.sql(s"DELETE FROM $cat.lake.orders_v WHERE o_orderkey <= 100")
+    require(graft.ops.Versioned.latestVersion(s"$wh/lake/orders_v") == 3,
+      s"SQL catalog DML did not land three versions under $wh")
+    val name = s"$cat.lake.orders_v"
+    catalogCache.put(key, name)
+    name
+  }
+
+  val all: Seq[Q] = Seq(
+
+
+    // S49: the versioned table behind a STANDARD Spark API — the
+    // DataSourceV2 connector (graft.sources.VersionedSource, registered
+    // as format "graft-versioned"): spark.read.format(...).load() plans
+    // from the manifest, pushes the 1996 range filter onto the
+    // manifest's od stats (whole groups pruned before any file opens),
+    // compiles it to parquet row-group predicates executor-side, and
+    // serves rows through parquet-mr — no Spark parquet reader in the
+    // path. `pruned` pins the planning mechanism in the gated row (the
+    // filtered scan planned strictly fewer input partitions than the
+    // full-table scan); the second leg time-travels to v1 via the
+    // versionAsOf option. The oracle replays both legs from source, so
+    // the whole connector read path (planning, projection, parquet
+    // decode, version isolation) sits under the hash.
+    Q("s49_dsv2_versioned_read",
+      (s, d) => {
+        val dir = LakehouseQueries.versionedByYear(s, d)
+        val (lo, hi) = (java.time.LocalDate.of(1996, 1, 1).toEpochDay,
+          java.time.LocalDate.of(1996, 12, 31).toEpochDay)
+        def conn(v: Int) = {
+          val r = s.read.format("graft-versioned").option("path", dir)
+          (if (v > 0) r.option("versionAsOf", v.toString) else r).load()
+        }
+        def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }.getOrElse(-1)
+        val filtered = conn(0).filter(col("od") >= lo && col("od") <= hi)
+        val nf = partsOf(filtered)
+        val pruned = nf > 0 && nf < partsOf(conn(0))
+        val leg1996 = filtered
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("1996_latest").as("leg"), col("n"), col("total"),
+            lit(pruned).as("pruned"))
+        val legV1 = conn(1)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("v1_time_travel").as("leg"), col("n"), col("total"),
+            lit(pruned).as("pruned"))
+        leg1996.unionAll(legV1).orderBy("leg")
+      },
+      Some(s"""SELECT '1996_latest' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS pruned
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                 AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+               UNION ALL
+               SELECT 'v1_time_travel', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders
+               WHERE year(CAST(o_orderdate AS DATE)) <= 1993
+               ORDER BY leg""")),
+
+
+    // S50: the connector WRITE path + metadata-only aggregates. The
+    // table is built ENTIRELY through df.write.format("graft-versioned")
+    // — two appends whose executors stage parquet via parquet-mr and
+    // whose commit publishes a Versioned manifest (atomic staged-group
+    // rename; Versioned.commitStagedGroup). The gated row reads it back
+    // through the connector: full-table count + exact decimal total
+    // (write→read round-trip under the hash), plus global MIN/MAX of
+    // the stats column answered FROM THE MANIFEST — `meta_only` pins
+    // that the aggregate scan planned exactly one metadata partition
+    // with aggPushed in its description (zero data files opened — the
+    // Iceberg/Delta answer-from-stats path). Oracle replays everything
+    // from the source table.
+    Q("s50_dsv2_write_read",
+      (s, d) => {
+        val dir = dsv2WrittenOrders(s, d)
+        def conn = s.read.format("graft-versioned").option("path", dir).load()
+        def isMetaOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan.description().contains("aggPushed") &&
+                b.inputRDD.getNumPartitions == 1
+          }.getOrElse(false)
+        // MIN/MAX answered from the manifest's per-group stats, COUNT(*)
+        // from its per-group exact row counts — one metadata partition,
+        // zero data files opened, for all three legs together
+        val aggDf = conn.agg(min("od").as("od_lo"), max("od").as("od_hi"),
+          count(lit(1)).as("n_meta"))
+        val metaOnly = isMetaOnly(aggDf)
+        // `n` comes from a REAL scan (the decimal sum declines pushdown),
+        // so the manifest count and the data itself sit under one hash
+        conn.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .crossJoin(aggDf)
+          .withColumn("meta_only", lit(metaOnly))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      CAST(MIN(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS BIGINT) AS od_lo,
+                      CAST(MAX(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE))) AS BIGINT) AS od_hi,
+                      COUNT(*) AS n_meta,
+                      TRUE AS meta_only
+               FROM orders""")),
+
+
+    // S51: the lakehouse through PURE SQL — the TableCatalog plugin
+    // (sources.VersionedCatalog) maps catalog identifiers onto Versioned
+    // dirs, so CTAS, INSERT INTO (append commit), DELETE FROM (survivor
+    // overwrite commit via SupportsDelete), SELECT, and VERSION AS OF
+    // time travel all run as SQL statements with no DataFrame calls in
+    // the user's hands (Delta's catalog-integration surface). The gated
+    // rows read the post-DELETE head, the pre-DELETE v2, and the CTAS v1
+    // through SQL; the oracle replays all three from source — catalog
+    // resolution, the connector write path under INSERT, SQL DELETE
+    // semantics, and SQL time travel all sit under one hash.
+    Q("s51_sql_catalog_dml",
+      (s, d) => {
+        val t = catalogOrders(s, d)
+        def leg(name: String, from: String) =
+          s"""SELECT '$name' AS leg, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+              FROM $from"""
+        s.sql(s"""${leg("a_post_delete", t)}
+                  UNION ALL ${leg("b_pre_delete", s"$t VERSION AS OF 2")}
+                  UNION ALL ${leg("c_ctas_half", s"$t VERSION AS OF 1")}
+                  ORDER BY leg""")
+      },
+      Some(s"""SELECT 'a_post_delete' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total
+               FROM orders WHERE o_orderkey > 100
+               UNION ALL
+               SELECT 'b_pre_delete', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders
+               UNION ALL
+               SELECT 'c_ctas_half', COUNT(*), ${sqlDsum("o_totalprice")}
+               FROM orders WHERE o_orderkey % 2 = 0
+               ORDER BY leg""")),
+
+    // S52: ROW-LEVEL SQL DML — UPDATE and MERGE INTO as pure SQL over
+    // the catalog (SupportsRowLevelOperations, group-based copy-on-write:
+    // Spark's rewrite rules + runtime group filtering narrow the rewrite
+    // to the file groups that actually hold matches, and the commit
+    // carries every untouched group BY NAME — sources/VersionedRowLevel).
+    // The table is three disjoint year-range INSERTs (manifest od-stats);
+    // the UPDATE's window lives entirely in group c2, the MERGE's matched
+    // keys entirely in c3 (plus brand-new inserted keys). `upd_cow` and
+    // `mrg_cow` pin the NARROWING itself: they are true only if the
+    // post-DML manifests carried the untouched groups verbatim
+    // ([c1,c3,c4] then [c1,c4,c5]) — a full rewrite hash-fails the row.
+    // Values (count / exact decimal total / key sum) replay in DuckDB by
+    // applying the same two DML effects to the source table.
+    Q("s52_sql_merge_update",
+      (s, d) => {
+        val (t, updCow, mrgCow) = rowLevelDml(s, d)
+        s.sql(s"SELECT * FROM $t")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .withColumn("upd_cow", lit(updCow))
+          .withColumn("mrg_cow", lit(mrgCow))
+      },
+      Some(s"""WITH base AS (
+                 SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p,
+                        datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS od,
+                        year(CAST(o_orderdate AS DATE)) AS yr
+                 FROM orders),
+               final AS (
+                 SELECT o_orderkey,
+                        CASE WHEN yr >= 1999 THEN -1.0
+                             WHEN od BETWEEN ${S52.updLo} AND ${S52.updHi}
+                               THEN 0.5
+                             ELSE p END AS p
+                 FROM base
+                 UNION ALL
+                 SELECT -o_orderkey, 999.0 FROM base
+                 WHERE o_orderkey BETWEEN 1 AND 100)
+               SELECT COUNT(*) AS n,
+                      ${sqlDsum("p")} AS total,
+                      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                      TRUE AS upd_cow, TRUE AS mrg_cow
+               FROM final"""))
+  )
+
+  /** Epoch-day bounds of s52's UPDATE window — 1997-03-01..1997-06-30,
+    * strictly inside the middle (1997–1998) file group. */
+  private object S52 {
+    val updLo: Long = java.time.LocalDate.of(1997, 3, 1).toEpochDay
+    val updHi: Long = java.time.LocalDate.of(1997, 6, 30).toEpochDay
+  }
+
+  /** s52's table after the full SQL DML protocol: CREATE (statsCol=od) →
+    * three year-range INSERTs (groups c1/c2/c3) → UPDATE (c2's window) →
+    * MERGE INTO (c3's keys matched + negated-key inserts). Returns
+    * (tableName, updNarrowed, mergeNarrowed). Built once per
+    * (session, sfDir). */
+  private val dmlCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def rowLevelDml(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = dmlCache.get(key)
+    if (hit != null) return hit
+    dmlCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val cat = s"graftrl_$suffix"
+    val wh = tmp(s"s52_wh_$suffix")
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val view = s"s52_src_$suffix"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"),
+      year(col("o_orderdate").cast("date")).as("yr"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val t = s"$cat.lake.rl_orders"
+    s.sql(s"""CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE,
+              od BIGINT) TBLPROPERTIES ('statsCol'='od')""")
+    Seq("yr <= 1996", "yr BETWEEN 1997 AND 1998", "yr >= 1999").foreach(w =>
+      s.sql(s"""INSERT INTO $t SELECT o_orderkey, o_totalprice, od
+                FROM $view WHERE $w"""))
+    val dir = s"$wh/lake/rl_orders"
+    require(graft.ops.Versioned.groupNames(dir) == Seq("c1", "c2", "c3"),
+      s"s52 fixture: unexpected groups ${graft.ops.Versioned.groupNames(dir)}")
+    s.sql(s"""UPDATE $t SET o_totalprice = 0.5
+              WHERE od BETWEEN ${S52.updLo} AND ${S52.updHi}""")
+    val updCow =
+      graft.ops.Versioned.groupNames(dir).sorted == Seq("c1", "c3", "c4")
+    s.sql(s"""MERGE INTO $t AS tgt
+              USING (SELECT o_orderkey, -1.0 AS o_totalprice, od
+                     FROM $view WHERE yr >= 1999
+                     UNION ALL
+                     SELECT -o_orderkey, 999.0, od
+                     FROM $view WHERE o_orderkey BETWEEN 1 AND 100) AS src
+              ON tgt.o_orderkey = src.o_orderkey
+              WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+              WHEN NOT MATCHED THEN
+                INSERT (o_orderkey, o_totalprice, od)
+                VALUES (src.o_orderkey, src.o_totalprice, src.od)""")
+    val mrgCow =
+      graft.ops.Versioned.groupNames(dir).sorted == Seq("c1", "c4", "c5")
+    val out = (t, updCow, mrgCow)
+    dmlCache.put(key, out)
+    out
+  }
+}

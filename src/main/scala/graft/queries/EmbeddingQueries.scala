@@ -916,8 +916,99 @@ object EmbeddingQueries {
                      ROUND(CAST(score_int AS DOUBLE) * ss, 6) AS approx
               FROM sc
               ORDER BY CAST(score_int AS DOUBLE) * ss DESC, vec_id
-              LIMIT 10"""))
+              LIMIT 10""")),
+
+    // EMB23: vector-index REINDEX — the OPTIMIZE of the ANN world
+    // (VectorIndex.reindexIdempotent): emb21's no-refit appends leave the
+    // codebook trained on a stale subset (here: only a quarter of the
+    // final corpus — three no-refit appends follow the build), so the
+    // maintenance verb re-trains Lloyd on the FULL accumulated vector
+    // set, re-assigns every vector, and publishes as ONE atomic
+    // exactly-once OVERWRITE version. Gated contracts: post-reindex probe
+    // recall ≥ 6/10 at nProbe=5 (the emb21 bar, now against the
+    // re-trained codebook), `exactly_once_replay` (a zombie replay of
+    // the same (appId, txn) commits nothing), and `history_ok` (the
+    // pre-reindex snapshot stays time-travelable with its full vector
+    // set, and the reindex preserved the vector set's cardinality — a
+    // reindex may move vectors between cells, never lose or duplicate
+    // one).
+    Q("emb23_vector_index_reindex",
+      (s, d) => {
+        val (dir, replayOk, historyOk) = reindexedDir(s, d)
+        val qIds = Tables.embeddings(s, d)
+          .orderBy(col("vec_id")).limit(3)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        val rows = qIds.map { q =>
+          val approx = graft.similarity.VectorIndex
+            .knn(s, dir, "vec_id", q, k = 10, nProbe = EmbIdxNProbe)
+            .select("vec_id")
+          val exact = graft.similarity.VectorIndex
+            .knnExact(s, dir, "vec_id", q, k = 10).select("vec_id")
+          approx.join(exact, "vec_id")
+            .agg(count(lit(1)).as("hits"))
+            .withColumn("query_id", lit(q))
+        }.reduce(_ unionByName _)
+        val nIdx = graft.ops.Versioned.read(s, dir)
+          .filter(col("kind") === "v").count()
+        val out = rows.select(col("query_id"), lit(nIdx).as("n_indexed"),
+          (col("hits") >= 6L).as("recall_ok"),
+          lit(replayOk).as("exactly_once_replay"),
+          lit(historyOk).as("history_ok"))
+          .orderBy("query_id")
+        require(out.filter(!col("recall_ok")).isEmpty,
+          s"post-reindex probe recall fell below 6/10 at nProbe=$EmbIdxNProbe")
+        out
+      },
+      Some("""SELECT CAST(vec_id AS BIGINT) AS query_id,
+                     (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+                     TRUE AS recall_ok, TRUE AS exactly_once_replay,
+                     TRUE AS history_ok
+              FROM embeddings ORDER BY vec_id LIMIT 3"""))
   )
+
+  /** emb23's reindexed index: build on a QUARTER of the corpus, three
+    * no-refit idempotent appends (codebook now stale), then ONE
+    * exactly-once reindex (re-trained codebook, full re-assignment,
+    * OVERWRITE version) with a zombie-replay probe and a history check.
+    * Returns (dir, replayOk, historyOk). Built once per (session, sfDir). */
+  private val reindexCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def reindexedDir(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = reindexCache.get(key)
+    if (hit != null) return hit
+    reindexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vecidx23_" +
+      s"${ProcessHandle.current().pid()}/${Integer.toHexString(d.hashCode)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val emb = Tables.embeddings(s, d)
+    import graft.similarity.VectorIndex
+    import graft.ops.Versioned
+    VectorIndex.build(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", nCells = 8, iters = 3, dir = dir)
+    (1L to 3L).foreach(r =>
+      require(VectorIndex.appendIdempotent(s,
+        emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding", dir,
+        "emb23ingest", r), s"append $r must land"))
+    val nBefore = Versioned.read(s, dir).filter(col("kind") === "v").count()
+    val vBefore = Versioned.latestVersion(dir)
+    require(VectorIndex.reindexIdempotent(s, dir, "vec_id", nCells = 8,
+      iters = 3, appId = "emb23reidx", txnVersion = 0L),
+      "reindex must land")
+    val vAfter = Versioned.latestVersion(dir)
+    val replayOk = !VectorIndex.reindexIdempotent(s, dir, "vec_id",
+      nCells = 8, iters = 3, appId = "emb23reidx", txnVersion = 0L) &&
+      Versioned.latestVersion(dir) == vAfter && vAfter == vBefore + 1
+    val historyOk =
+      Versioned.read(s, dir, vBefore).filter(col("kind") === "v")
+        .count() == nBefore &&
+      Versioned.read(s, dir).filter(col("kind") === "v").count() == nBefore
+    val out = (dir, replayOk, historyOk)
+    val prev = reindexCache.putIfAbsent(key, out)
+    if (prev != null) prev else out
+  }
 
   /** emb21 probe budget: 5 of 8 cells. The synthetic embeddings are
     * uniform (the worst case for a learned quantizer — see the emb6

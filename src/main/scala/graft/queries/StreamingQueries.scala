@@ -598,8 +598,82 @@ object StreamingQueries {
       },
       Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
                       TRUE AS incremental_ok
+               FROM orders""")),
+
+    // ST13: the NATIVE STREAMING SINK of the DSv2 connector
+    // (writeStream.format("graft-versioned") — no foreachBatch in the
+    // user's hands): each epoch stages parquet on the executors and the
+    // epoch commit publishes exactly-once under (streaming query id,
+    // epochId) through the manifest log's txn high-water mark — the
+    // Delta txnAppId/txnVersion design, write side of st12. Protocol
+    // (built once per session): wave 1 → pass 1 → REPLAY pass over the
+    // same checkpoint with no new data (`exactly_once_replay` pins that
+    // no version landed) → wave 2 → pass 2 (`incremental_ok` pins the
+    // append). The gated values read the final table back THROUGH THE
+    // CONNECTOR, so the staged-epoch write path sits under the hash;
+    // the oracle replays from the source table.
+    Q("st13_stream_versioned_sink",
+      (s, d) => {
+        val (table, replayOk, incOk) = versionedSinkStreamed(s, d)
+        s.read.format("graft-versioned").option("path", table).load()
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("exactly_once_replay", lit(replayOk))
+          .withColumn("incremental_ok", lit(incOk))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+                      TRUE AS exactly_once_replay, TRUE AS incremental_ok
                FROM orders"""))
   )
+
+  /** st13's streamed-INTO versioned table: a parquet file-source stream
+    * lands in the connector's native streaming sink across two waves
+    * with a replay pass in between. Returns
+    * (tableDir, exactlyOnceReplayOk, incrementalOk). Built once per
+    * (session, sfDir). */
+  private val vsinkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Boolean, Boolean)]()
+
+  private def versionedSinkStreamed(s: SparkSession, d: String)
+      : (String, Boolean, Boolean) = {
+    val key = (s, d)
+    val hit = vsinkCache.get(key)
+    if (hit != null) return hit
+    vsinkCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val src = tmp(s"st13/src_$suffix")
+    val table = tmp(s"st13/table_$suffix")
+    val ckpt = tmp(s"st13/ckpt_$suffix")
+    clean(s, src, table, ckpt)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val srcSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    def pass(): Unit = {
+      val q = s.readStream.schema(srcSchema).parquet(src)
+        .writeStream.format("graft-versioned")
+        .option("path", table).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+    }
+    o.filter(col("o_orderkey") % 2 === 0).write.mode("append").parquet(src)
+    pass()
+    val v1 = graft.ops.Versioned.latestVersion(table)
+    val n1 = graft.ops.Versioned.read(s, table).count()
+    pass() // replay: same checkpoint, no new files — nothing may commit
+    val replayOk = graft.ops.Versioned.latestVersion(table) == v1 &&
+      graft.ops.Versioned.read(s, table).count() == n1 && v1 >= 1
+    o.filter(col("o_orderkey") % 2 =!= 0).write.mode("append").parquet(src)
+    pass()
+    val incOk = graft.ops.Versioned.latestVersion(table) > v1 &&
+      (1 to graft.ops.Versioned.latestVersion(table)).forall(v =>
+        graft.ops.Versioned.stepIsAppend(table, v))
+    val out = (table, replayOk, incOk)
+    vsinkCache.put(key, out)
+    out
+  }
 
   /** st12's streamed versioned source: three appends consumed by pass 1,
     * a fourth consumed incrementally by pass 2 over the same checkpoint.

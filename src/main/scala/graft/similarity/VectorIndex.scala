@@ -113,6 +113,52 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Cell-population imbalance of the stored index: max cell count ×
+    * nCells / total vectors (1.0 = perfectly uniform; grows as ingest
+    * drift skews the frozen-codebook assignment). The operator's
+    * reindex-cadence diagnostic — one groupBy over the index, no vector
+    * math. */
+  def cellImbalance(spark: SparkSession, dir: String): Double = {
+    val cells = Versioned.read(spark, dir).filter(col("kind") === "v")
+      .groupBy("cell").count()
+      .agg(max("count").as("mx"), sum("count").as("tot"),
+        count(lit(1)).as("k"))
+      .head()
+    cells.getLong(0).toDouble * cells.getLong(2) / cells.getLong(1)
+  }
+
+  /** RE-TRAIN the codebook on the full accumulated vector set and
+    * re-assign every vector — the OPTIMIZE of the ANN world (FAISS
+    * retrain + re-add, published as ONE atomic lakehouse version):
+    * [[appendIdempotent]]'s no-refit batches quantize against the
+    * original codebook, so probe recall decays as the ingest
+    * distribution drifts; reindex restores it without losing history
+    * (the pre-reindex versions stay time-travelable — an OVERWRITE
+    * step, not a table rewrite-in-place). Exactly-once under
+    * (appId, txnVersion): a zombie replay deletes its work and commits
+    * nothing. Returns true when the reindex landed, false on a replay.
+    *
+    * Scale shape: one Lloyd fit over the stored vectors (iters ×
+    * (broadcast k×d codebook ⋈ vectors + one k-key shuffle) —
+    * [[Kmeans]]'s distributed form), one assignment join, one commit.
+    * Cost is proportional to the index size — the same O as the initial
+    * [[build]], paid only when [[cellImbalance]]/recall monitoring says
+    * the drift warrants it. */
+  def reindexIdempotent(spark: SparkSession, dir: String, idCol: String,
+      nCells: Int, iters: Int, appId: String, txnVersion: Long): Boolean = {
+    if (Versioned.lastTxnVersion(dir, appId).exists(_ >= txnVersion))
+      return false
+    val vecs = Versioned.read(spark, dir).filter(col("kind") === "v")
+      .select(col(idCol), col("vec"))
+    val (assignment, centroids) =
+      Kmeans.lloydWithCodebook(vecs, idCol, "vec", nCells, iters)
+    val vRows = vecs
+      .join(assignment.select(col(idCol), col("cluster").as("cell")), idCol)
+      .select(col(idCol), col("cell"), col("vec"))
+    Versioned.idempotentCommit(unified(idCol, vRows, Some(centroids)), dir,
+      appId, txnVersion, overwrite = true).isDefined
+  }
+
   /** Exact brute-force top-k over the whole stored index — the recall
     * yardstick for [[knn]]. */
   def knnExact(spark: SparkSession, dir: String, idCol: String,

@@ -102,7 +102,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     val schema: StructType =
       if (Versioned.latestVersion(dir) > 0) {
         val (_, groups, _, _) = Versioned.connectorScanPlan(dir, version)
-        SparkSession.active.read.parquet(groups.head._2).schema
+        // UNION of per-group schemas — a later append may have added
+        // columns; serving groups.head alone would silently drop them
+        VersionedSource.mergedGroupSchema(SparkSession.active,
+          groups.map(_._2))
       } else if (Files.exists(schemaSidecar(dir))) {
         require(version == 0,
           s"$catalogName.${ident} has no commits — nothing to time travel to")

@@ -21,11 +21,12 @@ import org.apache.parquet.schema.Type.Repetition
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,9 +73,8 @@ class VersionedSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, version) = VersionedSource.pathAndVersion(options)
     val (_, groups, _, _) = Versioned.connectorScanPlan(dir, version)
-    // schema from the first group's footers via Spark's parquet reader
-    // (driver-side planning only; executors never touch this path)
-    SparkSession.active.read.parquet(groups.head._2).schema
+    // driver-side planning only; executors never touch this path
+    VersionedSource.mergedGroupSchema(SparkSession.active, groups.map(_._2))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -102,17 +102,68 @@ private[sources] object VersionedSource {
 
   val supportedTypes: Set[DataType] = Set(LongType, IntegerType, DoubleType,
     FloatType, StringType, BooleanType, DateType)
+
+  /** The metadata column exposing each row's manifest file-group name —
+    * the grouping handle of the SQL row-level operations (Iceberg's
+    * `_file` in group-granularity form): runtime group filtering
+    * collects `DISTINCT _group` over the matching rows and the COW scan
+    * then plans ONLY those groups. */
+  val GroupCol = "_group"
+
+  /** UNION of the per-group footer schemas of one version — a version's
+    * groups may legitimately differ when later appends added columns
+    * (the reader serves them as NULL for older groups); a same-name
+    * column with CONFLICTING types is refused loudly (the v1-scope gate
+    * discipline) instead of silently serving the oldest group's shape.
+    * One schema inference per group: files WITHIN a group are written by
+    * one commit and homogeneous by construction. */
+  def mergedGroupSchema(spark: SparkSession, groupDirs: Seq[String])
+      : StructType =
+    groupDirs.map(d => spark.read.parquet(d).schema).reduceLeft { (acc, s) =>
+      s.fields.foldLeft(acc) { (a, f) =>
+        a.fields.find(_.name == f.name) match {
+          case Some(existing) =>
+            require(existing.dataType == f.dataType,
+              s"graft-versioned: column '${f.name}' has conflicting types " +
+                s"across file groups (${existing.dataType} vs ${f.dataType})" +
+                " — normalize the history (overwrite/OPTIMIZE) first")
+            a
+          case None => StructType(a.fields :+ f) // evolution-added column
+        }
+      }
+    }
 }
 
 private[sources] class VersionedTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table
     with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_versioned_${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  /** `_group` — the row's manifest file-group name (see
+    * [[VersionedSource.GroupCol]]). The handle SQL UPDATE / MERGE INTO's
+    * runtime group filtering turns into COW narrowing. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (tableSchema.fieldNames.contains(VersionedSource.GroupCol))
+      Array.empty // a data column shadows the name; row-level ops degrade
+    else Array(new MetadataColumn {
+      override def name(): String = VersionedSource.GroupCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest file-group of the row"
+    })
+
+  /** SQL UPDATE / MERGE INTO / (row-level) DELETE — group-based
+    * copy-on-write ([[VersionedRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new VersionedRowLevelOperation(tableSchema, options, info.command())
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
       : ScanBuilder = {
     // catalog-managed tables carry path/versionAsOf in the TABLE's
@@ -175,14 +226,34 @@ private[sources] object VersionedTable {
   }
 }
 
+/** One leg of an answered-from-manifest aggregation. */
+private[sources] sealed trait AggSpec
+private[sources] case class MinSpec(col: String) extends AggSpec
+private[sources] case class MaxSpec(col: String) extends AggSpec
+private[sources] case object CountSpec extends AggSpec
+
 private[sources] class VersionedScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
-  private var required: StructType = fullSchema
-  private var pushed: Array[Filter] = Array.empty
-  private var aggMinMax: Option[Seq[(Boolean, String)]] = None
+  /** Snapshot PIN: 'latest' resolves to a concrete version exactly ONCE,
+    * at builder construction — schema gating, the aggregate answer, and
+    * execution planning all serve this one snapshot even when commits
+    * land mid-query (the Delta/Iceberg snapshot-pinning contract; a
+    * re-resolving scan could plan against one version and execute
+    * against another). 0 = a CREATEd table with no commits yet, a valid
+    * empty table. */
+  private val resolved: (String, Int) = {
+    val (d, v) = VersionedSource.pathAndVersion(options)
+    (d, if (v != 0) v else Versioned.latestVersion(d))
+  }
+  protected def dir: String = resolved._1
+  protected def pinnedVersion: Int = resolved._2
+
+  protected var required: StructType = fullSchema
+  protected var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None
 
   /** Accept the filters the parquet/stats layers can use; EVERYTHING is
     * returned as residual — connector-side pruning is best-effort
@@ -194,22 +265,25 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // Spark hands back a subset of fullSchema in table-schema order;
-    // empty projection (e.g. COUNT(*)) stays empty — rows carry 0 cols
+    // Spark hands back a subset of fullSchema in table-schema order
+    // (plus requested metadata columns, e.g. _group); empty projection
+    // (e.g. COUNT(*)) stays empty — rows carry 0 cols
     required = requiredSchema
 
   /** Metadata-only aggregates — the Iceberg/Delta answer-from-manifest
     * path: a global (no GROUP BY, no residual filters) MIN/MAX on the
-    * manifest's stats column is answered from the per-group [min, max]
-    * entries alone; ZERO data files open. Complete pushdown only —
+    * manifest's stats column, and/or COUNT(*) from the manifest's
+    * per-group exact row counts, answered with ZERO data files open.
+    * The answer VALUES are computed here, against the pinned snapshot —
+    * plan and execution cannot diverge. Complete pushdown only:
     * anything the manifest cannot answer exactly declines, and Spark
     * runs the normal scan+aggregate. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerableMinMax(agg).isDefined
+    answerable(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    answerableMinMax(agg) match {
-      case some @ Some(_) => aggMinMax = some; true
+    answerable(agg) match {
+      case some @ Some(_) => aggAnswer = some; true
       case None => false
     }
 
@@ -220,103 +294,128 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
     case _ => None
   }
 
-  private def answerableMinMax(agg: Aggregation)
-      : Option[Seq[(Boolean, String)]] = {
-    // residual filters would make manifest bounds over-wide; grouped
-    // aggregates need per-group bounds the manifest does not hold
+  private def answerable(agg: Aggregation)
+      : Option[(Seq[AggSpec], Seq[Long])] = {
+    // residual filters would make manifest bounds/counts over-wide;
+    // grouped aggregates need per-group detail the manifest has not
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
-    val (dir, version) = VersionedSource.pathAndVersion(options)
+    if (pinnedVersion == 0) return None // empty table: normal (empty) scan
     val (_, groups, stats, scolOpt) =
-      try Versioned.connectorScanPlan(dir, version)
+      try Versioned.connectorScanPlan(dir, pinnedVersion)
       catch { case _: IllegalArgumentException => return None }
-    val scol = scolOpt.getOrElse(return None)
-    // every group must carry stats (an all-NULL-column group records
-    // none → its rows are invisible to the bounds → decline)
-    if (!groups.forall { case (name, _) => stats.contains(name) }) return None
-    if (!fullSchema.fields.exists(f => f.name == scol &&
-        f.dataType == LongType)) return None
-    val specs = agg.aggregateExpressions.toSeq.map {
-      case m: Min => refName(m.column).filter(_ == scol).map(c => (true, c))
-      case m: Max => refName(m.column).filter(_ == scol).map(c => (false, c))
+    val counts = Versioned.readCounts(dir, pinnedVersion)
+    val names = groups.map(_._1)
+    // every group must carry the metadata a leg reads (an all-NULL
+    // stats group records no stats; pre-counts commits record no counts
+    // → that leg's answer would silently lose rows → decline)
+    val allStats = names.forall(stats.contains)
+    val allCounts = names.forall(counts.contains)
+    val statsColOk = scolOpt.exists(c =>
+      fullSchema.fields.exists(f => f.name == c && f.dataType == LongType))
+    val specs: Seq[Option[AggSpec]] = agg.aggregateExpressions.toSeq.map {
+      case m: Min => refName(m.column)
+        .filter(c => statsColOk && allStats && scolOpt.contains(c))
+        .map(MinSpec)
+      case m: Max => refName(m.column)
+        .filter(c => statsColOk && allStats && scolOpt.contains(c))
+        .map(MaxSpec)
+      case _: CountStar => if (allCounts) Some(CountSpec) else None
       case _ => None
     }
-    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get))
-    else None
+    if (specs.isEmpty || specs.exists(_.isEmpty)) None
+    else {
+      val legs = specs.map(_.get)
+      val vals = legs.map {
+        case MinSpec(_) => names.map(stats(_)._1).min
+        case MaxSpec(_) => names.map(stats(_)._2).max
+        case CountSpec => names.map(counts(_)).sum
+      }
+      Some((legs, vals))
+    }
   }
 
-  override def build(): Scan = {
-    val (dir, version) = VersionedSource.pathAndVersion(options)
-    new VersionedScan(dir, version, fullSchema, required, pushed, aggMinMax)
-  }
+  override def build(): Scan =
+    new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer)
 }
 
-private[sources] case class VersionedFilePartition(file: String)
-  extends InputPartition
+private[sources] case class VersionedFilePartition(file: String,
+    group: String) extends InputPartition
 
 /** The answered-from-manifest aggregate: one row, no files opened. */
 private[sources] case class VersionedAggPartition(values: Seq[Long])
   extends InputPartition
 
-private[sources] class VersionedScan(dir: String, version: Int,
-    fullSchema: StructType, required: StructType, pushed: Array[Filter],
-    aggMinMax: Option[Seq[(Boolean, String)]] = None)
+/** `version` is the PINNED concrete snapshot (resolved once in the
+  * builder); 0 only for a valid empty table (no commits yet). */
+private[sources] class VersionedScan(val dir: String, val version: Int,
+    val required: StructType, val pushed: Array[Filter],
+    aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = aggMinMax match {
-    case Some(specs) => StructType(specs.map { case (isMin, c) =>
-      StructField(s"${if (isMin) "min" else "max"}($c)", LongType)
+  override def readSchema(): StructType = aggAnswer match {
+    case Some((legs, _)) => StructType(legs.map {
+      case MinSpec(c) => StructField(s"min($c)", LongType)
+      case MaxSpec(c) => StructField(s"max($c)", LongType)
+      case CountSpec => StructField("count(*)", LongType)
     })
     case None => required
   }
   override def toBatch: Batch = this
 
   /** A CREATEd-but-never-committed catalog table has no manifest yet —
-    * it is a valid empty table (zero partitions), not an error. */
-  private def isEmptyTable: Boolean =
-    version == 0 && Versioned.latestVersion(dir) == 0
+    * it is a valid empty table (zero partitions), not an error; pinned
+    * at builder time, so a commit landing mid-query stays invisible. */
+  protected def isEmptyTable: Boolean = version == 0
 
   override def description(): String = {
     val scol =
       if (isEmptyTable) None else Versioned.connectorScanPlan(dir, version)._4
-    s"graft-versioned $dir cols=[${required.fieldNames.mkString(",")}] " +
+    s"graft-versioned $dir v=$version " +
+      s"cols=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}] " +
       s"statsCol=${scol.getOrElse("-")}" +
-      aggMinMax.map(s => s" aggPushed=[${s.map { case (m, c) =>
-        s"${if (m) "min" else "max"}($c)" }.mkString(",")}]").getOrElse("")
+      aggAnswer.map { case (legs, _) => s" aggPushed=[${legs.map {
+        case MinSpec(c) => s"min($c)"
+        case MaxSpec(c) => s"max($c)"
+        case CountSpec => "count(*)"
+      }.mkString(",")}]" }.getOrElse("")
+  }
+
+  /** The pinned snapshot's file groups after manifest-stats pruning
+    * against the pushed filters — (manifest name, absolute dir). */
+  protected def plannedGroups(): Seq[(String, String)] = {
+    val (_, groups, stats, scol) = Versioned.connectorScanPlan(dir, version)
+    val bounds = scol.map(c => VersionedScan.filterBounds(pushed, c))
+    groups.filter { case (name, _) =>
+      (bounds, stats.get(name)) match {
+        case (Some((lo, hi)), Some((gLo, gHi))) => gLo <= hi && gHi >= lo
+        case _ => true // no stats recorded for the group → conservative
+      }
+    }
   }
 
   /** Driver-side planning: manifest → groups → stats pruning → one
-    * InputPartition per parquet file; a pushed MIN/MAX aggregation
-    * plans ONE metadata partition and opens nothing. */
+    * InputPartition per parquet file; a pushed aggregation plans ONE
+    * metadata partition carrying the precomputed answer — nothing is
+    * re-resolved, nothing is opened. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (isEmptyTable) return Array.empty
-    val (v, groups, stats, scol) = Versioned.connectorScanPlan(dir, version)
-    aggMinMax match {
-      case Some(specs) =>
-        val gs = groups.map { case (name, _) => stats(name) } // gated in builder
-        val vals = specs.map { case (isMin, _) =>
-          if (isMin) gs.map(_._1).min else gs.map(_._2).max
-        }
-        Array(VersionedAggPartition(vals))
+    aggAnswer match {
+      case Some((_, vals)) => Array(VersionedAggPartition(vals))
       case None =>
-        val bounds = scol.map(c => VersionedScan.filterBounds(pushed, c))
-        val kept = groups.filter { case (name, _) =>
-          (bounds, stats.get(name)) match {
-            case (Some((lo, hi)), Some((gLo, gHi))) => gLo <= hi && gHi >= lo
-            case _ => true // no stats recorded for the group → conservative
-          }
-        }
         val conf = SparkSession.active.sessionState.newHadoopConf()
-        kept.flatMap { case (_, groupDir) =>
+        plannedGroups().flatMap { case (name, groupDir) =>
           VersionedScan.listParquetFiles(new Path(groupDir), conf)
-        }.map(f => VersionedFilePartition(f): InputPartition).toArray
+            .map(f => VersionedFilePartition(f, name): InputPartition)
+        }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    if (aggMinMax.isEmpty)
+    if (aggAnswer.isEmpty)
       required.fields.foreach(f =>
-        require(VersionedSource.supportedTypes.contains(f.dataType),
+        require(f.name == VersionedSource.GroupCol ||
+            VersionedSource.supportedTypes.contains(f.dataType),
           s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
             s"for '${f.name}'"))
     // hadoop Configuration is not serializable as-is; the executor-side
@@ -363,8 +462,10 @@ private[sources] class VersionedMicroBatchStream(dir: String,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     ((s + 1) to e).flatMap(v =>
       Versioned.connectorStreamStep(dir, v).flatMap(g =>
-        VersionedScan.listParquetFiles(new Path(g), conf)))
-      .map(f => VersionedFilePartition(f): InputPartition).toArray
+        VersionedScan.listParquetFiles(new Path(g), conf)
+          .map(f => VersionedFilePartition(f, new Path(g).getName)
+            : InputPartition)))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -448,16 +549,20 @@ private[sources] class VersionedReaderFactory(required: StructType,
           override def close(): Unit = ()
         }
       case fp: VersionedFilePartition =>
-        new VersionedPartitionReader(fp.file, required, pushed)
+        new VersionedPartitionReader(fp.file, fp.group, required, pushed)
     }
 }
 
 /** Executor-side reader: parquet-mr over ONE file, with a projected read
   * schema (column pruning at the parquet layer) and the pushed filters
   * compiled to FilterPredicates (row-group statistics skipping). */
-private[sources] class VersionedPartitionReader(file: String,
+private[sources] class VersionedPartitionReader(file: String, group: String,
     required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
+
+  /** The `_group` metadata column is constant per partition (one file =
+    * one group) — precomputed once, no per-row work. */
+  private val groupValue = UTF8String.fromString(group)
 
   private val conf = new Configuration()
   private val path = new Path(file)
@@ -503,7 +608,8 @@ private[sources] class VersionedPartitionReader(file: String,
     while (i < required.length) {
       val f = required.fields(i)
       vals(i) =
-        if (!schema.containsField(f.name)) null // evolution-added column
+        if (f.name == VersionedSource.GroupCol) groupValue // metadata column
+        else if (!schema.containsField(f.name)) null // evolution-added column
         else {
           val idx = schema.getFieldIndex(f.name)
           if (g.getFieldRepetitionCount(idx) == 0) null
@@ -642,18 +748,100 @@ private[sources] class VersionedWriteBuilder(info: LogicalWriteInfo,
 
 private[sources] class VersionedWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, overwrite: Boolean) extends Write {
-  override def toBatch: BatchWrite = {
-    def opt(k: String): Option[String] =
-      Option(info.options().get(k)).orElse(Option(tableOptions.get(k)))
+
+  private def opt(k: String): Option[String] =
+    Option(info.options().get(k)).orElse(Option(tableOptions.get(k)))
+
+  private def validatedDir(): String = {
     val dir = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-versioned requires .option(\"path\", <table dir>)"))
+    // refused UPFRONT, not at commit: the commit protocol's primitives
+    // (hard-link put-if-absent manifests, same-fs ATOMIC_MOVE publish)
+    // are local-filesystem operations — an hdfs:///s3a:// path would
+    // stage data and then die at commit with a confusing NoSuchFile
+    val scheme = new Path(dir).toUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"graft-versioned v1 write scope: table path must be on the local " +
+        s"filesystem (got scheme '$scheme' in '$dir') — the manifest " +
+        "put-if-absent primitive is hard-link based")
     info.schema().fields.foreach(f =>
       require(VersionedSource.supportedTypes.contains(f.dataType),
         s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
           s"for '${f.name}'"))
-    new VersionedBatchWrite(info.schema(), dir, overwrite,
+    dir
+  }
+
+  override def toBatch: BatchWrite =
+    new VersionedBatchWrite(info.schema(), validatedDir(), overwrite,
+      opt("statsCol"), info.queryId())
+
+  /** Native streaming sink (`writeStream.format("graft-versioned")`) —
+    * epoch-keyed exactly-once: each epoch stages its part files under an
+    * epoch-unique dir, and the epoch commit publishes them through
+    * [[Versioned.commitStagedGroupIdempotent]] under
+    * (appId = streaming query id, txnVersion = epochId) — the Delta
+    * txnAppId/txnVersion design, so a checkpoint-replayed epoch deletes
+    * its re-staged files and commits NOTHING. Append output mode only
+    * (a Versioned step is a file-group add). */
+  override def toStreaming: StreamingWrite = {
+    require(!overwrite,
+      "graft-versioned streaming sink is append-only — complete/update " +
+        "output modes would overwrite a consumed snapshot per epoch")
+    new VersionedStreamingWrite(info.schema(), validatedDir(),
       opt("statsCol"), info.queryId())
   }
+}
+
+/** The streaming half of the write path: one staged dir per epoch
+  * (`_staging/s<queryId>-e<epoch>`), published exactly-once via the
+  * manifest log's txn high-water mark. `queryId` is the streaming
+  * query's STABLE id (Spark passes the checkpoint-persisted id, not the
+  * per-run runId), so a restart from the same checkpoint replays epochs
+  * idempotently. */
+private[sources] class VersionedStreamingWrite(schema: StructType,
+    dir: String, statsCol: Option[String], queryId: String)
+    extends StreamingWrite {
+
+  private def stagingFor(epochId: Long) = s"$dir/_staging/s$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    VersionedStreamingWriterFactory(schema, s"$dir/_staging/s$queryId")
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staging = stagingFor(epochId)
+    val acked = messages.collect {
+      case VersionedCommitMessage(Some(f), _) =>
+        java.nio.file.Paths.get(f).getFileName.toString
+    }.toSet
+    VersionedBatchWrite.dropUnacked(staging, acked)
+    if (acked.isEmpty) {
+      VersionedBatchWrite.deleteRecursive(staging)
+      return // an empty epoch appends nothing — standard sink semantics
+    }
+    Versioned.commitStagedGroupIdempotent(SparkSession.active, dir, staging,
+      VersionedStreamingWrite.appIdOf(queryId), epochId, statsCol)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    VersionedBatchWrite.deleteRecursive(stagingFor(epochId))
+}
+
+private[sources] object VersionedStreamingWrite {
+  /** The txn appId recorded in the manifest — namespaced so a batch
+    * writer's id can never collide with a stream's. */
+  def appIdOf(queryId: String): String = s"stream-$queryId"
+}
+
+private[sources] case class VersionedStreamingWriterFactory(
+    schema: StructType, stagingPrefix: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new VersionedDataWriter(schema,
+      s"$stagingPrefix-e$epochId/part-$partitionId-$taskId.parquet")
 }
 
 /** Executors stage parquet part files under `<table>/_staging/<queryId>`
@@ -678,32 +866,52 @@ private[sources] class VersionedBatchWrite(schema: StructType, dir: String,
       case VersionedCommitMessage(Some(f), _) =>
         java.nio.file.Paths.get(f).getFileName.toString
     }.toSet
-    require(acked.nonEmpty,
-      "graft-versioned: zero rows staged — an empty commit would publish " +
-        "an unreadable empty group; filter-to-empty writes are refused")
+    if (acked.isEmpty) {
+      // an empty APPEND is a legitimate no-op (INSERT INTO ... WHERE
+      // false must not throw — standard SQL semantics): publish nothing,
+      // mint nothing. An empty OVERWRITE genuinely truncates — and a
+      // Versioned overwrite to an empty group would be unreadable — so
+      // it stays refused.
+      require(!overwrite,
+        "graft-versioned: empty OVERWRITE refused — an empty result " +
+          "would truncate the table to an unreadable empty group")
+      VersionedBatchWrite.deleteRecursive(staging)
+      return
+    }
     // publish ONLY acknowledged files: a crashed/killed/retried task
     // attempt can leave a truncated or duplicate part file in staging
     // without ever running abort() — committing the whole directory
     // would publish duplicated rows or an unreadable file
+    VersionedBatchWrite.dropUnacked(staging, acked)
+    Versioned.commitStagedGroup(SparkSession.active, dir, staging,
+      overwrite, statsCol)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    VersionedBatchWrite.deleteRecursive(staging)
+}
+
+private[sources] object VersionedBatchWrite {
+  /** Driver-side staging hygiene (local filesystem — gated upfront in
+    * [[VersionedWrite]]): delete staged part files no task acknowledged. */
+  def dropUnacked(staging: String, acked: Set[String]): Unit = {
     val root = java.nio.file.Paths.get(staging)
+    if (!java.nio.file.Files.isDirectory(root)) return
     val s = java.nio.file.Files.list(root)
     try s.iterator().asScala.foreach { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".parquet") && !acked.contains(n))
         java.nio.file.Files.deleteIfExists(p)
     } finally s.close()
-    Versioned.commitStagedGroup(SparkSession.active, dir, staging,
-      overwrite, statsCol)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val root = java.nio.file.Paths.get(staging)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val s = java.nio.file.Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally s.close()
-    }
+  def deleteRecursive(dirPath: String): Unit = {
+    val root = java.nio.file.Paths.get(dirPath)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
   }
 }
 

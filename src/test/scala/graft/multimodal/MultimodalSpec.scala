@@ -252,4 +252,23 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("maxIdx") < r.getAs[Int]("nf"))
     }
   }
+
+  test("crafted near-2^32 WAV chunk sizes land in the undecodable row, never crash") {
+    // a chunk size that would drive an Int cursor negative (ADVICE r12:
+    // i += 8 + size.toInt overflows for size near Int.MaxValue) — the
+    // Long-cursor walk must yield None/unknown, not AIOOBE
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    for (size <- Seq(Int.MaxValue.toLong - 4, Int.MaxValue.toLong + 100,
+        0xfffffff0L)) {
+      val payload = "RIFF".getBytes("US-ASCII") ++ le32(1000) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "JUNK".getBytes("US-ASCII") ++ le32(size) ++ Array.fill(64)(0.toByte)
+      assert(Multimodal.decodeWavPcm16(payload).isEmpty)
+      assert(Multimodal.parseAudioHeader(payload) == ("unknown", -1, -1))
+    }
+    // and a well-formed file after the fix still decodes
+    val good = Multimodal.encodeWavPcm16(Array[Short](1, -2, 3), 8000)
+    assert(Multimodal.decodeWavPcm16(good).exists(_._2.toSeq == Seq[Short](1, -2, 3)))
+  }
 }

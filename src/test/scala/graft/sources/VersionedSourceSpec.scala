@@ -184,14 +184,20 @@ class VersionedSourceSpec extends SparkSpec {
     assert(Versioned.latestVersion(d) == 2)
     assert(Versioned.read(spark, d).count() == 5)
     assert(Versioned.read(spark, d, 1).count() == 20) // time travel intact
-    // empty writes are refused, version log untouched
+    // an empty APPEND is a silent no-op (SQL INSERT ... WHERE false
+    // semantics — ADVICE r12): no error, version log untouched
+    spark.range(0, 0).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d)
+      .mode("append").save()
+    assert(Versioned.latestVersion(d) == 2)
+    // an empty OVERWRITE genuinely truncates — still refused loudly
     val e = intercept[Exception] {
       spark.range(0, 0).select(col("id").as("k"))
         .write.format("graft-versioned").option("path", d)
-        .mode("append").save()
+        .mode("overwrite").save()
     }
-    assert(e.getMessage.contains("zero rows") ||
-      Option(e.getCause).exists(_.getMessage.contains("zero rows")))
+    assert(e.getMessage.contains("empty OVERWRITE") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty OVERWRITE")))
     assert(Versioned.latestVersion(d) == 2)
   }
 
@@ -254,10 +260,29 @@ class VersionedSourceSpec extends SparkSpec {
     val o = load().agg(min("v"))
     assert(!scanOf(o).scan.description().contains("aggPushed"))
     assert(o.as[Long].head() == 0L)
-    // mixed answerable + not → whole aggregation declines
+    // mixed MIN + COUNT(*) both answer from the manifest (stats +
+    // exact per-group row counts) — complete pushdown, values exact
     val m = load().agg(min("k"), count(lit(1)))
-    assert(!scanOf(m).scan.description().contains("aggPushed"))
+    assert(scanOf(m).scan.description().contains("aggPushed"))
     assert(m.as[(Long, Long)].head() == ((0L, 400L)))
+    // ...but COUNT on a COLUMN counts non-nulls — the manifest cannot
+    // know null counts, so it declines
+    val c = load().agg(count(col("v")))
+    assert(!scanOf(c).scan.description().contains("aggPushed"))
+    assert(c.as[Long].head() == 400L)
+  }
+
+  test("COUNT(*) answers from the manifest alone: one metadata partition") {
+    val df = load().agg(count(lit(1)).as("n"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("count(*)"),
+      s"count leg not pushed: ${scan.scan.description()}")
+    assert(scan.inputRDD.getNumPartitions == 1)
+    assert(df.as[Long].head() == 400L)
+    // and against a pinned historical snapshot
+    val h = load(2).agg(count(lit(1)).as("n"))
+    assert(scanOf(h).scan.description().contains("count(*)"))
+    assert(h.as[Long].head() == 200L)
   }
 
   test("streaming source: versions are offsets, appends arrive incrementally, overwrite refuses") {
@@ -309,5 +334,84 @@ class VersionedSourceSpec extends SparkSpec {
       spark.read.format("graft-versioned")
         .option("path", "/tmp/does_not_exist_graft").load().count()
     }
+  }
+
+  test("snapshot pinning: a planned scan ignores commits landing mid-query") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_pin").toString
+    Versioned.commit(spark.range(0, 50).select(col("id").as("k")), d)
+    val df = spark.read.format("graft-versioned").option("path", d).load()
+    df.queryExecution.executedPlan // force planning: the builder pins v1
+    Versioned.commit(spark.range(50, 80).select(col("id").as("k")), d)
+    // execute the SAME query execution (count()/as[] would re-plan)
+    assert(df.collect().length == 50,
+      "scan re-resolved 'latest' after planning — snapshot not pinned")
+    // a FRESH read sees the new commit
+    assert(spark.read.format("graft-versioned").option("path", d)
+      .load().count() == 80L)
+    // pinned aggregate answer: plan the agg, land a commit, execute
+    val agg = spark.read.format("graft-versioned").option("path", d)
+      .load().agg(count(lit(1)).as("n"))
+    agg.queryExecution.executedPlan
+    Versioned.commit(spark.range(80, 90).select(col("id").as("k")), d)
+    assert(agg.collect()(0).getLong(0) == 80L)
+  }
+
+  test("schema across heterogeneous groups: union served, conflicts refused") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_hetero").toString
+    Versioned.commit(spark.range(0, 10).select(col("id").as("k")), d)
+    // a later append added a column via plain commit (no normalization)
+    Versioned.commit(
+      spark.range(10, 15).select(col("id").as("k"), (col("id") * 2).as("v")),
+      d)
+    val df = spark.read.format("graft-versioned").option("path", d).load()
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"union schema not served: ${df.schema.fieldNames.toSeq}")
+    assert(df.count() == 15L)
+    // old group's rows serve NULL for the evolution-added column
+    assert(df.filter(col("v").isNull).count() == 10L)
+    assert(df.filter(col("v") === 28L).select("k").as[Long].head() == 14L)
+    // conflicting TYPES for one name refuse loudly
+    val d2 = java.nio.file.Files.createTempDirectory("dsv2_conflict").toString
+    Versioned.commit(spark.range(0, 5).select(col("id").as("k")), d2)
+    Versioned.commit(
+      spark.range(5, 8).select(col("id").cast("int").as("k")), d2)
+    val e = intercept[Exception] {
+      spark.read.format("graft-versioned").option("path", d2).load()
+    }
+    assert(e.getMessage.contains("conflicting types"))
+  }
+
+  test("native streaming sink: epoch appends land exactly-once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("dsv2_ssink")
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(0L until 10L: _*)
+    def runPass(): Unit = {
+      val q = mem.toDF().select(col("value").as("k"))
+        .writeStream.format("graft-versioned")
+        .option("path", table).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); ()
+    }
+    runPass()
+    assert(Versioned.read(spark, table).count() == 10L)
+    val vAfter1 = Versioned.latestVersion(table)
+    // restart from the same checkpoint with NO new data: nothing commits
+    runPass()
+    assert(Versioned.latestVersion(table) == vAfter1,
+      "replayed epoch re-committed — not exactly-once")
+    assert(Versioned.read(spark, table).count() == 10L)
+    // new data appends incrementally
+    mem.addData(10L until 25L: _*)
+    runPass()
+    assert(Versioned.read(spark, table).count() == 25L)
+    assert(Versioned.read(spark, table).agg(sum("k")).as[Long].head() ==
+      (0L until 25L).sum)
+    // the committed steps are appends — the streaming SOURCE can serve them
+    (vAfter1 to Versioned.latestVersion(table)).foreach(v =>
+      assert(Versioned.stepIsAppend(table, v)))
   }
 }
