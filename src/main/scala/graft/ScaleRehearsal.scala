@@ -190,14 +190,15 @@ object ScaleRehearsal {
     // the vector-index reindex (one Lloyd refit over the accumulated
     // index — expect ~k×, same O as build)
     "s52_sql_merge_update", "st13_stream_versioned_sink",
-    "emb23_vector_index_reindex")
+    "emb23_vector_index_reindex", "s53_sql_alter_table")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
 
   /** Generalized structure-preserving scale-up: `copies` total copies
-    * (1 ≤ copies ≤ 8; the limit is the embedding family, which has eight
-    * exactly-structure-preserving transforms). Copy k of the documents
+    * (1 ≤ copies ≤ 64; copies ≤ 8 use the original eight embedding
+    * transforms, larger factors extend the family with deterministic
+    * per-copy ±1 sign patterns — see below). Copy k of the documents
     * salts every token with a copy-distinct suffix, so intra-copy
     * near-dup structure is identical and cross-copy shingle overlap is
     * zero (document pair counts scale exactly ×copies). Copy k of the
@@ -215,7 +216,8 @@ object ScaleRehearsal {
     * scaling cost, not exact per-pair costs. */
   def writeScaled(spark: SparkSession, src: String, dst: String,
       copies: Int): Unit = {
-    require(copies >= 1 && copies <= 8, s"copies must be in [1,8], got $copies")
+    require(copies >= 1 && copies <= 64,
+      s"copies must be in [1,64], got $copies")
     Files.createDirectories(Paths.get(dst))
     // dims + events: byte-identical copies (events' physical ts layout has
     // shipped as both TIMESTAMP(NANOS) and MICROS-NTZ across testdata
@@ -244,11 +246,16 @@ object ScaleRehearsal {
 
     val docs = read("documents")
     val docShift = maxOf(docs, "doc_id")
+    // per-copy distinct salt tag: any distinct suffix gives zero
+    // cross-copy shingle overlap (single letters up to 8 copies keep the
+    // published 2×..8× fixtures byte-stable; numbered tags beyond)
     val saltChars = Seq("b", "c", "d", "e", "f", "g", "h")
+    def saltTag(k: Int): String =
+      if (k <= saltChars.size) saltChars(k - 1) else s"z$k"
     stacked(docs)(k => docs
         .withColumn("doc_id", col("doc_id") + k * docShift)
         .withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", "$1‿" + saltChars(k - 1))))
+          regexp_replace(col("text"), "(\\S+)", "$1‿" + saltTag(k))))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = read("embeddings")
@@ -267,15 +274,25 @@ object ScaleRehearsal {
     def rotate1(c: Column): Column =
       concat(slice(c, lit(2), size(c) - 1), slice(c, lit(1), lit(1)))
     stacked(emb) { k =>
-      val negated =
-        if ((k & 1) == 1) transform(col("embedding"), x => -x)
-        else col("embedding")
-      val transformed = (k >> 1) match {
-        case 0 => negated
-        case 1 => reverse(negated)
-        case 2 => rotate1(negated)
-        case _ => reverse(rotate1(negated))
-      }
+      // copies 1..7 keep the published negate/permute family (byte-stable
+      // 2×..8× fixtures); beyond that, a per-copy DETERMINISTIC diagonal
+      // ±1 sign pattern D_k (d_i = ±1 from hash(k, i)): (D_k x)·(D_k y) =
+      // Σ d_i² x_i y_i = x·y, so within-copy cosine is EXACT while
+      // cross-copy cosines decorrelate — unlimited exact copies
+      val transformed =
+        if (k <= 7) {
+          val negated =
+            if ((k & 1) == 1) transform(col("embedding"), x => -x)
+            else col("embedding")
+          (k >> 1) match {
+            case 0 => negated
+            case 1 => reverse(negated)
+            case 2 => rotate1(negated)
+            case _ => reverse(rotate1(negated))
+          }
+        } else
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(lit(k), i), lit(2)) === 0, x).otherwise(-x))
       emb.withColumn("vec_id", col("vec_id") + k * vecShift)
         .withColumn("label",
           (col("label").cast("long") + k * labelShift).cast("int"))

@@ -1723,11 +1723,15 @@ object Versioned {
     val v = parent + 1
     val group = s"c$v"
     if (!overwrite && parent != 0) {
-      require(readRenames(dir, parent).isEmpty &&
-          readDefaults(dir, parent).isEmpty && readDrops(dir, parent).isEmpty,
-        s"staged append at $dir: pending column mapping/defaults/drops — " +
-          "raw staged files bypass the schema normalization; use " +
-          "Versioned.commit or materialize first")
+      // pending RENAMES refuse: staged files carry logical names but a
+      // renamed table's groups must keep physical names (homogeneity) —
+      // translating would mean rewriting the staged files. Pending
+      // DEFAULTS/DROPS are fine: the staged batch was written against
+      // the LOGICAL snapshot schema, so it physically carries every
+      // defaulted column (post-ALTER groups are complete — the
+      // withDefaults write contract) and omits every dropped one; the
+      // per-group read normalization leaves such a group untouched.
+      requireNoRenames(dir, parent, "staged append")
       // names AND types: a name-only check would accept an INT32 append
       // onto an INT64 column — the commit lands, then every head read
       // dies on the mixed-type merge (silently-accepted poison version)
@@ -1773,6 +1777,13 @@ object Versioned {
       parentStats ++ newStats,
       if (overwrite || parent == 0) Map.empty else readStats2(dir, parent),
       dgroups = dgs, dkey = dk, txn = txn,
+      // pending defaults/drops carry forward: pre-ALTER groups still
+      // need the read-side normalization (the staged group itself is
+      // physically complete, so the per-group conditional skips it)
+      defaults =
+        if (overwrite || parent == 0) Map.empty else readDefaults(dir, parent),
+      drops =
+        if (overwrite || parent == 0) Set.empty else readDrops(dir, parent),
       scol = statsCol.orElse(parentScol),
       scol2 = if (overwrite || parent == 0) None else readStatsCol2(dir, parent),
       counts = parentCounts + (group -> writtenRowCount(dir, group)))
@@ -1958,6 +1969,36 @@ object Versioned {
         "serves raw physical files and would mis-serve them")
     (v, groups.map(g => g -> resolveGroup(dir, g)), readStats(dir, v),
       readStatsCol(dir, v))
+  }
+
+  /** Schema-evolution-aware connector planning surface
+    * (graft.sources.VersionedSource round 15): like
+    * [[connectorScanPlan]] but pending column renames / drops /
+    * initial-defaults are RETURNED AS METADATA for the connector to
+    * apply per file (rename = logical↔physical name mapping at the
+    * reader; default = literal fill for groups whose physical schema
+    * predates the column; drop = projected out of the served schema) —
+    * exactly [[read]]'s normalization, pushed into the DSv2 scan so an
+    * ALTERed table stays readable through the external surface with
+    * ZERO data rewritten. Only pending merge-on-read deletes still
+    * refuse (serving raw files under them would resurrect rows; the
+    * mask needs an anti-join no per-file reader can apply). Returns
+    * (version, (name, dir) groups, stats, statsCol,
+    * renames physical→logical, dropped physical names,
+    * defaults physical name → (SQL type, literal)). */
+  def connectorScanPlanEvolved(dir: String, version: Int = 0)
+      : (Int, Seq[(String, String)], Map[String, (Long, Long)],
+         Option[String], Map[String, String], Set[String],
+         Map[String, (String, String)]) = {
+    val v = if (version == 0) latestVersion(dir) else version
+    val groups = readManifest(dir, v)
+    require(groups.nonEmpty, s"version $v has an empty manifest at $dir")
+    require(readDeletes(dir, v)._1.isEmpty,
+      s"v$v at $dir carries pending merge-on-read delete files — " +
+        "apply them (applyDeletesCommit) before reading through the connector")
+    (v, groups.map(g => g -> resolveGroup(dir, g)), readStats(dir, v),
+      readStatsCol(dir, v), readRenames(dir, v), readDrops(dir, v),
+      readDefaults(dir, v))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`

@@ -8,9 +8,10 @@ import Q.{dsum, sqlDsum}
 
 /** The EXTERNAL SURFACE tier of the lakehouse: the DataSourceV2
   * connector (s49 read + pushdown + time travel, s50 write +
-  * metadata-only aggregates) and the SQL TableCatalog (s51 pure-SQL
-  * DDL/DML, s52 row-level MERGE INTO / UPDATE). Split from
-  * SinkSqlQueries (r13 hygiene).
+  * metadata-only MIN/MAX/COUNT aggregates) and the SQL TableCatalog
+  * (s51 pure-SQL DDL/DML, s52 row-level MERGE INTO / UPDATE as
+  * group-based copy-on-write, s53 metadata-only ALTER TABLE). Split
+  * from SinkSqlQueries (r13 hygiene).
   */
 
 object ConnectorQueries {
@@ -274,7 +275,129 @@ object ConnectorQueries {
                       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                       TRUE AS upd_cow, TRUE AS mrg_cow
                FROM final"""))
+    ,
+
+    // S53: SQL ALTER TABLE — ADD COLUMN ... DEFAULT / RENAME COLUMN /
+    // DROP COLUMN as O(1) METADATA-ONLY commits through the catalog
+    // (VersionedCatalog.alterTable → Versioned.{addColumn,renameColumn,
+    // dropColumn}Commit), with the table STAYING readable through the
+    // connector: the scan serves the evolution per file (default fill
+    // for pre-ALTER groups, logical↔physical name mapping, dropped
+    // columns projected out) — zero data rewritten, which at 100 TB is
+    // the difference between an O(1) DDL and a full-table rewrite.
+    // `meta_only` is TRUE per leg only if the ALTER minted NO data group
+    // (manifest group list unchanged) AND the evolution semantics held
+    // (default served to pre-ALTER rows only / reads+pruning follow the
+    // new name / dropped column gone at head, present under time
+    // travel). Values replay from source.
+    Q("s53_sql_alter_table",
+      (s, d) => {
+        val legs = alteredTables(s, d)
+        legs.orderBy("leg")
+      },
+      Some(s"""SELECT 'a_default_fill' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS meta_only
+               FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1997
+               UNION ALL
+               SELECT 'b_renamed_read', COUNT(*), ${sqlDsum("o_totalprice")},
+                      TRUE
+               FROM orders
+               UNION ALL
+               SELECT 'c_dropped_read', COUNT(*), ${sqlDsum("o_totalprice")},
+                      TRUE
+               FROM orders
+               ORDER BY leg"""))
   )
+
+  /** s53's three ALTERed tables (one per DDL verb — the rename/default/
+    * drop states are mutually exclusive on one log by design) + the
+    * gated three-leg result frame. Built once per (session, sfDir). */
+  private val alterCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def alteredTables(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val key = (s, d)
+    val hit = alterCache.get(key)
+    if (hit != null) return hit
+    alterCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val cat = s"graftalt_$suffix"
+    val wh = tmp(s"s53_wh_$suffix")
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val view = s"s53_src_$suffix"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("od"),
+      year(col("o_orderdate").cast("date")).as("yr"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    def groups(t: String) = graft.ops.Versioned.groupNames(s"$wh/lake/$t")
+
+    // a) ADD COLUMN ... DEFAULT: pre-ALTER group serves the default,
+    //    post-ALTER INSERT carries the column physically
+    s.sql(s"""CREATE TABLE $cat.lake.alt_add (o_orderkey BIGINT,
+              o_totalprice DOUBLE, od BIGINT)
+              TBLPROPERTIES ('statsCol'='od')""")
+    s.sql(s"""INSERT INTO $cat.lake.alt_add
+              SELECT o_orderkey, o_totalprice, od FROM $view
+              WHERE yr <= 1997""")
+    s.sql(s"""ALTER TABLE $cat.lake.alt_add
+              ADD COLUMN tier STRING DEFAULT 'legacy'""")
+    val addMetaOnly = groups("alt_add") == Seq("c1")
+    s.sql(s"""INSERT INTO $cat.lake.alt_add
+              SELECT o_orderkey, o_totalprice, od, 'modern' FROM $view
+              WHERE yr >= 1998""")
+    // group names are version-numbered: insert v1 → c1, the ALTER is the
+    // (group-less) v2, the post-ALTER insert v3 → c3
+    val addOk = addMetaOnly && groups("alt_add") == Seq("c1", "c3")
+
+    // b) RENAME COLUMN: reads, aggregation, and stats pruning follow the
+    //    new logical name; files never change
+    s.sql(s"""CREATE TABLE $cat.lake.alt_ren (o_orderkey BIGINT,
+              o_totalprice DOUBLE, od BIGINT)
+              TBLPROPERTIES ('statsCol'='od')""")
+    s.sql(s"""INSERT INTO $cat.lake.alt_ren
+              SELECT o_orderkey, o_totalprice, od FROM $view""")
+    s.sql(s"ALTER TABLE $cat.lake.alt_ren RENAME COLUMN o_totalprice TO price")
+    val renOk = groups("alt_ren") == Seq("c1") &&
+      s.table(s"$cat.lake.alt_ren").schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "price", "od")
+
+    // c) DROP COLUMN: gone at head, still readable under time travel
+    s.sql(s"""CREATE TABLE $cat.lake.alt_drop (o_orderkey BIGINT,
+              o_totalprice DOUBLE, junk STRING)""")
+    s.sql(s"""INSERT INTO $cat.lake.alt_drop
+              SELECT o_orderkey, o_totalprice, concat('j', o_orderkey)
+              FROM $view""")
+    s.sql(s"ALTER TABLE $cat.lake.alt_drop DROP COLUMN junk")
+    val dropOk = groups("alt_drop") == Seq("c1") &&
+      !s.table(s"$cat.lake.alt_drop").schema.fieldNames.contains("junk") &&
+      s.sql(s"SELECT * FROM $cat.lake.alt_drop VERSION AS OF 1")
+        .schema.fieldNames.contains("junk")
+
+    def dsumSql(c: String) =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    val out = s.sql(
+      s"""SELECT 'a_default_fill' AS leg, COUNT(*) AS n,
+                 ${dsumSql("o_totalprice")} AS total, $addOk AS meta_only
+          FROM $cat.lake.alt_add WHERE tier = 'legacy'
+          UNION ALL
+          SELECT 'b_renamed_read', COUNT(*), ${dsumSql("price")}, $renOk
+          FROM $cat.lake.alt_ren
+          UNION ALL
+          SELECT 'c_dropped_read', COUNT(*), ${dsumSql("o_totalprice")},
+                 $dropOk
+          FROM $cat.lake.alt_drop""")
+    val prev = alterCache.putIfAbsent(key, out)
+    if (prev != null) prev else out
+  }
 
   /** Epoch-day bounds of s52's UPDATE window — 1997-03-01..1997-06-30,
     * strictly inside the middle (1997–1998) file group. */

@@ -101,11 +101,13 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val schema: StructType =
       if (Versioned.latestVersion(dir) > 0) {
-        val (_, groups, _, _) = Versioned.connectorScanPlan(dir, version)
-        // UNION of per-group schemas — a later append may have added
-        // columns; serving groups.head alone would silently drop them
-        VersionedSource.mergedGroupSchema(SparkSession.active,
-          groups.map(_._2))
+        val (_, groups, _, _, renames, drops, defaults) =
+          Versioned.connectorScanPlanEvolved(dir, version)
+        // the LOGICAL schema: union of per-group schemas (a later append
+        // may have added columns), under the version's pending renames /
+        // drops / defaults — ALTERed tables serve their evolved shape
+        VersionedSource.evolvedSchema(SparkSession.active,
+          groups.map(_._2), renames, drops, defaults)
       } else if (Files.exists(schemaSidecar(dir))) {
         require(version == 0,
           s"$catalogName.${ident} has no commits — nothing to time travel to")
@@ -153,11 +155,78 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     new VersionedTable(schema, new CaseInsensitiveStringMap(opts))
   }
 
-  override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE flows through ops.Versioned's schema-evolution commits " +
-        "(addColumnCommit / renameColumnCommit / dropColumnCommit)")
+  /** ALTER TABLE requires only capabilities the default set lacks:
+    * column DEFAULT values (the metadata-only ADD COLUMN design needs
+    * them — pre-ALTER groups read the default). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** SQL `ALTER TABLE ... ADD COLUMN ... DEFAULT <lit>` /
+    * `RENAME COLUMN` / `DROP COLUMN` — each an O(1) METADATA-ONLY
+    * commit on the version log ([[Versioned.addColumnCommit]] /
+    * [[Versioned.renameColumnCommit]] / [[Versioned.dropColumnCommit]]):
+    * zero data rewritten, time travel exact (pre-ALTER versions serve
+    * their own shape), and the table stays fully readable through the
+    * connector (the scan serves renames/drops/defaults per file).
+    * ADD COLUMN requires a DEFAULT clause: without one, pre-ALTER file
+    * groups would have no value to serve (the real systems' initial-
+    * default requirement for non-null adds, applied uniformly). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-versioned columns are flat — nested adds unsupported")
+        require(add.position() == null,
+          "graft-versioned ADD COLUMN appends — FIRST/AFTER unsupported")
+        require(VersionedSource.supportedTypes.contains(add.dataType()),
+          s"graft-versioned v1 scope: unsupported column type " +
+            s"${add.dataType()} for '${add.fieldNames()(0)}'")
+        val name = add.fieldNames()(0)
+        require(add.defaultValue() != null,
+          "graft-versioned ALTER TABLE ADD COLUMN requires a DEFAULT " +
+            "literal (metadata-only add: pre-ALTER file groups serve " +
+            s"the default) — e.g. ADD COLUMN $name " +
+            s"${add.dataType().sql} DEFAULT 0")
+        val litStr = add.defaultValue().getValue().value() match {
+          case null => throw new IllegalArgumentException(
+            "DEFAULT NULL is unsupported — every serveable value is typed")
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case days: java.lang.Integer
+              if add.dataType() == org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(days.toLong).toString
+          case other => other.toString
+        }
+        Versioned.addColumnCommit(spark, dir, name, add.dataType().sql,
+          litStr)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft-versioned columns are flat — nested renames unsupported")
+        val from = rn.fieldNames()(0)
+        Versioned.renameColumnCommit(spark, dir, from, rn.newName())
+        // keep the statsCol sidecar in step: later INSERTs record stats
+        // under the table's CURRENT logical name (the manifest's scol
+        // was remapped by the rename commit)
+        if (Files.exists(propsSidecar(dir))) {
+          val txt = new String(Files.readAllBytes(propsSidecar(dir)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (txt.contains(s""""statsCol":"$from""""))
+            Files.write(propsSidecar(dir),
+              txt.replace(s""""statsCol":"$from"""",
+                s""""statsCol":"${rn.newName()}"""")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft-versioned columns are flat — nested drops unsupported")
+        Versioned.dropColumnCommit(spark, dir, del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft-versioned ALTER TABLE does not support $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false

@@ -86,6 +86,15 @@ private[sources] class VersionedRowLevelScanBuilder(fullSchema: StructType,
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     require(options.get("versionAsOf") == null,
       "row-level operations run against the table head — not a time travel")
+    // COW carries groups BY NAME and stages raw replacement files — the
+    // same physical-homogeneity rule as the staged append: pending
+    // schema evolution must be materialized first
+    require(evolution._1.isEmpty && evolution._2.isEmpty &&
+        evolution._3.isEmpty,
+      "row-level SQL DML requires a materialized schema — the table has " +
+        "pending column renames/drops/defaults; run Versioned." +
+        "applyRenamesCommit/applyDropsCommit/applyDefaultsCommit (or " +
+        "OPTIMIZE) first")
     new VersionedRowLevelScan(dir, pinnedVersion, required, pushed, op)
   }
 }

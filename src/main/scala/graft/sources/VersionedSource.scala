@@ -60,11 +60,17 @@ import graft.ops.Versioned
   * filter), so connector pruning is a pure performance layer — exactly
   * parquet's own row-group-statistics contract.
   *
-  * v1 read scope: tables without pending MOR deletes / renames / drops
-  * / defaults ([[Versioned.connectorScanPlan]] refuses those loudly —
-  * serving raw files under them would resurrect deleted rows or dropped
-  * columns). Column types: BIGINT / INT / DOUBLE / FLOAT / STRING /
-  * BOOLEAN / DATE — the gate discipline's surface.
+  * Schema evolution is served IN the scan (round 15): pending column
+  * renames ride as a logical↔physical name mapping applied per file,
+  * metadata-only dropped columns are projected out, and initial-default
+  * columns are literal-filled for file groups whose physical schema
+  * predates them — [[Versioned.read]]'s normalization pushed into the
+  * DSv2 path, so an ALTERed table reads through the connector with
+  * zero data rewritten. Only pending merge-on-read deletes still
+  * refuse ([[Versioned.connectorScanPlanEvolved]] — the mask needs an
+  * anti-join no per-file reader can apply). Column types: BIGINT / INT
+  * / DOUBLE / FLOAT / STRING / BOOLEAN / DATE — the gate discipline's
+  * surface.
   */
 class VersionedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-versioned"
@@ -72,9 +78,11 @@ class VersionedSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, version) = VersionedSource.pathAndVersion(options)
-    val (_, groups, _, _) = Versioned.connectorScanPlan(dir, version)
+    val (_, groups, _, _, renames, drops, defaults) =
+      Versioned.connectorScanPlanEvolved(dir, version)
     // driver-side planning only; executors never touch this path
-    VersionedSource.mergedGroupSchema(SparkSession.active, groups.map(_._2))
+    VersionedSource.evolvedSchema(SparkSession.active, groups.map(_._2),
+      renames, drops, defaults)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -132,6 +140,27 @@ private[sources] object VersionedSource {
         }
       }
     }
+
+  /** The LOGICAL schema a version serves after its pending schema
+    * evolution: the physical union, plus metadata-only added columns no
+    * group carries yet (typed by their recorded SQL type), minus
+    * metadata-only drops, under the column mapping — exactly
+    * [[Versioned.read]]'s normalization order (defaults → drops →
+    * renames). */
+  def evolvedSchema(spark: SparkSession, groupDirs: Seq[String],
+      renames: Map[String, String], drops: Set[String],
+      defaults: Map[String, (String, String)]): StructType = {
+    val physical = mergedGroupSchema(spark, groupDirs)
+    val withDefaults = defaults.toSeq.sortBy(_._1)
+      .foldLeft(physical) { case (st, (name, (tpe, _))) =>
+        if (st.fieldNames.contains(name)) st
+        else StructType(st.fields :+ StructField(name, DataType.fromDDL(tpe)))
+      }
+    val dropped =
+      StructType(withDefaults.fields.filterNot(f => drops.contains(f.name)))
+    StructType(dropped.fields.map(f =>
+      renames.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
+  }
 }
 
 private[sources] class VersionedTable(tableSchema: StructType,
@@ -251,6 +280,17 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
   protected def dir: String = resolved._1
   protected def pinnedVersion: Int = resolved._2
 
+  /** Pending schema evolution of the pinned snapshot (renames
+    * physical→logical, dropped names, defaults) — resolved once with
+    * the pin; the scan serves it per file, zero data rewritten. */
+  protected val evolution: (Map[String, String], Set[String],
+      Map[String, (String, String)]) =
+    if (pinnedVersion == 0) (Map.empty, Set.empty, Map.empty)
+    else {
+      val p = Versioned.connectorScanPlanEvolved(dir, pinnedVersion)
+      (p._5, p._6, p._7)
+    }
+
   protected var required: StructType = fullSchema
   protected var pushed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None
@@ -300,8 +340,11 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
     // grouped aggregates need per-group detail the manifest has not
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     if (pinnedVersion == 0) return None // empty table: normal (empty) scan
-    val (_, groups, stats, scolOpt) =
-      try Versioned.connectorScanPlan(dir, pinnedVersion)
+    // manifest stats/counts stay EXACT under pending renames/drops/
+    // defaults (stats columns are logical names the rename commit
+    // remaps; counts are row counts) — evolution does not decline
+    val (_, groups, stats, scolOpt, _, _, _) =
+      try Versioned.connectorScanPlanEvolved(dir, pinnedVersion)
       catch { case _: IllegalArgumentException => return None }
     val counts = Versioned.readCounts(dir, pinnedVersion)
     val names = groups.map(_._1)
@@ -335,7 +378,8 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
   }
 
   override def build(): Scan =
-    new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer)
+    new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer,
+      evolution)
 }
 
 private[sources] case class VersionedFilePartition(file: String,
@@ -346,11 +390,19 @@ private[sources] case class VersionedAggPartition(values: Seq[Long])
   extends InputPartition
 
 /** `version` is the PINNED concrete snapshot (resolved once in the
-  * builder); 0 only for a valid empty table (no commits yet). */
+  * builder); 0 only for a valid empty table (no commits yet).
+  * `evolution` = the snapshot's pending (renames physical→logical,
+  * drops, defaults) served per file by the reader — an ALTERed table
+  * reads through the connector with zero data rewritten. */
 private[sources] class VersionedScan(val dir: String, val version: Int,
     val required: StructType, val pushed: Array[Filter],
-    aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None)
+    aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None,
+    evolution: (Map[String, String], Set[String],
+      Map[String, (String, String)]) = (Map.empty, Set.empty, Map.empty))
     extends Scan with Batch {
+
+  private def renames = evolution._1
+  private def defaults = evolution._3
 
   override def readSchema(): StructType = aggAnswer match {
     case Some((legs, _)) => StructType(legs.map {
@@ -369,11 +421,13 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
 
   override def description(): String = {
     val scol =
-      if (isEmptyTable) None else Versioned.connectorScanPlan(dir, version)._4
+      if (isEmptyTable) None
+      else Versioned.connectorScanPlanEvolved(dir, version)._4
     s"graft-versioned $dir v=$version " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}] " +
       s"statsCol=${scol.getOrElse("-")}" +
+      (if (renames.isEmpty) "" else s" columnMapping=$renames") +
       aggAnswer.map { case (legs, _) => s" aggPushed=[${legs.map {
         case MinSpec(c) => s"min($c)"
         case MaxSpec(c) => s"max($c)"
@@ -384,7 +438,8 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
   /** The pinned snapshot's file groups after manifest-stats pruning
     * against the pushed filters — (manifest name, absolute dir). */
   protected def plannedGroups(): Seq[(String, String)] = {
-    val (_, groups, stats, scol) = Versioned.connectorScanPlan(dir, version)
+    val (_, groups, stats, scol, _, _, _) =
+      Versioned.connectorScanPlanEvolved(dir, version)
     val bounds = scol.map(c => VersionedScan.filterBounds(pushed, c))
     groups.filter { case (name, _) =>
       (bounds, stats.get(name)) match {
@@ -422,7 +477,8 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
     // reader builds a fresh default Configuration (local/HDFS defaults) —
     // object-store credentials would ride SerializableConfiguration in a
     // cluster deployment
-    new VersionedReaderFactory(required, pushed)
+    new VersionedReaderFactory(required, pushed,
+      renames.map(_.swap), VersionedScan.evalDefaults(defaults))
   }
 
   /** Streaming read: the version log IS the offset log (the Delta
@@ -476,6 +532,31 @@ private[sources] class VersionedMicroBatchStream(dir: String,
 }
 
 private[sources] object VersionedScan {
+
+  /** Evaluate the manifest's default literals ONCE, driver-side, into
+    * InternalRow-compatible constants the per-file readers fill where a
+    * group's physical schema predates the column — the read half of the
+    * ANSI DEFAULT feature ([[graft.ops.Versioned.addColumnCommit]]).
+    * Literals/types are charset-gated at commit, so the expr text is
+    * injection-safe (the withDefaults discipline). */
+  def evalDefaults(defaults: Map[String, (String, String)])
+      : Map[String, Any] =
+    if (defaults.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      defaults.map { case (name, (tpe, lit)) =>
+        val v = spark.range(1)
+          .select(org.apache.spark.sql.functions
+            .expr(s"CAST('$lit' AS $tpe)"))
+          .head().get(0)
+        name -> (v match {
+          case s: String => UTF8String.fromString(s)
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+          case other => other
+        })
+      }
+    }
 
   def supportsPushdown(f: Filter): Boolean = f match {
     case EqualTo(_, v) => isAtom(v)
@@ -536,8 +617,14 @@ private[sources] object VersionedScan {
   }
 }
 
+/** `logicalToPhysical` / `defaultValues` carry the snapshot's pending
+  * schema evolution to the executors (empty maps on unevolved tables —
+  * the common case pays nothing). */
 private[sources] class VersionedReaderFactory(required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter],
+    logicalToPhysical: Map[String, String] = Map.empty,
+    defaultValues: Map[String, Any] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VersionedAggPartition(values) =>
@@ -549,7 +636,8 @@ private[sources] class VersionedReaderFactory(required: StructType,
           override def close(): Unit = ()
         }
       case fp: VersionedFilePartition =>
-        new VersionedPartitionReader(fp.file, fp.group, required, pushed)
+        new VersionedPartitionReader(fp.file, fp.group, required, pushed,
+          logicalToPhysical, defaultValues)
     }
 }
 
@@ -557,12 +645,23 @@ private[sources] class VersionedReaderFactory(required: StructType,
   * schema (column pruning at the parquet layer) and the pushed filters
   * compiled to FilterPredicates (row-group statistics skipping). */
 private[sources] class VersionedPartitionReader(file: String, group: String,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    logicalToPhysical: Map[String, String] = Map.empty,
+    defaultValues: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   /** The `_group` metadata column is constant per partition (one file =
     * one group) — precomputed once, no per-row work. */
   private val groupValue = UTF8String.fromString(group)
+
+  /** Per-field PHYSICAL name under the snapshot's column mapping
+    * (identity on unevolved tables) + the default constant to serve
+    * when this file's schema predates the column. Resolved once per
+    * reader — the row loop pays array lookups only. */
+  private val physName: Array[String] =
+    required.fields.map(f => logicalToPhysical.getOrElse(f.name, f.name))
+  private val defaultOf: Array[Any] =
+    physName.map(n => defaultValues.getOrElse(n, null))
 
   private val conf = new Configuration()
   private val path = new Path(file)
@@ -582,13 +681,16 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     }.toMap
 
   private val reader: ParquetReader[Group] = {
-    val projected = required.fieldNames.flatMap(present.get)
+    val projected = physName.flatMap(present.get)
     if (projected.nonEmpty)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("projected", projected.toList.asJava.asInstanceOf[
           java.util.List[org.apache.parquet.schema.Type]]).toString)
     val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
-    VersionedPartitionReader.toParquetPredicate(pushed, present)
+    // pushed filters carry LOGICAL names; the file speaks physical
+    VersionedPartitionReader.toParquetPredicate(
+      pushed.map(VersionedPartitionReader.toPhysicalFilter(_,
+        logicalToPhysical)), present)
       .foreach(p => b.withFilter(FilterCompat.get(p)))
     b.build()
   }
@@ -609,9 +711,10 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
       val f = required.fields(i)
       vals(i) =
         if (f.name == VersionedSource.GroupCol) groupValue // metadata column
-        else if (!schema.containsField(f.name)) null // evolution-added column
+        else if (!schema.containsField(physName(i)))
+          defaultOf(i) // evolution-added column: default literal or NULL
         else {
-          val idx = schema.getFieldIndex(f.name)
+          val idx = schema.getFieldIndex(physName(i))
           if (g.getFieldRepetitionCount(idx) == 0) null
           else f.dataType match {
             case LongType => g.getLong(idx, 0)
@@ -634,6 +737,23 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
 }
 
 private[sources] object VersionedPartitionReader {
+
+  /** Rewrite a pushed filter's column names logical → physical (the
+    * column-mapping read half). Only the [[VersionedScan.supportsPushdown]]
+    * shapes can arrive here. */
+  def toPhysicalFilter(f: Filter, m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    def p(c: String) = m.getOrElse(c, c)
+    f match {
+      case EqualTo(c, v) => EqualTo(p(c), v)
+      case GreaterThan(c, v) => GreaterThan(p(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(p(c), v)
+      case LessThan(c, v) => LessThan(p(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(p(c), v)
+      case And(l, r) => And(toPhysicalFilter(l, m), toPhysicalFilter(r, m))
+      case other => other
+    }
+  }
 
   /** Footer-schema cache keyed on the file path — safe because
     * committed data files are immutable; bounded by a coarse clear. */

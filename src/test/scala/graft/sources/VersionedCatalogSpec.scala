@@ -166,4 +166,93 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM lakecat.ns.pruned WHERE k >= 150")
       .as[Long].head() == 50L)
   }
+
+  test("SQL ALTER TABLE ADD COLUMN DEFAULT: metadata-only, old groups serve the default") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.alt (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO lakecat.ns.alt SELECT id, id * 0.5 FROM range(0, 10)")
+    val dir = s"$warehouse/ns/alt"
+    val groupsBefore = Versioned.groupNames(dir)
+    spark.sql("ALTER TABLE lakecat.ns.alt ADD COLUMN status STRING DEFAULT 'new'")
+    // O(1): no data group was written or rewritten
+    assert(Versioned.groupNames(dir) == groupsBefore)
+    assert(spark.table("lakecat.ns.alt").schema.fieldNames.toSeq ==
+      Seq("k", "v", "status"))
+    // pre-ALTER rows serve the default through the CONNECTOR read
+    assert(spark.sql("SELECT count(*) FROM lakecat.ns.alt WHERE status = 'new'")
+      .as[Long].head() == 10L)
+    // post-ALTER INSERT materializes the column physically; both cohorts
+    // read under one scan
+    spark.sql("""INSERT INTO lakecat.ns.alt
+                 SELECT id, id * 0.5, concat('s', id) FROM range(10, 13)""")
+    assert(spark.table("lakecat.ns.alt").count() == 13L)
+    assert(spark.sql(
+      "SELECT count(*) FROM lakecat.ns.alt WHERE status = 'new'")
+      .as[Long].head() == 10L)
+    assert(spark.sql(
+      "SELECT status FROM lakecat.ns.alt WHERE k = 11").as[String].head()
+      == "s11")
+    // time travel: the pre-ALTER version has no such column
+    assert(!spark.sql("SELECT * FROM lakecat.ns.alt VERSION AS OF 1")
+      .schema.fieldNames.contains("status"))
+    // ADD COLUMN without DEFAULT refuses with guidance
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakecat.ns.alt ADD COLUMN nodefault BIGINT")
+    }
+    assert(e.getMessage.contains("DEFAULT"))
+  }
+
+  test("SQL ALTER TABLE RENAME COLUMN: metadata-only, reads and pushdown follow") {
+    warehouse
+    spark.sql("""CREATE TABLE lakecat.ns.ren (k BIGINT, v DOUBLE)
+                 TBLPROPERTIES ('statsCol'='k')""")
+    (0 to 1).foreach(i => spark.sql(
+      s"INSERT INTO lakecat.ns.ren SELECT id, id*1.0 FROM range(${i*100}, ${i*100+100})"))
+    val dir = s"$warehouse/ns/ren"
+    val groupsBefore = Versioned.groupNames(dir)
+    spark.sql("ALTER TABLE lakecat.ns.ren RENAME COLUMN k TO key_id")
+    assert(Versioned.groupNames(dir) == groupsBefore) // zero data moved
+    assert(spark.table("lakecat.ns.ren").schema.fieldNames.toSeq ==
+      Seq("key_id", "v"))
+    assert(spark.sql(
+      "SELECT sum(key_id) FROM lakecat.ns.ren").as[Long].head()
+      == (0L until 200L).sum)
+    // manifest-stats pruning still plans fewer partitions on the NEW name
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.max
+    val all = parts(spark.table("lakecat.ns.ren"))
+    val few = parts(spark.table("lakecat.ns.ren")
+      .filter(col("key_id") >= 150L))
+    assert(few > 0 && few < all, s"pruning lost after rename: $few of $all")
+    assert(spark.sql(
+      "SELECT count(*) FROM lakecat.ns.ren WHERE key_id >= 150")
+      .as[Long].head() == 50L)
+    // INSERT after a pending rename refuses (staged files are logical;
+    // groups must stay physically homogeneous) — materialize first
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakecat.ns.ren SELECT id, 0.0 FROM range(0, 1)")
+    }
+    assert(e.getMessage.contains("unrenamed") ||
+      Option(e.getCause).exists(_.getMessage.contains("unrenamed")))
+  }
+
+  test("SQL ALTER TABLE DROP COLUMN: metadata-only, time travel keeps it") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.dr (k BIGINT, v DOUBLE, junk STRING)")
+    spark.sql("""INSERT INTO lakecat.ns.dr
+                 SELECT id, id*1.0, 'x' FROM range(0, 10)""")
+    spark.sql("ALTER TABLE lakecat.ns.dr DROP COLUMN junk")
+    assert(spark.table("lakecat.ns.dr").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(spark.table("lakecat.ns.dr").count() == 10L)
+    // pre-DROP version still reads the column (files keep the bytes)
+    assert(spark.sql("SELECT junk FROM lakecat.ns.dr VERSION AS OF 1")
+      .distinct().as[String].head() == "x")
+    // appends after the drop simply omit the column
+    spark.sql("INSERT INTO lakecat.ns.dr SELECT id, id*1.0 FROM range(10, 12)")
+    assert(spark.table("lakecat.ns.dr").count() == 12L)
+  }
 }

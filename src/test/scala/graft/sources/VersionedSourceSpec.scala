@@ -137,13 +137,14 @@ class VersionedSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("merge-on-read"))
 
+    // pending column renames are SERVED, not refused (round 15): the
+    // logical↔physical mapping rides the scan and applies per file
     val d3 = java.nio.file.Files.createTempDirectory("dsv2_ren").toString
     Versioned.commit(spark.range(10).select(col("id").as("k")), d3)
     Versioned.renameColumnCommit(spark, d3, "k", "kk")
-    val e2 = intercept[IllegalArgumentException] {
-      spark.read.format("graft-versioned").option("path", d3).load().count()
-    }
-    assert(e2.getMessage.contains("column mapping"))
+    val df = spark.read.format("graft-versioned").option("path", d3).load()
+    assert(df.schema.fieldNames.toSeq == Seq("kk"))
+    assert(df.agg(sum("kk")).collect()(0).getLong(0) == 45L)
   }
 
   test("write path: append + overwrite commit real versions, read back exactly") {
@@ -379,6 +380,36 @@ class VersionedSourceSpec extends SparkSpec {
       spark.read.format("graft-versioned").option("path", d2).load()
     }
     assert(e.getMessage.contains("conflicting types"))
+  }
+
+  test("connector serves pending schema evolution per file, zero data rewritten") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_evo").toString
+    Versioned.commit(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), d,
+      statsCol = Some("k"))
+    def conn = spark.read.format("graft-versioned").option("path", d).load()
+    // ADD COLUMN ... DEFAULT: metadata-only; the old group serves it
+    Versioned.addColumnCommit(spark, d, "status", "string", "fresh")
+    assert(Versioned.groupNames(d) == Seq("c1"))
+    assert(conn.schema.fieldNames.toSeq == Seq("k", "v", "status"))
+    assert(conn.filter(col("status") === "fresh").count() == 10L)
+    assert(conn.orderBy("k").collect().toSeq ==
+      Versioned.read(spark, d).orderBy("k").collect().toSeq)
+    // DROP COLUMN: projected out at head, still in the v1 read
+    Versioned.applyDefaultsCommit(spark, d) // materialize to allow DROP mix
+    Versioned.dropColumnCommit(spark, d, "v")
+    assert(conn.schema.fieldNames.toSeq == Seq("k", "status"))
+    assert(conn.count() == 10L)
+    // RENAME COLUMN: mapping applied per file, pushdown follows
+    Versioned.applyDropsCommit(spark, d)
+    Versioned.renameColumnCommit(spark, d, "k", "key_id")
+    assert(conn.schema.fieldNames.toSeq == Seq("key_id", "status"))
+    assert(conn.filter(col("key_id") >= 5L).count() == 5L)
+    assert(conn.orderBy("key_id").select("key_id").as[Long].collect().toSeq
+      == (0L until 10L))
+    // the whole journey matches the ops-layer read at each step
+    assert(conn.orderBy("key_id").collect().toSeq ==
+      Versioned.read(spark, d).orderBy("key_id").collect().toSeq)
   }
 
   test("native streaming sink: epoch appends land exactly-once across restarts") {
