@@ -190,7 +190,8 @@ object ScaleRehearsal {
     // the vector-index reindex (one Lloyd refit over the accumulated
     // index — expect ~k×, same O as build)
     "s52_sql_merge_update", "st13_stream_versioned_sink",
-    "emb23_vector_index_reindex", "s53_sql_alter_table")
+    "emb23_vector_index_reindex", "s53_sql_alter_table",
+    "s54_mor_connector_read")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)

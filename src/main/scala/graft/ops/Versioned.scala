@@ -1928,8 +1928,9 @@ object Versioned {
     * APPEND step `v` added. Refuses overwrite steps (a consumed
     * snapshot was replaced — the Delta source's ignoreChanges=false
     * contract) and the connector-scope normalization states (pending
-    * MOR deletes / renames / drops / defaults), mirroring
-    * [[connectorScanPlan]]. */
+    * MOR deletes / renames / drops / defaults — batch reads serve
+    * these via [[connectorPlan]], but exactly-once stream increments
+    * cannot replay a mutating mask faithfully). */
   def connectorStreamStep(dir: String, v: Int): Seq[String] = {
     require(stepIsAppend(dir, v),
       s"streaming read at $dir: v$v is an OVERWRITE step — the stream " +
@@ -1943,62 +1944,46 @@ object Versioned {
     added.toSeq.sorted.map(resolveGroup(dir, _))
   }
 
-  /** Connector planning surface (graft.sources.VersionedSource — the
-    * DataSourceV2 reader): the resolved version, its file groups as
-    * (manifest name, absolute directory), per-group [min, max] stats,
-    * and the stats column they describe. REFUSES table states the
-    * connector's v1 read scope cannot serve faithfully — pending
-    * merge-on-read delete files, column renames, drops, or
-    * initial-defaults all require the normalization only [[read]]
-    * applies; serving raw files under them would resurrect deleted or
-    * dropped data (the s38/s42 row-resurrection guards, applied to the
-    * external read path). */
-  def connectorScanPlan(dir: String, version: Int = 0)
-      : (Int, Seq[(String, String)], Map[String, (Long, Long)], Option[String]) = {
-    val v = if (version == 0) latestVersion(dir) else version
-    val groups = readManifest(dir, v)
-    require(groups.nonEmpty, s"version $v has an empty manifest at $dir")
-    require(readDeletes(dir, v)._1.isEmpty,
-      s"v$v at $dir carries pending merge-on-read delete files — " +
-        "apply them (applyDeletesCommit) before reading through the connector")
-    require(readRenames(dir, v).isEmpty,
-      s"v$v at $dir carries a pending column mapping — materialize it " +
-        "(applyRenamesCommit) before reading through the connector")
-    require(readDrops(dir, v).isEmpty && readDefaults(dir, v).isEmpty,
-      s"v$v at $dir carries dropped or defaulted columns — the connector " +
-        "serves raw physical files and would mis-serve them")
-    (v, groups.map(g => g -> resolveGroup(dir, g)), readStats(dir, v),
-      readStatsCol(dir, v))
+  /** One version's COMPLETE connector planning state
+    * (graft.sources.VersionedSource): data file groups (name → absolute
+    * dir), manifest statistics, and every pending normalization the
+    * scan serves per file — column renames (physical→logical), drops,
+    * initial defaults, and merge-on-read delete state (key column +
+    * delete-file dirs, whose key union the readers mask row-by-row —
+    * the Delta deletion-vector read shape). */
+  final case class ConnectorPlan(
+      version: Int,
+      groups: Seq[(String, String)],
+      stats: Map[String, (Long, Long)],
+      statsCol: Option[String],
+      renames: Map[String, String],
+      drops: Set[String],
+      defaults: Map[String, (String, String)],
+      morKey: Option[String],
+      morGroupDirs: Seq[String]) {
+    def hasEvolution: Boolean =
+      renames.nonEmpty || drops.nonEmpty || defaults.nonEmpty
   }
 
-  /** Schema-evolution-aware connector planning surface
-    * (graft.sources.VersionedSource round 15): like
-    * [[connectorScanPlan]] but pending column renames / drops /
-    * initial-defaults are RETURNED AS METADATA for the connector to
-    * apply per file (rename = logical↔physical name mapping at the
-    * reader; default = literal fill for groups whose physical schema
-    * predates the column; drop = projected out of the served schema) —
-    * exactly [[read]]'s normalization, pushed into the DSv2 scan so an
-    * ALTERed table stays readable through the external surface with
-    * ZERO data rewritten. Only pending merge-on-read deletes still
-    * refuse (serving raw files under them would resurrect rows; the
-    * mask needs an anti-join no per-file reader can apply). Returns
-    * (version, (name, dir) groups, stats, statsCol,
-    * renames physical→logical, dropped physical names,
-    * defaults physical name → (SQL type, literal)). */
-  def connectorScanPlanEvolved(dir: String, version: Int = 0)
-      : (Int, Seq[(String, String)], Map[String, (Long, Long)],
-         Option[String], Map[String, String], Set[String],
-         Map[String, (String, String)]) = {
+  /** Schema-evolution- and MOR-aware connector planning surface
+    * (graft.sources.VersionedSource rounds 14–15): every pending table
+    * state is RETURNED AS METADATA for the connector to serve per file
+    * (rename = logical↔physical name mapping at the reader; default =
+    * literal fill for groups whose physical schema predates the column;
+    * drop = projected out of the served schema; MOR deletes = a
+    * driver-collected key mask each reader applies row-by-row) —
+    * exactly [[read]]'s normalization, pushed into the DSv2 scan so
+    * ALTERed and MOR-deleted tables read through the external surface
+    * with ZERO data rewritten and nothing refused. */
+  def connectorPlan(dir: String, version: Int = 0): ConnectorPlan = {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
     require(groups.nonEmpty, s"version $v has an empty manifest at $dir")
-    require(readDeletes(dir, v)._1.isEmpty,
-      s"v$v at $dir carries pending merge-on-read delete files — " +
-        "apply them (applyDeletesCommit) before reading through the connector")
-    (v, groups.map(g => g -> resolveGroup(dir, g)), readStats(dir, v),
-      readStatsCol(dir, v), readRenames(dir, v), readDrops(dir, v),
-      readDefaults(dir, v))
+    val (dgs, dk) = readDeletes(dir, v)
+    ConnectorPlan(v, groups.map(g => g -> resolveGroup(dir, g)),
+      readStats(dir, v), readStatsCol(dir, v), readRenames(dir, v),
+      readDrops(dir, v), readDefaults(dir, v), dk,
+      dgs.map(resolveGroup(dir, _)))
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`

@@ -306,8 +306,87 @@ object ConnectorQueries {
                SELECT 'c_dropped_read', COUNT(*), ${sqlDsum("o_totalprice")},
                       TRUE
                FROM orders
+               ORDER BY leg""")),
+
+    // S54: MERGE-ON-READ deletes served THROUGH the connector — the
+    // last pending table state the external read path used to refuse
+    // (the Delta deletion-vector read shape): the scan collects the
+    // pending delete-key union once, driver-side (O(deleted keys) — the
+    // sanctioned small-delete regime of deleteCommitMor), and every
+    // parquet-mr reader masks rows row-by-row, even when the key column
+    // is not projected. `mor_served` pins the mechanism in-plan (the
+    // scan description carries morMaskOn=<key> and the aggregate
+    // pushdown correctly DECLINED — manifest counts still include
+    // masked rows); the time-travel leg reads the pre-delete snapshot
+    // mask-free. Values replay from source.
+    Q("s54_mor_connector_read",
+      (s, d) => {
+        val (dir, morServed) = morMaskedOrders(s, d)
+        def conn(v: Int) = {
+          val r = s.read.format("graft-versioned").option("path", dir)
+          (if (v > 0) r.option("versionAsOf", v.toString) else r).load()
+        }
+        val head = conn(0)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("a_masked_head").as("leg"), col("n"), col("total"),
+            lit(morServed).as("mor_served"))
+        val travel = conn(1)
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit("b_pre_delete_travel").as("leg"), col("n"),
+            col("total"), lit(morServed).as("mor_served"))
+        head.unionAll(travel).orderBy("leg")
+      },
+      Some(s"""SELECT 'a_masked_head' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS mor_served
+               FROM orders WHERE o_orderkey > 100
+               UNION ALL
+               SELECT 'b_pre_delete_travel', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders
                ORDER BY leg"""))
   )
+
+  /** s54's MOR-masked table: one stats-annotated commit of orders + one
+    * deleteCommitMor of keys ≤ 100 (zero data rewritten). The returned
+    * boolean pins mor_served: the head scan plans the mask in-plan
+    * (morMaskOn in the description), the aggregate pushdown declines
+    * under it, and the connector's masked count equals the ops-layer
+    * read. Built once per (session, sfDir). */
+  private val morCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean)]()
+
+  private def morMaskedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Boolean) = {
+    val key = (s, d)
+    val hit = morCache.get(key)
+    if (hit != null) return hit
+    morCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val dir = tmp(s"s54_mor_${Integer.toHexString(d.hashCode)}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+    graft.ops.Versioned.commit(o, dir, statsCol = Some("o_orderkey"))
+    graft.ops.Versioned.deleteCommitMor(
+      o.filter(col("o_orderkey") <= 100).select("o_orderkey"), dir,
+      "o_orderkey")
+    val head = s.read.format("graft-versioned").option("path", dir).load()
+    val desc = head.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.getOrElse("")
+    val aggDeclined = !head.agg(count(lit(1)))
+      .queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("").contains("aggPushed")
+    val morServed = desc.contains("morMaskOn=o_orderkey") && aggDeclined &&
+      head.count() == graft.ops.Versioned.read(s, dir).count()
+    val out = (dir, morServed)
+    val prev = morCache.putIfAbsent(key, out)
+    if (prev != null) prev else out
+  }
 
   /** s53's three ALTERed tables (one per DDL verb — the rename/default/
     * drop states are mutually exclusive on one log by design) + the

@@ -101,13 +101,12 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val schema: StructType =
       if (Versioned.latestVersion(dir) > 0) {
-        val (_, groups, _, _, renames, drops, defaults) =
-          Versioned.connectorScanPlanEvolved(dir, version)
+        val p = Versioned.connectorPlan(dir, version)
         // the LOGICAL schema: union of per-group schemas (a later append
         // may have added columns), under the version's pending renames /
         // drops / defaults — ALTERed tables serve their evolved shape
         VersionedSource.evolvedSchema(SparkSession.active,
-          groups.map(_._2), renames, drops, defaults)
+          p.groups.map(_._2), p.renames, p.drops, p.defaults)
       } else if (Files.exists(schemaSidecar(dir))) {
         require(version == 0,
           s"$catalogName.${ident} has no commits — nothing to time travel to")

@@ -88,14 +88,13 @@ private[sources] class VersionedRowLevelScanBuilder(fullSchema: StructType,
       "row-level operations run against the table head — not a time travel")
     // COW carries groups BY NAME and stages raw replacement files — the
     // same physical-homogeneity rule as the staged append: pending
-    // schema evolution must be materialized first
-    require(evolution._1.isEmpty && evolution._2.isEmpty &&
-        evolution._3.isEmpty,
-      "row-level SQL DML requires a materialized schema — the table has " +
-        "pending column renames/drops/defaults; run Versioned." +
-        "applyRenamesCommit/applyDropsCommit/applyDefaultsCommit (or " +
-        "OPTIMIZE) first")
-    new VersionedRowLevelScan(dir, pinnedVersion, required, pushed, op)
+    // schema evolution and MOR deletes must be materialized first
+    require(plan.forall(p => !p.hasEvolution && p.morKey.isEmpty),
+      "row-level SQL DML requires a materialized snapshot — the table " +
+        "has pending column renames/drops/defaults or merge-on-read " +
+        "deletes; run the matching Versioned.apply*Commit (or OPTIMIZE) " +
+        "first")
+    new VersionedRowLevelScan(dir, pinnedVersion, required, pushed, op, plan)
   }
 }
 
@@ -105,8 +104,9 @@ private[sources] class VersionedRowLevelScanBuilder(fullSchema: StructType,
   * nor rewritten (carried verbatim by the commit). */
 private[sources] class VersionedRowLevelScan(dir: String, version: Int,
     required: StructType, pushed: Array[Filter],
-    op: VersionedRowLevelOperation)
-    extends VersionedScan(dir, version, required, pushed, None)
+    op: VersionedRowLevelOperation,
+    plan: Option[graft.ops.Versioned.ConnectorPlan])
+    extends VersionedScan(dir, version, required, pushed, None, plan)
     with SupportsRuntimeV2Filtering {
 
   @volatile private var groupFilter: Option[Set[String]] = None

@@ -60,17 +60,18 @@ import graft.ops.Versioned
   * filter), so connector pruning is a pure performance layer — exactly
   * parquet's own row-group-statistics contract.
   *
-  * Schema evolution is served IN the scan (round 15): pending column
+  * EVERY pending table state is served IN the scan (round 15): column
   * renames ride as a logical↔physical name mapping applied per file,
-  * metadata-only dropped columns are projected out, and initial-default
+  * metadata-only dropped columns are projected out, initial-default
   * columns are literal-filled for file groups whose physical schema
-  * predates them — [[Versioned.read]]'s normalization pushed into the
-  * DSv2 path, so an ALTERed table reads through the connector with
-  * zero data rewritten. Only pending merge-on-read deletes still
-  * refuse ([[Versioned.connectorScanPlanEvolved]] — the mask needs an
-  * anti-join no per-file reader can apply). Column types: BIGINT / INT
-  * / DOUBLE / FLOAT / STRING / BOOLEAN / DATE — the gate discipline's
-  * surface.
+  * predates them, and pending merge-on-read deletes become a
+  * driver-collected key mask each reader applies row-by-row (the Delta
+  * deletion-vector read shape, sized for the sanctioned small-delete
+  * regime) — [[Versioned.read]]'s full normalization pushed into the
+  * DSv2 path ([[Versioned.connectorPlan]]), so ALTERed and MOR-deleted
+  * tables read through the connector with zero data rewritten and
+  * nothing refused. Column types: BIGINT / INT / DOUBLE / FLOAT /
+  * STRING / BOOLEAN / DATE — the gate discipline's surface.
   */
 class VersionedSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-versioned"
@@ -78,11 +79,10 @@ class VersionedSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, version) = VersionedSource.pathAndVersion(options)
-    val (_, groups, _, _, renames, drops, defaults) =
-      Versioned.connectorScanPlanEvolved(dir, version)
+    val p = Versioned.connectorPlan(dir, version)
     // driver-side planning only; executors never touch this path
-    VersionedSource.evolvedSchema(SparkSession.active, groups.map(_._2),
-      renames, drops, defaults)
+    VersionedSource.evolvedSchema(SparkSession.active, p.groups.map(_._2),
+      p.renames, p.drops, p.defaults)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -280,16 +280,13 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
   protected def dir: String = resolved._1
   protected def pinnedVersion: Int = resolved._2
 
-  /** Pending schema evolution of the pinned snapshot (renames
-    * physical→logical, dropped names, defaults) — resolved once with
-    * the pin; the scan serves it per file, zero data rewritten. */
-  protected val evolution: (Map[String, String], Set[String],
-      Map[String, (String, String)]) =
-    if (pinnedVersion == 0) (Map.empty, Set.empty, Map.empty)
-    else {
-      val p = Versioned.connectorScanPlanEvolved(dir, pinnedVersion)
-      (p._5, p._6, p._7)
-    }
+  /** The pinned snapshot's complete planning state (groups, stats,
+    * pending renames/drops/defaults, MOR delete state) — resolved once
+    * with the pin; the scan serves every pending normalization per
+    * file, zero data rewritten. None = valid empty table. */
+  protected val plan: Option[Versioned.ConnectorPlan] =
+    if (pinnedVersion == 0) None
+    else Some(Versioned.connectorPlan(dir, pinnedVersion))
 
   protected var required: StructType = fullSchema
   protected var pushed: Array[Filter] = Array.empty
@@ -342,10 +339,12 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
     if (pinnedVersion == 0) return None // empty table: normal (empty) scan
     // manifest stats/counts stay EXACT under pending renames/drops/
     // defaults (stats columns are logical names the rename commit
-    // remaps; counts are row counts) — evolution does not decline
-    val (_, groups, stats, scolOpt, _, _, _) =
-      try Versioned.connectorScanPlanEvolved(dir, pinnedVersion)
-      catch { case _: IllegalArgumentException => return None }
+    // remaps; counts are row counts) — evolution does not decline.
+    // Pending MOR deletes DO: the mask hides rows the manifest still
+    // counts/bounds, so any metadata answer could be wrong.
+    val p = plan.getOrElse(return None)
+    if (p.morKey.nonEmpty) return None
+    val (groups, stats, scolOpt) = (p.groups, p.stats, p.statsCol)
     val counts = Versioned.readCounts(dir, pinnedVersion)
     val names = groups.map(_._1)
     // every group must carry the metadata a leg reads (an all-NULL
@@ -378,8 +377,7 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
   }
 
   override def build(): Scan =
-    new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer,
-      evolution)
+    new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer, plan)
 }
 
 private[sources] case class VersionedFilePartition(file: String,
@@ -390,19 +388,21 @@ private[sources] case class VersionedAggPartition(values: Seq[Long])
   extends InputPartition
 
 /** `version` is the PINNED concrete snapshot (resolved once in the
-  * builder); 0 only for a valid empty table (no commits yet).
-  * `evolution` = the snapshot's pending (renames physical→logical,
-  * drops, defaults) served per file by the reader — an ALTERed table
-  * reads through the connector with zero data rewritten. */
+  * builder); 0 only for a valid empty table (no commits yet). `plan` =
+  * the snapshot's complete planning state; its pending renames / drops
+  * / defaults / MOR delete mask are served per file by the readers —
+  * ALTERed and MOR-deleted tables read through the connector with zero
+  * data rewritten. */
 private[sources] class VersionedScan(val dir: String, val version: Int,
     val required: StructType, val pushed: Array[Filter],
     aggAnswer: Option[(Seq[AggSpec], Seq[Long])] = None,
-    evolution: (Map[String, String], Set[String],
-      Map[String, (String, String)]) = (Map.empty, Set.empty, Map.empty))
+    plan: Option[Versioned.ConnectorPlan] = None)
     extends Scan with Batch {
 
-  private def renames = evolution._1
-  private def defaults = evolution._3
+  private def renames: Map[String, String] =
+    plan.map(_.renames).getOrElse(Map.empty)
+  private def defaults: Map[String, (String, String)] =
+    plan.map(_.defaults).getOrElse(Map.empty)
 
   override def readSchema(): StructType = aggAnswer match {
     case Some((legs, _)) => StructType(legs.map {
@@ -420,14 +420,13 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
   protected def isEmptyTable: Boolean = version == 0
 
   override def description(): String = {
-    val scol =
-      if (isEmptyTable) None
-      else Versioned.connectorScanPlanEvolved(dir, version)._4
+    val scol = plan.flatMap(_.statsCol)
     s"graft-versioned $dir v=$version " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}] " +
       s"statsCol=${scol.getOrElse("-")}" +
       (if (renames.isEmpty) "" else s" columnMapping=$renames") +
+      plan.flatMap(_.morKey).map(k => s" morMaskOn=$k").getOrElse("") +
       aggAnswer.map { case (legs, _) => s" aggPushed=[${legs.map {
         case MinSpec(c) => s"min($c)"
         case MaxSpec(c) => s"max($c)"
@@ -437,16 +436,16 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
 
   /** The pinned snapshot's file groups after manifest-stats pruning
     * against the pushed filters — (manifest name, absolute dir). */
-  protected def plannedGroups(): Seq[(String, String)] = {
-    val (_, groups, stats, scol, _, _, _) =
-      Versioned.connectorScanPlanEvolved(dir, version)
-    val bounds = scol.map(c => VersionedScan.filterBounds(pushed, c))
-    groups.filter { case (name, _) =>
-      (bounds, stats.get(name)) match {
-        case (Some((lo, hi)), Some((gLo, gHi))) => gLo <= hi && gHi >= lo
-        case _ => true // no stats recorded for the group → conservative
+  protected def plannedGroups(): Seq[(String, String)] = plan match {
+    case None => Seq.empty
+    case Some(p) =>
+      val bounds = p.statsCol.map(c => VersionedScan.filterBounds(pushed, c))
+      p.groups.filter { case (name, _) =>
+        (bounds, p.stats.get(name)) match {
+          case (Some((lo, hi)), Some((gLo, gHi))) => gLo <= hi && gHi >= lo
+          case _ => true // no stats recorded for the group → conservative
+        }
       }
-    }
   }
 
   /** Driver-side planning: manifest → groups → stats pruning → one
@@ -478,7 +477,8 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
     // object-store credentials would ride SerializableConfiguration in a
     // cluster deployment
     new VersionedReaderFactory(required, pushed,
-      renames.map(_.swap), VersionedScan.evalDefaults(defaults))
+      renames.map(_.swap), VersionedScan.evalDefaults(defaults),
+      plan.flatMap(VersionedScan.collectMorMask))
   }
 
   /** Streaming read: the version log IS the offset log (the Delta
@@ -532,6 +532,37 @@ private[sources] class VersionedMicroBatchStream(dir: String,
 }
 
 private[sources] object VersionedScan {
+
+  /** Upper bound on a driver-collected MOR delete-key mask. MOR delete
+    * files are small by design (the O(deleted keys) GDPR-erasure trade,
+    * [[graft.ops.Versioned.deleteCommitMor]]); a mask past this size
+    * means the maintenance window was skipped — refuse with the verb
+    * that fixes it rather than OOM the driver or ship a giant closure. */
+  val MaxMorMaskKeys: Int = 10000000
+
+  /** Collect the pending MOR delete keys ONCE, driver-side, as the
+    * row-mask set every reader applies — the Delta deletion-vector read
+    * shape (the mask rides the broadcast-sized task binary; the anti-
+    * join equivalent for the sanctioned small-delete regime). NULL keys
+    * are excluded: anti-join equality never matches NULL, so NULL-key
+    * rows are always served. Values are normalized to the reader's
+    * comparison domain (strings → UTF8String, dates → epoch days). */
+  def collectMorMask(p: Versioned.ConnectorPlan)
+      : Option[(String, Set[Any])] = p.morKey.map { k =>
+    val rows = SparkSession.active.read.parquet(p.morGroupDirs: _*)
+      .select(k).na.drop().distinct().collect()
+    require(rows.length <= MaxMorMaskKeys,
+      s"pending merge-on-read delete mask holds ${rows.length} keys " +
+        s"(> $MaxMorMaskKeys) — fold the deletes into the data first " +
+        "(Versioned.applyDeletesCommit)")
+    val set: Set[Any] = rows.iterator.map(_.get(0) match {
+      case s: String => UTF8String.fromString(s)
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case other => other
+    }).toSet
+    (k, set)
+  }
 
   /** Evaluate the manifest's default literals ONCE, driver-side, into
     * InternalRow-compatible constants the per-file readers fill where a
@@ -617,13 +648,15 @@ private[sources] object VersionedScan {
   }
 }
 
-/** `logicalToPhysical` / `defaultValues` carry the snapshot's pending
-  * schema evolution to the executors (empty maps on unevolved tables —
-  * the common case pays nothing). */
+/** `logicalToPhysical` / `defaultValues` / `morMask` carry the
+  * snapshot's pending schema evolution and merge-on-read delete mask to
+  * the executors (empty on unevolved tables — the common case pays
+  * nothing). */
 private[sources] class VersionedReaderFactory(required: StructType,
     pushed: Array[Filter],
     logicalToPhysical: Map[String, String] = Map.empty,
-    defaultValues: Map[String, Any] = Map.empty)
+    defaultValues: Map[String, Any] = Map.empty,
+    morMask: Option[(String, Set[Any])] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -637,7 +670,7 @@ private[sources] class VersionedReaderFactory(required: StructType,
         }
       case fp: VersionedFilePartition =>
         new VersionedPartitionReader(fp.file, fp.group, required, pushed,
-          logicalToPhysical, defaultValues)
+          logicalToPhysical, defaultValues, morMask)
     }
 }
 
@@ -647,7 +680,8 @@ private[sources] class VersionedReaderFactory(required: StructType,
 private[sources] class VersionedPartitionReader(file: String, group: String,
     required: StructType, pushed: Array[Filter],
     logicalToPhysical: Map[String, String] = Map.empty,
-    defaultValues: Map[String, Any] = Map.empty)
+    defaultValues: Map[String, Any] = Map.empty,
+    morMask: Option[(String, Set[Any])] = None)
     extends PartitionReader[InternalRow] {
 
   /** The `_group` metadata column is constant per partition (one file =
@@ -680,8 +714,19 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
       case p: PrimitiveType => p.getName -> p
     }.toMap
 
+  /** MOR delete mask: the key's PHYSICAL name and value set; null when
+    * the snapshot carries no pending deletes (the common case — the row
+    * loop then pays one null check). */
+  private val maskKeyPhys: String =
+    morMask.map(m => logicalToPhysical.getOrElse(m._1, m._1)).orNull
+  private val maskSet: Set[Any] = morMask.map(_._2).orNull
+
   private val reader: ParquetReader[Group] = {
-    val projected = physName.flatMap(present.get)
+    // the mask key must be READ even when not projected by the query
+    val projNames =
+      if (maskKeyPhys == null) physName
+      else (physName :+ maskKeyPhys).distinct
+    val projected = projNames.flatMap(present.get)
     if (projected.nonEmpty)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("projected", projected.toList.asJava.asInstanceOf[
@@ -697,8 +742,31 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
 
   private var current: Group = _
 
+  /** TRUE iff the row's delete-key value is in the mask — the per-row
+    * half of the merge-on-read anti-join ([[graft.ops.Versioned]]'s
+    * applyMorDeletes); NULL keys never match (anti-join equality). */
+  private def isMasked(g: Group): Boolean = {
+    val schema = g.getType.asInstanceOf[GroupType]
+    if (!schema.containsField(maskKeyPhys)) return false
+    val idx = schema.getFieldIndex(maskKeyPhys)
+    if (g.getFieldRepetitionCount(idx) == 0) return false // NULL key
+    val v: Any = present(maskKeyPhys).getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => g.getLong(idx, 0)
+      case PrimitiveTypeName.INT32 => g.getInteger(idx, 0)
+      case PrimitiveTypeName.DOUBLE => g.getDouble(idx, 0)
+      case PrimitiveTypeName.FLOAT => g.getFloat(idx, 0)
+      case PrimitiveTypeName.BOOLEAN => g.getBoolean(idx, 0)
+      case PrimitiveTypeName.BINARY =>
+        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case _ => return false
+    }
+    maskSet.contains(v)
+  }
+
   override def next(): Boolean = {
     current = reader.read()
+    if (maskKeyPhys != null)
+      while (current != null && isMasked(current)) current = reader.read()
     current != null
   }
 

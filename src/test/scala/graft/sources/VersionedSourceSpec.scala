@@ -126,19 +126,34 @@ class VersionedSourceSpec extends SparkSpec {
       == ((3L, 3L)))
   }
 
-  test("connector refuses table states it cannot serve faithfully") {
+  test("connector serves pending states instead of refusing (round 15)") {
+    // merge-on-read deletes become a per-reader row mask — the Delta
+    // deletion-vector read shape; connector read ≡ Versioned.read
     val d2 = java.nio.file.Files.createTempDirectory("dsv2_mor").toString
-    Versioned.commit(spark.range(10).select(col("id").as("k")), d2,
+    Versioned.commit(spark.range(10)
+      .select(col("id").as("k"), (col("id") * 7).as("v")), d2,
       statsCol = Some("k"))
     Versioned.deleteCommitMor(
       spark.range(3).select(col("id").as("k")), d2, "k")
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-versioned").option("path", d2).load().count()
-    }
-    assert(e.getMessage.contains("merge-on-read"))
+    val mor = spark.read.format("graft-versioned").option("path", d2).load()
+    assert(mor.count() == 7L)
+    assert(mor.select("k").as[Long].collect().sorted.toSeq == (3L until 10L))
+    assert(mor.orderBy("k").collect().toSeq ==
+      Versioned.read(spark, d2).orderBy("k").collect().toSeq)
+    // the mask applies even when the key column is NOT projected
+    assert(mor.select("v").as[Long].collect().sorted.toSeq ==
+      (3L until 10L).map(_ * 7))
+    // aggregate pushdown DECLINES under a pending mask (the manifest
+    // still counts/bounds the masked rows)
+    val agg = mor.agg(count(lit(1)))
+    assert(!scanOf(agg).scan.description().contains("aggPushed"))
+    assert(agg.as[Long].head() == 7L)
+    // pre-delete time travel serves all rows, mask-free
+    assert(spark.read.format("graft-versioned").option("path", d2)
+      .option("versionAsOf", "1").load().count() == 10L)
 
-    // pending column renames are SERVED, not refused (round 15): the
-    // logical↔physical mapping rides the scan and applies per file
+    // pending column renames are SERVED too: the logical↔physical
+    // mapping rides the scan and applies per file
     val d3 = java.nio.file.Files.createTempDirectory("dsv2_ren").toString
     Versioned.commit(spark.range(10).select(col("id").as("k")), d3)
     Versioned.renameColumnCommit(spark, d3, "k", "kk")
