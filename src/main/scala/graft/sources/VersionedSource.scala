@@ -498,13 +498,27 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
   * landing mid-run is served incrementally by the next batch. */
 private[sources] class VersionedMicroBatchStream(dir: String,
     required: StructType, pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class VOffset(v: Int) extends Offset {
     override def json: String = s"""{"version":$v}"""
   }
+
+  /** Trigger.AvailableNow contract: the end offset is FROZEN at query
+    * start — the run drains exactly the versions committed before it
+    * began and stops, even while writers keep appending (without this
+    * Spark logs the consult-the-developer fallback warning and the run
+    * may chase a moving head). */
+  @volatile private var frozenEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenEnd = Some(Versioned.latestVersion(dir))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VOffset(frozenEnd.getOrElse(Versioned.latestVersion(dir)))
 
   override def initialOffset(): Offset = VOffset(0)
   override def latestOffset(): Offset = VOffset(Versioned.latestVersion(dir))

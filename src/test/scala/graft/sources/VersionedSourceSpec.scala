@@ -427,6 +427,24 @@ class VersionedSourceSpec extends SparkSpec {
       Versioned.read(spark, d).orderBy("key_id").collect().toSeq)
   }
 
+  test("streaming source freezes the AvailableNow end offset at query start") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_anow").toString
+    Versioned.commit(spark.range(0, 5).select(col("id").as("k")), d)
+    Versioned.commit(spark.range(5, 9).select(col("id").as("k")), d)
+    val stream = new VersionedMicroBatchStream(d,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))), Array.empty)
+    stream.prepareForTriggerAvailableNow() // freeze at v2
+    Versioned.commit(spark.range(9, 12).select(col("id").as("k")), d)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // the admission-control offset serves the FROZEN end, not the head
+    assert(stream.latestOffset(stream.initialOffset(),
+      ReadLimit.allAvailable()).json() == """{"version":2}""")
+    // the plain (non-AvailableNow) path still tracks the live head
+    assert(stream.latestOffset().json() == """{"version":3}""")
+  }
+
   test("native streaming sink: epoch appends land exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
