@@ -1867,6 +1867,13 @@ object Versioned {
         finally s.close()
       }
     }
+    // a row-level operation that deletes EVERY row (e.g. DELETE FROM t
+    // with no WHERE) would publish an empty manifest no read can serve —
+    // refused loudly, like the batch writer's empty-OVERWRITE rule
+    require(carried.nonEmpty || hasStaged,
+      s"row-level operation at $dir would truncate the table to empty — " +
+        "a Versioned snapshot cannot be empty; DROP the table or " +
+        "INSERT OVERWRITE a new result instead")
     if (!hasStaged) {
       // nothing staged: drop the (possibly existing, empty) staging dir
       val root = Paths.get(stagedDir)

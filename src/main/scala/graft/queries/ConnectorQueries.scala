@@ -201,7 +201,7 @@ object ConnectorQueries {
     // S51: the lakehouse through PURE SQL — the TableCatalog plugin
     // (sources.VersionedCatalog) maps catalog identifiers onto Versioned
     // dirs, so CTAS, INSERT INTO (append commit), DELETE FROM (survivor
-    // overwrite commit via SupportsDelete), SELECT, and VERSION AS OF
+    // group-narrowed row-level COW since r13), SELECT, and VERSION AS OF
     // time travel all run as SQL statements with no DataFrame calls in
     // the user's hands (Delta's catalog-integration surface). The gated
     // rows read the post-DELETE head, the pre-DELETE v2, and the CTAS v1

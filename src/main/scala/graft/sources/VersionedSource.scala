@@ -207,28 +207,22 @@ private[sources] class VersionedTable(tableSchema: StructType,
     // (VersionedCatalog); write options win on conflicts (statsCol)
     new VersionedWriteBuilder(info, options)
 
-  /** SQL `DELETE FROM t WHERE ...` — [[Versioned.deleteCommit]] (an
-    * overwrite version of the survivors; history retained). Only
-    * predicates expressible as source Filters arrive here; anything the
-    * translation below cannot express is refused via canDeleteWhere. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(VersionedTable.toColumn(_).isDefined)
+  /** SQL DELETE deliberately DECLINES the metadata SupportsDelete path
+    * (r13): every DELETE takes the row-level GROUP-BASED COW path
+    * instead ([[VersionedRowLevelOperation]]) — runtime group filtering
+    * rewrites only the file groups holding matches, where this
+    * surface's survivor rewrite ([[Versioned.deleteCommit]]) would
+    * rewrite the WHOLE snapshot. At 100 TB that is the difference
+    * between a touched-group delete and a full-table rewrite; the
+    * "simple" translatable predicates are exactly the ones most likely
+    * to be group-clustered. (Full truncation is refused downstream —
+    * a Versioned table cannot be empty; DROP or INSERT OVERWRITE.) */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = false
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val dir = options.get("path")
-    require(options.get("versionAsOf") == null,
-      "DELETE on a time-travel read makes no sense — load the table head")
-    val pred = filters.flatMap(VersionedTable.toColumn)
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    // SQL DELETE removes rows where the predicate is TRUE — a NULL
-    // predicate keeps the row. deleteCommit keeps survivors via
-    // filter(!pred), and NOT(NULL) = NULL would silently DROP
-    // NULL-predicate rows; coalesce pins NULL → not deleted.
-    Versioned.deleteCommit(SparkSession.active, dir,
-      org.apache.spark.sql.functions.coalesce(pred,
-        org.apache.spark.sql.functions.lit(false)))
-  }
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    throw new IllegalStateException(
+      "unreachable: canDeleteWhere declines every predicate " +
+        "(row-level COW handles SQL DELETE)")
 }
 
 private[sources] object VersionedTable {

@@ -106,6 +106,44 @@ class VersionedRowLevelSpec extends SparkSpec {
     assert(df.filter(col("k") < 200).count() == 200L)
   }
 
+  test("translatable-predicate DELETE takes the NARROWED row-level path") {
+    // r13: SupportsDelete declines every predicate, so even a simple
+    // range DELETE — previously a full survivor rewrite — now rewrites
+    // only the groups holding matches
+    val t = mkTable("deltr")
+    spark.sql(s"DELETE FROM $t WHERE k >= 250 AND k <= 260")
+    assert(Versioned.groupNames(dirOf("deltr")).sorted ==
+      Seq("c1", "c2", "c4"),
+      s"narrowing failed: ${Versioned.groupNames(dirOf("deltr"))}")
+    val df = spark.sql(s"SELECT * FROM $t")
+    assert(df.count() == 289L)
+    assert(df.filter(col("k").between(250, 260)).count() == 0L)
+    assert(df.filter(col("k") < 250).count() == 250L)
+  }
+
+  test("DELETE FROM with no WHERE refuses: a snapshot cannot be empty") {
+    val t = mkTable("trunc")
+    // Spark special-cases the TRUE condition onto the metadata
+    // SupportsDelete path, which this table declines entirely — the
+    // refusal is Spark's "Cannot delete from table"; a predicate that
+    // happens to match every row is caught later by the commit's own
+    // truncate guard ("would truncate the table to empty")
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM $t") }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e0 =>
+        Option(e0.getMessage).toSeq ++ msgs(e0.getCause))
+    assert(msgs(e).exists(m => m.contains("Cannot delete from table") ||
+      m.contains("truncate the table to empty")), s"unexpected: ${msgs(e)}")
+    // nothing published; the table still serves all rows
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 300L)
+    assert(Versioned.groupNames(dirOf("trunc")) == Seq("c1", "c2", "c3"))
+    // ...and the all-rows-matching PREDICATE form hits the commit guard
+    val e2 = intercept[Exception] { spark.sql(s"DELETE FROM $t WHERE k >= 0") }
+    assert(msgs(e2).exists(_.contains("truncate the table to empty")),
+      s"unexpected: ${msgs(e2)}")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 300L)
+  }
+
   test("UPDATE matching nothing leaves the table content intact") {
     val t = mkTable("noop")
     val before = spark.sql(s"SELECT * FROM $t").agg(sum("v")).as[Long].head()
