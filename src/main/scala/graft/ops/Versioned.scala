@@ -363,25 +363,26 @@ object Versioned {
     * picks up at runtime). */
   private def applyMorDeletes(spark: SparkSession, dir: String, v: Int,
       df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (dgs, dk) = readDeletes(dir, v)
-    if (dgs.isEmpty) df
-    else {
-      val dels = spark.read.parquet(dgs.map(resolveGroup(dir, _)): _*)
-        .select(col(dk.get)).distinct()
-      df.join(dels, Seq(dk.get), "left_anti")
+    morDeleteKeys(spark, dir, v) match {
+      case None => df
+      case Some((dels, dk)) => df.join(dels, Seq(dk), "left_anti")
     }
   }
 
   /** The union frame of a version's delete-file keys (one column, the
-    * delete key), or None when the version carries no MOR deletes. */
+    * delete key), or None when the version carries no MOR deletes.
+    * Delete dirs are read ONE AT A TIME then unioned: a history may mix
+    * the flat legacy layout and the per-group `__tg=`-partitioned
+    * deletion-vector layout ([[deleteCommitMor]]), and parquet partition
+    * discovery cannot span both under one multi-root read. */
   private def morDeleteKeys(spark: SparkSession, dir: String, v: Int)
       : Option[(DataFrame, String)] = {
     import org.apache.spark.sql.functions.col
     val (dgs, dk) = readDeletes(dir, v)
     if (dgs.isEmpty) None
-    else Some((spark.read.parquet(dgs.map(resolveGroup(dir, _)): _*)
-      .select(col(dk.get)).distinct(), dk.get))
+    else Some((dgs.map(g =>
+        spark.read.parquet(resolveGroup(dir, g)).select(col(dk.get)))
+      .reduce(_ unionAll _).distinct(), dk.get))
   }
 
   private def requireNoMorDeletes(dir: String, v: Int, verb: String): Unit =
@@ -933,12 +934,52 @@ object Versioned {
       s"pending MOR deletes use key '${pdk.get}', got '$key'")
     val v = parent + 1
     val dgroup = s"d$v"
-    deletes.select(deletes.col(key)).distinct()
-      .coalesce(1) // a delete file is small by design — one file
-      .write.mode("errorifexists").parquet(s"$dir/data/$dgroup")
+    val spark = deletes.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keys = deletes.select(deletes.col(key)).na.drop().distinct()
+    // PER-GROUP DELETION VECTORS (the Iceberg/Delta DV sidecar shape):
+    // when the manifest stats describe the delete key for EVERY data
+    // group, each key is routed to the group(s) whose [min,max] range
+    // could hold it and the delete group is laid out hive-partitioned
+    // by target group (`__tg=<group>/`). A reader then loads ONLY its
+    // own group's vector — no global key union on the driver, no size
+    // cap, and untouched groups pay zero per-row masking. Keys landing
+    // in no group's range delete nothing and are dropped. Without
+    // usable stats the legacy single-file layout applies to all groups
+    // (the conservative plan, like applyDeletesCommit's fallback).
+    val groups = readManifest(dir, parent)
+    val ranges = readStats(dir, parent)
+    val statsUsable = readStatsCol(dir, parent).contains(key) &&
+      groups.forall(ranges.contains)
+    val wroteGroup: Boolean =
+      if (statsUsable) {
+        val rangeDf = spark.createDataFrame(
+          groups.map(g => (g, ranges(g)._1, ranges(g)._2)))
+          .toDF("__tg", "__lo", "__hi")
+        val routed = keys.join(broadcast(rangeDf),
+            keys(key).cast("long") >= col("__lo") &&
+              keys(key).cast("long") <= col("__hi"))
+          .select(keys(key), col("__tg"))
+        // the routed frame is small by design (O(deleted keys × touched
+        // groups)); one task writes one file per touched group
+        val any = !routed.isEmpty
+        if (any) routed.repartition(1).write.partitionBy("__tg")
+          .mode("errorifexists").parquet(s"$dir/data/$dgroup")
+        any
+      } else {
+        val any = !keys.isEmpty
+        if (any) keys
+          .coalesce(1) // a delete file is small by design — one file
+          .write.mode("errorifexists").parquet(s"$dir/data/$dgroup")
+        any
+      }
+    // keys matching nothing (or an empty delete frame) still commit a
+    // version — the caller's delete "happened" — but add no delete group
+    val dgs = if (wroteGroup) pdgs :+ dgroup else pdgs
     val json = manifestJson(v, parent, overwrite = true,
       readManifest(dir, parent), readStats(dir, parent),
-      readStats2(dir, parent), dgroups = pdgs :+ dgroup, dkey = Some(key),
+      readStats2(dir, parent), dgroups = dgs,
+      dkey = if (dgs.nonEmpty) Some(key) else None,
       scol = readStatsCol(dir, parent),
       scol2 = readStatsCol2(dir, parent))
     if (!publishIfAbsent(dir, v, json))
@@ -1546,9 +1587,10 @@ object Versioned {
           val newDels = cd.filterNot(pd.toSet)
           if (newDels.nonEmpty && cd.take(pd.size) == pd &&
               readManifest(dir, v) == readManifest(dir, v - 1)) {
-            val keys = spark.read
-              .parquet(newDels.map(resolveGroup(dir, _)): _*)
-              .select(col(cdk.get)).distinct()
+            // per-dir reads: delete dirs may be flat or __tg=-partitioned
+            val keys = newDels.map(g => spark.read
+                .parquet(resolveGroup(dir, g)).select(col(cdk.get)))
+              .reduce(_ unionAll _).distinct()
             read(spark, dir, v - 1).join(keys, Seq(cdk.get), "left_semi")
               .withColumn("_change_type", lit("delete"))
           } else snapshotDiff(read(spark, dir, v - 1), read(spark, dir, v), key)
@@ -1712,10 +1754,19 @@ object Versioned {
     * contract, minus the DataFrame write this path's caller did
     * itself). Carried state follows commit(): appends inherit parent
     * groups, stats, and pending MOR delete files; overwrites start
-    * fresh. Appends are REFUSED over pending renames / defaults /
-    * drops (the staged files bypass the normalization commit() applies
-    * — publishing them would mix schemas in one snapshot) and when the
-    * staged schema's field names do not match the table's. */
+    * fresh. Appends under pending DEFAULTS/DROPS commit and carry the
+    * pending state forward (the staged batch was written against the
+    * LOGICAL snapshot schema, so it is physically complete — the
+    * per-group read normalization leaves it untouched); pending RENAMES
+    * are served by writing the staged files in PHYSICAL names at the
+    * staged-write boundary (the connector writer translates via
+    * [[stagedWriteSchema]]) — a staged schema matching neither the
+    * logical nor the physical layout is refused. Crash recovery: a
+    * prior attempt that moved `data/c{v}` but crashed before publishing
+    * manifest v left an orphan no reader can see — it is swept here
+    * before the move (manifest v absent ⇒ nothing references the dir;
+    * concurrent batch racers are still linearized by the put-if-absent
+    * publish, and the streaming sink is single-writer per app). */
   def commitStagedGroup(spark: SparkSession, dir: String, stagedDir: String,
       overwrite: Boolean = false, statsCol: Option[String] = None,
       txn: Option[(String, Long)] = None): Int = {
@@ -1723,24 +1774,51 @@ object Versioned {
     val v = parent + 1
     val group = s"c$v"
     if (!overwrite && parent != 0) {
-      // pending RENAMES refuse: staged files carry logical names but a
-      // renamed table's groups must keep physical names (homogeneity) —
-      // translating would mean rewriting the staged files. Pending
-      // DEFAULTS/DROPS are fine: the staged batch was written against
-      // the LOGICAL snapshot schema, so it physically carries every
-      // defaulted column (post-ALTER groups are complete — the
+      // Pending DEFAULTS/DROPS are fine: the staged batch was written
+      // against the LOGICAL snapshot schema, so it physically carries
+      // every defaulted column (post-ALTER groups are complete — the
       // withDefaults write contract) and omits every dropped one; the
       // per-group read normalization leaves such a group untouched.
-      requireNoRenames(dir, parent, "staged append")
+      // Pending RENAMES: groups keep PHYSICAL column names (homogeneity
+      // under the column mapping), so the staged writer must have
+      // translated logical→physical at the write boundary
+      // ([[stagedWriteSchema]]) — the staged schema is checked
+      // against the PHYSICAL layout here.
       // names AND types: a name-only check would accept an INT32 append
       // onto an INT64 column — the commit lands, then every head read
       // dies on the mixed-type merge (silently-accepted poison version)
       def sig(st: org.apache.spark.sql.types.StructType) =
         st.fields.map(f => f.name -> f.dataType).toMap
+      val renames = readRenames(dir, parent) // physical → logical
+      val logicalToPhys = renames.map(_.swap)
       val tableSig = sig(read(spark, dir, parent).schema)
+        .map { case (n, t) => logicalToPhys.getOrElse(n, n) -> t }
       val stagedSig = sig(spark.read.parquet(stagedDir).schema)
       require(stagedSig == tableSig,
-        s"staged append schema $stagedSig does not match table $tableSig")
+        s"staged append schema $stagedSig does not match the table's " +
+          s"physical layout $tableSig" +
+          (if (renames.isEmpty) ""
+           else " (pending column mapping: stage in PHYSICAL names, " +
+             s"logical→physical = $logicalToPhys)"))
+    }
+    val target = Paths.get(dir, "data", group)
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) {
+      // data/c{v} with no published manifest v is a CRASH ORPHAN: a
+      // prior attempt moved its staged dir and died before publishing
+      // (the streaming sink's restart then replays the epoch — without
+      // this sweep the retry wedges forever on the occupied slot). No
+      // reader can reference the dir (readers resolve groups through
+      // published manifests only), so sweeping is safe; if manifest v
+      // IS published, a racer won the version — fail as the publish
+      // would have.
+      if (Files.exists(manifestPath(dir, v)))
+        throw new java.util.ConcurrentModificationException(
+          s"staged commit at $dir lost the race for version $v")
+      val s = Files.walk(target)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
     val parentStats =
       if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
@@ -1757,16 +1835,20 @@ object Versioned {
             s"$dir hold unlabeled legacy stats")
       }
     }
-    val target = Paths.get(dir, "data", group)
-    Files.createDirectories(target.getParent)
-    require(!Files.exists(target), s"group $group already exists at $dir")
     Files.move(Paths.get(stagedDir), target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val groups =
       (if (overwrite || parent == 0) Seq.empty
        else readManifest(dir, parent)) :+ group
+    // statsCol arrives in LOGICAL name (the table's current schema); the
+    // written group's files speak PHYSICAL — translate for the min/max
+    // probe, record under the logical name (the manifest scol domain)
+    val statsL2p =
+      if (overwrite || parent == 0) Map.empty[String, String]
+      else readRenames(dir, parent).map(_.swap)
     val newStats = statsCol.flatMap(c =>
-      writtenStats(spark, dir, group, c).map(group -> _))
+      writtenStats(spark, dir, group, statsL2p.getOrElse(c, c))
+        .map(group -> _))
     val (dgs, dk) =
       if (overwrite || parent == 0) (Seq.empty[String], None)
       else readDeletes(dir, parent)
@@ -1777,9 +1859,13 @@ object Versioned {
       parentStats ++ newStats,
       if (overwrite || parent == 0) Map.empty else readStats2(dir, parent),
       dgroups = dgs, dkey = dk, txn = txn,
-      // pending defaults/drops carry forward: pre-ALTER groups still
-      // need the read-side normalization (the staged group itself is
-      // physically complete, so the per-group conditional skips it)
+      // pending renames/defaults/drops carry forward: pre-ALTER groups
+      // still need the read-side normalization (the staged group itself
+      // is physically complete — and under a pending rename it was
+      // staged in PHYSICAL names, so the column mapping applies to it
+      // exactly like every other group)
+      renames =
+        if (overwrite || parent == 0) Map.empty else readRenames(dir, parent),
       defaults =
         if (overwrite || parent == 0) Map.empty else readDefaults(dir, parent),
       drops =
@@ -1821,6 +1907,27 @@ object Versioned {
       statsCol = statsCol, txn = Some((appId, txnVersion))))
   }
 
+  /** The field names the connector's staged writer must use for an
+    * APPEND onto `dir`'s head snapshot: the PHYSICAL layout — logical
+    * names mapped back through the pending column mapping
+    * ([[renameColumnCommit]]), identity on unrenamed tables and fresh
+    * snapshots (overwrite / v0, where logical = physical). The write
+    * half of the rename-append contract [[commitStagedGroup]] checks:
+    * staged files join a snapshot whose groups keep physical names, so
+    * the translation happens at the staged-WRITE boundary (a name swap
+    * in the writer's parquet schema — zero row work), not by rewriting
+    * staged files at commit. */
+  def stagedWriteSchema(dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      overwrite: Boolean): org.apache.spark.sql.types.StructType = {
+    val v = latestVersion(dir)
+    if (overwrite || v == 0) return schema
+    val l2p = readRenames(dir, v).map(_.swap)
+    if (l2p.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = l2p.getOrElse(f.name, f.name))))
+  }
+
   /** Row-level-operation commit — the write half of the SQL
     * UPDATE / MERGE INTO surface (graft.sources — group-based
     * copy-on-write, the Iceberg COW `ReplaceData` shape): publish the
@@ -1844,7 +1951,33 @@ object Versioned {
     require(parent == expectParent,
       s"row-level commit at $dir planned against v$expectParent but the " +
         s"table is now at v$parent — concurrent write conflict")
-    require(parent > 0, s"nothing to replace at $dir")
+    if (parent == 0) {
+      // row-level DML against an EMPTY (v0) catalog table: there is
+      // nothing to remove, so a pure-insert MERGE degrades to the
+      // table's FIRST commit — a plain staged append; a no-match
+      // no-insert operation stays a no-op at v0 (legal SQL must not
+      // fail loudly just because the table is empty)
+      require(removed.isEmpty,
+        s"cannot remove groups $removed from empty table at $dir")
+      val root = Paths.get(stagedDir)
+      val any = Files.isDirectory(root) && {
+        val s = Files.list(root)
+        try s.iterator().asScala.exists(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      if (!any) {
+        if (Files.isDirectory(root)) {
+          val s = Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        }
+        return 0
+      }
+      return commitStagedGroup(spark, dir, stagedDir, overwrite = false,
+        statsCol = statsCol)
+    }
     // the scan already refused these states; re-check at commit (cheap,
     // and the write must not depend on the scan having run first)
     requireNoMorDeletes(dir, parent, "row-level operation")
@@ -1956,8 +2089,9 @@ object Versioned {
     * dir), manifest statistics, and every pending normalization the
     * scan serves per file — column renames (physical→logical), drops,
     * initial defaults, and merge-on-read delete state (key column +
-    * delete-file dirs, whose key union the readers mask row-by-row —
-    * the Delta deletion-vector read shape). */
+    * delete-file dirs; each reader loads ONLY its own group's deletion
+    * vector executor-side — the Iceberg/Delta DV sidecar read shape,
+    * [[deleteCommitMor]]'s per-group layout). */
   final case class ConnectorPlan(
       version: Int,
       groups: Seq[(String, String)],
@@ -1977,8 +2111,9 @@ object Versioned {
     * state is RETURNED AS METADATA for the connector to serve per file
     * (rename = logical↔physical name mapping at the reader; default =
     * literal fill for groups whose physical schema predates the column;
-    * drop = projected out of the served schema; MOR deletes = a
-    * driver-collected key mask each reader applies row-by-row) —
+    * drop = projected out of the served schema; MOR deletes = per-group
+    * deletion vectors each reader loads executor-side and applies
+    * row-by-row, nothing collected on the driver) —
     * exactly [[read]]'s normalization, pushed into the DSv2 scan so
     * ALTERed and MOR-deleted tables read through the external surface
     * with ZERO data rewritten and nothing refused. */

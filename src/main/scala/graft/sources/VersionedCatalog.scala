@@ -189,6 +189,14 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
             "literal (metadata-only add: pre-ALTER file groups serve " +
             s"the default) — e.g. ADD COLUMN $name " +
             s"${add.dataType().sql} DEFAULT 0")
+        // getValue() is NULL when the DEFAULT expression did not fold
+        // to a connector literal (e.g. DEFAULT rand()) — a clear
+        // refusal, not an NPE: the metadata-only design can only serve
+        // a constant
+        require(add.defaultValue().getValue() != null,
+          "graft-versioned ALTER TABLE ADD COLUMN DEFAULT must be a " +
+            "foldable literal (pre-ALTER file groups serve the constant) " +
+            s"— got non-literal ${add.defaultValue().getSql()}")
         val litStr = add.defaultValue().getValue().value() match {
           case null => throw new IllegalArgumentException(
             "DEFAULT NULL is unsupported — every serveable value is typed")
@@ -209,13 +217,19 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
         // under the table's CURRENT logical name (the manifest's scol
         // was remapped by the rename commit)
         if (Files.exists(propsSidecar(dir))) {
+          // parse the recorded value rather than exact-string replace
+          // (formatting variants would silently miss), then rewrite the
+          // sidecar in canonical form
           val txt = new String(Files.readAllBytes(propsSidecar(dir)),
             java.nio.charset.StandardCharsets.UTF_8)
-          if (txt.contains(s""""statsCol":"$from""""))
-            Files.write(propsSidecar(dir),
-              txt.replace(s""""statsCol":"$from"""",
-                s""""statsCol":"${rn.newName()}"""")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val statsColRe = """"statsCol"\s*:\s*"([^"]*)"""".r
+          statsColRe.findFirstMatchIn(txt).map(_.group(1)) match {
+            case Some(c) if c == from =>
+              Files.write(propsSidecar(dir),
+                s"""{"statsCol":"${rn.newName()}"}""".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+            case _ => ()
+          }
         }
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,

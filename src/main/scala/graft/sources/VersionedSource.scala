@@ -123,11 +123,28 @@ private[sources] object VersionedSource {
     * (the reader serves them as NULL for older groups); a same-name
     * column with CONFLICTING types is refused loudly (the v1-scope gate
     * discipline) instead of silently serving the oldest group's shape.
-    * One schema inference per group: files WITHIN a group are written by
-    * one commit and homogeneous by construction. */
+    * One schema inference per group — CACHED on the group dir: committed
+    * groups are immutable (the manifest-log discipline), so the footer
+    * read amortizes to once per group per JVM and table-load planning
+    * stops scaling O(groups) in driver-side parquet footer I/O. */
+  private val groupSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def groupSchema(spark: SparkSession, d: String): StructType = {
+    if (groupSchemaCache.size() > 65536) groupSchemaCache.clear()
+    // keyed on dir + mtime (one stat, vs a footer read): a DROPped and
+    // re-created table at the SAME path must not serve the old schema
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(new Path(d).toUri.getPath)).toMillis
+      catch { case _: Exception => 0L }
+    groupSchemaCache.computeIfAbsent(s"$d@$mtime",
+      _ => spark.read.parquet(d).schema)
+  }
+
   def mergedGroupSchema(spark: SparkSession, groupDirs: Seq[String])
       : StructType =
-    groupDirs.map(d => spark.read.parquet(d).schema).reduceLeft { (acc, s) =>
+    groupDirs.map(groupSchema(spark, _)).reduceLeft { (acc, s) =>
       s.fields.foldLeft(acc) { (a, f) =>
         a.fields.find(_.name == f.name) match {
           case Some(existing) =>
@@ -472,7 +489,10 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
     // cluster deployment
     new VersionedReaderFactory(required, pushed,
       renames.map(_.swap), VersionedScan.evalDefaults(defaults),
-      plan.flatMap(VersionedScan.collectMorMask))
+      plan.flatMap(_.morKey),
+      plan.map(VersionedScan.morVectorFiles(_,
+        SparkSession.active.sessionState.newHadoopConf()))
+        .getOrElse(Map.empty))
   }
 
   /** Streaming read: the version log IS the offset log (the Delta
@@ -541,35 +561,37 @@ private[sources] class VersionedMicroBatchStream(dir: String,
 
 private[sources] object VersionedScan {
 
-  /** Upper bound on a driver-collected MOR delete-key mask. MOR delete
-    * files are small by design (the O(deleted keys) GDPR-erasure trade,
-    * [[graft.ops.Versioned.deleteCommitMor]]); a mask past this size
-    * means the maintenance window was skipped — refuse with the verb
-    * that fixes it rather than OOM the driver or ship a giant closure. */
-  val MaxMorMaskKeys: Int = 10000000
-
-  /** Collect the pending MOR delete keys ONCE, driver-side, as the
-    * row-mask set every reader applies — the Delta deletion-vector read
-    * shape (the mask rides the broadcast-sized task binary; the anti-
-    * join equivalent for the sanctioned small-delete regime). NULL keys
-    * are excluded: anti-join equality never matches NULL, so NULL-key
-    * rows are always served. Values are normalized to the reader's
-    * comparison domain (strings → UTF8String, dates → epoch days). */
-  def collectMorMask(p: Versioned.ConnectorPlan)
-      : Option[(String, Set[Any])] = p.morKey.map { k =>
-    val rows = SparkSession.active.read.parquet(p.morGroupDirs: _*)
-      .select(k).na.drop().distinct().collect()
-    require(rows.length <= MaxMorMaskKeys,
-      s"pending merge-on-read delete mask holds ${rows.length} keys " +
-        s"(> $MaxMorMaskKeys) — fold the deletes into the data first " +
-        "(Versioned.applyDeletesCommit)")
-    val set: Set[Any] = rows.iterator.map(_.get(0) match {
-      case s: String => UTF8String.fromString(s)
-      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-      case d: java.time.LocalDate => d.toEpochDay.toInt
-      case other => other
-    }).toSet
-    (k, set)
+  /** Per-data-group deletion-vector FILE paths for a pinned snapshot —
+    * the read half of [[graft.ops.Versioned.deleteCommitMor]]'s
+    * per-group layout (the Iceberg/Delta DV sidecar shape). Each delete
+    * dir is either `__tg=<group>`-partitioned (keys pre-routed to the
+    * groups whose manifest stats could hold them) or flat legacy (keys
+    * apply to every group). Planning is driver-side STRING work — one
+    * listing per delete dir, no key is read on the driver, no size cap:
+    * each reader task loads only its OWN group's (small) vector,
+    * executor-side, exactly like it reads its data file. Untouched
+    * groups get no entry and pay zero per-row masking. */
+  def morVectorFiles(p: Versioned.ConnectorPlan, conf: Configuration)
+      : Map[String, Seq[String]] = {
+    if (p.morKey.isEmpty || p.morGroupDirs.isEmpty) return Map.empty
+    val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+    val byGroup =
+      scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    p.morGroupDirs.foreach { d =>
+      val root = new Path(d)
+      val fs = root.getFileSystem(conf)
+      val subs = fs.listStatus(root).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("__tg="))
+      if (subs.isEmpty) flat ++= listParquetFiles(root, conf)
+      else subs.foreach { s =>
+        val g = s.getPath.getName.stripPrefix("__tg=")
+        byGroup.update(g, byGroup.getOrElse(g, Seq.empty) ++
+          listParquetFiles(s.getPath, conf))
+      }
+    }
+    p.groups.map { case (name, _) =>
+      name -> (flat.toSeq ++ byGroup.getOrElse(name, Seq.empty))
+    }.filter(_._2.nonEmpty).toMap
   }
 
   /** Evaluate the manifest's default literals ONCE, driver-side, into
@@ -656,15 +678,18 @@ private[sources] object VersionedScan {
   }
 }
 
-/** `logicalToPhysical` / `defaultValues` / `morMask` carry the
-  * snapshot's pending schema evolution and merge-on-read delete mask to
-  * the executors (empty on unevolved tables — the common case pays
-  * nothing). */
+/** `logicalToPhysical` / `defaultValues` / `morKey`+`morVectors` carry
+  * the snapshot's pending schema evolution and merge-on-read delete
+  * state to the executors (empty on unevolved tables — the common case
+  * pays nothing). `morVectors` maps each data group to its deletion-
+  * vector FILE paths — strings only; the keys themselves are read by
+  * the executor task, never shipped in the task binary. */
 private[sources] class VersionedReaderFactory(required: StructType,
     pushed: Array[Filter],
     logicalToPhysical: Map[String, String] = Map.empty,
     defaultValues: Map[String, Any] = Map.empty,
-    morMask: Option[(String, Set[Any])] = None)
+    morKey: Option[String] = None,
+    morVectors: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -678,7 +703,8 @@ private[sources] class VersionedReaderFactory(required: StructType,
         }
       case fp: VersionedFilePartition =>
         new VersionedPartitionReader(fp.file, fp.group, required, pushed,
-          logicalToPhysical, defaultValues, morMask)
+          logicalToPhysical, defaultValues, morKey,
+          morVectors.getOrElse(fp.group, Seq.empty))
     }
 }
 
@@ -689,7 +715,8 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     required: StructType, pushed: Array[Filter],
     logicalToPhysical: Map[String, String] = Map.empty,
     defaultValues: Map[String, Any] = Map.empty,
-    morMask: Option[(String, Set[Any])] = None)
+    morKey: Option[String] = None,
+    morVectorFiles: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   /** The `_group` metadata column is constant per partition (one file =
@@ -722,12 +749,18 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
       case p: PrimitiveType => p.getName -> p
     }.toMap
 
-  /** MOR delete mask: the key's PHYSICAL name and value set; null when
-    * the snapshot carries no pending deletes (the common case — the row
-    * loop then pays one null check). */
+  /** MOR delete mask: the key's PHYSICAL name and THIS GROUP's deletion
+    * vector, loaded executor-side from the group's vector files (cached
+    * per distinct file list, so the many file-readers of one group on
+    * one executor share a single load); null when the snapshot carries
+    * no pending deletes or no vector targets this group (the common
+    * case — the row loop then pays one null check). */
   private val maskKeyPhys: String =
-    morMask.map(m => logicalToPhysical.getOrElse(m._1, m._1)).orNull
-  private val maskSet: Set[Any] = morMask.map(_._2).orNull
+    if (morVectorFiles.isEmpty) null
+    else morKey.map(k => logicalToPhysical.getOrElse(k, k)).orNull
+  private val maskSet: Set[Any] =
+    if (maskKeyPhys == null) null
+    else VersionedPartitionReader.morMask(morVectorFiles, maskKeyPhys, conf)
 
   private val reader: ParquetReader[Group] = {
     // the mask key must be READ even when not projected by the query
@@ -829,6 +862,68 @@ private[sources] object VersionedPartitionReader {
       case And(l, r) => And(toPhysicalFilter(l, m), toPhysicalFilter(r, m))
       case other => other
     }
+  }
+
+  /** Per-group deletion-vector cache, keyed on the (sorted) vector file
+    * list + key column: committed delete files are immutable, and one
+    * group's many file-readers (and bench reps) must not re-read the
+    * same vector. Values are normalized to the reader's comparison
+    * domain exactly as [[VersionedPartitionReader.isMasked]] extracts
+    * row values (INT32 DATE = epoch days, BINARY = UTF8String). NULL
+    * keys are excluded: anti-join equality never matches NULL. */
+  private val morMaskCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Any]]()
+
+  def morMask(files: Seq[String], key: String, conf: Configuration)
+      : Set[Any] = {
+    if (morMaskCache.size() > 4096) morMaskCache.clear()
+    morMaskCache.computeIfAbsent(
+      files.sorted.mkString("\n") + "#" + key, _ => {
+        val out = scala.collection.mutable.HashSet.empty[Any]
+        files.foreach { f =>
+          val path = new Path(f)
+          val fld = schemaOf(path, conf).getFields.asScala.collectFirst {
+            case p: PrimitiveType if p.getName == key => p
+          }
+          fld.foreach { p =>
+            val c = new Configuration()
+            c.set(
+              org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+              new MessageType("projected",
+                java.util.List.of(p: org.apache.parquet.schema.Type))
+                .toString)
+            val r = ParquetReader.builder(new GroupReadSupport(), path)
+              .withConf(c).build()
+            try {
+              var g = r.read()
+              while (g != null) {
+                val gt = g.getType.asInstanceOf[GroupType]
+                if (gt.containsField(key)) {
+                  val idx = gt.getFieldIndex(key)
+                  if (g.getFieldRepetitionCount(idx) > 0) {
+                    val v: Option[Any] = p.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT64 => Some(g.getLong(idx, 0))
+                      case PrimitiveTypeName.INT32 =>
+                        Some(g.getInteger(idx, 0))
+                      case PrimitiveTypeName.DOUBLE =>
+                        Some(g.getDouble(idx, 0))
+                      case PrimitiveTypeName.FLOAT => Some(g.getFloat(idx, 0))
+                      case PrimitiveTypeName.BOOLEAN =>
+                        Some(g.getBoolean(idx, 0))
+                      case PrimitiveTypeName.BINARY => Some(
+                        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
+                      case _ => None
+                    }
+                    v.foreach(out += _)
+                  }
+                }
+                g = r.read()
+              }
+            } finally r.close()
+          }
+        }
+        out.toSet
+      })
   }
 
   /** Footer-schema cache keyed on the file path — safe because
@@ -967,9 +1062,18 @@ private[sources] class VersionedWrite(info: LogicalWriteInfo,
     dir
   }
 
-  override def toBatch: BatchWrite =
-    new VersionedBatchWrite(info.schema(), validatedDir(), overwrite,
-      opt("statsCol"), info.queryId())
+  /** Appends onto a renamed table stage their files in PHYSICAL column
+    * names ([[graft.ops.Versioned.stagedWriteSchema]] — a name swap in
+    * the writer's parquet schema, zero row work); rows arrive
+    * positionally so only the staged field names change. A rename
+    * commit landing between this resolution and the staged commit fails
+    * loudly there (schema mismatch — the OCC discipline). */
+  override def toBatch: BatchWrite = {
+    val dir = validatedDir()
+    new VersionedBatchWrite(
+      graft.ops.Versioned.stagedWriteSchema(dir, info.schema(), overwrite),
+      dir, overwrite, opt("statsCol"), info.queryId())
+  }
 
   /** Native streaming sink (`writeStream.format("graft-versioned")`) —
     * epoch-keyed exactly-once: each epoch stages its part files under an
@@ -983,8 +1087,14 @@ private[sources] class VersionedWrite(info: LogicalWriteInfo,
     require(!overwrite,
       "graft-versioned streaming sink is append-only — complete/update " +
         "output modes would overwrite a consumed snapshot per epoch")
-    new VersionedStreamingWrite(info.schema(), validatedDir(),
-      opt("statsCol"), info.queryId())
+    val dir = validatedDir()
+    // same physical-name translation as toBatch; resolved once at query
+    // start — a rename landing mid-stream fails the next epoch's commit
+    // loudly rather than mixing layouts in one snapshot
+    new VersionedStreamingWrite(
+      graft.ops.Versioned.stagedWriteSchema(dir, info.schema(),
+        overwrite = false),
+      dir, opt("statsCol"), info.queryId())
   }
 }
 

@@ -282,7 +282,7 @@ object Curation {
       .localCheckpoint()
     val dsir = Dsir.importanceWeights(clean, col("tgt"), idCol, textCol)
     val sel = clean.join(
-        topFraction(dsir, col("weight_nano").desc, idCol,
+        topFraction(dsir, col("weight_nano"), desc = true, idCol,
             pcfg.dsirSelNum, pcfg.dsirSelDen)
           .select(col(idCol), col("weight_nano")),
         Seq(idCol))
@@ -295,7 +295,7 @@ object Curation {
       lm.filter(col("n_bigrams") > 0)
         .withColumn("ce_rank",
           col("nll_nano").cast("double") / col("n_bigrams").cast("double")),
-      col("ce_rank").asc, idCol, pcfg.ceKeepNum, pcfg.ceKeepDen)
+      col("ce_rank"), desc = false, idCol, pcfg.ceKeepNum, pcfg.ceKeepDen)
     val kept = sel.join(
         lmRanked.select(col(idCol), col("n_bigrams"), col("nll_nano")),
         Seq(idCol))
@@ -416,25 +416,60 @@ object Curation {
     stats
   }
 
-  /** The top ⌈n·num/den⌉ rows of `df` under `order`, ties broken by
-    * `idCol` ascending — a TOTAL order, so the kept set is deterministic
-    * and engine-independent; the fraction is computed in exact integer
-    * arithmetic (`rk ≤ (n·num + den−1) div den`), no float boundary.
+  /** The top ⌈n·num/den⌉ rows of `df` under `score` (desc or asc), ties
+    * broken by `idCol` ascending — a TOTAL order, so the kept set is
+    * deterministic and engine-independent; the fraction is computed in
+    * exact integer arithmetic (`rk ≤ (n·num + den−1) div den`), no
+    * float boundary. `idCol` must be unique, non-null, castable to
+    * BIGINT; `score` non-null.
     *
-    * Rank-fraction selection is inherently a global sort; the
-    * single-partition window here is the score-frame formulation (one
-    * slim row per document — id + score, not the corpus). At
-    * billions-of-docs scale the same selection runs as a range-partition
-    * on the score + per-partition counts + prefix-sum of partition
-    * totals (the Packing.withStartOffsets construction) — same result,
-    * no single-task sort. */
-  private def topFraction(df: DataFrame, order: Column, idCol: String,
-      num: Int, den: Int): DataFrame = {
-    val byScore = Window.orderBy(order, col(idCol))
-    df.withColumn("__rk", row_number().over(byScore))
-      .withColumn("__n", count(lit(1)).over(
-        byScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(expr(s"__rk <= (__n * $num + ${den - 1}) DIV $den"))
-      .drop("__rk", "__n")
+    * DISTRIBUTED rank: the Packing.withStartOffsets construction applied
+    * to rank-fraction selection — range-partition the slim (id, score)
+    * frame on the total order, local rank per partition (rows never
+    * move after the range exchange), then global rank = partition-count
+    * prefix sum + local rank (the prefix window is bounded by `parts`,
+    * never by the data). No single-task sort anywhere: the old
+    * single-partition `Window.orderBy(score)` formulation was the last
+    * one-task stage on a 100-TB-relevant path (the DSIR and perplexity
+    * stages ride this). The result is invariant to where the sampled
+    * range boundaries fall — a row's global rank is the count of
+    * strictly-smaller keys regardless of partitioning — so the kept set
+    * is bit-identical to the window formulation (CurationSpec pins the
+    * equality). */
+  private def topFraction(df: DataFrame, score: Column, desc: Boolean,
+      idCol: String, num: Int, den: Int, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ordered(s: Column) = if (desc) s.desc else s.asc
+    // slim score frame persisted: BOTH consumers (per-partition totals,
+    // final rank filter) reread it — without the cache Catalyst re-runs
+    // the range exchange once per branch (the Packing discipline)
+    val local = graft.ops.Caches.tracked(df
+      .select(col(idCol).cast("long").as("__id"), score.as("__s"))
+      .repartitionByRange(parts, ordered(col("__s")), col("__id"))
+      .sortWithinPartitions(ordered(col("__s")), col("__id"))
+      .select(col("__id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var rk = 0L
+        it.map { id => rk += 1; (pid, id, rk) }
+      }
+      .toDF("__pid", "__id", "__rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // one row per partition; both windows are bounded by `parts`
+    val wPid = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bases = local.groupBy("__pid").agg(max("__rk").as("__cnt"))
+      .withColumn("__base", sum("__cnt").over(wPid) - col("__cnt"))
+      .withColumn("__tot", sum("__cnt").over(wAll))
+      .select("__pid", "__base", "__tot")
+    val keptIds = local.join(broadcast(bases), "__pid")
+      .filter(col("__base") + col("__rk") <=
+        expr(s"(__tot * $num + ${den - 1}) DIV $den"))
+      .select(col("__id").as(idCol))
+    df.join(keptIds, Seq(idCol), "left_semi")
   }
 }

@@ -230,13 +230,41 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM lakecat.ns.ren WHERE key_id >= 150")
       .as[Long].head() == 50L)
-    // INSERT after a pending rename refuses (staged files are logical;
-    // groups must stay physically homogeneous) — materialize first
+    // INSERT after a pending rename COMMITS: the staged writer
+    // translates logical→physical at the write boundary, so the new
+    // group keeps the original physical name and the snapshot stays
+    // homogeneous (round 16 — the write-side twin of the evolved read)
+    spark.sql(
+      "INSERT INTO lakecat.ns.ren SELECT id, 0.0 FROM range(200, 210)")
+    assert(spark.table("lakecat.ns.ren").count() == 210L)
+    assert(spark.sql(
+      "SELECT sum(key_id) FROM lakecat.ns.ren").as[Long].head()
+      == (0L until 210L).sum)
+    // metadata-only pins intact: the new group's files carry the
+    // PHYSICAL name 'k' on disk, no prior group was touched
+    val lastGroup = Versioned.groupNames(dir).last
+    assert(spark.read.parquet(s"$dir/data/$lastGroup")
+      .columns.contains("k"))
+  }
+
+  test("ALTER TABLE ADD COLUMN with a non-literal DEFAULT refuses clearly") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.nldef (k BIGINT)")
+    spark.sql("INSERT INTO lakecat.ns.nldef SELECT id FROM range(0, 3)")
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO lakecat.ns.ren SELECT id, 0.0 FROM range(0, 1)")
+      spark.sql(
+        "ALTER TABLE lakecat.ns.nldef ADD COLUMN r DOUBLE DEFAULT rand()")
     }
-    assert(e.getMessage.contains("unrenamed") ||
-      Option(e.getCause).exists(_.getMessage.contains("unrenamed")))
+    // either Spark's own constant-folding gate or the catalog's
+    // foldable-literal require — never a bare NPE (ADVICE r13)
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(!msgs(e).exists(_.isEmpty) || msgs(e).exists(_.nonEmpty))
+    assert(msgs(e).exists(m => m.contains("foldable literal") ||
+      m.toLowerCase.contains("default")), s"unexpected: ${msgs(e)}")
+    assert(spark.table("lakecat.ns.nldef").schema.fieldNames.toSeq ==
+      Seq("k"))
   }
 
   test("SQL ALTER TABLE DROP COLUMN: metadata-only, time travel keeps it") {

@@ -144,6 +144,35 @@ class VersionedRowLevelSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 300L)
   }
 
+  test("MERGE INTO an EMPTY (v0) table inserts as the first commit") {
+    val t = s"$cat.ns.emptymrg"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("emptymrg_src")
+    // legal SQL: a pure-insert MERGE against an empty table must land,
+    // not die on 'nothing to replace' (ADVICE r13)
+    spark.sql(s"""MERGE INTO $t AS tgt USING emptymrg_src AS s
+                  ON tgt.k = s.k
+                  WHEN MATCHED THEN UPDATE SET v = s.v
+                  WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(Versioned.latestVersion(dirOf("emptymrg")) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 10L)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").as[Long].head() == 90L)
+    // a second MERGE now exercises the normal group-based COW path
+    spark.sql(s"""MERGE INTO $t AS tgt USING emptymrg_src AS s
+                  ON tgt.k = s.k
+                  WHEN MATCHED THEN UPDATE SET v = 0""")
+    assert(spark.sql(s"SELECT sum(v) FROM $t").as[Long].head() == 0L)
+  }
+
+  test("row-level DML matching nothing on an EMPTY table is a no-op") {
+    val t = s"$cat.ns.emptyupd"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    spark.sql(s"UPDATE $t SET v = 0 WHERE k = 1") // no rows, no staged files
+    assert(Versioned.latestVersion(dirOf("emptyupd")) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 0L)
+  }
+
   test("UPDATE matching nothing leaves the table content intact") {
     val t = mkTable("noop")
     val before = spark.sql(s"SELECT * FROM $t").agg(sum("v")).as[Long].head()

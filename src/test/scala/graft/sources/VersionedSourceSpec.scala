@@ -478,4 +478,107 @@ class VersionedSourceSpec extends SparkSpec {
     (vAfter1 to Versioned.latestVersion(table)).foreach(v =>
       assert(Versioned.stepIsAppend(table, v)))
   }
+
+  test("per-group deletion vectors: keys route to touched groups only; " +
+      "readers load their own vector executor-side") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_dv").toString
+    (0 until 4).foreach { q =>
+      Versioned.commit(
+        spark.range(q * 100L, (q + 1) * 100L)
+          .select(col("id").as("k"), (col("id") * 2).as("v")),
+        d, statsCol = Some("k"))
+    }
+    // delete keys 150..159 — entirely inside c2's [100,200) stats range
+    Versioned.deleteCommitMor(
+      spark.range(150, 160).select(col("id").as("k")), d, "k")
+    // on-disk layout: the delete group is __tg=-partitioned and holds a
+    // vector ONLY for the touched group (c2)
+    val dGroups = new java.io.File(s"$d/data/d5").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dGroups == Set("__tg=c2"), s"got $dGroups")
+    // planning: only c2 gets a vector entry — untouched groups pay zero
+    val p = Versioned.connectorPlan(d)
+    val vecs = VersionedScan.morVectorFiles(p,
+      spark.sessionState.newHadoopConf())
+    assert(vecs.keySet == Set("c2"), s"got ${vecs.keySet}")
+    // connector read masks exactly; ops read agrees; time travel clean
+    val conn = load0(d)
+    assert(conn.count() == 390L)
+    assert(conn.filter(col("k") >= 150L && col("k") < 160L).count() == 0L)
+    assert(conn.agg(sum("k")).as[Long].head() ==
+      Versioned.read(spark, d).agg(sum("k")).as[Long].head())
+    assert(spark.read.format("graft-versioned").option("path", d)
+      .option("versionAsOf", "4").load().count() == 400L)
+    // a second MOR delete accumulates (union across delete groups)
+    Versioned.deleteCommitMor(
+      spark.range(350, 355).select(col("id").as("k")), d, "k")
+    assert(load0(d).count() == 385L)
+    val vecs2 = VersionedScan.morVectorFiles(Versioned.connectorPlan(d),
+      spark.sessionState.newHadoopConf())
+    assert(vecs2.keySet == Set("c2", "c4"), s"got ${vecs2.keySet}")
+    // keys matching NO group's range delete nothing and add no group
+    val vBefore = Versioned.latestVersion(d)
+    Versioned.deleteCommitMor(
+      spark.range(5000, 5010).select(col("id").as("k")), d, "k")
+    assert(Versioned.latestVersion(d) == vBefore + 1)
+    assert(Versioned.readDeletes(d, vBefore + 1)._1.size ==
+      Versioned.readDeletes(d, vBefore)._1.size)
+    assert(load0(d).count() == 385L)
+    // fold: applyDeletesCommit still clears everything
+    Versioned.applyDeletesCommit(spark, d)
+    assert(load0(d).count() == 385L)
+    assert(Versioned.readDeletes(d, Versioned.latestVersion(d))._1.isEmpty)
+  }
+
+  private def load0(d: String) =
+    spark.read.format("graft-versioned").option("path", d).load()
+
+  test("crash-orphan group dir is swept: the wedged retry commits") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_orphan").toString
+    spark.range(0, 10).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    // simulate a crash between the staged dir's ATOMIC_MOVE and the
+    // manifest publish: data/c2 exists but manifest v2 was never
+    // published — before the sweep (ADVICE r13) every retry wedged
+    // forever on the occupied slot
+    val orphan = java.nio.file.Paths.get(d, "data", "c2")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    spark.range(10, 15).select(col("id").as("k"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    assert(Versioned.latestVersion(d) == 2)
+    val got = Versioned.read(spark, d)
+    assert(got.count() == 15L) // the orphan bytes are gone, not served
+    assert(got.agg(sum("k")).as[Long].head() == (0L until 15L).sum)
+  }
+
+  test("append lands under a pending column RENAME via physical-name staging") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_rnapp").toString
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    Versioned.renameColumnCommit(spark, d, "v", "val") // metadata-only, v2
+    // the connector append arrives with LOGICAL names (k, val); the
+    // writer stages in PHYSICAL names so the snapshot stays homogeneous
+    spark.range(10, 20).select(col("id").as("k"), (col("id") * 2).as("val"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    assert(Versioned.latestVersion(d) == 3)
+    // on-disk homogeneity: the staged group carries the PHYSICAL name
+    assert(spark.read.parquet(s"$d/data/c3").columns.toSet == Set("k", "v"))
+    // both read surfaces serve the LOGICAL schema over all 20 rows
+    val lib = Versioned.read(spark, d)
+    assert(lib.columns.toSeq.sorted == Seq("k", "val"))
+    assert(lib.count() == 20L)
+    val conn = spark.read.format("graft-versioned").option("path", d).load()
+    assert(conn.columns.toSeq.sorted == Seq("k", "val"))
+    assert(conn.filter(col("val") >= 20L).count() == 10L)
+    assert(conn.agg(sum("val")).as[Long].head() == (0L until 20L).map(_ * 2).sum)
+    // a STALE-shape append (old logical name) still refuses loudly
+    intercept[Exception] {
+      spark.range(0, 3).select(col("id").as("k"), col("id").as("wrong"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
+    assert(Versioned.latestVersion(d) == 3)
+  }
 }

@@ -83,22 +83,65 @@ class CurationSpec extends SparkSpec {
     assert(counts.last == Curation.pipeline(docs, "doc_id", "text").count())
   }
 
+  private def topFractionIds(df: org.apache.spark.sql.DataFrame,
+      desc: Boolean, num: Int, den: Int, parts: Int = 4): Set[Long] = {
+    val m = Curation.getClass.getDeclaredMethods
+      .find(_.getName == "topFraction").get
+    m.setAccessible(true)
+    m.invoke(Curation, df, col("score"), Boolean.box(desc), "doc_id",
+        Int.box(num), Int.box(den), Int.box(parts))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id").as[Long].collect().toSet
+  }
+
   test("topFraction keeps ceil(n*num/den) rows by rank with id tie-break") {
     val df = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 20L), (5L, 5L))
       .toDF("doc_id", "score")
-    def ids(num: Int, den: Int): Set[Long] = {
-      val m = Curation.getClass.getDeclaredMethods
-        .find(_.getName == "topFraction").get
-      m.setAccessible(true)
-      m.invoke(Curation, df, col("score").desc, "doc_id",
-          Int.box(num), Int.box(den))
-        .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // top ceil(5*1/2)=3 by score desc: 30(id2), 30(id3), 20(id4)
+    assert(topFractionIds(df, desc = true, 1, 2) == Set(2L, 3L, 4L))
+    // top ceil(5*2/3)=4 adds 10(id1)
+    assert(topFractionIds(df, desc = true, 2, 3) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("topFraction distributed rank equals the single-partition window " +
+      "and is invariant to the partition count") {
+    // 257 rows with HEAVY score ties (score = id % 7): correctness rides
+    // entirely on the (score, id) composite order crossing partition
+    // boundaries; compare against the reference window formulation
+    val df = spark.range(0, 257)
+      .select(col("id").as("doc_id"), (col("id") % 7).as("score"))
+    def reference(desc: Boolean, num: Int, den: Int): Set[Long] = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        (if (desc) col("score").desc else col("score").asc), col("doc_id"))
+      df.withColumn("__rk", row_number().over(w))
+        .filter(expr(s"__rk <= (257 * $num + ${den - 1}) DIV $den"))
         .select("doc_id").as[Long].collect().toSet
     }
-    // top ceil(5*1/2)=3 by score desc: 30(id2), 30(id3), 20(id4)
-    assert(ids(1, 2) == Set(2L, 3L, 4L))
-    // top ceil(5*2/3)=4 adds 10(id1)
-    assert(ids(2, 3) == Set(1L, 2L, 3L, 4L))
+    for (desc <- Seq(true, false); (num, den) <- Seq((1, 3), (9, 10));
+         parts <- Seq(1, 5, 32)) {
+      assert(topFractionIds(df, desc, num, den, parts) ==
+        reference(desc, num, den),
+        s"mismatch at desc=$desc $num/$den parts=$parts")
+    }
+  }
+
+  test("topFraction plans no single-task global sort") {
+    val df = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), (col("id") % 13).as("score"))
+    val m = Curation.getClass.getDeclaredMethods
+      .find(_.getName == "topFraction").get
+    m.setAccessible(true)
+    val out = m.invoke(Curation, df, col("score"), Boolean.box(true),
+        "doc_id", Int.box(1), Int.box(2), Int.box(8))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // the data-sized frame must never pass through a GLOBAL SortExec
+    // (single task); range-partitioned local sorts are the design
+    val globalSorts = out.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"found global sort(s): ${globalSorts.map(_.simpleStringWithNodeId())}")
+    assert(out.count() == 500L)
   }
 
   test("near-dup stage drops a planted near-duplicate, keeps the original") {
