@@ -306,57 +306,75 @@ object ConnectorQueries {
                SELECT 'c_dropped_read', COUNT(*), ${sqlDsum("o_totalprice")},
                       TRUE
                FROM orders
+               UNION ALL
+               SELECT 'd_rename_append', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders
                ORDER BY leg""")),
 
-    // S54: MERGE-ON-READ deletes served THROUGH the connector — the
-    // last pending table state the external read path used to refuse
-    // (the Delta deletion-vector read shape): the scan collects the
-    // pending delete-key union once, driver-side (O(deleted keys) — the
-    // sanctioned small-delete regime of deleteCommitMor), and every
-    // parquet-mr reader masks rows row-by-row, even when the key column
-    // is not projected. `mor_served` pins the mechanism in-plan (the
-    // scan description carries morMaskOn=<key> and the aggregate
-    // pushdown correctly DECLINED — manifest counts still include
-    // masked rows); the time-travel leg reads the pre-delete snapshot
-    // mask-free. Values replay from source.
+    // S54: MERGE-ON-READ deletes served THROUGH the connector as
+    // PER-GROUP DELETION VECTORS (the Iceberg/Delta DV sidecar read
+    // shape, round 16): deleteCommitMor routes each delete key to the
+    // file group(s) whose manifest stats could hold it and lays the
+    // delete group out __tg=<group>-partitioned; each parquet-mr reader
+    // then loads ONLY its own group's vector, executor-side — nothing
+    // is collected on the driver and there is NO mask size cap, so the
+    // big-delete regime (leg b masks ~a quarter of the table) is SERVED
+    // instead of refused. `mor_served` pins the mechanism: morMaskOn=
+    // in-plan, aggregate pushdown declined under the pending mask,
+    // per-group routing on disk (each delete commit's vector targets
+    // exactly its one touched group), and connector == ops-layer read.
+    // The time-travel leg reads the pre-delete snapshot mask-free.
+    // Values replay from source; the big-delete cut is the
+    // data-independent expression max/2 + max/4 in exact BIGINT.
     Q("s54_mor_connector_read",
       (s, d) => {
-        val (dir, morServed) = morMaskedOrders(s, d)
+        val (dir, vSmall, morServed) = morMaskedOrders(s, d)
         def conn(v: Int) = {
           val r = s.read.format("graft-versioned").option("path", dir)
           (if (v > 0) r.option("versionAsOf", v.toString) else r).load()
         }
-        val head = conn(0)
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-          .select(lit("a_masked_head").as("leg"), col("n"), col("total"),
-            lit(morServed).as("mor_served"))
-        val travel = conn(1)
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-          .select(lit("b_pre_delete_travel").as("leg"), col("n"),
-            col("total"), lit(morServed).as("mor_served"))
-        head.unionAll(travel).orderBy("leg")
+        def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .select(lit(name).as("leg"), col("n"), col("total"),
+              lit(morServed).as("mor_served"))
+        leg("a_small_masked", conn(vSmall))
+          .unionAll(leg("b_big_masked_head", conn(0)))
+          .unionAll(leg("c_pre_delete_travel", conn(2)))
+          .orderBy("leg")
       },
-      Some(s"""SELECT 'a_masked_head' AS leg, COUNT(*) AS n,
+      Some(s"""SELECT 'a_small_masked' AS leg, COUNT(*) AS n,
                       ${sqlDsum("o_totalprice")} AS total, TRUE AS mor_served
                FROM orders WHERE o_orderkey > 100
                UNION ALL
-               SELECT 'b_pre_delete_travel', COUNT(*),
+               SELECT 'b_big_masked_head', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders WHERE o_orderkey > 100 AND o_orderkey <=
+                 (SELECT MAX(o_orderkey) // 2 + MAX(o_orderkey) // 4
+                  FROM orders)
+               UNION ALL
+               SELECT 'c_pre_delete_travel', COUNT(*),
                       ${sqlDsum("o_totalprice")}, TRUE
                FROM orders
                ORDER BY leg"""))
   )
 
-  /** s54's MOR-masked table: one stats-annotated commit of orders + one
-    * deleteCommitMor of keys ≤ 100 (zero data rewritten). The returned
-    * boolean pins mor_served: the head scan plans the mask in-plan
-    * (morMaskOn in the description), the aggregate pushdown declines
-    * under it, and the connector's masked count equals the ops-layer
-    * read. Built once per (session, sfDir). */
+  /** s54's MOR-masked table: two range-split stats-annotated commits of
+    * orders (c1 = keys ≤ max/2, c2 = the rest), a SMALL deleteCommitMor
+    * (keys ≤ 100 — lands entirely in c1's range) and a BIG one (keys >
+    * max/2 + max/4 — ~a quarter of the table, entirely in c2's range);
+    * zero data rewritten throughout. The returned version is the
+    * small-delete snapshot; the boolean pins mor_served: morMaskOn= in
+    * the head scan's plan, aggregate pushdown declined under the mask,
+    * PER-GROUP ROUTING on disk (d3's vector targets exactly __tg=c1,
+    * d4's exactly __tg=c2 — proof no global union exists), and the
+    * connector's masked count equals the ops-layer read. Built once per
+    * (session, sfDir). */
   private val morCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Int, Boolean)]()
 
   private def morMaskedOrders(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, Boolean) = {
+      d: String): (String, Int, Boolean) = {
     val key = (s, d)
     val hit = morCache.get(key)
     if (hit != null) return hit
@@ -367,10 +385,25 @@ object ConnectorQueries {
     val o = Tables.orders(s, d).select(
       col("o_orderkey").cast("long").as("o_orderkey"),
       col("o_totalprice").cast("double").as("o_totalprice"))
-    graft.ops.Versioned.commit(o, dir, statsCol = Some("o_orderkey"))
+    val mx = o.agg(max("o_orderkey")).head().getLong(0)
+    val pivot = mx / 2           // exact BIGINT, replayed as // in DuckDB
+    val bigCut = pivot + mx / 4
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") <= pivot), dir,
+      statsCol = Some("o_orderkey"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") > pivot), dir,
+      statsCol = Some("o_orderkey"))
     graft.ops.Versioned.deleteCommitMor(
       o.filter(col("o_orderkey") <= 100).select("o_orderkey"), dir,
-      "o_orderkey")
+      "o_orderkey")              // v3: small-delete regime, targets c1
+    val vSmall = 3
+    graft.ops.Versioned.deleteCommitMor(
+      o.filter(col("o_orderkey") > bigCut).select("o_orderkey"), dir,
+      "o_orderkey")              // v4: BIG-delete regime, targets c2
+    def tgs(dg: String): Set[String] =
+      Option(new java.io.File(s"$dir/data/$dg").listFiles())
+        .map(_.filter(_.isDirectory).map(_.getName).toSet)
+        .getOrElse(Set.empty)
+    val routed = tgs("d3") == Set("__tg=c1") && tgs("d4") == Set("__tg=c2")
     val head = s.read.format("graft-versioned").option("path", dir).load()
     val desc = head.queryExecution.sparkPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
@@ -382,8 +415,8 @@ object ConnectorQueries {
           b.scan.description()
       }.getOrElse("").contains("aggPushed")
     val morServed = desc.contains("morMaskOn=o_orderkey") && aggDeclined &&
-      head.count() == graft.ops.Versioned.read(s, dir).count()
-    val out = (dir, morServed)
+      routed && head.count() == graft.ops.Versioned.read(s, dir).count()
+    val out = (dir, vSmall, morServed)
     val prev = morCache.putIfAbsent(key, out)
     if (prev != null) prev else out
   }
@@ -449,6 +482,30 @@ object ConnectorQueries {
       s.table(s"$cat.lake.alt_ren").schema.fieldNames.toSeq ==
         Seq("o_orderkey", "price", "od")
 
+    // d) APPEND UNDER A PENDING RENAME (round 16 — the write-side twin
+    //    of the evolved read): INSERT after RENAME stages its files in
+    //    PHYSICAL names (Versioned.stagedWriteSchema), so the snapshot
+    //    stays homogeneous and BOTH cohorts read under the one logical
+    //    schema; metadata-only pins intact (the rename consumed v2, the
+    //    post-rename insert is group c3, and c3's files carry the
+    //    ORIGINAL physical name on disk)
+    s.sql(s"""CREATE TABLE $cat.lake.alt_renapp (o_orderkey BIGINT,
+              o_totalprice DOUBLE, od BIGINT)
+              TBLPROPERTIES ('statsCol'='od')""")
+    s.sql(s"""INSERT INTO $cat.lake.alt_renapp
+              SELECT o_orderkey, o_totalprice, od FROM $view
+              WHERE yr <= 1997""")
+    s.sql(
+      s"ALTER TABLE $cat.lake.alt_renapp RENAME COLUMN o_totalprice TO price")
+    s.sql(s"""INSERT INTO $cat.lake.alt_renapp
+              SELECT o_orderkey, o_totalprice, od FROM $view
+              WHERE yr >= 1998""")
+    val renAppOk = groups("alt_renapp") == Seq("c1", "c3") &&
+      s.read.parquet(s"$wh/lake/alt_renapp/data/c3")
+        .columns.contains("o_totalprice") &&
+      s.table(s"$cat.lake.alt_renapp").schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "price", "od")
+
     // c) DROP COLUMN: gone at head, still readable under time travel
     s.sql(s"""CREATE TABLE $cat.lake.alt_drop (o_orderkey BIGINT,
               o_totalprice DOUBLE, junk STRING)""")
@@ -473,7 +530,11 @@ object ConnectorQueries {
           UNION ALL
           SELECT 'c_dropped_read', COUNT(*), ${dsumSql("o_totalprice")},
                  $dropOk
-          FROM $cat.lake.alt_drop""")
+          FROM $cat.lake.alt_drop
+          UNION ALL
+          SELECT 'd_rename_append', COUNT(*), ${dsumSql("price")},
+                 $renAppOk
+          FROM $cat.lake.alt_renapp""")
     val prev = alterCache.putIfAbsent(key, out)
     if (prev != null) prev else out
   }
