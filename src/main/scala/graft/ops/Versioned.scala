@@ -165,7 +165,8 @@ object Versioned {
       drops: Set[String] = Set.empty,
       scol: Option[String] = None,
       scol2: Option[(String, String)] = None,
-      counts: Map[String, Long] = Map.empty)
+      counts: Map[String, Long] = Map.empty,
+      schemaDdl: Option[String] = None)
       : String = {
     groups.foreach(requireGroupRef)
     dgroups.foreach(requireGroupRef)
@@ -230,11 +231,26 @@ object Versioned {
       if (counts.isEmpty) ""
       else s""","counts":{${counts.toSeq.sortBy(_._1).map { case (g, n) =>
         s""""$g":$n""" }.mkString(",")}}"""
+    val ddlJson = schemaDdl.map { ddl =>
+      // the DDL rides inside a JSON string — refuse the two characters
+      // that could escape it (identifiers are charset-gated upstream;
+      // StructType.toDDL emits only names, types, backticks, punctuation)
+      require(!ddl.contains("\"") && !ddl.contains("\\"),
+        s"schema DDL must not contain quotes or backslashes: $ddl")
+      s""","schemaDdl":"$ddl""""
+    }.getOrElse("")
     s"""{"version":$v,"parent":$parent,"overwrite":$overwrite,""" +
       s""""groups":[${groups.map(g => "\"" + g + "\"").mkString(",")}]""" +
       dJson + statsJson + stats2Json + txnJson + tsJson + renJson +
-      defJson + dropJson + scolJson + scol2Json + countsJson + "}"
+      defJson + dropJson + scolJson + scol2Json + countsJson + ddlJson + "}"
   }
+
+  /** The recorded logical schema DDL of a version — present exactly on
+    * EMPTY tombstone snapshots ([[truncateCommit]]), where there are no
+    * file groups to infer a schema from. */
+  def readSchemaDdl(dir: String, v: Int): Option[String] =
+    "\"schemaDdl\":\"([^\"]*)\"".r.findFirstMatchIn(manifestText(dir, v))
+      .map(_.group(1))
 
   /** Column-mapping state of a version: physical name (as stored in the
     * parquet files, immutable) → current logical name. Empty when the
@@ -1740,9 +1756,45 @@ object Versioned {
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
-    require(groups.nonEmpty, s"version $v has an empty manifest")
+    if (groups.isEmpty) {
+      // an EMPTY snapshot is legal exactly when it records its schema —
+      // the TRUNCATE tombstone ([[truncateCommit]]); serve a typed empty
+      // frame (history before it still time-travels normally)
+      val ddl = readSchemaDdl(dir, v).getOrElse(throw new
+        IllegalArgumentException(
+          s"version $v has an empty manifest and no recorded schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
     applyRenames(applyMorDeletes(spark, dir, v,
       normalizedGroupsRead(spark, dir, v, groups)), readRenames(dir, v))
+  }
+
+  /** TRUNCATE as a first-class verb (SQL `TRUNCATE TABLE` via the
+    * connector's TruncatableTable): publish an EMPTY TOMBSTONE snapshot —
+    * zero file groups, the parent's LOGICAL schema recorded as DDL so
+    * reads serve a typed empty frame. O(1) metadata-only (no data file
+    * is touched or deleted — VACUUM reclaims unreferenced groups later);
+    * history is retained, so `VERSION AS OF` any pre-truncate version
+    * still serves its rows. Pending renames/defaults/drops and MOR
+    * deletes do NOT carry forward — there are no rows left to normalize,
+    * and the recorded schema is already the post-evolution logical
+    * shape. Marked overwrite in the log: the streaming source refuses
+    * the step (a consumed snapshot was replaced) and a racing OCC append
+    * conflicts, both correct. Appends after a truncate are ordinary
+    * first-group commits against the recorded schema. */
+  def truncateCommit(spark: SparkSession, dir: String): Int = {
+    val parent = latestVersion(dir)
+    require(parent > 0, s"nothing to truncate at $dir")
+    val ddl = read(spark, dir, parent).schema.toDDL
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = true, Seq.empty,
+      schemaDdl = Some(ddl))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"truncate at $dir lost the race for version $v")
+    v
   }
 
   /** Connector WRITE surface (graft.sources.VersionedSource): publish a
@@ -2005,8 +2057,8 @@ object Versioned {
     // refused loudly, like the batch writer's empty-OVERWRITE rule
     require(carried.nonEmpty || hasStaged,
       s"row-level operation at $dir would truncate the table to empty — " +
-        "a Versioned snapshot cannot be empty; DROP the table or " +
-        "INSERT OVERWRITE a new result instead")
+        "use TRUNCATE TABLE (the O(1) tombstone verb, truncateCommit), " +
+        "DROP the table, or INSERT OVERWRITE a new result instead")
     if (!hasStaged) {
       // nothing staged: drop the (possibly existing, empty) staging dir
       val root = Paths.get(stagedDir)
@@ -2101,9 +2153,13 @@ object Versioned {
       drops: Set[String],
       defaults: Map[String, (String, String)],
       morKey: Option[String],
-      morGroupDirs: Seq[String]) {
+      morGroupDirs: Seq[String],
+      schemaDdl: Option[String] = None) {
     def hasEvolution: Boolean =
       renames.nonEmpty || drops.nonEmpty || defaults.nonEmpty
+    /** TRUNCATE tombstone: zero groups, schema served from the recorded
+      * DDL ([[truncateCommit]]). */
+    def isTombstone: Boolean = groups.isEmpty
   }
 
   /** Schema-evolution- and MOR-aware connector planning surface
@@ -2120,12 +2176,14 @@ object Versioned {
   def connectorPlan(dir: String, version: Int = 0): ConnectorPlan = {
     val v = if (version == 0) latestVersion(dir) else version
     val groups = readManifest(dir, v)
-    require(groups.nonEmpty, s"version $v has an empty manifest at $dir")
+    val ddl = readSchemaDdl(dir, v)
+    require(groups.nonEmpty || ddl.nonEmpty,
+      s"version $v has an empty manifest and no recorded schema at $dir")
     val (dgs, dk) = readDeletes(dir, v)
     ConnectorPlan(v, groups.map(g => g -> resolveGroup(dir, g)),
       readStats(dir, v), readStatsCol(dir, v), readRenames(dir, v),
       readDrops(dir, v), readDefaults(dir, v), dk,
-      dgs.map(resolveGroup(dir, _)))
+      dgs.map(resolveGroup(dir, _)), ddl)
   }
 
   /** Publish `json` as version `v`'s manifest IFF no manifest for `v`

@@ -273,6 +273,9 @@ object MvRewrite extends Rule[LogicalPlan] {
           case Sum(child, _) => matchMeasure("sum", child, entry).isDefined
           case Min(child) => matchMeasure("min", child, entry).isDefined
           case Max(child) => matchMeasure("max", child, entry).isDefined
+          case Average(child, _) =>
+            matchMeasure("sum", child, entry).isDefined &&
+              matchMeasure("count", child, entry).isDefined
           case _ => false
         })
     def exprOk(e: Expression): Boolean = e match {
@@ -324,6 +327,46 @@ object MvRewrite extends Rule[LogicalPlan] {
         case Max(child) =>
           matchMeasure("max", child, entry).map(m =>
             Max(mvAttr(m.mvCol)).toAggregateExpression())
+        case a @ Average(child, _) =>
+          // AVG folds as SUM-partial / COUNT-partial. The division tree
+          // REPLICATES Average.evaluateExpression exactly so the fold is
+          // bit-identical to the base plan: for a DECIMAL child the sum
+          // is re-cast to Average's internal sum type Decimal(p+10, s)
+          // and divided by the count as Decimal(20,0) — the operator
+          // computes the adjusted division precision/scale itself
+          // (Spark ≥3.4 moved DecimalPrecision into the arithmetic
+          // operators), and the final Cast to Average's resultType
+          // reproduces its rounding, including the double-round
+          // through the division scale (MvRewriteSpec pins equality on
+          // rounding-boundary fixtures). The COUNT partial must be over
+          // the SAME (column, cast) as the SUM partial: a cast can null
+          // (overflow), so COUNT(x) and COUNT(CAST(x)) differ. For a
+          // DOUBLE/integral child the fold is Divide(sum, count) in
+          // doubles — Average's own evaluate shape; Spark's partial
+          // aggregation already reorders float addition, so the fold is
+          // no weaker (gated queries keep to exactly-representable or
+          // decimal measures).
+          for {
+            ms <- matchMeasure("sum", child, entry)
+            mc <- matchMeasure("count", child, entry)
+          } yield {
+            val sumFold = Sum(mvAttr(ms.mvCol)).toAggregateExpression()
+            val cntFold = Coalesce(Seq(
+              Sum(mvAttr(mc.mvCol)).toAggregateExpression(),
+              Literal(0L, LongType)))
+            child.dataType match {
+              case dt: org.apache.spark.sql.types.DecimalType =>
+                val sumT = org.apache.spark.sql.types.DecimalType(
+                  math.min(dt.precision + 10, 38), dt.scale)
+                Cast(Divide(Cast(sumFold, sumT),
+                  Cast(cntFold,
+                    org.apache.spark.sql.types.DecimalType(20, 0)),
+                  EvalMode.LEGACY), a.dataType)
+              case _ =>
+                Divide(Cast(sumFold, a.dataType), Cast(cntFold, a.dataType),
+                  EvalMode.LEGACY)
+            }
+          }
         case _ => None
       }
     }

@@ -356,8 +356,92 @@ object ConnectorQueries {
                SELECT 'c_pre_delete_travel', COUNT(*),
                       ${sqlDsum("o_totalprice")}, TRUE
                FROM orders
+               ORDER BY leg""")),
+
+    // S55: SQL TRUNCATE TABLE as a first-class O(1) TOMBSTONE verb
+    // (round 16 — previously full-table DELETE was a mid-plan refusal):
+    // the commit publishes an EMPTY snapshot recording the logical
+    // schema as DDL; no data file is touched (VACUUM reclaims later), so
+    // every pre-truncate version still time-travels, the tombstone
+    // itself serves a TYPED empty frame through the connector, and an
+    // INSERT after the truncate is an ordinary first-group commit.
+    // `meta_only` pins the mechanism: exactly one metadata version for
+    // the truncate, zero groups in its manifest, the pre-truncate data
+    // files still on disk, and the step marked overwrite (the streaming
+    // source must refuse consuming it).
+    Q("s55_truncate_tombstone",
+      (s, d) => {
+        val t = truncatedOrders(s, d)
+        def conn(v: Int) = {
+          val sel = if (v > 0) s"SELECT * FROM $t VERSION AS OF $v"
+                    else s"SELECT * FROM $t"
+          s.sql(sel)
+        }
+        def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"),
+              coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+            .select(lit(name).as("leg"), col("n"), col("total"),
+              lit(truncMetaOk.get()).as("meta_only"))
+        leg("a_post_truncate_insert", conn(0))
+          .unionAll(leg("b_tombstone", conn(3)))
+          .unionAll(leg("c_pre_truncate_travel", conn(2)))
+          .orderBy("leg")
+      },
+      Some(s"""SELECT 'a_post_truncate_insert' AS leg, COUNT(*) AS n,
+                      ${sqlDsum("o_totalprice")} AS total, TRUE AS meta_only
+               FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1999
+               UNION ALL
+               SELECT 'b_tombstone', 0, 0.0, TRUE
+               UNION ALL
+               SELECT 'c_pre_truncate_travel', COUNT(*),
+                      ${sqlDsum("o_totalprice")}, TRUE
+               FROM orders
                ORDER BY leg"""))
   )
+
+  /** s55's truncated table: INSERT ≤1997 (v1) + INSERT ≥1998 (v2) +
+    * TRUNCATE TABLE (v3, tombstone) + INSERT the 1999 slice (v4). The
+    * meta pin rides [[truncMetaOk]]. Built once per (session, sfDir). */
+  private val truncCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+  private val truncMetaOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def truncatedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (s, d)
+    val hit = truncCache.get(key)
+    if (hit != null) return hit
+    truncCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val suffix = Integer.toHexString(d.hashCode)
+    val cat = s"grafttr_$suffix"
+    val wh = tmp(s"s55_wh_$suffix")
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val view = s"s55_src_$suffix"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      year(col("o_orderdate").cast("date")).cast("long").as("yr"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val t = s"$cat.lake.orders_tr"
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE, yr BIGINT)")
+    s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE yr <= 1997")
+    s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE yr >= 1998")
+    s.sql(s"TRUNCATE TABLE $t")
+    s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE yr = 1999")
+    val dir = s"$wh/lake/orders_tr"
+    truncMetaOk.set(
+      graft.ops.Versioned.latestVersion(dir) == 4 &&
+        graft.ops.Versioned.groupNames(dir, 3).isEmpty &&
+        new java.io.File(s"$dir/data/c1").exists() &&
+        !graft.ops.Versioned.stepIsAppend(dir, 3))
+    truncCache.put(key, t)
+    t
+  }
 
   /** s54's MOR-masked table: two range-split stats-annotated commits of
     * orders (c1 = keys ≤ max/2, c2 = the rest), a SMALL deleteCommitMor

@@ -82,7 +82,14 @@ object MvQueries {
         ("sum", "l_quantity", Some(DecimalType(18, 2))),
         ("min", "l_extendedprice", None),
         ("max", "l_extendedprice", None),
-        ("count", "l_suppkey", None)))
+        ("count", "l_suppkey", None),
+        // mv4's AVG folds: SUM+COUNT over the SAME (column, cast) pair —
+        // a decimal pair for avg(CAST(q AS DEC)) and a bare pair for
+        // avg(q) (a cast can null on overflow, so the count must see
+        // exactly what the sum sees)
+        ("count", "l_quantity", Some(DecimalType(18, 2))),
+        ("sum", "l_quantity", None),
+        ("count", "l_quantity", None)))
   }
 
   /** mv3's incrementally-maintained MV: base starts at 3/4 of lineitem,
@@ -215,6 +222,47 @@ object MvQueries {
                COUNT(l_extendedprice) AS cnt_price
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // MV4: AVG folds from the partials — SUM-partial / COUNT-partial
+    // (MvRewrite replicates Average.evaluateExpression's exact division
+    // tree, so the fold is bit-identical to the base plan — spec-pinned
+    // on rounding-boundary fixtures). The oracle replays Spark's DECIMAL
+    // avg EXACTLY in integer arithmetic: l_quantity is integral, so the
+    // exact sum S and count n give avg = round6(round12(S/n)) — the
+    // double rounding through Spark's division type Decimal(38,12) then
+    // its result type Decimal(22,6), both HALF_UP, replayed as HUGEINT
+    // floor((2a+b)/2b) steps. The plain-double AVG leg is exact because
+    // integral doubles sum exactly in any order and IEEE division is
+    // correctly rounded — identical in both engines.
+    Q("mv4_rewrite_avg",
+      (s, d) => {
+        val (basePath, mvPath) = baseAndMv(s, d)
+        val df = s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            avg(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("avg_qty"),
+            avg(col("l_quantity")).as("avg_dbl"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+        assertScansMv(df, mvPath, basePath)
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s,
+                 CAST(COUNT(l_quantity) AS HUGEINT) AS n,
+                 AVG(l_quantity) AS avg_dbl,
+                 COUNT(*) AS cnt
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+               CAST(((2 * ((2 * s * 1000000000000 + n) // (2 * n))
+                      + 1000000) // 2000000) AS DOUBLE) / 1000000.0
+                 AS avg_qty,
+               avg_dbl, cnt
+        FROM g
         ORDER BY l_returnflag, l_linestatus"""))
   )
 }

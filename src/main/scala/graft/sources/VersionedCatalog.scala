@@ -104,8 +104,11 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
         val p = Versioned.connectorPlan(dir, version)
         // the LOGICAL schema: union of per-group schemas (a later append
         // may have added columns), under the version's pending renames /
-        // drops / defaults — ALTERed tables serve their evolved shape
-        VersionedSource.evolvedSchema(SparkSession.active,
+        // drops / defaults — ALTERed tables serve their evolved shape;
+        // a TRUNCATE tombstone serves its recorded DDL
+        if (p.isTombstone) DataType.fromDDL(p.schemaDdl.get)
+          .asInstanceOf[StructType]
+        else VersionedSource.evolvedSchema(SparkSession.active,
           p.groups.map(_._2), p.renames, p.drops, p.defaults)
       } else if (Files.exists(schemaSidecar(dir))) {
         require(version == 0,

@@ -80,6 +80,9 @@ class VersionedSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, version) = VersionedSource.pathAndVersion(options)
     val p = Versioned.connectorPlan(dir, version)
+    // a TRUNCATE tombstone has no groups to infer from — its schema is
+    // the recorded logical DDL
+    if (p.isTombstone) return StructType.fromDDL(p.schemaDdl.get)
     // driver-side planning only; executors never touch this path
     VersionedSource.evolvedSchema(SparkSession.active, p.groups.map(_._2),
       p.renames, p.drops, p.defaults)
@@ -240,6 +243,16 @@ private[sources] class VersionedTable(tableSchema: StructType,
     throw new IllegalStateException(
       "unreachable: canDeleteWhere declines every predicate " +
         "(row-level COW handles SQL DELETE)")
+
+  /** SQL `TRUNCATE TABLE` — a first-class O(1) metadata verb (round 16):
+    * publishes an empty tombstone snapshot
+    * ([[graft.ops.Versioned.truncateCommit]]); no data file is touched,
+    * every pre-truncate version still time-travels. */
+  override def truncateTable(): Boolean = {
+    graft.ops.Versioned.truncateCommit(SparkSession.active,
+      options.get("path"))
+    true
+  }
 }
 
 private[sources] object VersionedTable {

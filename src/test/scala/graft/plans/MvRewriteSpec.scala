@@ -130,6 +130,67 @@ class MvRewriteSpec extends SparkSpec {
       assert(scansBaseOnly(df), df.queryExecution.optimizedPlan.toString)
   }
 
+  test("AVG folds from SUM/COUNT partials bit-identically to the base plan " +
+      "(decimal rounding boundaries, nulls, all-null group, negatives)") {
+    import scala.jdk.CollectionConverters._
+    val avgBase = s"$root/avg_base"
+    val avgRef = s"$root/avg_ref" // identical rows, UNREGISTERED
+    val avgMv = s"$root/avg_mv"
+    // awkward divisions: group sizes 1..13, cent-grained and negative
+    // values, a null measure inside a group, one ALL-NULL group
+    val rows = ((1 to 403).map { i =>
+      val g = s"g${i % 13}"
+      val q: java.lang.Double =
+        if (i % 41 == 0) null
+        else (i * 7919 % 1000000).toDouble / 100.0 * (if (i % 5 == 0) -1 else 1)
+      org.apache.spark.sql.Row(g, q)
+    } ++ Seq(org.apache.spark.sql.Row("allnull", null),
+             org.apache.spark.sql.Row("allnull", null))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(avgBase)
+    // byte-identical reference copy, never registered
+    spark.read.parquet(avgBase).write.mode("overwrite").parquet(avgRef)
+    Mv.enable(spark)
+    Mv.create(spark, avgBase, avgMv,
+      groupCols = Seq("g"),
+      measures = Seq(
+        ("sum", "qty", Some(DecimalType(18, 2))),
+        ("count", "qty", Some(DecimalType(18, 2))),
+        ("sum", "qty", None),
+        ("count", "qty", None)))
+    def q(path: String) = spark.read.parquet(path)
+      .groupBy("g")
+      .agg(
+        avg(col("qty").cast(DecimalType(18, 2))).as("avg_dec"),
+        avg(col("qty")).as("avg_dbl"),
+        avg(col("qty").cast(DecimalType(18, 2))).cast("double")
+          .as("avg_dec_dbl"))
+      .orderBy("g")
+    val rewritten = q(avgBase)
+    assert(Mv.scanPaths(rewritten).contains(Mv.canonical(avgMv)) &&
+      !Mv.scanPaths(rewritten).contains(Mv.canonical(avgBase)),
+      rewritten.queryExecution.optimizedPlan.toString)
+    val got = rewritten.collect().toSeq
+    val want = q(avgRef).collect().toSeq
+    assert(got == want, s"\nfold: ${got.mkString("\n")}\n" +
+      s"base: ${want.mkString("\n")}")
+    // result types preserved exactly (Decimal(22,6) for the decimal avg)
+    assert(rewritten.schema("avg_dec").dataType == DecimalType(22, 6))
+    // global (no group-by) AVG folds too
+    val g2 = spark.read.parquet(avgBase)
+      .agg(avg(col("qty").cast(DecimalType(18, 2))).as("a"))
+    assert(Mv.scanPaths(g2).contains(Mv.canonical(avgMv)))
+    assert(g2.collect().toSeq ==
+      spark.read.parquet(avgRef)
+        .agg(avg(col("qty").cast(DecimalType(18, 2))).as("a"))
+        .collect().toSeq)
+  }
+
   test("a NON-DETERMINISTIC filter blocks the rewrite (would re-evaluate per group)") {
     entry
     val df = spark.read.parquet(basePath)

@@ -247,6 +247,39 @@ class VersionedCatalogSpec extends SparkSpec {
       .columns.contains("k"))
   }
 
+  test("SQL TRUNCATE TABLE: O(1) tombstone, time travel intact, re-insert works") {
+    warehouse
+    spark.sql("CREATE TABLE lakecat.ns.tr (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO lakecat.ns.tr SELECT id, id*1.0 FROM range(0, 10)")
+    spark.sql("INSERT INTO lakecat.ns.tr SELECT id, id*1.0 FROM range(10, 20)")
+    val dir = s"$warehouse/ns/tr"
+    spark.sql("TRUNCATE TABLE lakecat.ns.tr")
+    // metadata-only: one new version, zero groups, data files untouched
+    assert(Versioned.latestVersion(dir) == 3)
+    assert(Versioned.groupNames(dir).isEmpty)
+    assert(new java.io.File(s"$dir/data/c1").exists(),
+      "TRUNCATE must not delete data files (VACUUM's job)")
+    // the tombstone serves a TYPED empty frame on both read surfaces
+    assert(spark.table("lakecat.ns.tr").count() == 0L)
+    assert(spark.table("lakecat.ns.tr").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(Versioned.read(spark, dir).count() == 0L)
+    assert(Versioned.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    // every pre-truncate version still time-travels
+    assert(spark.sql("SELECT * FROM lakecat.ns.tr VERSION AS OF 2")
+      .count() == 20L)
+    assert(spark.sql("SELECT * FROM lakecat.ns.tr VERSION AS OF 1")
+      .count() == 10L)
+    // appends after the truncate are ordinary first-group commits
+    spark.sql(
+      "INSERT INTO lakecat.ns.tr SELECT id, id*1.0 FROM range(100, 105)")
+    assert(spark.table("lakecat.ns.tr").count() == 5L)
+    assert(spark.sql("SELECT sum(k) FROM lakecat.ns.tr").as[Long].head()
+      == (100L until 105L).sum)
+    // the truncate step is an overwrite — the streaming source refuses it
+    assert(!Versioned.stepIsAppend(dir, 3))
+  }
+
   test("ALTER TABLE ADD COLUMN with a non-literal DEFAULT refuses clearly") {
     warehouse
     spark.sql("CREATE TABLE lakecat.ns.nldef (k BIGINT)")
