@@ -64,10 +64,11 @@ import graft.ops.Versioned
   * renames ride as a logical↔physical name mapping applied per file,
   * metadata-only dropped columns are projected out, initial-default
   * columns are literal-filled for file groups whose physical schema
-  * predates them, and pending merge-on-read deletes become a
-  * driver-collected key mask each reader applies row-by-row (the Delta
-  * deletion-vector read shape, sized for the sanctioned small-delete
-  * regime) — [[Versioned.read]]'s full normalization pushed into the
+  * predates them, and pending merge-on-read deletes ride as PER-GROUP
+  * DELETION VECTORS (round 16 — the Iceberg/Delta DV sidecar shape):
+  * each reader loads only its OWN group's vector executor-side and
+  * masks rows row-by-row, nothing collected on the driver, no size
+  * cap — [[Versioned.read]]'s full normalization pushed into the
   * DSv2 path ([[Versioned.connectorPlan]]), so ALTERed and MOR-deleted
   * tables read through the connector with zero data rewritten and
   * nothing refused. Column types: BIGINT / INT / DOUBLE / FLOAT /
