@@ -191,7 +191,11 @@ object ScaleRehearsal {
     // index — expect ~k×, same O as build)
     "s52_sql_merge_update", "st13_stream_versioned_sink",
     "emb23_vector_index_reindex", "s53_sql_alter_table",
-    "s54_mor_connector_read")
+    "s54_mor_connector_read",
+    // round-16: the MV AVG fold is a |groups|-row MV scan (expect
+    // ~flat); the truncate protocol's cost is its two k×-sized INSERTs
+    // (the tombstone itself is O(1) metadata)
+    "mv4_rewrite_avg", "s55_truncate_tombstone")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
