@@ -533,6 +533,55 @@ class VersionedSourceSpec extends SparkSpec {
   private def load0(d: String) =
     spark.read.format("graft-versioned").option("path", d).load()
 
+  test("deletion vectors fall back to flat layout when the delete key " +
+      "is not the stats column; reads stay exact") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_dvflat").toString
+    (0 until 2).foreach { q =>
+      Versioned.commit(
+        spark.range(q * 50L, (q + 1) * 50L)
+          .select(col("id").as("k"), (col("id") % 10).as("cat")),
+        d, statsCol = Some("k"))
+    }
+    // delete ON cat (not the stats column) → no per-group routing is
+    // possible; the conservative FLAT layout serves every group
+    Versioned.deleteCommitMor(
+      spark.range(0, 1).select(lit(3L).as("cat")), d, "cat")
+    val dGroups = new java.io.File(s"$d/data/d3").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dGroups.isEmpty, s"expected flat layout, got $dGroups")
+    val vecs = VersionedScan.morVectorFiles(Versioned.connectorPlan(d),
+      spark.sessionState.newHadoopConf())
+    assert(vecs.keySet == Set("c1", "c2"), s"got ${vecs.keySet}")
+    // 10 of 100 rows have cat == 3
+    assert(load0(d).count() == 90L)
+    assert(load0(d).filter(col("cat") === 3L).count() == 0L)
+    assert(Versioned.read(spark, d).count() == 90L)
+  }
+
+  test("TRUNCATE discards pending MOR deletes; the tombstone reads empty " +
+      "through the connector") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_trmor").toString
+    Versioned.commit(
+      spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("v")),
+      d, statsCol = Some("k"))
+    Versioned.deleteCommitMor(
+      spark.range(0, 5).select(col("id").as("k")), d, "k")
+    assert(load0(d).count() == 35L)
+    Versioned.truncateCommit(spark, d)
+    val v = Versioned.latestVersion(d)
+    // the tombstone carries NO delete state and serves a typed empty frame
+    assert(Versioned.readDeletes(d, v)._1.isEmpty)
+    assert(load0(d).count() == 0L)
+    assert(load0(d).schema.fieldNames.toSeq == Seq("k", "v"))
+    // the masked pre-truncate snapshot still time-travels WITH its mask
+    assert(spark.read.format("graft-versioned").option("path", d)
+      .option("versionAsOf", "2").load().count() == 35L)
+    // re-insert: fresh table semantics against the recorded schema
+    spark.range(100, 110).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.format("graft-versioned").option("path", d).mode("append").save()
+    assert(load0(d).count() == 10L)
+  }
+
   test("crash-orphan group dir is swept: the wedged retry commits") {
     val d = java.nio.file.Files.createTempDirectory("dsv2_orphan").toString
     spark.range(0, 10).select(col("id").as("k"))
