@@ -63,12 +63,18 @@ object Mv {
   final case class Measure(kind: String, column: String,
       castTo: Option[DataType], mvCol: String)
 
+  /** `baseVersion`: None for immutable parquet-directory bases; Some(v)
+    * when the base is a VERSIONED table and the MV was built from its
+    * snapshot v — the rewrite then fires ONLY on scans pinned to exactly
+    * v (staleness safety: after an append the query falls through to the
+    * base plan, always correct, until [[refreshVersioned]]). */
   final case class Entry(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
       cntCol: String,
-      measures: Seq[Measure])
+      measures: Seq[Measure],
+      baseVersion: Option[Int] = None)
 
   /** Registry keyed by the canonical base path (URI path, trailing-slash
     * stripped) — the same form [[HadoopFsRelation]] root paths reduce to. */
@@ -91,6 +97,9 @@ object Mv {
           fs.location.rootPaths.map(p => canonical(p.toString))
         case _ => Seq.empty[String]
       }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        graft.sources.VersionedMvBridge.scanInfo(r.scan)
+          .map(i => canonical(i._1)).toSeq
     }.flatten
 
   def clear(): Unit = registry.clear()
@@ -152,6 +161,81 @@ object Mv {
     e
   }
 
+  /** MV over a VERSIONED (lakehouse) table — the composition of the two
+    * flagship features: dashboards written against the CATALOG table are
+    * auto-redirected to the |groups|-row MV, with VERSION-PINNED
+    * staleness safety. The MV is built from `Versioned.read` at the head
+    * snapshot and registered with that version; [[MvRewrite]] then
+    * rewrites only scans PINNED to exactly that version (connector scans
+    * pin at builder construction, so the match is race-free). After any
+    * commit the table's scans pin a newer version and every query falls
+    * through to the base plan — correct, just unaccelerated — until
+    * [[refreshVersioned]] folds the appended rows. The built version
+    * rides a `_mv_base_version` sidecar so re-registration over an
+    * existing MV artifact stays pinned to what the parquet actually
+    * holds. */
+  def createVersioned(spark: SparkSession, tableDir: String, mvPath: String,
+      groupCols: Seq[String],
+      measures: Seq[(String, String, Option[DataType])]): Entry = {
+    val ms = measures.zipWithIndex.map { case ((kind, c, cast), i) =>
+      Measure(kind, c, cast, s"__m$i")
+    }
+    val sidecar = java.nio.file.Paths.get(mvPath, "_mv_base_version")
+    val done = new java.io.File(mvPath, "_SUCCESS")
+    val v: Int =
+      if (done.isFile && java.nio.file.Files.exists(sidecar))
+        new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8").trim.toInt
+      else {
+        val head = graft.ops.Versioned.latestVersion(tableDir)
+        require(head > 0, s"nothing to materialize at $tableDir")
+        partialsOf(graft.ops.Versioned.read(spark, tableDir, head),
+          groupCols, ms).write.mode("overwrite").parquet(mvPath)
+        java.nio.file.Files.write(sidecar, head.toString.getBytes("UTF-8"))
+        head
+      }
+    val e = Entry(canonical(tableDir), mvPath, groupCols.map(_.toLowerCase),
+      "__cnt", ms, baseVersion = Some(v))
+    registry.put(e.basePath, e)
+    e
+  }
+
+  /** Incremental refresh of a versioned-base MV from the VERSION LOG: the
+    * delta is exactly the file groups the append steps
+    * (entry.baseVersion, head] added — `Versioned.connectorStreamStep`
+    * refuses overwrite steps and pending evolution/MOR states, so a
+    * history the fold cannot replay exactly fails LOUDLY instead of
+    * refreshing wrong. Cost O(|delta| + |groups|), the base is never
+    * rescanned; the new MV publishes to a NEW immutable dir and the
+    * registration advances to the head version (queries pin it and the
+    * rewrite fires again). A no-op when already at head. */
+  def refreshVersioned(spark: SparkSession, entry: Entry,
+      newMvPath: String): Entry = {
+    val dir = entry.basePath
+    val from = entry.baseVersion.getOrElse(throw new IllegalArgumentException(
+      s"MV at ${entry.mvPath} has no base version — parquet-path MVs " +
+        "refresh via refresh(delta)"))
+    val head = graft.ops.Versioned.latestVersion(dir)
+    if (head == from) return entry
+    require(head > from, s"table at $dir went backwards ($from → $head)")
+    val groupDirs = ((from + 1) to head)
+      .flatMap(v => graft.ops.Versioned.connectorStreamStep(dir, v))
+    val delta = groupDirs.map(g => spark.read.parquet(g))
+      .reduceOption(_ unionByName _)
+    val refreshed = delta match {
+      case None => entry // metadata-only steps: content unchanged
+      case Some(d) =>
+        refresh(spark, entry, d, newMvPath)
+    }
+    val e = refreshed.copy(baseVersion = Some(head))
+    if (delta.nonEmpty) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(newMvPath, "_mv_base_version"),
+        head.toString.getBytes("UTF-8"))
+    }
+    registry.put(e.basePath, e)
+    e
+  }
+
   /** Incremental MV maintenance for an APPEND-ONLY base table: fold the
     * appended rows' partial aggregates into the existing MV and publish the
     * result as a NEW immutable MV directory (`newMvPath`), re-registering the
@@ -206,17 +290,28 @@ object MvRewrite extends Rule[LogicalPlan] {
         tryRewrite(agg).getOrElse(agg)
     }
 
-  /** Walk from the aggregate child down to a parquet scan, collecting filter
-    * conditions and tolerating attribute-only Projects (column pruning). */
-  private def scanOf(p: LogicalPlan,
-      conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+  /** Walk from the aggregate child down to a scan, collecting filter
+    * conditions and tolerating attribute-only Projects (column pruning).
+    * Two scan shapes match: a parquet [[LogicalRelation]] (immutable-dir
+    * base, version None) and a connector
+    * [[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation]]
+    * over a versioned table (version = the scan's PINNED snapshot — the
+    * connector keeps every pushed filter as a Spark residual, so the
+    * Filter node is still in-plan here). Returns (canonical base path,
+    * pinned version, conditions). */
+  private def scanOf(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(String, Option[Int], Seq[Expression])] =
     p match {
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         scanOf(child, conds)
       case Filter(cond, child) =>
         scanOf(child, conds ++ splitConjuncts(cond))
-      case lr: LogicalRelation => Some((lr, conds))
+      case lr: LogicalRelation =>
+        rootPath(lr).map(path => (path, None, conds))
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        graft.sources.VersionedMvBridge.scanInfo(r.scan)
+          .map { case (dir, v) => (Mv.canonical(dir), Some(v), conds) }
       case _ => None
     }
 
@@ -234,9 +329,13 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (lr, conds) <- scanOf(agg.child, Nil)
-      path <- rootPath(lr)
+      (path, version, conds) <- scanOf(agg.child, Nil)
       entry <- Mv.lookup(path)
+      // version-pinned staleness safety: a versioned-base MV answers
+      // ONLY the exact snapshot it was built from — any other pinned
+      // version (newer commit, time travel elsewhere) falls through to
+      // the base plan, which is always correct
+      if entry.baseVersion == version
       rewritten <- rewriteWith(agg, conds, entry)
     } yield rewritten
   }

@@ -263,6 +263,104 @@ object MvQueries {
                  AS avg_qty,
                avg_dbl, cnt
         FROM g
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // MV5: the MV rewrite over the LAKEHOUSE — the two flagship features
+    // composed (round 16): the base is a VERSIONED table read through
+    // the DSv2 connector, the MV is registered WITH the snapshot version
+    // it was built from, and the rewrite fires ONLY on scans pinned to
+    // exactly that version (connector scans pin at builder construction
+    // — race-free). The gated protocol walks the lifecycle: (a) query at
+    // the built version answers from the MV; (b) after an APPEND the
+    // same query is STALE-DECLINED and answers from the base plan — the
+    // new rows are served, never a wrong acceleration; (c) after
+    // Mv.refreshVersioned folds ONLY the appended file groups (the
+    // version log IS the delta — connectorStreamStep refuses anything
+    // the fold could not replay exactly) the rewrite fires again over
+    // the full content. `mv_used` pins the per-leg plan shape.
+    Q("mv5_rewrite_catalog_table",
+      (s, d) => {
+        val (dir, legAB, mv2Path) = versionedMvOrders(s, d)
+        def conn() = s.read.format("graft-versioned").option("path", dir)
+          .load()
+        val c = conn().groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            Q.dsum(col("o_totalprice")).as("total"))
+        val cUsed = Mv.scanPaths(c).contains(Mv.canonical(mv2Path)) &&
+          !Mv.scanPaths(c).contains(Mv.canonical(dir))
+        legAB.unionAll(
+          c.select(lit("c_refreshed_mv").as("leg"), col("o_orderstatus"),
+            col("cnt"), col("total"), lit(cUsed).as("mv_used")))
+          .orderBy("leg", "o_orderstatus")
+      },
+      Some(s"""WITH o AS (SELECT o_orderstatus, o_totalprice,
+                                 CAST(o_orderkey AS BIGINT) AS k
+                          FROM orders)
+               SELECT 'a_built_version_mv' AS leg, o_orderstatus,
+                      COUNT(*) AS cnt, ${Q.sqlDsum("o_totalprice")} AS total,
+                      TRUE AS mv_used
+               FROM o WHERE k % 2 = 0 GROUP BY o_orderstatus
+               UNION ALL
+               SELECT 'b_stale_declined', o_orderstatus, COUNT(*),
+                      ${Q.sqlDsum("o_totalprice")}, TRUE
+               FROM o GROUP BY o_orderstatus
+               UNION ALL
+               SELECT 'c_refreshed_mv', o_orderstatus, COUNT(*),
+                      ${Q.sqlDsum("o_totalprice")}, TRUE
+               FROM o GROUP BY o_orderstatus
+               ORDER BY leg, o_orderstatus"""))
   )
+
+  /** mv5's versioned base + its two MV generations. Protocol runs once
+    * per (session, sfDir): commit even keys (v1) → build+register MV@v1
+    * → capture leg a (fires) → commit odd keys (v2) → capture leg b
+    * (stale-declined, base plan serves the full table) → refreshVersioned
+    * (folds only the v2 group) → caller captures leg c against the
+    * refreshed registration. Legs a/b are captured AT PROTOCOL TIME
+    * (they depend on registry state that later steps change) and
+    * localCheckpointed so re-evaluation in the gated union is stable. */
+  private val vmvCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame, String)]()
+
+  private def versionedMvOrders(s: SparkSession, d: String)
+      : (String, DataFrame, String) = {
+    val key = (s, d)
+    val hit = vmvCache.get(key)
+    if (hit != null) { Mv.enable(s); return hit }
+    vmvCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val h = Integer.toHexString(d.hashCode)
+    val dir = s"$mvRoot/mv5_table_$h"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d).select(
+      col("o_orderstatus").cast("string").as("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("o_orderkey").cast("long").as("o_orderkey"))
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 === 0), dir)
+    Mv.enable(s)
+    val e1 = Mv.createVersioned(s, dir, s"$mvRoot/mv5_agg_${h}_v1",
+      groupCols = Seq("o_orderstatus"),
+      measures = Seq(("sum", "o_totalprice",
+        Some(org.apache.spark.sql.types.DecimalType(18, 2)))))
+    def q() = s.read.format("graft-versioned").option("path", dir).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), Q.dsum(col("o_totalprice")).as("total"))
+    val a = q()
+    val aUsed = Mv.scanPaths(a).contains(Mv.canonical(e1.mvPath)) &&
+      !Mv.scanPaths(a).contains(Mv.canonical(dir))
+    val legA = a.select(lit("a_built_version_mv").as("leg"),
+      col("o_orderstatus"), col("cnt"), col("total"),
+      lit(aUsed).as("mv_used")).localCheckpoint()
+    graft.ops.Versioned.commit(o.filter(col("o_orderkey") % 2 =!= 0), dir)
+    val b = q()
+    val bDeclined = !Mv.scanPaths(b).contains(Mv.canonical(e1.mvPath))
+    val legB = b.select(lit("b_stale_declined").as("leg"),
+      col("o_orderstatus"), col("cnt"), col("total"),
+      lit(bDeclined).as("mv_used")).localCheckpoint()
+    val mv2Path = s"$mvRoot/mv5_agg_${h}_v2"
+    Mv.refreshVersioned(s, e1, mv2Path)
+    val out = (dir, legA.unionAll(legB), mv2Path)
+    val prev = vmvCache.putIfAbsent(key, out)
+    if (prev != null) prev else out
+  }
 }

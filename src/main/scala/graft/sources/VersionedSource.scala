@@ -573,6 +573,22 @@ private[sources] class VersionedMicroBatchStream(dir: String,
   override def stop(): Unit = ()
 }
 
+/** Public bridge for the MV auto-rewrite (graft.plans.MvRewrite): the
+  * (table dir, PINNED snapshot version) of a connector scan, or None for
+  * scans the rewrite must never touch — the row-level COW scan (its
+  * ReplaceData parent needs every row) and anything that is not a
+  * versioned-table scan. The version is the one the ScanBuilder pinned
+  * at construction, so an MV registered at that exact version rewrites
+  * race-free (a commit landing mid-query changes neither side). */
+object VersionedMvBridge {
+  def scanInfo(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[(String, Int)] = scan match {
+    case _: VersionedRowLevelScan => None
+    case s: VersionedScan => Some((s.dir, s.version))
+    case _ => None
+  }
+}
+
 private[sources] object VersionedScan {
 
   /** Per-data-group deletion-vector FILE paths for a pinned snapshot —

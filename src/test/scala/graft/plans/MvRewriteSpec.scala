@@ -191,6 +191,66 @@ class MvRewriteSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("versioned-base MV: rewrites the pinned snapshot, declines stale, " +
+      "re-fires after refreshVersioned; time travel matches exactly") {
+    val tdir = s"$root/vmv_table"
+    import graft.ops.Versioned
+    Versioned.commit(
+      spark.range(0, 100).select(
+        (col("id") % 4).cast("string").as("g"), col("id").as("k")),
+      tdir)
+    val e1 = Mv.createVersioned(spark, tdir, s"$root/vmv_v1",
+      groupCols = Seq("g"),
+      measures = Seq(("sum", "k", Some(DecimalType(18, 0))),
+        ("count", "k", None)))
+    assert(e1.baseVersion.contains(1))
+    Mv.enable(spark)
+    def q() = spark.read.format("graft-versioned").option("path", tdir)
+      .load().groupBy("g")
+      .agg(sum(col("k").cast(DecimalType(18, 0))).as("s"),
+        count(col("k")).as("n"))
+      .orderBy("g")
+    // fires on the head scan (pinned v1 == MV base version)
+    val r1 = q()
+    assert(Mv.scanPaths(r1).contains(Mv.canonical(s"$root/vmv_v1")) &&
+      !Mv.scanPaths(r1).contains(Mv.canonical(tdir)),
+      r1.queryExecution.optimizedPlan.toString)
+    val want1 = (0 until 4).map(g =>
+      (g.toString, (0 until 100).filter(_ % 4 == g).sum, 25L))
+    assert(r1.collect().map(r => (r.getString(0),
+      r.getDecimal(1).longValueExact(), r.getLong(2))).toSeq == want1)
+    // STALE after an append: the rewrite must DECLINE and the base plan
+    // must serve the full (new) data
+    Versioned.commit(
+      spark.range(100, 120).select(
+        (col("id") % 4).cast("string").as("g"), col("id").as("k")),
+      tdir)
+    val r2 = q()
+    assert(!Mv.scanPaths(r2).contains(Mv.canonical(s"$root/vmv_v1")),
+      r2.queryExecution.optimizedPlan.toString)
+    assert(r2.collect().map(_.getLong(2)).sum == 120L)
+    // refresh folds ONLY the appended group, re-fires at the new pin
+    val e2 = Mv.refreshVersioned(spark, e1, s"$root/vmv_v2")
+    assert(e2.baseVersion.contains(2))
+    val r3 = q()
+    assert(Mv.scanPaths(r3).contains(Mv.canonical(s"$root/vmv_v2")) &&
+      !Mv.scanPaths(r3).contains(Mv.canonical(tdir)),
+      r3.queryExecution.optimizedPlan.toString)
+    val want3 = (0 until 4).map(g =>
+      (g.toString, (0 until 120).filter(_ % 4 == g).sum, 30L))
+    assert(r3.collect().map(r => (r.getString(0),
+      r.getDecimal(1).longValueExact(), r.getLong(2))).toSeq == want3)
+    // time travel to v1 now pins version 1 ≠ MV base 2 → declines (and
+    // stays correct on the historical rows)
+    val r4 = spark.read.format("graft-versioned").option("path", tdir)
+      .option("versionAsOf", "1").load().groupBy("g")
+      .agg(count(col("k")).as("n"))
+    assert(!Mv.scanPaths(r4).contains(Mv.canonical(s"$root/vmv_v2")))
+    assert(r4.collect().map(_.getLong(1)).sum == 100L)
+    // refresh at head is a no-op
+    assert(Mv.refreshVersioned(spark, e2, s"$root/vmv_v3") eq e2)
+  }
+
   test("a NON-DETERMINISTIC filter blocks the rewrite (would re-evaluate per group)") {
     entry
     val df = spark.read.parquet(basePath)
