@@ -195,7 +195,11 @@ object ScaleRehearsal {
     // round-16: the MV AVG fold is a |groups|-row MV scan (expect
     // ~flat); the truncate protocol's cost is its two k×-sized INSERTs
     // (the tombstone itself is O(1) metadata)
-    "mv4_rewrite_avg", "s55_truncate_tombstone")
+    "mv4_rewrite_avg", "s55_truncate_tombstone",
+    // round-16 second wave: the versioned-base MV protocol (build + two
+    // commits + refresh per rep; the refreshed-MV query itself is a
+    // |groups|-row scan — expect protocol-bound, not data-bound)
+    "mv5_rewrite_catalog_table")
 
   def writeDoubled(spark: SparkSession, src: String, dst: String): Unit =
     writeScaled(spark, src, dst, 2)
