@@ -79,6 +79,17 @@ object Versioned {
       s"group ref '$g' may not contain quotes, backslashes, commas or control chars")
 
   private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
+
+  /** Recursive delete (children before parents); no-op on a missing
+    * path. One helper for the staged-dir/orphan sweeps that used to be
+    * inlined four times. */
+  private def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(s"v$v.json")
 
@@ -942,6 +953,10 @@ object Versioned {
     requireId("delete key column", key)
     val parent = latestVersion(dir)
     require(parent > 0, s"nothing to delete from at $dir")
+    // a TRUNCATE tombstone holds no rows: deleting from it is a no-op
+    // (and must not publish a groups-empty manifest that loses the
+    // recorded schema — review r16)
+    if (readManifest(dir, parent).isEmpty) return parent
     requireNoRenames(dir, parent, "merge-on-read DELETE")
     requireNoDefaults(dir, parent, "merge-on-read DELETE")
     requireNoDrops(dir, parent, "merge-on-read DELETE")
@@ -978,15 +993,30 @@ object Versioned {
           .select(keys(key), col("__tg"))
         // the routed frame is small by design (O(deleted keys × touched
         // groups)); one task writes one file per touched group
+        routed.persist()
         val any = !routed.isEmpty
-        if (any) routed.repartition(1).write.partitionBy("__tg")
-          .mode("errorifexists").parquet(s"$dir/data/$dgroup")
+        if (any) {
+          routed.repartition(1).write.partitionBy("__tg")
+            .mode("errorifexists").parquet(s"$dir/data/$dgroup")
+          // the routing SCOPE: the groups that existed when this delete
+          // was routed. A data group appended LATER is outside the
+          // scope and the connector must mask it with the FULL key
+          // union (appends carry delete files forward — a re-inserted
+          // key stays deleted until applyDeletesCommit, exactly like
+          // the ops-layer anti-join; review r16)
+          Files.write(Paths.get(dir, "data", dgroup, "_scope"),
+            groups.mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+        routed.unpersist()
         any
       } else {
+        keys.persist()
         val any = !keys.isEmpty
         if (any) keys
           .coalesce(1) // a delete file is small by design — one file
           .write.mode("errorifexists").parquet(s"$dir/data/$dgroup")
+        keys.unpersist()
         any
       }
     // keys matching nothing (or an empty delete frame) still commit a
@@ -1071,7 +1101,9 @@ object Versioned {
       defaults = readDefaults(dir, toVersion),
       drops = readDrops(dir, toVersion),
       scol = readStatsCol(dir, toVersion),
-      scol2 = readStatsCol2(dir, toVersion))
+      scol2 = readStatsCol2(dir, toVersion),
+      // restoring TO a tombstone re-publishes its recorded schema
+      schemaDdl = readSchemaDdl(dir, toVersion))
     if (!publishIfAbsent(dir, v, json))
       throw new java.util.ConcurrentModificationException(
         s"restore at $dir lost the race for version $v")
@@ -1091,6 +1123,27 @@ object Versioned {
     * verbs and the change feed refuse over a pending mapping (Delta's
     * own column-mapping restrictions); [[applyRenamesCommit]]
     * materializes it away. Returns the committed version. */
+  /** ALTER on a TOMBSTONE head (zero file groups, [[truncateCommit]]):
+    * there are no files to normalize, so the change applies DIRECTLY to
+    * the recorded logical schema — a new empty snapshot with the
+    * transformed DDL and NO pending rename/default/drop state (review
+    * r16: without this, a metadata verb after TRUNCATE published an
+    * empty manifest with no schema and wedged the head). */
+  private def alterTombstone(dir: String, parent: Int,
+      transform: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Int = {
+    val st = org.apache.spark.sql.types.StructType.fromDDL(
+      readSchemaDdl(dir, parent).getOrElse(throw new IllegalStateException(
+        s"empty manifest without recorded schema at $dir v$parent")))
+    val v = parent + 1
+    val json = manifestJson(v, parent, overwrite = false, Seq.empty,
+      schemaDdl = Some(transform(st).toDDL))
+    if (!publishIfAbsent(dir, v, json))
+      throw new java.util.ConcurrentModificationException(
+        s"ALTER at $dir lost the race for version $v")
+    v
+  }
+
   def renameColumnCommit(spark: SparkSession, dir: String, from: String,
       to: String): Int = {
     requireId("rename source column", from)
@@ -1106,6 +1159,10 @@ object Versioned {
     val cols = read(spark, dir, parent).columns.toSet
     require(cols(from), s"column $from not in snapshot schema $cols")
     require(!cols(to), s"column $to already exists in snapshot schema")
+    if (readManifest(dir, parent).isEmpty)
+      return alterTombstone(dir, parent, st =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)))
     val m = readRenames(dir, parent)
     // compose: the mapping stays keyed by ORIGINAL physical names
     val phys = m.find(_._2 == from).map(_._1).getOrElse(from)
@@ -1182,6 +1239,13 @@ object Versioned {
         s"default CAST('$defaultLiteral' AS $sqlType) does not evaluate: " +
           e.getMessage)
     }
+    if (readManifest(dir, parent).isEmpty)
+      // tombstone: no pre-ALTER rows exist to serve the default —
+      // the column just joins the recorded schema
+      return alterTombstone(dir, parent, st =>
+        org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.DataType.fromDDL(sqlType))))
     val (dgs, dk) = readDeletes(dir, parent)
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = false,
@@ -1234,6 +1298,13 @@ object Versioned {
       !readStatsCol2(dir, parent).exists(p => p._1 == name || p._2 == name),
       s"column $name carries the manifest statistics — dropping it would " +
         "orphan them; compact/OPTIMIZE onto another stats column first")
+    if (readManifest(dir, parent).isEmpty) {
+      require(read(spark, dir, parent).columns.length > 1,
+        s"cannot drop the last column of $dir")
+      return alterTombstone(dir, parent, st =>
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_.name == name)))
+    }
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = false,
       readManifest(dir, parent), readStats(dir, parent),
@@ -1855,22 +1926,37 @@ object Versioned {
     }
     val target = Paths.get(dir, "data", group)
     Files.createDirectories(target.getParent)
+    // idempotent (txn-keyed) commits stamp their staged dir BEFORE the
+    // move so a crash orphan is attributable: data/c{v} occupied +
+    // manifest v unpublished + the orphan carries OUR appId ⇒ a prior
+    // attempt of THIS single-writer app died between move and publish
+    // (the streaming sink's restart then replays the epoch — without
+    // the sweep the retry wedges forever on the occupied slot). No
+    // reader can reference the dir (readers resolve groups through
+    // published manifests only) and no LIVE writer can own it (single
+    // writer per app), so sweeping is safe. An orphan WITHOUT our
+    // marker may be a concurrent foreign committer mid-move — fail
+    // loudly as before (review r16: an unconditional sweep could eat a
+    // live racer's just-moved data).
+    txn.foreach { case (app, tv) =>
+      Files.write(Paths.get(stagedDir, "_graft_txn"),
+        s"$app\n$tv".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     if (Files.exists(target)) {
-      // data/c{v} with no published manifest v is a CRASH ORPHAN: a
-      // prior attempt moved its staged dir and died before publishing
-      // (the streaming sink's restart then replays the epoch — without
-      // this sweep the retry wedges forever on the occupied slot). No
-      // reader can reference the dir (readers resolve groups through
-      // published manifests only), so sweeping is safe; if manifest v
-      // IS published, a racer won the version — fail as the publish
-      // would have.
       if (Files.exists(manifestPath(dir, v)))
         throw new java.util.ConcurrentModificationException(
           s"staged commit at $dir lost the race for version $v")
-      val s = Files.walk(target)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
+      val marker = target.resolve("_graft_txn")
+      val ownOrphan = txn.isDefined && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.toSeq.headOption.contains(txn.get._1)
+      if (!ownOrphan)
+        throw new java.util.ConcurrentModificationException(
+          s"group $group already exists at $dir (unattributed — possibly " +
+            "a concurrent committer mid-publish or a foreign crash " +
+            "orphan; remove data/" + group + " manually if dead)")
+      deleteRecursively(target)
     }
     val parentStats =
       if (overwrite || parent == 0) Map.empty[String, (Long, Long)]
@@ -1946,13 +2032,7 @@ object Versioned {
       statsCol: Option[String] = None): Option[Int] = {
     requireId("appId", appId)
     if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) {
-      val root = Paths.get(stagedDir)
-      if (Files.isDirectory(root)) {
-        val s = Files.walk(root)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
+      deleteRecursively(Paths.get(stagedDir))
       return None
     }
     Some(commitStagedGroup(spark, dir, stagedDir, overwrite = false,
@@ -2019,12 +2099,7 @@ object Versioned {
         finally s.close()
       }
       if (!any) {
-        if (Files.isDirectory(root)) {
-          val s = Files.walk(root)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally s.close()
-        }
+        deleteRecursively(root)
         return 0
       }
       return commitStagedGroup(spark, dir, stagedDir, overwrite = false,
@@ -2061,13 +2136,7 @@ object Versioned {
         "DROP the table, or INSERT OVERWRITE a new result instead")
     if (!hasStaged) {
       // nothing staged: drop the (possibly existing, empty) staging dir
-      val root = Paths.get(stagedDir)
-      if (Files.isDirectory(root)) {
-        val s = Files.walk(root)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s.close()
-      }
+      deleteRecursively(Paths.get(stagedDir))
       if (removed.isEmpty) return parent // nothing changed at all
     }
     val v = parent + 1
@@ -2309,7 +2378,8 @@ object Versioned {
         dgroups = srcDgs.map(resolveGroup(absSrc, _)), dkey = srcDk,
         renames = readRenames(srcDir, v),
         defaults = readDefaults(srcDir, v),
-        drops = readDrops(srcDir, v))
+        drops = readDrops(srcDir, v),
+        schemaDdl = readSchemaDdl(srcDir, v))
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(dstDir, 1), StandardCopyOption.ATOMIC_MOVE)
     1

@@ -371,7 +371,7 @@ object ConnectorQueries {
     // source must refuse consuming it).
     Q("s55_truncate_tombstone",
       (s, d) => {
-        val t = truncatedOrders(s, d)
+        val (t, metaOk) = truncatedOrders(s, d)
         def conn(v: Int) = {
           val sel = if (v > 0) s"SELECT * FROM $t VERSION AS OF $v"
                     else s"SELECT * FROM $t"
@@ -381,7 +381,7 @@ object ConnectorQueries {
           df.agg(count(lit(1)).as("n"),
               coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
             .select(lit(name).as("leg"), col("n"), col("total"),
-              lit(truncMetaOk.get()).as("meta_only"))
+              lit(metaOk).as("meta_only"))
         leg("a_post_truncate_insert", conn(0))
           .unionAll(leg("b_tombstone", conn(3)))
           .unionAll(leg("c_pre_truncate_travel", conn(2)))
@@ -403,11 +403,10 @@ object ConnectorQueries {
     * TRUNCATE TABLE (v3, tombstone) + INSERT the 1999 slice (v4). The
     * meta pin rides [[truncMetaOk]]. Built once per (session, sfDir). */
   private val truncCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
-  private val truncMetaOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), (String, Boolean)]()
 
   private def truncatedOrders(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+      d: String): (String, Boolean) = {
     val key = (s, d)
     val hit = truncCache.get(key)
     if (hit != null) return hit
@@ -434,13 +433,16 @@ object ConnectorQueries {
     s.sql(s"TRUNCATE TABLE $t")
     s.sql(s"INSERT INTO $t SELECT * FROM $view WHERE yr = 1999")
     val dir = s"$wh/lake/orders_tr"
-    truncMetaOk.set(
+    // the pin rides the CACHE VALUE, per (session, sfDir) — a global
+    // flag would cross-contaminate multi-sfDir sessions (rehearsals)
+    val metaOk =
       graft.ops.Versioned.latestVersion(dir) == 4 &&
         graft.ops.Versioned.groupNames(dir, 3).isEmpty &&
         new java.io.File(s"$dir/data/c1").exists() &&
-        !graft.ops.Versioned.stepIsAppend(dir, 3))
-    truncCache.put(key, t)
-    t
+        !graft.ops.Versioned.stepIsAppend(dir, 3)
+    val out = (t, metaOk)
+    truncCache.put(key, out)
+    out
   }
 
   /** s54's MOR-masked table: two range-split stats-annotated commits of

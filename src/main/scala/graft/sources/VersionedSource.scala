@@ -607,20 +607,46 @@ private[sources] object VersionedScan {
     val flat = scala.collection.mutable.ArrayBuffer.empty[String]
     val byGroup =
       scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    // (scope, full file list) per routed delete dir: a data group NOT in
+    // a delete's recorded routing scope was appended AFTER the delete —
+    // it gets the delete's FULL key union (appends carry delete files
+    // forward; a re-inserted key stays masked until applyDeletesCommit,
+    // exactly like the ops-layer anti-join — review r16). A missing
+    // scope file degrades to full-union-for-everyone: conservative,
+    // never under-masks.
+    val scoped =
+      scala.collection.mutable.ArrayBuffer.empty[(Set[String], Seq[String])]
     p.morGroupDirs.foreach { d =>
       val root = new Path(d)
       val fs = root.getFileSystem(conf)
       val subs = fs.listStatus(root).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith("__tg="))
       if (subs.isEmpty) flat ++= listParquetFiles(root, conf)
-      else subs.foreach { s =>
-        val g = s.getPath.getName.stripPrefix("__tg=")
-        byGroup.update(g, byGroup.getOrElse(g, Seq.empty) ++
-          listParquetFiles(s.getPath, conf))
+      else {
+        val perGroup = subs.map { s =>
+          s.getPath.getName.stripPrefix("__tg=") ->
+            listParquetFiles(s.getPath, conf)
+        }
+        perGroup.foreach { case (g, fl) =>
+          byGroup.update(g, byGroup.getOrElse(g, Seq.empty) ++ fl)
+        }
+        val scopePath = new Path(root, "_scope")
+        val scope: Set[String] =
+          if (!fs.exists(scopePath)) Set.empty
+          else {
+            val in = fs.open(scopePath)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toSet
+            finally in.close()
+          }
+        scoped += ((scope, perGroup.flatMap(_._2).toSeq))
       }
     }
     p.groups.map { case (name, _) =>
-      name -> (flat.toSeq ++ byGroup.getOrElse(name, Seq.empty))
+      name -> (flat.toSeq ++ byGroup.getOrElse(name, Seq.empty) ++
+        scoped.collect {
+          case (scope, files) if !scope.contains(name) => files
+        }.flatten)
     }.filter(_._2.nonEmpty).toMap
   }
 
@@ -903,10 +929,19 @@ private[sources] object VersionedPartitionReader {
     * keys are excluded: anti-join equality never matches NULL. */
   private val morMaskCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[Any]]()
+  /** Total keys held across cached vectors — the clear policy is
+    * BYTE-shaped, not entry-shaped: stale versions' big vectors must
+    * not pin executor memory until 4096 entries accumulate. ~32M keys
+    * ≈ a few hundred MB worst case, well under executor headroom. */
+  private val morMaskCachedKeys = new java.util.concurrent.atomic.AtomicLong(0)
 
   def morMask(files: Seq[String], key: String, conf: Configuration)
       : Set[Any] = {
-    if (morMaskCache.size() > 4096) morMaskCache.clear()
+    if (morMaskCache.size() > 4096 ||
+        morMaskCachedKeys.get() > (1L << 25)) {
+      morMaskCache.clear()
+      morMaskCachedKeys.set(0)
+    }
     morMaskCache.computeIfAbsent(
       files.sorted.mkString("\n") + "#" + key, _ => {
         val out = scala.collection.mutable.HashSet.empty[Any]
@@ -952,6 +987,7 @@ private[sources] object VersionedPartitionReader {
             } finally r.close()
           }
         }
+        morMaskCachedKeys.addAndGet(out.size.toLong)
         out.toSet
       })
   }

@@ -582,24 +582,119 @@ class VersionedSourceSpec extends SparkSpec {
     assert(load0(d).count() == 10L)
   }
 
-  test("crash-orphan group dir is swept: the wedged retry commits") {
+  test("crash-orphan sweep is ATTRIBUTED: own txn orphan swept, foreign " +
+      "orphan refuses loudly") {
     val d = java.nio.file.Files.createTempDirectory("dsv2_orphan").toString
     spark.range(0, 10).select(col("id").as("k"))
       .write.format("graft-versioned").option("path", d).mode("append").save()
-    // simulate a crash between the staged dir's ATOMIC_MOVE and the
-    // manifest publish: data/c2 exists but manifest v2 was never
-    // published — before the sweep (ADVICE r13) every retry wedged
-    // forever on the occupied slot
+    // simulate a crash of app "epochapp" between its staged dir's
+    // ATOMIC_MOVE and the manifest publish: data/c2 exists (with the
+    // app's txn marker, as commitStagedGroup stamps pre-move) but
+    // manifest v2 was never published — the restarted epoch must sweep
+    // it and commit instead of wedging forever (ADVICE r13)
     val orphan = java.nio.file.Paths.get(d, "data", "c2")
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("part-orphan.parquet"),
       Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(orphan.resolve("_graft_txn"),
+      "epochapp\n7".getBytes("UTF-8"))
+    val staged = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(d), "_stage").toString
     spark.range(10, 15).select(col("id").as("k"))
-      .write.format("graft-versioned").option("path", d).mode("append").save()
-    assert(Versioned.latestVersion(d) == 2)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val committed = Versioned.commitStagedGroupIdempotent(spark, d, staged,
+      appId = "epochapp", txnVersion = 7L)
+    assert(committed.contains(2))
     val got = Versioned.read(spark, d)
     assert(got.count() == 15L) // the orphan bytes are gone, not served
     assert(got.agg(sum("k")).as[Long].head() == (0L until 15L).sum)
+    // a FOREIGN orphan (no marker / another app's marker) must refuse
+    // loudly — an unconditional sweep could eat a live racer's
+    // just-moved data (review r16)
+    val orphan3 = java.nio.file.Paths.get(d, "data", "c3")
+    java.nio.file.Files.createDirectories(orphan3)
+    java.nio.file.Files.write(orphan3.resolve("part-x.parquet"),
+      Array[Byte](9))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      spark.range(0, 3).select(col("id").as("k"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("unattributed"))
+    val staged2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(d), "_stage").toString
+    spark.range(0, 3).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(staged2)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitStagedGroupIdempotent(spark, d, staged2,
+        appId = "otherapp", txnVersion = 1L)
+    }
+    assert(Versioned.latestVersion(d) == 2) // nothing published past it
+  }
+
+  test("re-inserted key after a routed MOR delete stays masked: connector " +
+      "and ops read agree") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_reins").toString
+    Versioned.commit(
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      d, statsCol = Some("k"))
+    Versioned.deleteCommitMor(
+      spark.range(50, 55).select(col("id").as("k")), d, "k") // routed → c1
+    // APPEND a group that re-inserts a deleted key (k=50): appends carry
+    // the pending delete files, so the key must stay masked EVERYWHERE
+    // until applyDeletesCommit — the post-delete group is outside the
+    // delete's recorded routing scope and gets the full union
+    Versioned.commit(
+      spark.range(0, 2).select((col("id") * 50 + 50).as("k"),
+        lit(-1L).as("v")), d, statsCol = Some("k")) // keys 50, 100
+    val ops = Versioned.read(spark, d)
+    val conn = load0(d)
+    assert(ops.filter(col("k") === 50L).count() == 0L, "ops read leaked")
+    assert(conn.filter(col("k") === 50L).count() == 0L,
+      "connector served a re-inserted deleted key")
+    assert(conn.count() == ops.count())
+    assert(conn.agg(sum("v")).as[Long].head() ==
+      ops.agg(sum("v")).as[Long].head())
+    // the fresh key (k=100) in the new group IS served
+    assert(conn.filter(col("k") === 100L).count() == 1L)
+    // fold: everything agrees after applyDeletesCommit too
+    Versioned.applyDeletesCommit(spark, d)
+    assert(load0(d).count() == Versioned.read(spark, d).count())
+    assert(load0(d).filter(col("k") === 50L).count() == 0L)
+  }
+
+  test("ALTER / MOR delete / restore / clone on a TRUNCATE tombstone keep " +
+      "the recorded schema (no wedged head)") {
+    val d = java.nio.file.Files.createTempDirectory("dsv2_tralter").toString
+    Versioned.commit(
+      spark.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("v")), d)
+    Versioned.truncateCommit(spark, d) // v2 tombstone
+    // metadata verbs on the tombstone rewrite the recorded DDL directly
+    Versioned.renameColumnCommit(spark, d, "v", "val") // v3
+    assert(Versioned.read(spark, d).columns.toSeq == Seq("k", "val"))
+    Versioned.addColumnCommit(spark, d, "tag", "STRING", "x") // v4
+    assert(Versioned.read(spark, d).columns.toSeq == Seq("k", "val", "tag"))
+    Versioned.dropColumnCommit(spark, d, "tag") // v5
+    assert(Versioned.read(spark, d).columns.toSeq == Seq("k", "val"))
+    // no pending state was left behind: a plain append works and serves
+    assert(Versioned.readRenames(d, 5).isEmpty &&
+      Versioned.readDefaults(d, 5).isEmpty && Versioned.readDrops(d, 5).isEmpty)
+    // MOR delete from the tombstone is a no-op, never a wedged manifest
+    val v = Versioned.deleteCommitMor(
+      spark.range(0, 1).select(col("id").as("k")), d, "k")
+    assert(v == 5 && Versioned.readDeletes(d, 5)._1.isEmpty)
+    // restore TO the tombstone re-publishes its schema
+    Versioned.commit(spark.range(0, 3)
+      .select(col("id").as("k"), col("id").as("val")), d) // v6 data
+    Versioned.restore(spark, d, 5) // v7 = the (altered) tombstone again
+    assert(Versioned.read(spark, d).count() == 0L)
+    assert(Versioned.read(spark, d).columns.toSeq == Seq("k", "val"))
+    // clone of a tombstone-headed table serves the schema too
+    val dst = java.nio.file.Files.createTempDirectory("dsv2_trclone").toString
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dst))
+    Versioned.cloneShallow(d, dst)
+    assert(Versioned.read(spark, dst).count() == 0L)
+    assert(Versioned.read(spark, dst).columns.toSeq == Seq("k", "val"))
   }
 
   test("append lands under a pending column RENAME via physical-name staging") {
