@@ -1857,7 +1857,10 @@ object Versioned {
     * first-group commits against the recorded schema. */
   def truncateCommit(spark: SparkSession, dir: String): Int = {
     val parent = latestVersion(dir)
-    require(parent > 0, s"nothing to truncate at $dir")
+    // TRUNCATE of an empty (v0) table is legal SQL and a NO-OP — there
+    // is no snapshot to tombstone and nothing to record (the catalog's
+    // schema sidecar already serves the empty read)
+    if (parent == 0) return 0
     val ddl = read(spark, dir, parent).schema.toDDL
     val v = parent + 1
     val json = manifestJson(v, parent, overwrite = true, Seq.empty,

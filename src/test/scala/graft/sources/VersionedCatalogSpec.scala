@@ -250,6 +250,10 @@ class VersionedCatalogSpec extends SparkSpec {
   test("SQL TRUNCATE TABLE: O(1) tombstone, time travel intact, re-insert works") {
     warehouse
     spark.sql("CREATE TABLE lakecat.ns.tr (k BIGINT, v DOUBLE)")
+    // legal SQL on an EMPTY (v0) table: a no-op, not an error
+    spark.sql("TRUNCATE TABLE lakecat.ns.tr")
+    assert(Versioned.latestVersion(s"$warehouse/ns/tr") == 0)
+    assert(spark.table("lakecat.ns.tr").count() == 0L)
     spark.sql("INSERT INTO lakecat.ns.tr SELECT id, id*1.0 FROM range(0, 10)")
     spark.sql("INSERT INTO lakecat.ns.tr SELECT id, id*1.0 FROM range(10, 20)")
     val dir = s"$warehouse/ns/tr"
