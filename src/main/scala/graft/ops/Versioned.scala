@@ -93,6 +93,14 @@ object Versioned {
   private def manifestPath(dir: String, v: Int): Path =
     manifestDir(dir).resolve(s"v$v.json")
 
+  /** Reserved `__tg=` value for deletion-vector keys routed to NO data
+    * group (outside every group's [min,max] at delete time). Never a
+    * real group name (groups are `c{v}`/`d{v}`/hive subpaths), so a
+    * reader's per-group lookup skips it; the out-of-scope full union
+    * includes it — preserving the carried-forward mask for keys a later
+    * append may re-insert, like the legacy flat layout. */
+  private[graft] val NoneGroup: String = "__none"
+
   /** A manifest group entry is normally a commit-dir NAME under this
     * table's `data/` (possibly a hive-style subdir, e.g. a z-bucket of
     * one compaction commit); a shallow clone ([[cloneShallow]]) instead
@@ -975,7 +983,12 @@ object Versioned {
     // by target group (`__tg=<group>/`). A reader then loads ONLY its
     // own group's vector — no global key union on the driver, no size
     // cap, and untouched groups pay zero per-row masking. Keys landing
-    // in no group's range delete nothing and are dropped. Without
+    // in no group's range go to the reserved `__tg=__none` partition:
+    // they cannot exist in any in-scope group (outside every [min,max]),
+    // but the carried-forward-mask contract says a deleted key stays
+    // masked if a LATER append re-inserts it, so they must persist —
+    // readers fold `__none` into the out-of-scope full union only,
+    // identical to the legacy flat layout's semantics. Without
     // usable stats the legacy single-file layout applies to all groups
     // (the conservative plan, like applyDeletesCommit's fallback).
     val groups = readManifest(dir, parent)
@@ -984,19 +997,28 @@ object Versioned {
       groups.forall(ranges.contains)
     val wroteGroup: Boolean =
       if (statsUsable) {
+        import org.apache.spark.sql.functions.coalesce
+        import org.apache.spark.sql.functions.lit
         val rangeDf = spark.createDataFrame(
           groups.map(g => (g, ranges(g)._1, ranges(g)._2)))
           .toDF("__tg", "__lo", "__hi")
         val routed = keys.join(broadcast(rangeDf),
             keys(key).cast("long") >= col("__lo") &&
-              keys(key).cast("long") <= col("__hi"))
-          .select(keys(key), col("__tg"))
-        // the routed frame is small by design (O(deleted keys × touched
-        // groups)); one task writes one file per touched group
+              keys(key).cast("long") <= col("__hi"), "left")
+          .select(keys(key),
+            coalesce(col("__tg"), lit(NoneGroup)).as("__tg"))
+        // O(deleted keys × touched groups) rows; hash-repartition on the
+        // target group so EACH touched group's vector is written by its
+        // own task — a big-delete regime (quarter-table GDPR erasure at
+        // 100 TB) routes billions of keys, and a single write task would
+        // be the same funnel shape topFraction retired. The hive layout
+        // is unchanged: one file per `__tg=` dir (all rows of a group
+        // hash to one partition; a task owning two colliding groups
+        // still writes one file per dir).
         routed.persist()
         val any = !routed.isEmpty
         if (any) {
-          routed.repartition(1).write.partitionBy("__tg")
+          routed.repartition(col("__tg")).write.partitionBy("__tg")
             .mode("errorifexists").parquet(s"$dir/data/$dgroup")
           // the routing SCOPE: the groups that existed when this delete
           // was routed. A data group appended LATER is outside the

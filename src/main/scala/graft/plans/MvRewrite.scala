@@ -462,8 +462,18 @@ object MvRewrite extends Rule[LogicalPlan] {
                     org.apache.spark.sql.types.DecimalType(20, 0)),
                   EvalMode.LEGACY), a.dataType)
               case _ =>
-                Divide(Cast(sumFold, a.dataType), Cast(cntFold, a.dataType),
-                  EvalMode.LEGACY)
+                // Average's buffer sums in DOUBLE for every non-decimal
+                // child — fold in the SAME domain: an integral MV
+                // partial is cast to double BEFORE the summation
+                // (advice r14: summing LONG partials exactly and
+                // casting once diverges bitwise beyond 2^53 total and
+                // wraps silently on LONG overflow under LEGACY mode —
+                // and the rewrite fires on any user query over a
+                // registered MV, not just the gated suite). A DOUBLE
+                // partial's cast is a no-op, so one shape serves both.
+                Divide(Sum(Cast(mvAttr(ms.mvCol), a.dataType))
+                    .toAggregateExpression(),
+                  Cast(cntFold, a.dataType), EvalMode.LEGACY)
             }
           }
         case _ => None

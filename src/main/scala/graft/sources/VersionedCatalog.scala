@@ -251,6 +251,9 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
     finally s.close()
+    // a re-CREATE at this path must re-read footers, even on a
+    // filesystem whose mtime granularity can't see a fast recreate
+    VersionedSource.invalidateUnder(tableDir(ident))
     true
   }
 
@@ -259,6 +262,10 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
     if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(Paths.get(tableDir(newIdent)).getParent)
     Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(newIdent)))
+    // the vacated path may be re-created; the target path may shadow a
+    // previously-cached (dropped) table's entries
+    VersionedSource.invalidateUnder(tableDir(oldIdent))
+    VersionedSource.invalidateUnder(tableDir(newIdent))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

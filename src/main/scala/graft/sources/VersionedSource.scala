@@ -137,13 +137,35 @@ private[sources] object VersionedSource {
   private def groupSchema(spark: SparkSession, d: String): StructType = {
     if (groupSchemaCache.size() > 65536) groupSchemaCache.clear()
     // keyed on dir + mtime (one stat, vs a footer read): a DROPped and
-    // re-created table at the SAME path must not serve the old schema
-    val mtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(new Path(d).toUri.getPath)).toMillis
-      catch { case _: Exception => 0L }
-    groupSchemaCache.computeIfAbsent(s"$d@$mtime",
-      _ => spark.read.parquet(d).schema)
+    // re-created table at the SAME path must not serve the old schema.
+    // The stat goes through the Hadoop FileSystem (scheme'd paths —
+    // s3a://, hdfs:// — stat correctly where a raw NIO probe cannot);
+    // a FAILED stat bypasses the cache entirely and reads the footer
+    // (fail closed — keying on a sentinel would collapse to dir-only
+    // and serve a stale schema forever, the exact hazard the mtime key
+    // prevents). DROP/RENAME also invalidate via [[invalidateUnder]],
+    // which covers same-millisecond recreates on coarse-mtime
+    // filesystems in-JVM (advice r14).
+    val p = new Path(d)
+    val mtime: Option[Long] =
+      try Some(p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).getModificationTime)
+      catch { case _: Exception => None }
+    mtime match {
+      case Some(t) => groupSchemaCache.computeIfAbsent(s"$d@$t",
+        _ => spark.read.parquet(d).schema)
+      case None => spark.read.parquet(d).schema
+    }
+  }
+
+  /** Drop every cached group schema under `tableDir` — called by the
+    * catalog's DROP/RENAME so an in-JVM recreate at the same path never
+    * serves the old table's schema even when the filesystem's mtime
+    * granularity (1 s on some) cannot distinguish the recreate. */
+  def invalidateUnder(tableDir: String): Unit = {
+    val prefix = tableDir.stripSuffix("/") + "/"
+    groupSchemaCache.keySet.removeIf(k =>
+      k.startsWith(prefix) || k.startsWith(tableDir + "@"))
   }
 
   def mergedGroupSchema(spark: SparkSession, groupDirs: Seq[String])
@@ -236,8 +258,9 @@ private[sources] class VersionedTable(tableSchema: StructType,
     * rewrite the WHOLE snapshot. At 100 TB that is the difference
     * between a touched-group delete and a full-table rewrite; the
     * "simple" translatable predicates are exactly the ones most likely
-    * to be group-clustered. (Full truncation is refused downstream —
-    * a Versioned table cannot be empty; DROP or INSERT OVERWRITE.) */
+    * to be group-clustered. (Full truncation has its own first-class
+    * O(1) verb — [[truncateTable]] below, backed by
+    * [[graft.ops.Versioned.truncateCommit]]'s tombstone snapshot.) */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = false
 
   override def deleteWhere(filters: Array[Filter]): Unit =

@@ -516,14 +516,32 @@ class VersionedSourceSpec extends SparkSpec {
     val vecs2 = VersionedScan.morVectorFiles(Versioned.connectorPlan(d),
       spark.sessionState.newHadoopConf())
     assert(vecs2.keySet == Set("c2", "c4"), s"got ${vecs2.keySet}")
-    // keys matching NO group's range delete nothing and add no group
+    // keys matching NO group's range persist under the reserved
+    // __tg=__none partition: they cannot exist in any in-scope group
+    // (outside every [min,max]), but the carried-forward-mask contract
+    // says a deleted key stays masked if a LATER append re-inserts it —
+    // identical to the legacy flat layout's semantics (advice r15)
     val vBefore = Versioned.latestVersion(d)
     Versioned.deleteCommitMor(
       spark.range(5000, 5010).select(col("id").as("k")), d, "k")
     assert(Versioned.latestVersion(d) == vBefore + 1)
     assert(Versioned.readDeletes(d, vBefore + 1)._1.size ==
-      Versioned.readDeletes(d, vBefore)._1.size)
+      Versioned.readDeletes(d, vBefore)._1.size + 1)
+    val noneDirs = new java.io.File(s"$d/data/d${vBefore + 1}").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(noneDirs == Set("__tg=__none"), s"got $noneDirs")
     assert(load0(d).count() == 385L)
+    // in-scope groups pay NOTHING for the unrouted keys: the per-group
+    // vector map is unchanged (__none matches no data group)
+    val vecs3 = VersionedScan.morVectorFiles(Versioned.connectorPlan(d),
+      spark.sessionState.newHadoopConf())
+    assert(vecs3.keySet == Set("c2", "c4"), s"got ${vecs3.keySet}")
+    // a LATER append re-inserting an unrouted key is OUT of the
+    // delete's recorded scope → the full union (incl. __none) masks it
+    Versioned.commit(spark.range(5000, 5002).select(col("id").as("k")),
+      d, statsCol = Some("k"))
+    assert(load0(d).count() == 385L)
+    assert(Versioned.read(spark, d).count() == 385L)
     // fold: applyDeletesCommit still clears everything
     Versioned.applyDeletesCommit(spark, d)
     assert(load0(d).count() == 385L)
