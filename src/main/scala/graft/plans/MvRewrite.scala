@@ -53,7 +53,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *  - aggregate functions must be non-DISTINCT, FILTER-free COUNT(lit) /
   *    COUNT(col) / SUM(col or CAST(col)) / MIN / MAX with the exact child
   *    shape registered for the MV (a `CAST(x AS DECIMAL(18,2))` measure
-  *    matches only that cast).
+  *    matches only that cast) — plus exact `COUNT(DISTINCT x)` when the
+  *    MV was registered DISTINCT-PRESERVING over x
+  *    ([[Mv.Entry.distinctCols]]: the MV grain is groupCols ++
+  *    distinctCols, so a distinct count over the MV replays the base's).
+  *    Other distinct aggregates (SUM(DISTINCT), AVG(DISTINCT)) decline.
   */
 object Mv {
 
@@ -67,14 +71,30 @@ object Mv {
     * when the base is a VERSIONED table and the MV was built from its
     * snapshot v — the rewrite then fires ONLY on scans pinned to exactly
     * v (staleness safety: after an append the query falls through to the
-    * base plan, always correct, until [[refreshVersioned]]). */
+    * base plan, always correct, until [[refreshVersioned]]).
+    *
+    * `distinctCols`: extra base columns folded into the MV GRAIN
+    * (stored grouping = groupCols ++ distinctCols) so the MV is
+    * DISTINCT-PRESERVING over them: `COUNT(DISTINCT x)` folds EXACTLY to
+    * a distinct count of the MV's `x` column re-grouped by the query
+    * keys — every surviving (groupCols, x) combination appears exactly
+    * once per grain row, and re-grouping by a SUBSET of groupCols keeps
+    * the distinct (classic duplicate-insensitive rollup). All other
+    * folds stay exact at the finer grain (SUM/COUNT partials add across
+    * grain rows, MIN/MAX nest). The MV grows from |groups| to
+    * |groups × distinct x| rows — still metadata-sized next to a fact
+    * whose distinct-count query would otherwise shuffle every row. */
   final case class Entry(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
       cntCol: String,
       measures: Seq[Measure],
-      baseVersion: Option[Int] = None)
+      baseVersion: Option[Int] = None,
+      distinctCols: Seq[String] = Seq.empty) {
+    /** The MV's stored grouping — what every build/refresh groups by. */
+    def grainCols: Seq[String] = groupCols ++ distinctCols
+  }
 
   /** Registry keyed by the canonical base path (URI path, trailing-slash
     * stripped) — the same form [[HadoopFsRelation]] root paths reduce to. */
@@ -145,18 +165,19 @@ object Mv {
     * content is a pure function of the immutable base). */
   def create(spark: SparkSession, basePath: String, mvPath: String,
       groupCols: Seq[String],
-      measures: Seq[(String, String, Option[DataType])]): Entry = {
+      measures: Seq[(String, String, Option[DataType])],
+      distinctCols: Seq[String] = Seq.empty): Entry = {
     val ms = measures.zipWithIndex.map { case ((kind, c, cast), i) =>
       Measure(kind, c, cast, s"__m$i")
     }
     val done = new java.io.File(mvPath, "_SUCCESS")
     if (!done.isFile) {
-      // |groups| rows — tiny next to the fact; one shuffle, once per load.
-      partialsOf(spark.read.parquet(basePath), groupCols, ms)
+      // |grain| rows — tiny next to the fact; one shuffle, once per load.
+      partialsOf(spark.read.parquet(basePath), groupCols ++ distinctCols, ms)
         .write.mode("overwrite").parquet(mvPath)
     }
     val e = Entry(canonical(basePath), mvPath, groupCols.map(_.toLowerCase),
-      "__cnt", ms)
+      "__cnt", ms, distinctCols = distinctCols.map(_.toLowerCase))
     registry.put(e.basePath, e)
     e
   }
@@ -176,7 +197,8 @@ object Mv {
     * holds. */
   def createVersioned(spark: SparkSession, tableDir: String, mvPath: String,
       groupCols: Seq[String],
-      measures: Seq[(String, String, Option[DataType])]): Entry = {
+      measures: Seq[(String, String, Option[DataType])],
+      distinctCols: Seq[String] = Seq.empty): Entry = {
     val ms = measures.zipWithIndex.map { case ((kind, c, cast), i) =>
       Measure(kind, c, cast, s"__m$i")
     }
@@ -189,12 +211,13 @@ object Mv {
         val head = graft.ops.Versioned.latestVersion(tableDir)
         require(head > 0, s"nothing to materialize at $tableDir")
         partialsOf(graft.ops.Versioned.read(spark, tableDir, head),
-          groupCols, ms).write.mode("overwrite").parquet(mvPath)
+          groupCols ++ distinctCols, ms).write.mode("overwrite").parquet(mvPath)
         java.nio.file.Files.write(sidecar, head.toString.getBytes("UTF-8"))
         head
       }
     val e = Entry(canonical(tableDir), mvPath, groupCols.map(_.toLowerCase),
-      "__cnt", ms, baseVersion = Some(v))
+      "__cnt", ms, baseVersion = Some(v),
+      distinctCols = distinctCols.map(_.toLowerCase))
     registry.put(e.basePath, e)
     e
   }
@@ -251,7 +274,7 @@ object Mv {
       newMvPath: String): Entry = {
     val old = spark.read.parquet(entry.mvPath)
     val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
-    val deltaPart = partialsOf(delta, entry.groupCols, entry.measures)
+    val deltaPart = partialsOf(delta, entry.grainCols, entry.measures)
     val folds = (Seq((entry.cntCol, "sum")) ++
         entry.measures.map(m => (m.mvCol, m.kind match {
           case "count" => "sum"
@@ -267,7 +290,7 @@ object Mv {
       f.cast(oldTypes(c)).as(c)
     }
     old.unionByName(deltaPart)
-      .groupBy(entry.groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .groupBy(entry.grainCols.map(org.apache.spark.sql.functions.col): _*)
       .agg(folds.head, folds.tail: _*)
       .write.mode("overwrite").parquet(newMvPath)
     val e = entry.copy(mvPath = newMvPath)
@@ -365,7 +388,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     //    DISTINCT over a registered base falls through without touching the
     //    filesystem.
     def aggFnOk(ae: AggregateExpression): Boolean =
-      !ae.isDistinct && ae.filter.isEmpty && ae.mode == Complete &&
+      if (ae.filter.isDefined || ae.mode != Complete) false
+      else if (ae.isDistinct) ae.aggregateFunction match {
+        // COUNT(DISTINCT x) rewrites ONLY against a distinct-preserving
+        // MV whose grain carries x; any other distinct aggregate (or an
+        // unregistered column) falls through to the base plan
+        case Count(Seq(a: AttributeReference)) =>
+          entry.distinctCols.contains(a.name.toLowerCase)
+        case _ => false
+      }
+      else
         (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) => l.value != null
           case Count(Seq(child)) => matchMeasure("count", child, entry).isDefined
@@ -399,7 +431,20 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     // 3. Rewrite every aggregate function; bail on anything unsupported.
     def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete) return None
+      if (ae.filter.isDefined || ae.mode != Complete) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT x) over a distinct-preserving MV: the grain
+        // keeps every surviving (groupCols, x) combination, so a
+        // distinct count of the MV's x column re-grouped by the query
+        // keys is EXACT — including null handling (a NULL grain row
+        // exists iff the base had NULL x in that group; Count skips it
+        // both places). Still O(|MV|), not O(|fact|).
+        case Count(Seq(a: AttributeReference))
+            if entry.distinctCols.contains(a.name.toLowerCase) =>
+          Some(Count(Seq(mvAttr(a.name)))
+            .toAggregateExpression(isDistinct = true))
+        case _ => None
+      }
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           // COUNT(*) → SUM(__cnt); coalesce pins nullable=false like Count.

@@ -308,7 +308,48 @@ object MvQueries {
                SELECT 'c_refreshed_mv', o_orderstatus, COUNT(*),
                       ${Q.sqlDsum("o_totalprice")}, TRUE
                FROM o GROUP BY o_orderstatus
-               ORDER BY leg, o_orderstatus"""))
+               ORDER BY leg, o_orderstatus""")),
+
+    // MV6: DISTINCT-preserving MV (round 17) — the MV grain is
+    // groupCols ++ distinctCols (o_orderstatus × o_custkey), so EXACT
+    // COUNT(DISTINCT o_custkey) folds to a distinct count over the
+    // |status × customers|-row MV instead of shuffling the fact, with
+    // mv5's version-pinned staleness discipline on a lakehouse base.
+    // Two legs assert the rewrite fired in-plan: per-status, and the
+    // GLOBAL rollup (grouping by a subset of the MV's group keys keeps
+    // the distinct exact — COUNT DISTINCT is duplicate-insensitive).
+    // Scalar folds (COUNT(*), exact decimal SUM) ride the same
+    // finer-grain MV unchanged. Decline shapes — SUM(DISTINCT),
+    // distinct over an unregistered column, a stale pinned version —
+    // are pinned in MvRewriteSpec.
+    Q("mv6_rewrite_count_distinct",
+      (s, d) => {
+        val (dir, mvPath) = distinctMvOrders(s, d)
+        def conn() = s.read.format("graft-versioned").option("path", dir)
+          .load()
+        val per = conn().groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("cust_uniq"),
+            count(lit(1)).as("cnt"),
+            Q.dsum(col("o_totalprice")).as("total"))
+        val global = conn()
+          .agg(countDistinct(col("o_custkey")).as("cust_uniq"),
+            count(lit(1)).as("cnt"),
+            Q.dsum(col("o_totalprice")).as("total"))
+          .select(lit("_all").as("o_orderstatus"), col("cust_uniq"),
+            col("cnt"), col("total"))
+        assertScansMv(per, mvPath, dir)
+        assertScansMv(global, mvPath, dir)
+        per.unionByName(global).orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cust_uniq,
+               COUNT(*) AS cnt, ${Q.sqlDsum("o_totalprice")} AS total
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '_all', COUNT(DISTINCT o_custkey), COUNT(*),
+               ${Q.sqlDsum("o_totalprice")}
+        FROM orders
+        ORDER BY o_orderstatus"""))
   )
 
   /** mv5's versioned base + its two MV generations. Protocol runs once
@@ -361,6 +402,36 @@ object MvQueries {
     Mv.refreshVersioned(s, e1, mv2Path)
     val out = (dir, legA.unionAll(legB), mv2Path)
     val prev = vmvCache.putIfAbsent(key, out)
+    if (prev != null) prev else out
+  }
+
+  /** mv6's versioned base + its DISTINCT-preserving MV (grain
+    * o_orderstatus × o_custkey), built once per (session, sfDir). */
+  private val dmvCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def distinctMvOrders(s: SparkSession, d: String): (String, String) = {
+    val key = (s, d)
+    val hit = dmvCache.get(key)
+    if (hit != null) { Mv.enable(s); return hit }
+    dmvCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val h = Integer.toHexString(d.hashCode)
+    val dir = s"$mvRoot/mv6_table_$h"
+    val mvPath = s"$mvRoot/mv6_agg_$h"
+    if (graft.ops.Versioned.latestVersion(dir) == 0) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      graft.ops.Versioned.commit(o, dir)
+    }
+    Mv.enable(s)
+    Mv.createVersioned(s, dir, mvPath,
+      groupCols = Seq("o_orderstatus"),
+      measures = Seq(("sum", "o_totalprice", Some(DecimalType(18, 2)))),
+      distinctCols = Seq("o_custkey"))
+    val out = (dir, mvPath)
+    val prev = dmvCache.putIfAbsent(key, out)
     if (prev != null) prev else out
   }
 }

@@ -276,6 +276,66 @@ class MvRewriteSpec extends SparkSpec {
     assert(!paths.contains(Mv.canonical(mvPath)))
   }
 
+  test("distinct-preserving MV: COUNT(DISTINCT x) folds exactly per-group " +
+      "and on the global rollup; SUM(DISTINCT), unregistered columns and " +
+      "stale pinned versions decline") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft-mv-distinct").toString
+    // versioned base: 2 statuses × overlapping customer sets, nulls in the
+    // distinct column (COUNT DISTINCT skips them — the MV grain keeps a
+    // null row per group, Count skips it identically)
+    val o = spark.range(0, 300).select(
+      when(col("id") % 2 === 0, "O").otherwise("F").as("st"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 37).as("cust"),
+      (col("id") % 10).cast("double").as("amt"))
+    val dir = s"$r2/tbl"
+    graft.ops.Versioned.commit(o, dir)
+    Mv.enable(spark)
+    val e = Mv.createVersioned(spark, dir, s"$r2/mv",
+      groupCols = Seq("st"),
+      measures = Seq(("sum", "amt", Some(DecimalType(18, 2)))),
+      distinctCols = Seq("cust"))
+    def conn() = spark.read.format("graft-versioned").option("path", dir).load()
+    def usesMv(df: DataFrame): Boolean = {
+      val p = Mv.scanPaths(df)
+      p.contains(Mv.canonical(e.mvPath)) && !p.contains(Mv.canonical(dir))
+    }
+    def declines(df: DataFrame): Boolean =
+      !Mv.scanPaths(df).contains(Mv.canonical(e.mvPath))
+    // the MV grain is |st × cust| (≤ 2×38 rows), not |base|
+    assert(spark.read.parquet(e.mvPath).count() ==
+      o.select("st", "cust").distinct().count())
+    val per = conn().groupBy("st").agg(
+      countDistinct(col("cust")).as("u"), count(lit(1)).as("cnt"),
+      sum(col("amt").cast(DecimalType(18, 2))).as("s"))
+    assert(usesMv(per), per.queryExecution.optimizedPlan.toString)
+    val expPer = o.groupBy("st").agg(
+      countDistinct(col("cust")).as("u"), count(lit(1)).as("cnt"),
+      sum(col("amt").cast(DecimalType(18, 2))).as("s"))
+    assert(per.orderBy("st").collect().toSeq ==
+      expPer.orderBy("st").collect().toSeq)
+    val global = conn().agg(countDistinct(col("cust")).as("u"))
+    assert(usesMv(global), global.queryExecution.optimizedPlan.toString)
+    assert(global.head().getLong(0) ==
+      o.agg(countDistinct(col("cust"))).head().getLong(0))
+    // declines — never a wrong rewrite: SUM(DISTINCT) has no exact fold
+    // (the grain dedups (st, cust), not (st, amt)); a distinct over a
+    // column outside distinctCols is not preserved by the grain
+    assert(declines(conn().groupBy("st")
+      .agg(sum_distinct(col("amt")).as("v"))))
+    assert(declines(conn().groupBy("st")
+      .agg(countDistinct(col("amt")).as("v"))))
+    // staleness: an append moves the pinned version past the MV's —
+    // the query falls through to the base plan and serves the NEW rows
+    graft.ops.Versioned.commit(spark.range(1000, 1010).select(
+      lit("O").as("st"), col("id").as("cust"), lit(1.0).as("amt")), dir)
+    val stale = conn().groupBy("st").agg(countDistinct(col("cust")).as("u"))
+    assert(declines(stale), stale.queryExecution.optimizedPlan.toString)
+    assert(stale.filter(col("st") === "O").head().getLong(1) ==
+      graft.ops.Versioned.read(spark, dir).filter(col("st") === "O")
+        .agg(countDistinct(col("cust"))).head().getLong(0))
+  }
+
   test("downstream operators over the rewritten aggregate keep resolving (sort + projection)") {
     entry
     val df = spark.read.parquet(basePath)
