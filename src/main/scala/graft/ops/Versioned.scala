@@ -1942,9 +1942,23 @@ object Versioned {
       val tableSig = sig(read(spark, dir, parent).schema)
         .map { case (n, t) => logicalToPhys.getOrElse(n, n) -> t }
       val stagedSig = sig(spark.read.parquet(stagedDir).schema)
-      require(stagedSig == tableSig,
+      // a staged group may OMIT a column that carries a registered
+      // DEFAULT: both read paths fill defaults PER GROUP by physical
+      // absence ([[normalizedGroupsRead]] / the connector's per-file
+      // reader), so the group reads complete anyway — and this is what
+      // lets a RUNNING streaming sink survive a mid-stream ALTER ADD
+      // COLUMN (its writer schema was fixed at query start; the next
+      // epoch's staged files simply lack the new column). Present
+      // columns still type-check exactly; unknown staged columns and
+      // missing UNDEFAULTED columns still refuse loudly.
+      val defaults = readDefaults(dir, parent)
+      val missingUndefaulted = (tableSig.keySet -- stagedSig.keySet)
+        .filterNot(p => defaults.contains(renames.getOrElse(p, p)))
+      require(missingUndefaulted.isEmpty && stagedSig.forall {
+          case (n, t) => tableSig.get(n).contains(t) },
         s"staged append schema $stagedSig does not match the table's " +
-          s"physical layout $tableSig" +
+          s"physical layout $tableSig (missing undefaulted: " +
+          s"$missingUndefaulted)" +
           (if (renames.isEmpty) ""
            else " (pending column mapping: stage in PHYSICAL names, " +
              s"logical→physical = $logicalToPhys)"))

@@ -1177,9 +1177,18 @@ private[sources] class VersionedWrite(info: LogicalWriteInfo,
       "graft-versioned streaming sink is append-only — complete/update " +
         "output modes would overwrite a consumed snapshot per epoch")
     val dir = validatedDir()
-    // same physical-name translation as toBatch; resolved once at query
-    // start — a rename landing mid-stream fails the next epoch's commit
-    // loudly rather than mixing layouts in one snapshot
+    // same physical-name translation as toBatch, resolved once at query
+    // start — and that stays CORRECT across any mid-stream ALTER RENAME:
+    // renames never change physical names (the column-mapping design),
+    // so the stream's logical fields map to their permanent physical
+    // names once and every later epoch commits under the then-current
+    // mapping (pinned: VersionedSourceSpec "mid-stream ALTER"). Do NOT
+    // re-resolve per epoch: a rename-then-reuse (RENAME k→old, ADD
+    // COLUMN k) would re-map the stream's stale logical name onto the
+    // NEW column and mis-route its data. A mid-stream ADD COLUMN is
+    // survived by the staged-commit defaults relaxation instead
+    // (graft.ops.Versioned.commitStagedGroup — omitted defaulted
+    // columns are filled per group at read time).
     new VersionedStreamingWrite(
       graft.ops.Versioned.stagedWriteSchema(dir, info.schema(),
         overwrite = false),

@@ -445,6 +445,63 @@ class VersionedSourceSpec extends SparkSpec {
     assert(stream.latestOffset().json() == """{"version":3}""")
   }
 
+  test("mid-stream ALTER survives: RENAME commits the next epoch under " +
+      "the new mapping; ADD COLUMN fills the default for epoch groups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dsv2_srename")
+    val (table, ckpt) = (s"$base/table", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    Versioned.commit(spark.range(0, 5).select(col("id").as("k")), table)
+    val q = mem.toDF().select(col("value").as("k"))
+      .writeStream.format("graft-versioned")
+      .option("path", table).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(10L, 11L)
+      q.processAllAvailable()
+      assert(Versioned.read(spark, table).count() == 7)
+      // RENAME between epochs of the RUNNING query: physical names are
+      // rename-stable, so the query-start logical→physical translation
+      // stays correct and the next epoch commits cleanly — no restart
+      Versioned.renameColumnCommit(spark, table, "k", "key")
+      mem.addData(12L, 13L)
+      q.processAllAvailable()
+      val afterRename = load0(table)
+      assert(afterRename.schema.fieldNames.toSeq == Seq("key"))
+      assert(afterRename.count() == 9)
+      assert(Versioned.read(spark, table).agg(sum("key")).as[Long].head() ==
+        (0L until 5L).sum + 10L + 11L + 12L + 13L)
+    } finally q.stop()
+    // ADD COLUMN with a DEFAULT mid-stream (separate table — ADD after
+    // RENAME is gated by design): the stream's writer schema was fixed
+    // at query start, so epoch groups OMIT the new column — the staged
+    // commit tolerates omitted DEFAULTED columns and both read paths
+    // fill them per group by physical absence
+    val table2 = s"$base/table2"
+    val mem2 = MemoryStream[Long]
+    Versioned.commit(spark.range(0, 5).select(col("id").as("k")), table2)
+    val q2 = mem2.toDF().select(col("value").as("k"))
+      .writeStream.format("graft-versioned")
+      .option("path", table2).option("checkpointLocation", s"$base/ckpt2")
+      .outputMode("append").start()
+    try {
+      mem2.addData(10L)
+      q2.processAllAvailable()
+      Versioned.addColumnCommit(spark, table2, "src", "STRING", "stream")
+      mem2.addData(14L)
+      q2.processAllAvailable()
+      val afterAdd = load0(table2)
+      assert(afterAdd.schema.fieldNames.toSet == Set("k", "src"))
+      assert(afterAdd.count() == 7)
+      assert(afterAdd.filter(col("k") === 14L).select("src")
+        .as[String].head() == "stream")
+      assert(Versioned.read(spark, table2).filter(col("k") === 14L)
+        .select("src").as[String].head() == "stream")
+    } finally q2.stop()
+  }
+
   test("native streaming sink: epoch appends land exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
