@@ -238,7 +238,12 @@ object Bench {
       s""""reps":${gated.map(r => "\"" + r._1 + "\":[" +
         r._4.map(fmt).mkString(",") + "]").mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir"}"""
-    // subset runs (perf attribution) must not clobber the full-board artifact
+    // subset runs (perf attribution) must not clobber the full-board
+    // artifact. bench_full.json itself is UNTRACKED (.gitignore): the
+    // driver re-runs Bench in contended windows and was overwriting the
+    // committed quiet number of record — the quiet artifact is committed
+    // separately as bench_full.quiet.json (r14 verdict item 5), so the
+    // two windows stop fighting over one path.
     val fullPath = if (only.isEmpty) "bench_full.json" else "bench_subset.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))

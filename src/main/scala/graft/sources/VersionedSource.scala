@@ -837,7 +837,7 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
   private val maskKeyPhys: String =
     if (morVectorFiles.isEmpty) null
     else morKey.map(k => logicalToPhysical.getOrElse(k, k)).orNull
-  private val maskSet: Set[Any] =
+  private val maskSet: MorMask =
     if (maskKeyPhys == null) null
     else VersionedPartitionReader.morMask(morVectorFiles, maskKeyPhys, conf)
 
@@ -864,23 +864,27 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
 
   /** TRUE iff the row's delete-key value is in the mask — the per-row
     * half of the merge-on-read anti-join ([[graft.ops.Versioned]]'s
-    * applyMorDeletes); NULL keys never match (anti-join equality). */
+    * applyMorDeletes); NULL keys never match (anti-join equality).
+    * Integral keys probe the primitive [[LongMorMask]] with ZERO
+    * boxing/allocation — this loop runs once per surviving row of every
+    * masked group, the big-delete read's hot path. */
   private def isMasked(g: Group): Boolean = {
     val schema = g.getType.asInstanceOf[GroupType]
     if (!schema.containsField(maskKeyPhys)) return false
     val idx = schema.getFieldIndex(maskKeyPhys)
     if (g.getFieldRepetitionCount(idx) == 0) return false // NULL key
-    val v: Any = present(maskKeyPhys).getPrimitiveTypeName match {
-      case PrimitiveTypeName.INT64 => g.getLong(idx, 0)
-      case PrimitiveTypeName.INT32 => g.getInteger(idx, 0)
-      case PrimitiveTypeName.DOUBLE => g.getDouble(idx, 0)
-      case PrimitiveTypeName.FLOAT => g.getFloat(idx, 0)
-      case PrimitiveTypeName.BOOLEAN => g.getBoolean(idx, 0)
-      case PrimitiveTypeName.BINARY =>
-        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-      case _ => return false
+    present(maskKeyPhys).getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => maskSet.containsLong(g.getLong(idx, 0))
+      case PrimitiveTypeName.INT32 =>
+        maskSet.containsLong(g.getInteger(idx, 0).toLong)
+      case PrimitiveTypeName.DOUBLE => maskSet.containsAny(g.getDouble(idx, 0))
+      case PrimitiveTypeName.FLOAT => maskSet.containsAny(g.getFloat(idx, 0))
+      case PrimitiveTypeName.BOOLEAN =>
+        maskSet.containsAny(g.getBoolean(idx, 0))
+      case PrimitiveTypeName.BINARY => maskSet.containsAny(
+        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
+      case _ => false
     }
-    maskSet.contains(v)
   }
 
   override def next(): Boolean = {
@@ -924,6 +928,89 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
   override def close(): Unit = reader.close()
 }
 
+/** A loaded deletion vector, probe-specialized by key type. The masked
+  * read probes once per row of a masked group, so the common integral
+  * case must cost no allocation ([[LongMorMask]]); everything else
+  * keeps boxed-set semantics ([[AnyMorMask]]). */
+private[sources] sealed trait MorMask {
+  def containsLong(v: Long): Boolean
+  def containsAny(v: Any): Boolean
+  /** Stored key count — feeds the cache's byte-shaped clear policy. */
+  def size: Long
+}
+
+/** Open-addressing primitive long set (linear probing, Murmur3
+  * finalizer, load ≤ ~0.66): ~16 bytes/key, zero-allocation probes.
+  * 0L is the empty-slot sentinel; key 0 rides a flag. */
+private[sources] final class LongMorMask private (table: Array[Long],
+    hasZero: Boolean, val size: Long) extends MorMask {
+  override def containsLong(v: Long): Boolean = {
+    if (v == 0L) return hasZero
+    val m = table.length - 1
+    var i = (LongMorMask.mix(v) & m).toInt
+    var t = table(i)
+    while (t != 0L) {
+      if (t == v) return true
+      i = (i + 1) & m
+      t = table(i)
+    }
+    false
+  }
+  override def containsAny(v: Any): Boolean = v match {
+    case l: Long => containsLong(l)
+    case i: Int => containsLong(i.toLong)
+    case _ => false
+  }
+}
+
+private[sources] object LongMorMask {
+  /** Murmur3 64-bit finalizer — full avalanche, so sequential ids
+    * (range-generated keys, the common shape) spread uniformly. */
+  private[sources] def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Build from the first `n` entries of `keys` (duplicates across
+    * delete files collapse — the vector is a set). */
+  def build(keys: Array[Long], n: Int): LongMorMask = {
+    var cap = 16
+    while (cap < n + (n >> 1)) cap <<= 1 // load factor ≤ ~0.66
+    val table = new Array[Long](cap)
+    val m = cap - 1
+    var hasZero = false
+    var distinct = 0L
+    var k = 0
+    while (k < n) {
+      val v = keys(k)
+      if (v == 0L) {
+        if (!hasZero) { hasZero = true; distinct += 1 }
+      } else {
+        var i = (mix(v) & m).toInt
+        var t = table(i)
+        var dup = false
+        while (t != 0L && !dup) {
+          if (t == v) dup = true
+          else { i = (i + 1) & m; t = table(i) }
+        }
+        if (!dup) { table(i) = v; distinct += 1 }
+      }
+      k += 1
+    }
+    new LongMorMask(table, hasZero, distinct)
+  }
+}
+
+/** Boxed fallback for non-integral delete keys (strings, doubles). */
+private[sources] final class AnyMorMask(set: Set[Any]) extends MorMask {
+  override def containsLong(v: Long): Boolean = set.contains(v)
+  override def containsAny(v: Any): Boolean = set.contains(v)
+  override def size: Long = set.size.toLong
+}
+
 private[sources] object VersionedPartitionReader {
 
   /** Rewrite a pushed filter's column names logical → physical (the
@@ -951,15 +1038,16 @@ private[sources] object VersionedPartitionReader {
     * row values (INT32 DATE = epoch days, BINARY = UTF8String). NULL
     * keys are excluded: anti-join equality never matches NULL. */
   private val morMaskCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Any]]()
+    new java.util.concurrent.ConcurrentHashMap[String, MorMask]()
   /** Total keys held across cached vectors — the clear policy is
     * BYTE-shaped, not entry-shaped: stale versions' big vectors must
     * not pin executor memory until 4096 entries accumulate. ~32M keys
-    * ≈ a few hundred MB worst case, well under executor headroom. */
+    * ≈ a few hundred MB worst case (16 B/key in the primitive long
+    * table), well under executor headroom. */
   private val morMaskCachedKeys = new java.util.concurrent.atomic.AtomicLong(0)
 
   def morMask(files: Seq[String], key: String, conf: Configuration)
-      : Set[Any] = {
+      : MorMask = {
     if (morMaskCache.size() > 4096 ||
         morMaskCachedKeys.get() > (1L << 25)) {
       morMaskCache.clear()
@@ -967,6 +1055,21 @@ private[sources] object VersionedPartitionReader {
     }
     morMaskCache.computeIfAbsent(
       files.sorted.mkString("\n") + "#" + key, _ => {
+        // INTEGRAL keys (the common case — the gated tables key on
+        // LONG ids) load into a primitive open-addressing table:
+        // ~16 B/key and a boxing-free per-row probe, vs a boxed
+        // HashSet's ~60 B/key and an allocation per probe. Mixed or
+        // non-integral key types keep the generic set.
+        val allLong = {
+          val types = files.flatMap(f =>
+            schemaOf(new Path(f), conf).getFields.asScala.collectFirst {
+              case p: PrimitiveType if p.getName == key =>
+                p.getPrimitiveTypeName
+            })
+          types.nonEmpty && types.forall(t =>
+            t == PrimitiveTypeName.INT64 || t == PrimitiveTypeName.INT32)
+        }
+        val longs = new scala.collection.mutable.ArrayBuilder.ofLong
         val out = scala.collection.mutable.HashSet.empty[Any]
         files.foreach { f =>
           val path = new Path(f)
@@ -989,20 +1092,26 @@ private[sources] object VersionedPartitionReader {
                 if (gt.containsField(key)) {
                   val idx = gt.getFieldIndex(key)
                   if (g.getFieldRepetitionCount(idx) > 0) {
-                    val v: Option[Any] = p.getPrimitiveTypeName match {
-                      case PrimitiveTypeName.INT64 => Some(g.getLong(idx, 0))
-                      case PrimitiveTypeName.INT32 =>
-                        Some(g.getInteger(idx, 0))
-                      case PrimitiveTypeName.DOUBLE =>
-                        Some(g.getDouble(idx, 0))
-                      case PrimitiveTypeName.FLOAT => Some(g.getFloat(idx, 0))
-                      case PrimitiveTypeName.BOOLEAN =>
-                        Some(g.getBoolean(idx, 0))
-                      case PrimitiveTypeName.BINARY => Some(
-                        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
-                      case _ => None
+                    if (allLong) p.getPrimitiveTypeName match {
+                      case PrimitiveTypeName.INT64 => longs += g.getLong(idx, 0)
+                      case _ => longs += g.getInteger(idx, 0).toLong
                     }
-                    v.foreach(out += _)
+                    else {
+                      val v: Option[Any] = p.getPrimitiveTypeName match {
+                        case PrimitiveTypeName.INT64 => Some(g.getLong(idx, 0))
+                        case PrimitiveTypeName.INT32 =>
+                          Some(g.getInteger(idx, 0))
+                        case PrimitiveTypeName.DOUBLE =>
+                          Some(g.getDouble(idx, 0))
+                        case PrimitiveTypeName.FLOAT => Some(g.getFloat(idx, 0))
+                        case PrimitiveTypeName.BOOLEAN =>
+                          Some(g.getBoolean(idx, 0))
+                        case PrimitiveTypeName.BINARY => Some(
+                          UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
+                        case _ => None
+                      }
+                      v.foreach(out += _)
+                    }
                   }
                 }
                 g = r.read()
@@ -1010,8 +1119,13 @@ private[sources] object VersionedPartitionReader {
             } finally r.close()
           }
         }
-        morMaskCachedKeys.addAndGet(out.size.toLong)
-        out.toSet
+        val mask: MorMask =
+          if (allLong) {
+            val arr = longs.result()
+            LongMorMask.build(arr, arr.length)
+          } else new AnyMorMask(out.toSet)
+        morMaskCachedKeys.addAndGet(mask.size)
+        mask
       })
   }
 
