@@ -53,11 +53,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *  - aggregate functions must be non-DISTINCT, FILTER-free COUNT(lit) /
   *    COUNT(col) / SUM(col or CAST(col)) / MIN / MAX with the exact child
   *    shape registered for the MV (a `CAST(x AS DECIMAL(18,2))` measure
-  *    matches only that cast) — plus exact `COUNT(DISTINCT x)` when the
-  *    MV was registered DISTINCT-PRESERVING over x
-  *    ([[Mv.Entry.distinctCols]]: the MV grain is groupCols ++
-  *    distinctCols, so a distinct count over the MV replays the base's).
-  *    Other distinct aggregates (SUM(DISTINCT), AVG(DISTINCT)) decline.
+  *    matches only that cast) — plus exact COUNT/SUM/AVG/MIN/MAX
+  *    `(DISTINCT x)` when the MV was registered DISTINCT-PRESERVING
+  *    over x ([[Mv.Entry.distinctCols]]: the MV grain is groupCols ++
+  *    distinctCols, so any distinct aggregate over the MV's x column
+  *    sees the base's exact post-dedup value set). Distinct aggregates
+  *    over unregistered columns or non-column children decline.
   */
 object Mv {
 
@@ -343,6 +344,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** TRUE when `e` is a bare reference to one of the MV's
+    * distinct-grain columns — the shape-only half of [[rewriteWith]]'s
+    * `grainAttr` (no MV relation needed, used by the cheap pre-check). */
+  private def isDistinctGrainCol(e: Expression, entry: Mv.Entry): Boolean =
+    e match {
+      case a: AttributeReference =>
+        entry.distinctCols.contains(a.name.toLowerCase)
+      case _ => false
+    }
+
   private def rootPath(lr: LogicalRelation): Option[String] =
     lr.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
@@ -390,11 +401,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     def aggFnOk(ae: AggregateExpression): Boolean =
       if (ae.filter.isDefined || ae.mode != Complete) false
       else if (ae.isDistinct) ae.aggregateFunction match {
-        // COUNT(DISTINCT x) rewrites ONLY against a distinct-preserving
-        // MV whose grain carries x; any other distinct aggregate (or an
+        // distinct aggregates rewrite ONLY against a distinct-preserving
+        // MV whose grain carries the bare column; anything else (or an
         // unregistered column) falls through to the base plan
-        case Count(Seq(a: AttributeReference)) =>
-          entry.distinctCols.contains(a.name.toLowerCase)
+        case f @ (_: Count | _: Sum | _: Min | _: Max | _: Average)
+            if f.children.length == 1 =>
+          f.children.head match {
+            case a: AttributeReference =>
+              entry.distinctCols.contains(a.name.toLowerCase)
+            case _ => false
+          }
         case _ => false
       }
       else
@@ -402,8 +418,10 @@ object MvRewrite extends Rule[LogicalPlan] {
           case Count(Seq(l: Literal)) => l.value != null
           case Count(Seq(child)) => matchMeasure("count", child, entry).isDefined
           case Sum(child, _) => matchMeasure("sum", child, entry).isDefined
-          case Min(child) => matchMeasure("min", child, entry).isDefined
-          case Max(child) => matchMeasure("max", child, entry).isDefined
+          case Min(child) => matchMeasure("min", child, entry).isDefined ||
+            isDistinctGrainCol(child, entry)
+          case Max(child) => matchMeasure("max", child, entry).isDefined ||
+            isDistinctGrainCol(child, entry)
           case Average(child, _) =>
             matchMeasure("sum", child, entry).isDefined &&
               matchMeasure("count", child, entry).isDefined
@@ -429,21 +447,39 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     def mvAttr(name: String): AttributeReference = mvOut(name.toLowerCase)
 
+    /** The MV attribute serving `e` when it is a bare reference to a
+      * distinct-grain column (stored verbatim in the MV). */
+    def grainAttr(e: Expression, entry: Mv.Entry)
+        : Option[AttributeReference] = e match {
+      case a: AttributeReference
+          if entry.distinctCols.contains(a.name.toLowerCase) =>
+        Some(mvAttr(a.name))
+      case _ => None
+    }
+
     // 3. Rewrite every aggregate function; bail on anything unsupported.
     def rewriteAggFn(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.isDefined || ae.mode != Complete) return None
-      if (ae.isDistinct) return ae.aggregateFunction match {
-        // COUNT(DISTINCT x) over a distinct-preserving MV: the grain
-        // keeps every surviving (groupCols, x) combination, so a
-        // distinct count of the MV's x column re-grouped by the query
-        // keys is EXACT — including null handling (a NULL grain row
-        // exists iff the base had NULL x in that group; Count skips it
-        // both places). Still O(|MV|), not O(|fact|).
-        case Count(Seq(a: AttributeReference))
-            if entry.distinctCols.contains(a.name.toLowerCase) =>
-          Some(Count(Seq(mvAttr(a.name)))
-            .toAggregateExpression(isDistinct = true))
-        case _ => None
+      if (ae.isDistinct) return {
+        // DISTINCT aggregates over a distinct-preserving MV: the grain
+        // keeps every surviving (groupCols, x) combination exactly
+        // once, so ANY distinct aggregate of x re-grouped by the query
+        // keys sees the SAME value multiset-after-dedup as the base
+        // plan — COUNT/SUM/AVG/MIN/MAX(DISTINCT x) all fold by
+        // replaying the same function (distinct flag kept) over the
+        // MV's x column. Null handling matches (a NULL grain row exists
+        // iff the base had NULL x in that group; aggregates skip it
+        // both places). Still O(|MV|), not O(|fact|); the result
+        // dataType is identical because the grain column is stored
+        // verbatim. withNewChildren preserves Sum/Average's EvalMode.
+        ae.aggregateFunction match {
+          case f @ (_: Count | _: Sum | _: Min | _: Max | _: Average)
+              if f.children.length == 1 =>
+            grainAttr(f.children.head, entry).map(a =>
+              f.withNewChildren(Seq(a)).asInstanceOf[AggregateFunction]
+                .toAggregateExpression(isDistinct = true))
+          case _ => None
+        }
       }
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
@@ -465,12 +501,21 @@ object MvRewrite extends Rule[LogicalPlan] {
             if (folded.dataType == s.dataType) folded
             else Cast(folded, s.dataType)
           }
+        // MIN/MAX also fold over a DISTINCT-GRAIN column with no
+        // registered measure: dedup never changes an extremum, so the
+        // grain column (stored verbatim) serves it exactly. This is
+        // also where MIN/MAX(DISTINCT x) land — the analyzer strips the
+        // no-op distinct flag before the rewrite sees it.
         case Min(child) =>
-          matchMeasure("min", child, entry).map(m =>
-            Min(mvAttr(m.mvCol)).toAggregateExpression())
+          matchMeasure("min", child, entry)
+            .map(m => Min(mvAttr(m.mvCol)).toAggregateExpression())
+            .orElse(grainAttr(child, entry).map(a =>
+              Min(a).toAggregateExpression()))
         case Max(child) =>
-          matchMeasure("max", child, entry).map(m =>
-            Max(mvAttr(m.mvCol)).toAggregateExpression())
+          matchMeasure("max", child, entry)
+            .map(m => Max(mvAttr(m.mvCol)).toAggregateExpression())
+            .orElse(grainAttr(child, entry).map(a =>
+              Max(a).toAggregateExpression()))
         case a @ Average(child, _) =>
           // AVG folds as SUM-partial / COUNT-partial. The division tree
           // REPLICATES Average.evaluateExpression exactly so the fold is

@@ -318,10 +318,11 @@ object MvQueries {
     // Two legs assert the rewrite fired in-plan: per-status, and the
     // GLOBAL rollup (grouping by a subset of the MV's group keys keeps
     // the distinct exact — COUNT DISTINCT is duplicate-insensitive).
-    // Scalar folds (COUNT(*), exact decimal SUM) ride the same
-    // finer-grain MV unchanged. Decline shapes — SUM(DISTINCT),
-    // distinct over an unregistered column, a stale pinned version —
-    // are pinned in MvRewriteSpec.
+    // SUM(DISTINCT x) folds by the same replay (the grain holds the
+    // exact post-dedup value set), and scalar folds (COUNT(*), exact
+    // decimal SUM) ride the same finer-grain MV unchanged. Decline
+    // shapes — distinct over an unregistered column, non-column
+    // children, a stale pinned version — are pinned in MvRewriteSpec.
     Q("mv6_rewrite_count_distinct",
       (s, d) => {
         val (dir, mvPath) = distinctMvOrders(s, d)
@@ -329,24 +330,28 @@ object MvQueries {
           .load()
         val per = conn().groupBy("o_orderstatus")
           .agg(countDistinct(col("o_custkey")).as("cust_uniq"),
+            sum_distinct(col("o_custkey")).as("cust_sum"),
             count(lit(1)).as("cnt"),
             Q.dsum(col("o_totalprice")).as("total"))
         val global = conn()
           .agg(countDistinct(col("o_custkey")).as("cust_uniq"),
+            sum_distinct(col("o_custkey")).as("cust_sum"),
             count(lit(1)).as("cnt"),
             Q.dsum(col("o_totalprice")).as("total"))
           .select(lit("_all").as("o_orderstatus"), col("cust_uniq"),
-            col("cnt"), col("total"))
+            col("cust_sum"), col("cnt"), col("total"))
         assertScansMv(per, mvPath, dir)
         assertScansMv(global, mvPath, dir)
         per.unionByName(global).orderBy("o_orderstatus")
       },
       Some(s"""
         SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cust_uniq,
+               CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS cust_sum,
                COUNT(*) AS cnt, ${Q.sqlDsum("o_totalprice")} AS total
         FROM orders GROUP BY o_orderstatus
         UNION ALL
-        SELECT '_all', COUNT(DISTINCT o_custkey), COUNT(*),
+        SELECT '_all', COUNT(DISTINCT o_custkey),
+               CAST(SUM(DISTINCT o_custkey) AS BIGINT), COUNT(*),
                ${Q.sqlDsum("o_totalprice")}
         FROM orders
         ORDER BY o_orderstatus"""))

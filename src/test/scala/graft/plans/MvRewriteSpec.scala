@@ -276,8 +276,8 @@ class MvRewriteSpec extends SparkSpec {
     assert(!paths.contains(Mv.canonical(mvPath)))
   }
 
-  test("distinct-preserving MV: COUNT(DISTINCT x) folds exactly per-group " +
-      "and on the global rollup; SUM(DISTINCT), unregistered columns and " +
+  test("distinct-preserving MV: COUNT/SUM/AVG/MAX(DISTINCT x) fold exactly " +
+      "per-group and on the global rollup; unregistered columns and " +
       "stale pinned versions decline") {
     val r2 = java.nio.file.Files.createTempDirectory("graft-mv-distinct").toString
     // versioned base: 2 statuses × overlapping customer sets, nulls in the
@@ -318,9 +318,23 @@ class MvRewriteSpec extends SparkSpec {
     assert(usesMv(global), global.queryExecution.optimizedPlan.toString)
     assert(global.head().getLong(0) ==
       o.agg(countDistinct(col("cust"))).head().getLong(0))
-    // declines — never a wrong rewrite: SUM(DISTINCT) has no exact fold
-    // (the grain dedups (st, cust), not (st, amt)); a distinct over a
-    // column outside distinctCols is not preserved by the grain
+    // every distinct aggregate over the REGISTERED column folds — the
+    // grain preserves exactly the distinct (st, cust) pairs, so the
+    // replayed distinct agg sees the base's post-dedup value set
+    val sdAd = conn().groupBy("st").agg(
+      sum_distinct(col("cust")).as("sd"),
+      expr("avg(DISTINCT cust)").as("ad"),
+      expr("max(DISTINCT cust)").as("mx"))
+    assert(usesMv(sdAd), sdAd.queryExecution.optimizedPlan.toString)
+    val sdAdExp = o.groupBy("st").agg(
+      sum_distinct(col("cust")).as("sd"),
+      expr("avg(DISTINCT cust)").as("ad"),
+      expr("max(DISTINCT cust)").as("mx"))
+    assert(sdAd.orderBy("st").collect().toSeq ==
+      sdAdExp.orderBy("st").collect().toSeq)
+    // declines — never a wrong rewrite: a distinct over a column
+    // outside distinctCols is not preserved by the grain (it dedups
+    // (st, cust), not (st, amt))
     assert(declines(conn().groupBy("st")
       .agg(sum_distinct(col("amt")).as("v"))))
     assert(declines(conn().groupBy("st")
