@@ -134,14 +134,22 @@ object ObjectStore {
     val (fs, root) = fsFor(spark, rootUri)
     if (!fs.exists(root)) Seq.empty
     else {
-      val it = fs.listFiles(root, true)
+      // listStatus recursion, not listFiles: the recursive listing's
+      // LocatedFileStatus eagerly loads permissions — a SHELL FORK per
+      // file on the local filesystem (r15, see
+      // VersionedScan.listParquetFilesWithSize)
       val buf = Seq.newBuilder[String]
       val rootStr = root.toUri.getPath.stripSuffix("/")
-      while (it.hasNext) {
-        val key = it.next().getPath.toUri.getPath
-          .stripPrefix(rootStr).stripPrefix("/")
-        if (key.startsWith(prefix)) buf += key
-      }
+      def rec(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { s =>
+          if (s.isDirectory) rec(s.getPath)
+          else {
+            val key = s.getPath.toUri.getPath
+              .stripPrefix(rootStr).stripPrefix("/")
+            if (key.startsWith(prefix)) buf += key
+          }
+        }
+      rec(root)
       buf.result().sorted
     }
   }

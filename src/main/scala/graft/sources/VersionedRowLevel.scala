@@ -130,10 +130,12 @@ private[sources] class VersionedRowLevelScan(dir: String, version: Int,
     }
     op.scanned = Some((version, kept.map(_._1)))
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    kept.flatMap { case (name, groupDir) =>
-      VersionedScan.listParquetFiles(new Path(groupDir), conf)
-        .map(f => VersionedFilePartition(f, name): InputPartition)
-    }.toArray
+    VersionedScan.packPartitions(
+      kept.map { case (name, groupDir) =>
+        name -> VersionedScan.listParquetFilesWithSize(
+          new Path(groupDir), conf)
+      },
+      SparkSession.active.sparkContext.defaultParallelism)
   }
 
   /** The COW contract inverts the normal pushdown rule: Spark pushes the

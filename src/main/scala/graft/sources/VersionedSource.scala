@@ -30,6 +30,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.Versioned
@@ -428,7 +429,13 @@ private[sources] class VersionedScanBuilder(fullSchema: StructType,
     new VersionedScan(dir, pinnedVersion, required, pushed, aggAnswer, plan)
 }
 
-private[sources] case class VersionedFilePartition(file: String,
+/** One scan task: a BIN of parquet files from ONE file group (packed
+  * toward Spark's maxSplitBytes shape, r15) — per-file partitions made
+  * a 256-small-file commit cost 256 task launches + 256 reader inits,
+  * which dominated the scan. Packing stays WITHIN the group so
+  * manifest-stats pruning still removes whole partitions and a
+  * partition's deletion-vector set stays single-group. */
+private[sources] case class VersionedFilePartition(files: Seq[String],
     group: String) extends InputPartition
 
 /** The answered-from-manifest aggregate: one row, no files opened. */
@@ -496,20 +503,22 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
       }
   }
 
-  /** Driver-side planning: manifest → groups → stats pruning → one
-    * InputPartition per parquet file; a pushed aggregation plans ONE
-    * metadata partition carrying the precomputed answer — nothing is
-    * re-resolved, nothing is opened. */
+  /** Driver-side planning: manifest → groups → stats pruning →
+    * size-packed file bins per group ([[VersionedScan.packPartitions]]);
+    * a pushed aggregation plans ONE metadata partition carrying the
+    * precomputed answer — nothing is re-resolved, nothing is opened. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (isEmptyTable) return Array.empty
     aggAnswer match {
       case Some((_, vals)) => Array(VersionedAggPartition(vals))
       case None =>
         val conf = SparkSession.active.sessionState.newHadoopConf()
-        plannedGroups().flatMap { case (name, groupDir) =>
-          VersionedScan.listParquetFiles(new Path(groupDir), conf)
-            .map(f => VersionedFilePartition(f, name): InputPartition)
-        }.toArray
+        val groupFiles = plannedGroups().map { case (name, groupDir) =>
+          name -> VersionedScan.listParquetFilesWithSize(
+            new Path(groupDir), conf)
+        }
+        VersionedScan.packPartitions(groupFiles,
+          SparkSession.active.sparkContext.defaultParallelism)
     }
   }
 
@@ -581,12 +590,12 @@ private[sources] class VersionedMicroBatchStream(dir: String,
       : Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VOffset].v, end.asInstanceOf[VOffset].v)
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ((s + 1) to e).flatMap(v =>
-      Versioned.connectorStreamStep(dir, v).flatMap(g =>
-        VersionedScan.listParquetFiles(new Path(g), conf)
-          .map(f => VersionedFilePartition(f, new Path(g).getName)
-            : InputPartition)))
-      .toArray
+    val groupFiles = ((s + 1) to e).flatMap(v =>
+      Versioned.connectorStreamStep(dir, v).map(g =>
+        new Path(g).getName ->
+          VersionedScan.listParquetFilesWithSize(new Path(g), conf)))
+    VersionedScan.packPartitions(groupFiles,
+      SparkSession.active.sparkContext.defaultParallelism)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -742,18 +751,73 @@ private[sources] object VersionedScan {
 
   /** Data files under a group dir (recursive — OPTIMIZE ZORDER groups
     * are hive-style subdirs), skipping hidden/metadata entries. */
-  def listParquetFiles(root: Path, conf: Configuration): Seq[String] = {
+  /** Recursive parquet listing via `listStatus`, NEVER `listFiles`:
+    * Hadoop's recursive `listFiles` wraps every entry in a
+    * `LocatedFileStatus`, whose constructor EAGERLY loads permissions —
+    * on the local filesystem that FORKS A SHELL (`ls -ld`) per file
+    * (RawLocalFileSystem.loadPermissionInfoByNonNativeIO). At one fork
+    * per file this put ~12 ms × |files| of process-spawn time on the
+    * DRIVER per query — a 256-file table spent ~3 s planning a 0.3 s
+    * scan (r15 stack-sample). `listStatus` statuses load permissions
+    * lazily and we only touch path/length/isDirectory. */
+  def listParquetFilesWithSize(root: Path, conf: Configuration)
+      : Seq[(String, Long)] = {
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith("."))
-        out += s.getPath.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def rec(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      if (s.isDirectory) rec(s.getPath)
+      else {
+        val n = s.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith("."))
+          out += ((s.getPath.toString, s.getLen))
+      }
     }
+    rec(root)
     out.toSeq
+  }
+
+  def listParquetFiles(root: Path, conf: Configuration): Seq[String] =
+    listParquetFilesWithSize(root, conf).map(_._1)
+
+  /** Spark's FilePartition packing shape, per GROUP: bin target =
+    * min(128 MB, max(4 MB open cost, totalBytes / parallelism)), files
+    * sorted size-descending then greedily binned, each file padded by
+    * the open cost so a thousand tiny epoch files do not collapse into
+    * one task by byte count alone. Packing never crosses a group — a
+    * partition keeps one group's name for metadata-column and
+    * deletion-vector attribution, and manifest pruning keeps removing
+    * whole partitions. */
+  def packPartitions(groupFiles: Seq[(String, Seq[(String, Long)])],
+      parallelism: Int): Array[InputPartition] = {
+    val openCost = 4L << 20
+    // Spark's maxSplitBytes shape EXACTLY (FilePartition.maxSplitBytes):
+    // bytesPerCore counts each file PADDED by the open cost — without
+    // that term a thousand tiny files yield a tiny target and the bins
+    // collapse back to one file each (the regression this replaces)
+    val totalPadded = groupFiles.iterator
+      .flatMap(_._2.iterator.map(_._2 + openCost)).sum
+    val target = math.min(128L << 20,
+      math.max(openCost, totalPadded / math.max(1, parallelism)))
+    groupFiles.flatMap { case (name, files) =>
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var curBytes = 0L
+      files.sortBy(-_._2).foreach { case (f, len) =>
+        // close on RAW length vs target; accumulate padded (Spark's
+        // FilePartition.getFilePartitions discipline)
+        if (cur.nonEmpty && curBytes + len > target) {
+          bins += cur
+          cur = scala.collection.mutable.ArrayBuffer.empty[String]
+          curBytes = 0L
+        }
+        cur += f
+        curBytes += len + openCost
+      }
+      if (cur.nonEmpty) bins += cur
+      bins.map(b => VersionedFilePartition(b.toSeq, name): InputPartition)
+    }.toArray
   }
 }
 
@@ -770,6 +834,34 @@ private[sources] class VersionedReaderFactory(required: StructType,
     morKey: Option[String] = None,
     morVectors: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** Columnar for the WHOLE scan iff no planned group carries a
+    * deletion vector (the per-row mask needs the row reader, and Spark
+    * refuses mixed row/columnar partitions in one scan) and every
+    * required type is in the connector's served set. Agg-pushdown
+    * scans plan a single metadata partition — row-based, consistent. */
+  private val columnarOk: Boolean = morVectors.isEmpty &&
+    required.fields.forall(f => f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           DateType | StringType => true
+      case _ => false
+    })
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: VersionedFilePartition => columnarOk
+    case _ => false
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = p match {
+    case fp: VersionedFilePartition =>
+      new ChainedReader[ColumnarBatch](fp.files.iterator.map(f => () =>
+        new VersionedColumnarReader(f, fp.group, required, pushed,
+          logicalToPhysical, defaultValues): PartitionReader[ColumnarBatch]))
+    case other => throw new IllegalStateException(
+      s"no columnar read for partition $other")
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case VersionedAggPartition(values) =>
@@ -781,10 +873,34 @@ private[sources] class VersionedReaderFactory(required: StructType,
           override def close(): Unit = ()
         }
       case fp: VersionedFilePartition =>
-        new VersionedPartitionReader(fp.file, fp.group, required, pushed,
-          logicalToPhysical, defaultValues, morKey,
-          morVectors.getOrElse(fp.group, Seq.empty))
+        new ChainedReader[InternalRow](fp.files.iterator.map(f => () =>
+          new VersionedPartitionReader(f, fp.group, required, pushed,
+            logicalToPhysical, defaultValues, morKey,
+            morVectors.getOrElse(fp.group, Seq.empty))
+            : PartitionReader[InternalRow]))
     }
+}
+
+/** Sequential concatenation of one bin's per-file readers — files open
+  * LAZILY (one at a time) so a packed partition never holds more than
+  * one decoder's buffers. */
+private[sources] class ChainedReader[T](
+    parts: Iterator[() => PartitionReader[T]]) extends PartitionReader[T] {
+  private var cur: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!parts.hasNext) return false
+        cur = parts.next()()
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Executor-side reader: parquet-mr over ONE file, with a projected read
@@ -811,7 +927,7 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
   private val defaultOf: Array[Any] =
     physName.map(n => defaultValues.getOrElse(n, null))
 
-  private val conf = new Configuration()
+  private val conf = VersionedPartitionReader.freshConf()
   private val path = new Path(file)
 
   /** The file's own schema — the projection must reuse the file's
@@ -841,17 +957,26 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     if (maskKeyPhys == null) null
     else VersionedPartitionReader.morMask(morVectorFiles, maskKeyPhys, conf)
 
-  private val reader: ParquetReader[Group] = {
-    // the mask key must be READ even when not projected by the query
+  /** Projected physical columns PRESENT in this file, in projection
+    * order — [[ValsMaterializer]] slot j holds projCols(j)'s value. The
+    * mask key must be read even when not projected by the query. */
+  private val projCols: Array[String] = {
     val projNames =
       if (maskKeyPhys == null) physName
       else (physName :+ maskKeyPhys).distinct
-    val projected = projNames.flatMap(present.get)
+    projNames.filter(present.contains)
+  }
+  private val projIdx: Map[String, Int] = projCols.zipWithIndex.toMap
+
+  private val reader: ParquetReader[Array[Any]] = {
+    val projected = projCols.flatMap(present.get)
     if (projected.nonEmpty)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("projected", projected.toList.asJava.asInstanceOf[
           java.util.List[org.apache.parquet.schema.Type]]).toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), path).withConf(conf)
+    // direct slot materialization (ValsReadSupport): no per-row Group
+    // tree, no per-row name lookups — the r15 hot-path fix
+    val b = ParquetReader.builder(new ValsReadSupport(), path).withConf(conf)
     // pushed filters carry LOGICAL names; the file speaks physical
     VersionedPartitionReader.toParquetPredicate(
       pushed.map(VersionedPartitionReader.toPhysicalFilter(_,
@@ -860,66 +985,65 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     b.build()
   }
 
-  private var current: Group = _
+  /** Output plumbing resolved ONCE per file: required field i comes
+    * from converter slot srcIdx(i) (≥0), the `_group` metadata constant
+    * (-1), or its evolution default / NULL (-2, column physically
+    * absent from this file). The served type set is pinned loudly here
+    * (the writer's 7 types — the converters' value domain). */
+  private val srcIdx: Array[Int] = Array.tabulate(required.length) { i =>
+    val f = required.fields(i)
+    if (f.name == VersionedSource.GroupCol) -1
+    else if (!present.contains(physName(i))) -2
+    else {
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType
+             | DateType | StringType => ()
+        case t => throw new IllegalStateException(s"unreachable type $t")
+      }
+      projIdx(physName(i))
+    }
+  }
+
+  private val maskIdx: Int =
+    if (maskKeyPhys == null) -1 else projIdx.getOrElse(maskKeyPhys, -1)
+  private val maskPrim: PrimitiveTypeName =
+    if (maskIdx < 0) null else present(maskKeyPhys).getPrimitiveTypeName
+
+  private var current: Array[Any] = _
 
   /** TRUE iff the row's delete-key value is in the mask — the per-row
     * half of the merge-on-read anti-join ([[graft.ops.Versioned]]'s
     * applyMorDeletes); NULL keys never match (anti-join equality).
     * Integral keys probe the primitive [[LongMorMask]] with ZERO
-    * boxing/allocation — this loop runs once per surviving row of every
-    * masked group, the big-delete read's hot path. */
-  private def isMasked(g: Group): Boolean = {
-    val schema = g.getType.asInstanceOf[GroupType]
-    if (!schema.containsField(maskKeyPhys)) return false
-    val idx = schema.getFieldIndex(maskKeyPhys)
-    if (g.getFieldRepetitionCount(idx) == 0) return false // NULL key
-    present(maskKeyPhys).getPrimitiveTypeName match {
-      case PrimitiveTypeName.INT64 => maskSet.containsLong(g.getLong(idx, 0))
+    * hashing allocation — this runs once per row of every masked
+    * group, the big-delete read's hot path. */
+  private def isMasked(v: Any): Boolean =
+    v != null && (maskPrim match {
+      case PrimitiveTypeName.INT64 => maskSet.containsLong(v.asInstanceOf[Long])
       case PrimitiveTypeName.INT32 =>
-        maskSet.containsLong(g.getInteger(idx, 0).toLong)
-      case PrimitiveTypeName.DOUBLE => maskSet.containsAny(g.getDouble(idx, 0))
-      case PrimitiveTypeName.FLOAT => maskSet.containsAny(g.getFloat(idx, 0))
-      case PrimitiveTypeName.BOOLEAN =>
-        maskSet.containsAny(g.getBoolean(idx, 0))
-      case PrimitiveTypeName.BINARY => maskSet.containsAny(
-        UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
-      case _ => false
-    }
-  }
+        maskSet.containsLong(v.asInstanceOf[Int].toLong)
+      case _ => maskSet.containsAny(v)
+    })
 
   override def next(): Boolean = {
     current = reader.read()
-    if (maskKeyPhys != null)
-      while (current != null && isMasked(current)) current = reader.read()
+    if (maskIdx >= 0)
+      while (current != null && isMasked(current(maskIdx)))
+        current = reader.read()
     current != null
   }
 
   override def get(): InternalRow = {
-    val g = current
-    val schema = g.getType.asInstanceOf[GroupType]
+    // `current` is the materializer's reused slot array — copy into a
+    // fresh row before the next read overwrites it
     val vals = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
-      val f = required.fields(i)
+      val s = srcIdx(i)
       vals(i) =
-        if (f.name == VersionedSource.GroupCol) groupValue // metadata column
-        else if (!schema.containsField(physName(i)))
-          defaultOf(i) // evolution-added column: default literal or NULL
-        else {
-          val idx = schema.getFieldIndex(physName(i))
-          if (g.getFieldRepetitionCount(idx) == 0) null
-          else f.dataType match {
-            case LongType => g.getLong(idx, 0)
-            case IntegerType => g.getInteger(idx, 0)
-            case DoubleType => g.getDouble(idx, 0)
-            case FloatType => g.getFloat(idx, 0)
-            case BooleanType => g.getBoolean(idx, 0)
-            case DateType => g.getInteger(idx, 0) // parquet DATE = epoch days
-            case StringType =>
-              UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-            case t => throw new IllegalStateException(s"unreachable type $t")
-          }
-        }
+        if (s >= 0) current(s)
+        else if (s == -1) groupValue // metadata column
+        else defaultOf(i) // evolution-added column: default literal or NULL
       i += 1
     }
     new GenericInternalRow(vals)
@@ -1013,6 +1137,20 @@ private[sources] final class AnyMorMask(set: Set[Any]) extends MorMask {
 
 private[sources] object VersionedPartitionReader {
 
+  /** One fully-loaded Configuration per JVM; per-reader confs COPY it
+    * (property-map copy, no XML). A fresh `new Configuration()` parses
+    * the default XML resources under a static lock — at one reader per
+    * packed FILE, 32 concurrent tasks serialized on that lock and
+    * per-file init inflated ~20× under load (r15 probe: a 256-file scan
+    * cost 2.9 s of which ~4.5 s single-threaded was per-file fixed
+    * cost, nearly all of it here). */
+  private val baseConf: Configuration = {
+    val c = new Configuration()
+    c.size() // force the default-resource parse ONCE, eagerly
+    c
+  }
+  def freshConf(): Configuration = new Configuration(baseConf)
+
   /** Rewrite a pushed filter's column names logical → physical (the
     * column-mapping read half). Only the [[VersionedScan.supportsPushdown]]
     * shapes can arrive here. */
@@ -1077,44 +1215,30 @@ private[sources] object VersionedPartitionReader {
             case p: PrimitiveType if p.getName == key => p
           }
           fld.foreach { p =>
-            val c = new Configuration()
+            val c = VersionedPartitionReader.freshConf()
             c.set(
               org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
               new MessageType("projected",
                 java.util.List.of(p: org.apache.parquet.schema.Type))
                 .toString)
-            val r = ParquetReader.builder(new GroupReadSupport(), path)
+            // single-column projection → converter slot 0; value domain
+            // matches the partition reader's (Long/Int boxed,
+            // UTF8String for BINARY)
+            val r = ParquetReader.builder(new ValsReadSupport(), path)
               .withConf(c).build()
             try {
-              var g = r.read()
-              while (g != null) {
-                val gt = g.getType.asInstanceOf[GroupType]
-                if (gt.containsField(key)) {
-                  val idx = gt.getFieldIndex(key)
-                  if (g.getFieldRepetitionCount(idx) > 0) {
-                    if (allLong) p.getPrimitiveTypeName match {
-                      case PrimitiveTypeName.INT64 => longs += g.getLong(idx, 0)
-                      case _ => longs += g.getInteger(idx, 0).toLong
-                    }
-                    else {
-                      val v: Option[Any] = p.getPrimitiveTypeName match {
-                        case PrimitiveTypeName.INT64 => Some(g.getLong(idx, 0))
-                        case PrimitiveTypeName.INT32 =>
-                          Some(g.getInteger(idx, 0))
-                        case PrimitiveTypeName.DOUBLE =>
-                          Some(g.getDouble(idx, 0))
-                        case PrimitiveTypeName.FLOAT => Some(g.getFloat(idx, 0))
-                        case PrimitiveTypeName.BOOLEAN =>
-                          Some(g.getBoolean(idx, 0))
-                        case PrimitiveTypeName.BINARY => Some(
-                          UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
-                        case _ => None
-                      }
-                      v.foreach(out += _)
-                    }
+              var arr = r.read()
+              while (arr != null) {
+                val v = arr(0)
+                if (v != null) {
+                  if (allLong) v match {
+                    case l: Long => longs += l
+                    case i: Int => longs += i.toLong
+                    case _ => ()
                   }
+                  else out += v
                 }
-                g = r.read()
+                arr = r.read()
               }
             } finally r.close()
           }
@@ -1457,7 +1581,7 @@ private[sources] class VersionedDataWriter(schema: StructType, file: String)
   private var rows = 0L
 
   private def ensureWriter(): Unit = if (writer == null) {
-    val conf = new Configuration()
+    val conf = VersionedPartitionReader.freshConf()
     GroupWriteSupport.setSchema(messageType, conf)
     writer = ExampleParquetWriter.builder(new Path(file)).withConf(conf).build()
   }

@@ -155,10 +155,13 @@ class VersionedCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE lakecat.ns.pruned (k BIGINT) TBLPROPERTIES ('statsCol'='k')")
     spark.sql("INSERT INTO lakecat.ns.pruned SELECT id FROM range(0, 100)")
     spark.sql("INSERT INTO lakecat.ns.pruned SELECT id FROM range(100, 200)")
+    // planned FILES, not partitions — bins re-split to parallelism (r15)
     def parts(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.sparkPlan.collectFirst {
         case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          s.inputRDD.getNumPartitions
+          s.partitions.flatten.collect {
+            case p: VersionedFilePartition => p.files.size
+          }.sum
       }.get
     val all = parts(spark.table("lakecat.ns.pruned"))
     val few = parts(spark.table("lakecat.ns.pruned").filter(col("k") >= 150L))
@@ -217,11 +220,14 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sum(key_id) FROM lakecat.ns.ren").as[Long].head()
       == (0L until 200L).sum)
-    // manifest-stats pruning still plans fewer partitions on the NEW name
+    // manifest-stats pruning still plans fewer FILES on the NEW name
+    // (bins re-split to parallelism, so partition count is no proxy, r15)
     def parts(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.inputRDD.getNumPartitions
+          b.partitions.flatten.collect {
+            case p: VersionedFilePartition => p.files.size
+          }.sum
       }.max
     val all = parts(spark.table("lakecat.ns.ren"))
     val few = parts(spark.table("lakecat.ns.ren")

@@ -33,6 +33,17 @@ class VersionedSourceSpec extends SparkSpec {
     df.queryExecution.sparkPlan.collectFirst { case s: BatchScanExec => s }
       .getOrElse(fail("no BatchScanExec in plan"))
 
+  /** Total parquet FILES the scan planned — the pruning observable.
+    * Partition COUNT stopped being one (r15): files pack into bins
+    * whose target tracks the planned byte total / parallelism (Spark's
+    * maxSplitBytes shape), so a pruned scan re-splits finer for core
+    * utilization and may plan the SAME number of partitions over fewer
+    * files. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    scanOf(df).partitions.flatten.collect {
+      case p: VersionedFilePartition => p.files.size
+    }.sum
+
   test("connector read equals Versioned.read, all columns and types") {
     val got = load().orderBy("k").collect().toSeq
     val want = Versioned.read(spark, dir).orderBy("k").collect().toSeq
@@ -50,16 +61,15 @@ class VersionedSourceSpec extends SparkSpec {
     assert(load(1).count() == 100L)
   }
 
-  test("manifest-stats pruning: a range filter plans fewer input partitions") {
-    val all = scanOf(load()).inputRDD.getNumPartitions
-    val pruned = scanOf(load().filter(col("k") >= 250L && col("k") < 260L))
-      .inputRDD.getNumPartitions
+  test("manifest-stats pruning: a range filter plans fewer input files") {
+    val all = plannedFiles(load())
+    val pruned = plannedFiles(load().filter(col("k") >= 250L && col("k") < 260L))
     assert(pruned > 0 && pruned < all,
       s"expected strict pruning, got $pruned of $all")
     // correctness under pruning
     assert(load().filter(col("k") >= 250L && col("k") < 260L).count() == 10L)
     // equality filter prunes to one group's files
-    val one = scanOf(load().filter(col("k") === 42L)).inputRDD.getNumPartitions
+    val one = plannedFiles(load().filter(col("k") === 42L))
     assert(one <= all / 4)
     assert(load().filter(col("k") === 42L).select("v").as[Long].head() == 84L)
   }
@@ -185,9 +195,8 @@ class VersionedSourceSpec extends SparkSpec {
     // connector-written stats drive pruning: v1's group excluded
     val scan = spark.read.format("graft-versioned").option("path", d)
       .load().filter(col("k") >= 80L)
-    assert(scanOf(scan).inputRDD.getNumPartitions <
-      scanOf(spark.read.format("graft-versioned").option("path", d).load())
-        .inputRDD.getNumPartitions)
+    assert(plannedFiles(scan) < plannedFiles(
+      spark.read.format("graft-versioned").option("path", d).load()))
   }
 
   test("overwrite mode commits a fresh snapshot, history retained") {
