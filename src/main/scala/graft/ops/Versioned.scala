@@ -1917,7 +1917,8 @@ object Versioned {
     * publish, and the streaming sink is single-writer per app). */
   def commitStagedGroup(spark: SparkSession, dir: String, stagedDir: String,
       overwrite: Boolean = false, statsCol: Option[String] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      omitDefaultedOk: Boolean = false): Int = {
     val parent = latestVersion(dir)
     val v = parent + 1
     val group = s"c$v"
@@ -1942,18 +1943,25 @@ object Versioned {
       val tableSig = sig(read(spark, dir, parent).schema)
         .map { case (n, t) => logicalToPhys.getOrElse(n, n) -> t }
       val stagedSig = sig(spark.read.parquet(stagedDir).schema)
+      // ONLY when the caller opted in (`omitDefaultedOk` — the RUNNING
+      // streaming sink, whose writer schema was fixed at query start),
       // a staged group may OMIT a column that carries a registered
       // DEFAULT: both read paths fill defaults PER GROUP by physical
       // absence ([[normalizedGroupsRead]] / the connector's per-file
-      // reader), so the group reads complete anyway — and this is what
-      // lets a RUNNING streaming sink survive a mid-stream ALTER ADD
-      // COLUMN (its writer schema was fixed at query start; the next
-      // epoch's staged files simply lack the new column). Present
-      // columns still type-check exactly; unknown staged columns and
-      // missing UNDEFAULTED columns still refuse loudly.
+      // reader), so the group reads complete anyway — that is what lets
+      // a live stream survive a mid-stream ALTER ADD COLUMN. BATCH
+      // appends stay strict (review r15): Spark's analysis includes the
+      // new column for them, so an omission there is schema drift and
+      // must refuse loudly, keeping the post-ALTER-groups-are-complete
+      // invariant for every batch-written group. The stats column is
+      // never omittable — [[writtenStats]] reads it after the move.
+      // Present columns still type-check exactly; unknown staged
+      // columns and missing UNDEFAULTED columns always refuse.
       val defaults = readDefaults(dir, parent)
       val missingUndefaulted = (tableSig.keySet -- stagedSig.keySet)
-        .filterNot(p => defaults.contains(renames.getOrElse(p, p)))
+        .filterNot(p => omitDefaultedOk && !statsCol.contains(p) &&
+          !statsCol.contains(renames.getOrElse(p, p)) &&
+          defaults.contains(renames.getOrElse(p, p)))
       require(missingUndefaulted.isEmpty && stagedSig.forall {
           case (n, t) => tableSig.get(n).contains(t) },
         s"staged append schema $stagedSig does not match the table's " +
@@ -2068,14 +2076,16 @@ object Versioned {
     * Some(version) when the commit landed, None on a replay skip. */
   def commitStagedGroupIdempotent(spark: SparkSession, dir: String,
       stagedDir: String, appId: String, txnVersion: Long,
-      statsCol: Option[String] = None): Option[Int] = {
+      statsCol: Option[String] = None,
+      omitDefaultedOk: Boolean = false): Option[Int] = {
     requireId("appId", appId)
     if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) {
       deleteRecursively(Paths.get(stagedDir))
       return None
     }
     Some(commitStagedGroup(spark, dir, stagedDir, overwrite = false,
-      statsCol = statsCol, txn = Some((appId, txnVersion))))
+      statsCol = statsCol, txn = Some((appId, txnVersion)),
+      omitDefaultedOk = omitDefaultedOk))
   }
 
   /** The field names the connector's staged writer must use for an

@@ -445,6 +445,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     val mvOut: Map[String, AttributeReference] =
       mvRel.output.map(a => a.name.toLowerCase -> a.asInstanceOf[AttributeReference]).toMap
 
+    // the registry's claim must match the ARTIFACT: create() skips the
+    // rebuild over an existing _SUCCESS, so a re-registration with new
+    // grain/measure columns can describe an MV that lacks them — DECLINE
+    // (the fall-through-to-base contract), never crash in the optimizer
+    // or silently fold a coarser-grain column (review r15)
+    val expectedCols = (entry.grainCols :+ entry.cntCol) ++
+      entry.measures.map(_.mvCol)
+    if (!expectedCols.forall(c => mvOut.contains(c.toLowerCase))) return None
+
     def mvAttr(name: String): AttributeReference = mvOut(name.toLowerCase)
 
     /** The MV attribute serving `e` when it is a bare reference to a

@@ -135,7 +135,8 @@ private[sources] object VersionedSource {
   private val groupSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  private def groupSchema(spark: SparkSession, d: String): StructType = {
+  private def groupSchema(spark: SparkSession, d: String,
+      hadoopConf: Configuration): StructType = {
     if (groupSchemaCache.size() > 65536) groupSchemaCache.clear()
     // keyed on dir + mtime (one stat, vs a footer read): a DROPped and
     // re-created table at the SAME path must not serve the old schema.
@@ -149,7 +150,7 @@ private[sources] object VersionedSource {
     // filesystems in-JVM (advice r14).
     val p = new Path(d)
     val mtime: Option[Long] =
-      try Some(p.getFileSystem(spark.sessionState.newHadoopConf())
+      try Some(p.getFileSystem(hadoopConf)
         .getFileStatus(p).getModificationTime)
       catch { case _: Exception => None }
     mtime match {
@@ -170,8 +171,12 @@ private[sources] object VersionedSource {
   }
 
   def mergedGroupSchema(spark: SparkSession, groupDirs: Seq[String])
-      : StructType =
-    groupDirs.map(groupSchema(spark, _)).reduceLeft { (acc, s) =>
+      : StructType = {
+    // ONE session hadoop conf for the whole resolution — building it
+    // per group copies every SQL conf, O(groups) on the planning path
+    // (review r15)
+    val hc = spark.sessionState.newHadoopConf()
+    groupDirs.map(groupSchema(spark, _, hc)).reduceLeft { (acc, s) =>
       s.fields.foldLeft(acc) { (a, f) =>
         a.fields.find(_.name == f.name) match {
           case Some(existing) =>
@@ -184,6 +189,7 @@ private[sources] object VersionedSource {
         }
       }
     }
+  }
 
   /** The LOGICAL schema a version serves after its pending schema
     * evolution: the physical union, plus metadata-only added columns no
@@ -750,8 +756,9 @@ private[sources] object VersionedScan {
   }
 
   /** Data files under a group dir (recursive — OPTIMIZE ZORDER groups
-    * are hive-style subdirs), skipping hidden/metadata entries. */
-  /** Recursive parquet listing via `listStatus`, NEVER `listFiles`:
+    * are hive-style subdirs), skipping hidden/metadata entries.
+    *
+    * Listing goes through `listStatus`, NEVER `listFiles`:
     * Hadoop's recursive `listFiles` wraps every entry in a
     * `LocatedFileStatus`, whose constructor EAGERLY loads permissions —
     * on the local filesystem that FORKS A SHELL (`ls -ld`) per file
@@ -1083,6 +1090,18 @@ private[sources] final class LongMorMask private (table: Array[Long],
   override def containsAny(v: Any): Boolean = v match {
     case l: Long => containsLong(l)
     case i: Int => containsLong(i.toLong)
+    // cross-numeric-type masking parity with the boxed-set era (and with
+    // the ops layer's anti-join, which coerces): Scala's cooperative
+    // equality made Set[Any](5L).contains(5.0) TRUE, so a DOUBLE data
+    // column probing a LONG-built mask must match exact whole values
+    // (review r15 — returning false here resurrected deleted rows in
+    // connector reads of mixed-typed snapshots)
+    case d: Double =>
+      d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble &&
+        d.toLong.toDouble == d && containsLong(d.toLong)
+    case f: Float =>
+      f >= Long.MinValue.toFloat && f <= Long.MaxValue.toFloat &&
+        f.toLong.toFloat == f && containsLong(f.toLong)
     case _ => false
   }
 }
@@ -1101,6 +1120,17 @@ private[sources] object LongMorMask {
   /** Build from the first `n` entries of `keys` (duplicates across
     * delete files collapse — the vector is a set). */
   def build(keys: Array[Long], n: Int): LongMorMask = {
+    // LONG capacity math: at n ≈ 715M the Int expression n + (n >> 1)
+    // overflows and the doubling loop either never terminates or exits
+    // at 16 slots and the insert probe spins forever (review r15). A
+    // single executor-side vector beyond ~1.4B keys cannot fit a JVM
+    // array at this load factor — refuse loudly; that regime means the
+    // legacy flat fallback served a multi-billion-key delete and the
+    // fix is routed per-group vectors, not a bigger hash table.
+    require(n.toLong + (n.toLong >> 1) <= (1L << 30),
+      s"deletion vector too large for one reader ($n keys) — " +
+        "route per-group (stats on the delete key) instead of the " +
+        "flat fallback")
     var cap = 16
     while (cap < n + (n >> 1)) cap <<= 1 // load factor ≤ ~0.66
     val table = new Array[Long](cap)
@@ -1462,8 +1492,12 @@ private[sources] class VersionedStreamingWrite(schema: StructType,
       VersionedBatchWrite.deleteRecursive(staging)
       return // an empty epoch appends nothing — standard sink semantics
     }
+    // omitDefaultedOk: the stream's writer schema was fixed at query
+    // start, so epoch files legitimately lack a column added by a
+    // mid-stream ALTER ADD COLUMN — readers fill its default per group
     Versioned.commitStagedGroupIdempotent(SparkSession.active, dir, staging,
-      VersionedStreamingWrite.appIdOf(queryId), epochId, statsCol)
+      VersionedStreamingWrite.appIdOf(queryId), epochId, statsCol,
+      omitDefaultedOk = true)
   }
 
   override def abort(epochId: Long,

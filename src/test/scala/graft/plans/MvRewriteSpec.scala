@@ -350,6 +350,40 @@ class MvRewriteSpec extends SparkSpec {
         .agg(countDistinct(col("cust"))).head().getLong(0))
   }
 
+  test("re-registration claiming columns a cached MV artifact lacks " +
+      "DECLINES instead of crashing the optimizer (review r15)") {
+    val r3 = java.nio.file.Files.createTempDirectory("graft-mv-stale").toString
+    val o = spark.range(0, 100).select(
+      when(col("id") % 2 === 0, "A").otherwise("B").as("g"),
+      (col("id") % 7).as("x"), col("id").cast("double").as("amt"))
+    o.write.mode("overwrite").parquet(s"$r3/base")
+    Mv.enable(spark)
+    // build WITHOUT distinctCols → artifact grain is (g) only
+    Mv.create(spark, s"$r3/base", s"$r3/mv", groupCols = Seq("g"),
+      measures = Seq(("sum", "amt", Some(DecimalType(18, 2)))))
+    // re-register the SAME artifact claiming a distinct grain it lacks:
+    // create() sees _SUCCESS and skips the rebuild
+    Mv.create(spark, s"$r3/base", s"$r3/mv", groupCols = Seq("g"),
+      measures = Seq(("sum", "amt", Some(DecimalType(18, 2)))),
+      distinctCols = Seq("x"))
+    val q = spark.read.parquet(s"$r3/base").groupBy("g")
+      .agg(countDistinct(col("x")).as("u"))
+    // fall-through-to-base, correct answer, no optimizer crash
+    val paths = Mv.scanPaths(q)
+    assert(!paths.contains(Mv.canonical(s"$r3/mv")), paths.mkString(","))
+    assert(q.orderBy("g").collect().map(_.getLong(1)).toSeq == Seq(7L, 7L))
+    // the lying registration declines EVERY shape (the artifact is not
+    // what the entry describes); an honest re-registration serves again
+    val lied = spark.read.parquet(s"$r3/base").groupBy("g")
+      .agg(sum(col("amt").cast(DecimalType(18, 2))).as("s"))
+    assert(!Mv.scanPaths(lied).contains(Mv.canonical(s"$r3/mv")))
+    Mv.create(spark, s"$r3/base", s"$r3/mv", groupCols = Seq("g"),
+      measures = Seq(("sum", "amt", Some(DecimalType(18, 2)))))
+    val ok = spark.read.parquet(s"$r3/base").groupBy("g")
+      .agg(sum(col("amt").cast(DecimalType(18, 2))).as("s"))
+    assert(Mv.scanPaths(ok).contains(Mv.canonical(s"$r3/mv")))
+  }
+
   test("downstream operators over the rewritten aggregate keep resolving (sort + projection)") {
     entry
     val df = spark.read.parquet(basePath)

@@ -511,6 +511,40 @@ class VersionedSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("review pins (r15): LongMorMask cross-numeric equality + capacity " +
+      "guard; batch appends may NOT omit defaulted columns") {
+    // the boxed-set era matched Double(5.0) against a Long-built mask
+    // (Scala cooperative equality), as does the ops layer's anti-join —
+    // the primitive mask must agree or connector reads resurrect rows
+    val m = LongMorMask.build(Array(5L, 0L, -3L, Long.MaxValue), 4)
+    assert(m.containsLong(5L) && m.containsLong(0L) && m.containsLong(-3L))
+    assert(m.containsAny(5.0) && m.containsAny(5.0f) && m.containsAny(5L))
+    assert(!m.containsAny(5.5) && !m.containsAny(4L) && !m.containsAny("5"))
+    // 2^63-1 rounds to 2^63 in double; cooperative equality (and the
+    // ops layer's long=double cast-compare) treats them equal — parity
+    assert(m.containsAny(Long.MaxValue) &&
+      m.containsAny(Long.MaxValue.toDouble))
+    // capacity math is LONG-safe: a key count that would overflow the
+    // Int doubling loop refuses loudly instead of hanging the executor
+    val big = intercept[IllegalArgumentException](
+      LongMorMask.build(Array.empty[Long], Int.MaxValue))
+    assert(big.getMessage.contains("deletion vector too large"))
+    // BATCH strictness: only the RUNNING streaming sink may omit a
+    // defaulted column (its writer schema predates the ALTER); a batch
+    // append omitting one is schema drift and refuses loudly
+    val d = java.nio.file.Files.createTempDirectory("dsv2_batchdef").toString
+    Versioned.commit(spark.range(0, 5).select(col("id").as("k")), d)
+    Versioned.addColumnCommit(spark, d, "src", "STRING", "x")
+    intercept[Exception] {
+      spark.range(5, 8).select(col("id").as("k"))
+        .write.format("graft-versioned").option("path", d)
+        .mode("append").save()
+    }
+    // nothing landed: the omission refused (at analysis or at the
+    // staged commit — either is the loud path), snapshot unchanged
+    assert(load0(d).count() == 5L)
+  }
+
   test("native streaming sink: epoch appends land exactly-once across restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
