@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Largest node count for which the per-round rank frame is broadcast
+    * into the edge join (§3.1): a rank row is two BIGINTs (~50-60 B in
+    * the built hash relation), so 2²⁰ nodes ≈ 60 MB per executor — safe
+    * on any reasonable driver, far under Spark's 8 GB broadcast cap.
+    * Graphs beyond it keep the shuffle join. */
+  val BroadcastNodeLimit: Long = 1L << 20
+
+  /** Edge rows per cached partition of the iterated edge+degree table —
+    * sized so one per-round task does ~1M hash probes (tens of ms of
+    * real work, well above task-launch overhead) while 100 TB-scale
+    * edge lists still fan out to the parallelism cap. */
+  val EdgesPerPartition: Long = 1L << 20
+
   /** Edge list + degrees + initial uniform rank — the shared setup of
     * both iteration forms. Returns (step, init) where step is ONE
     * fixed-point round (one edge⋈rank equi-join + one dst shuffle,
@@ -42,12 +55,28 @@ object PageRank {
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Scale-adaptive partitioning for the ITERATED side (guide §2): the
+    // persisted edge+degree table is scanned once per round, so its
+    // partition count is a per-round task-count multiplier — inheriting
+    // spark.sql.shuffle.partitions left 32 near-empty cached partitions
+    // at sf0.1 and the 10-round g5 spent more wall-clock on task launch
+    // than on rows (measured: 32-core run 3.3× SLOWER than 8-core on
+    // identical data). Derive the count from the measured edge count
+    // instead (~1M edges/partition ≈ tens of MB), floored at 1, capped
+    // at the session's parallelism so big graphs keep every core busy.
+    val eCnt = e.count()
+    val edParts = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      eCnt / PageRank.EdgesPerPartition + 1L)).toInt
     // degree folded INTO the persisted edge list ONCE — each round is
     // then a single edge⋈rank join instead of re-paying the e⋈deg join
     // every iteration (measured ~2× on the 10-round g5 row); the window
-    // avoids a second scan-and-shuffle of e to build a separate deg table
+    // avoids a second scan-and-shuffle of e to build a separate deg
+    // table, and the explicit hash repartition on `src` IS the window's
+    // required partitioning, so the window adds no second exchange
     val ed = graft.ops.Caches.tracked(
-      e.withColumn("deg", count(lit(1)).over(
+      e.repartition(edParts, col("src"))
+        .withColumn("deg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("src")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = e.select(col("src").as("node"))
@@ -55,14 +84,31 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val teleportNano = 150000000L / n // (0.15 × 10⁹) ÷ N, floor — exact
-    val step = (ranks: DataFrame) => ed
-      .join(ranks.withColumnRenamed("node", "src"), "src")
+    // Join strategy is picked HERE, from the node count the setup already
+    // paid for (guide §3.1): the rank frame is O(|V|) slim (two BIGINTs),
+    // so while it fits a broadcast, hinting it makes every round a
+    // broadcast-hash join — the cached edge list is scanned in place,
+    // never re-sorted or re-exchanged. Without the hint Catalyst
+    // estimates the post-aggregation rank frame above the auto-broadcast
+    // threshold and plans a per-round SortMergeJoin: measured 7.5 s for
+    // the 10-round g5 at local[32]/sf0.1 vs 3.6 s once AQE converted the
+    // joins to broadcast at runtime — and the hint moves the decision to
+    // plan time, where every round (not just re-planned stages) gets it.
+    // Past the limit (~1M nodes ≈ tens of MB hashed) the rank frame is
+    // no longer broadcastable and the SMJ shape is the right one — at
+    // that scale per-round sort cost is dwarfed by the edge join itself.
+    val bcastRanks = n <= PageRank.BroadcastNodeLimit
+    val step = (ranks: DataFrame) => {
+      val r = ranks.withColumnRenamed("node", "src")
+      ed
+      .join(if (bcastRanks) broadcast(r) else r, "src")
       .select(col("dst").as("node"),
         expr("rank_nano div deg").as("c")) // BIGINT floor div, exact
       .groupBy("node")
       .agg(sum(col("c")).as("s"))
       .select(col("node"),
         (lit(teleportNano) + expr("(s * 17) div 20")).as("rank_nano"))
+    }
     (step, nodes.withColumn("rank_nano", lit(1000000000L / n)))
   }
 
