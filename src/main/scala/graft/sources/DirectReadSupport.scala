@@ -3,9 +3,10 @@ package graft.sources
 import org.apache.parquet.column.Dictionary
 import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
 import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
-import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
+import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Direct parquet-mr materialization into a flat value array — the
@@ -56,11 +57,32 @@ private[sources] final class ValsMaterializer(projected: MessageType)
 
   private val converters: Array[Converter] =
     Array.tabulate(n) { i =>
-      val tn = projected.getType(i).asPrimitiveType().getPrimitiveTypeName
-      if (tn == PrimitiveTypeName.BINARY ||
-          tn == PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
-        new StringSlotConverter(current, i)
-      else new PrimSlotConverter(current, i)
+      val pt = projected.getType(i).asPrimitiveType()
+      val tn = pt.getPrimitiveTypeName
+      pt.getLogicalTypeAnnotation match {
+        // decimals materialize straight to Spark's internal Decimal
+        // (r16) — any physical layout: INT32/INT64 unscaled, or
+        // BINARY/FIXED_LEN_BYTE_ARRAY two's-complement unscaled bytes
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          new DecimalSlotConverter(current, i, d.getPrecision, d.getScale)
+        case _ if tn == PrimitiveTypeName.INT96 =>
+          // Spark 3/4's default parquet timestamp layout (julian day +
+          // nanos) → internal UTC micros, the TimestampType value domain
+          new Int96SlotConverter(current, i)
+        // non-micros INT64 timestamps (legacy MILLIS writers, NANOS) —
+        // scaled to the internal micros domain; MICROS falls through to
+        // the plain long slot
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+          new TimestampScaleSlotConverter(current, i, mul = 1000L, div = 1L)
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          new TimestampScaleSlotConverter(current, i, mul = 1L, div = 1000L)
+        case _ if tn == PrimitiveTypeName.BINARY ||
+            tn == PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+          new StringSlotConverter(current, i)
+        case _ => new PrimSlotConverter(current, i)
+      }
     }
 
   private val root: GroupConverter = new GroupConverter {
@@ -87,6 +109,69 @@ private[sources] final class PrimSlotConverter(out: Array[Any], i: Int)
   override def addBoolean(v: Boolean): Unit = out(i) = v
   override def addBinary(b: Binary): Unit = // INT96 etc — not served
     out(i) = UTF8String.fromBytes(b.getBytes)
+}
+
+/** Any decimal physical layout → Spark internal [[Decimal]]: INT32/
+  * INT64 carry the unscaled value directly; BINARY/FIXED_LEN_BYTE_ARRAY
+  * carry its two's-complement bytes. Dictionary-encoded columns decode
+  * each distinct value once per dictionary. */
+private[sources] final class DecimalSlotConverter(out: Array[Any], i: Int,
+    precision: Int, scale: Int) extends PrimitiveConverter {
+  private def fromUnscaled(u: Long): Decimal =
+    Decimal(u, precision, scale)
+  private def fromBinary(b: Binary): Decimal =
+    Decimal(new java.math.BigDecimal(
+      new java.math.BigInteger(b.getBytes), scale), precision, scale)
+  override def addInt(v: Int): Unit = out(i) = fromUnscaled(v.toLong)
+  override def addLong(v: Long): Unit = out(i) = fromUnscaled(v)
+  override def addBinary(b: Binary): Unit = out(i) = fromBinary(b)
+  private var dict: Array[AnyRef] = _
+  override def hasDictionarySupport: Boolean = true
+  override def setDictionary(dictionary: Dictionary): Unit = {
+    dict = new Array[AnyRef](dictionary.getMaxId + 1)
+    var id = 0
+    while (id <= dictionary.getMaxId) {
+      dict(id) =
+        try fromBinary(dictionary.decodeToBinary(id))
+        catch { case _: UnsupportedOperationException =>
+          try fromUnscaled(dictionary.decodeToLong(id))
+          catch { case _: UnsupportedOperationException =>
+            fromUnscaled(dictionary.decodeToInt(id).toLong) } }
+      id += 1
+    }
+  }
+  override def addValueFromDictionary(id: Int): Unit = out(i) = dict(id)
+}
+
+/** INT64 timestamps in a non-micros unit → internal micros Long. */
+private[sources] final class TimestampScaleSlotConverter(out: Array[Any],
+    i: Int, mul: Long, div: Long) extends PrimitiveConverter {
+  override def addLong(v: Long): Unit = out(i) = v * mul / div
+}
+
+/** INT96 (julian day + nanos-of-day, little-endian) → UTC micros Long —
+  * the TimestampType internal domain; the CORRECTED (no julian rebase)
+  * reading, matching the vectorized reader's configuration. */
+private[sources] final class Int96SlotConverter(out: Array[Any], i: Int)
+    extends PrimitiveConverter {
+  private def micros(b: Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+  override def addBinary(b: Binary): Unit = out(i) = micros(b)
+  private var dict: Array[AnyRef] = _
+  override def hasDictionarySupport: Boolean = true
+  override def setDictionary(dictionary: Dictionary): Unit = {
+    dict = new Array[AnyRef](dictionary.getMaxId + 1)
+    var id = 0
+    while (id <= dictionary.getMaxId) {
+      dict(id) = Long.box(micros(dictionary.decodeToBinary(id)))
+      id += 1
+    }
+  }
+  override def addValueFromDictionary(id: Int): Unit = out(i) = dict(id)
 }
 
 /** BINARY → UTF8String, with the dictionary decoded ONCE per page set

@@ -137,7 +137,7 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
       "graft-versioned tables do not take PARTITIONED BY — cluster via " +
         "Versioned.compactZOrder (OPTIMIZE ZORDER)")
     schema.fields.foreach(f =>
-      require(VersionedSource.supportedTypes.contains(f.dataType),
+      require(VersionedSource.isSupportedType(f.dataType),
         s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
           s"for '${f.name}'"))
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
@@ -183,7 +183,7 @@ class VersionedCatalog extends TableCatalog with SupportsNamespaces {
           "graft-versioned columns are flat — nested adds unsupported")
         require(add.position() == null,
           "graft-versioned ADD COLUMN appends — FIRST/AFTER unsupported")
-        require(VersionedSource.supportedTypes.contains(add.dataType()),
+        require(VersionedSource.isSupportedType(add.dataType()),
           s"graft-versioned v1 scope: unsupported column type " +
             s"${add.dataType()} for '${add.fieldNames()(0)}'")
         val name = add.fieldNames()(0)

@@ -186,7 +186,7 @@ private[sources] class VersionedRowLevelWrite(info: LogicalWriteInfo,
     require(scheme == null || scheme == "file",
       s"graft-versioned v1 write scope: local filesystem only (got '$dir')")
     info.schema().fields.foreach(f =>
-      require(VersionedSource.supportedTypes.contains(f.dataType),
+      require(VersionedSource.isSupportedType(f.dataType),
         s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
           s"for '${f.name}'"))
     new VersionedRowLevelBatchWrite(info.schema(), dir, opt("statsCol"),

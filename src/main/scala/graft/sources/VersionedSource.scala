@@ -114,7 +114,19 @@ private[sources] object VersionedSource {
   }
 
   val supportedTypes: Set[DataType] = Set(LongType, IntegerType, DoubleType,
-    FloatType, StringType, BooleanType, DateType)
+    FloatType, StringType, BooleanType, DateType, TimestampType)
+
+  /** The connector's served type set (r16: TIMESTAMP and DECIMAL join —
+    * previously one such column anywhere in a required schema dropped
+    * the whole scan off the vectorized path, and the scan gate refused
+    * it outright; decimal measures and event timestamps are
+    * bread-and-butter lakehouse columns). DecimalType is parametric, so
+    * membership is a predicate, not a Set. TimestampNTZ stays out:
+    * Versioned's own write paths produce UTC-adjusted instants only. */
+  def isSupportedType(t: DataType): Boolean = t match {
+    case _: DecimalType => true
+    case other => supportedTypes.contains(other)
+  }
 
   /** The metadata column exposing each row's manifest file-group name —
     * the grouping handle of the SQL row-level operations (Iceberg's
@@ -532,7 +544,7 @@ private[sources] class VersionedScan(val dir: String, val version: Int,
     if (aggAnswer.isEmpty)
       required.fields.foreach(f =>
         require(f.name == VersionedSource.GroupCol ||
-            VersionedSource.supportedTypes.contains(f.dataType),
+            VersionedSource.isSupportedType(f.dataType),
           s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
             s"for '${f.name}'"))
     // hadoop Configuration is not serializable as-is; the executor-side
@@ -708,6 +720,21 @@ private[sources] object VersionedScan {
           case s: String => UTF8String.fromString(s)
           case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
           case d: java.time.LocalDate => d.toEpochDay.toInt
+          // internal micros for TimestampType defaults (r16)
+          case t: java.sql.Timestamp =>
+            t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+          case t: java.time.Instant =>
+            java.lang.Math.addExact(
+              java.lang.Math.multiplyExact(t.getEpochSecond, 1000000L),
+              t.getNano / 1000L)
+          // internal Decimal at the DECLARED precision/scale (r16)
+          case b: java.math.BigDecimal =>
+            DataType.fromDDL(tpe) match {
+              case dt: DecimalType =>
+                org.apache.spark.sql.types.Decimal(
+                  b.setScale(dt.scale), dt.precision, dt.scale)
+              case _ => org.apache.spark.sql.types.Decimal(b)
+            }
           case other => other
         })
       }
@@ -842,17 +869,16 @@ private[sources] class VersionedReaderFactory(required: StructType,
     morVectors: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
-  /** Columnar for the WHOLE scan iff no planned group carries a
-    * deletion vector (the per-row mask needs the row reader, and Spark
-    * refuses mixed row/columnar partitions in one scan) and every
-    * required type is in the connector's served set. Agg-pushdown
-    * scans plan a single metadata partition — row-based, consistent. */
-  private val columnarOk: Boolean = morVectors.isEmpty &&
-    required.fields.forall(f => f.dataType match {
-      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-           DateType | StringType => true
-      case _ => false
-    })
+  /** Columnar for the WHOLE scan iff every required type is in the
+    * connector's served set. Deletion vectors no longer force the row
+    * path (r16): masked groups ride the vectorized reader with a
+    * per-BATCH key probe + survivor compaction
+    * ([[VersionedColumnarReader]]) — the whole-scan row fallback cost
+    * 4.4× on any table with one pending DV. Agg-pushdown scans plan a
+    * single metadata partition — row-based, consistent. */
+  private val columnarOk: Boolean =
+    required.fields.forall(f => f.name == VersionedSource.GroupCol ||
+      VersionedSource.isSupportedType(f.dataType))
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: VersionedFilePartition => columnarOk
@@ -862,9 +888,11 @@ private[sources] class VersionedReaderFactory(required: StructType,
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = p match {
     case fp: VersionedFilePartition =>
+      val vecFiles = morVectors.getOrElse(fp.group, Seq.empty)
       new ChainedReader[ColumnarBatch](fp.files.iterator.map(f => () =>
         new VersionedColumnarReader(f, fp.group, required, pushed,
-          logicalToPhysical, defaultValues): PartitionReader[ColumnarBatch]))
+          logicalToPhysical, defaultValues, morKey, vecFiles)
+          : PartitionReader[ColumnarBatch]))
     case other => throw new IllegalStateException(
       s"no columnar read for partition $other")
   }
@@ -1004,7 +1032,8 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     else {
       f.dataType match {
         case LongType | IntegerType | DoubleType | FloatType | BooleanType
-             | DateType | StringType => ()
+             | DateType | StringType | TimestampType => ()
+        case _: DecimalType => ()
         case t => throw new IllegalStateException(s"unreachable type $t")
       }
       projIdx(physName(i))
@@ -1013,8 +1042,17 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
 
   private val maskIdx: Int =
     if (maskKeyPhys == null) -1 else projIdx.getOrElse(maskKeyPhys, -1)
-  private val maskPrim: PrimitiveTypeName =
-    if (maskIdx < 0) null else present(maskKeyPhys).getPrimitiveTypeName
+  /** TRUE iff the key column's converter slot holds plain boxed
+    * Long/Int — the zero-allocation [[LongMorMask]] probe domain. A
+    * decimal-annotated INT64/INT32 materializes as [[Decimal]] (r16)
+    * and must take the boxed probe. */
+  private val maskIsPlainIntegral: Boolean = maskIdx >= 0 && {
+    val p = present(maskKeyPhys)
+    (p.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+      p.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
+      !p.getLogicalTypeAnnotation.isInstanceOf[
+        LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+  }
 
   private var current: Array[Any] = _
 
@@ -1025,12 +1063,11 @@ private[sources] class VersionedPartitionReader(file: String, group: String,
     * hashing allocation — this runs once per row of every masked
     * group, the big-delete read's hot path. */
   private def isMasked(v: Any): Boolean =
-    v != null && (maskPrim match {
-      case PrimitiveTypeName.INT64 => maskSet.containsLong(v.asInstanceOf[Long])
-      case PrimitiveTypeName.INT32 =>
-        maskSet.containsLong(v.asInstanceOf[Int].toLong)
-      case _ => maskSet.containsAny(v)
-    })
+    v != null && (if (maskIsPlainIntegral) v match {
+      case l: java.lang.Long => maskSet.containsLong(l)
+      case i: java.lang.Integer => maskSet.containsLong(i.toLong)
+      case other => maskSet.containsAny(other)
+    } else maskSet.containsAny(v))
 
   override def next(): Boolean = {
     current = reader.read()
@@ -1231,11 +1268,16 @@ private[sources] object VersionedPartitionReader {
         val allLong = {
           val types = files.flatMap(f =>
             schemaOf(new Path(f), conf).getFields.asScala.collectFirst {
-              case p: PrimitiveType if p.getName == key =>
-                p.getPrimitiveTypeName
+              case p: PrimitiveType if p.getName == key => p
             })
-          types.nonEmpty && types.forall(t =>
-            t == PrimitiveTypeName.INT64 || t == PrimitiveTypeName.INT32)
+          // decimal-annotated INT64/INT32 materializes as Decimal (r16)
+          // — it must keep the boxed set, or its keys would be silently
+          // dropped from the primitive table and rows would UN-delete
+          types.nonEmpty && types.forall(p =>
+            (p.getPrimitiveTypeName == PrimitiveTypeName.INT64 ||
+              p.getPrimitiveTypeName == PrimitiveTypeName.INT32) &&
+              !p.getLogicalTypeAnnotation.isInstanceOf[
+                LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
         }
         val longs = new scala.collection.mutable.ArrayBuilder.ofLong
         val out = scala.collection.mutable.HashSet.empty[Any]
@@ -1413,7 +1455,7 @@ private[sources] class VersionedWrite(info: LogicalWriteInfo,
         s"filesystem (got scheme '$scheme' in '$dir') — the manifest " +
         "put-if-absent primitive is hard-link based")
     info.schema().fields.foreach(f =>
-      require(VersionedSource.supportedTypes.contains(f.dataType),
+      require(VersionedSource.isSupportedType(f.dataType),
         s"graft-versioned v1 scope: unsupported column type ${f.dataType} " +
           s"for '${f.name}'"))
     dir
@@ -1636,6 +1678,15 @@ private[sources] class VersionedDataWriter(schema: StructType, file: String)
           case DateType => g.add(n, row.getInt(i)) // epoch days = parquet DATE
           case StringType =>
             g.add(n, Binary.fromString(row.getUTF8String(i).toString))
+          case TimestampType => g.add(n, row.getLong(i)) // UTC micros = INT64
+          case d: DecimalType if d.precision <= 18 =>
+            g.add(n, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case d: DecimalType =>
+            g.add(n, Binary.fromConstantByteArray(
+              VersionedDataWriter.fixedLenBytes(
+                row.getDecimal(i, d.precision, d.scale)
+                  .toJavaBigDecimal.unscaledValue(),
+                VersionedDataWriter.minBytesForPrecision(d.precision))))
           case t => throw new IllegalStateException(s"unreachable type $t")
         }
       }
@@ -1678,11 +1729,50 @@ private[sources] object VersionedDataWriter {
           .as(LogicalTypeAnnotation.dateType())
         case StringType => PTypes.primitive(PrimitiveTypeName.BINARY, rep)
           .as(LogicalTypeAnnotation.stringType())
+        // UTC-adjusted micros — the layout Spark's own writer produces
+        // for TimestampType with outputTimestampType=TIMESTAMP_MICROS
+        case TimestampType => PTypes.primitive(PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        // Spark's modern decimal layout: INT64 unscaled while the
+        // precision fits, minimal fixed-len binary past 18 digits
+        case d: DecimalType if d.precision <= 18 =>
+          PTypes.primitive(PrimitiveTypeName.INT64, rep)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType =>
+          PTypes.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+            .length(minBytesForPrecision(d.precision))
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case t => throw new IllegalArgumentException(
           s"graft-versioned write: unsupported type $t for '${f.name}'")
       }
       b.addField(prim.named(f.name))
     }
     b.named("graft_versioned")
+  }
+
+  /** Smallest two's-complement byte width holding any `precision`-digit
+    * unscaled decimal (Spark's fixed-len decimal sizing rule). */
+  def minBytesForPrecision(precision: Int): Int = {
+    var numBytes = 1
+    while (math.pow(2.0, 8 * numBytes - 1) < math.pow(10.0, precision))
+      numBytes += 1
+    numBytes
+  }
+
+  /** Unscaled value as the exact `width`-byte two's-complement array the
+    * FIXED_LEN_BYTE_ARRAY layout stores (sign-extended left padding). */
+  def fixedLenBytes(unscaled: java.math.BigInteger, width: Int): Array[Byte] = {
+    val minimal = unscaled.toByteArray
+    require(minimal.length <= width,
+      s"decimal unscaled value needs ${minimal.length} bytes > width $width")
+    if (minimal.length == width) minimal
+    else {
+      val out = new Array[Byte](width)
+      val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+      java.util.Arrays.fill(out, 0, width - minimal.length, pad)
+      System.arraycopy(minimal, 0, out, width - minimal.length, minimal.length)
+      out
+    }
   }
 }
