@@ -94,27 +94,64 @@ object NearDupIndex {
     ()
   }
 
+  /** Stored-table row count above which [[probeWith]] narrows the
+    * verification joins to candidate-touched corpus docs. Below it the
+    * extra narrowing stages (candidate persist + broadcast + two
+    * semi-joins) cost more than the small stored-family shuffle they
+    * avoid — measured +0.6 s/ingest at the sf0.1 index (~1M stored
+    * rows) vs a clear win once the indexed corpus dwarfs the batch
+    * (the whole point of a persistent index). ~4M rows ≈ a 60k-doc
+    * corpus at ~66 shingles/doc. */
+  val NarrowProbeThreshold: Long = 4L << 20
+
   /** Probe from an ALREADY-built batch sketch — the shared core of
     * [[probe]] and the ingest verbs, so ingest never sketches twice. */
-  private def probeWith(spark: SparkSession, idCol: String,
+  private[dedup] def probeWith(spark: SparkSession, idCol: String,
       bands: DataFrame, sh: DataFrame, sizes: DataFrame, p: Params,
-      dir: String): DataFrame = {
+      dir: String, narrowThreshold: Long = NarrowProbeThreshold)
+      : DataFrame = {
     val t = Versioned.read(spark, dir)
+    // TOUCHED-DOC narrowing decision (r16, guide §3.2 — the class doc's
+    // "O(new batch + touched buckets)" made real on the verify side):
+    // the stored shingle family dominates the table's rows, and the
+    // verification join only ever matches candidate corpus ids — a
+    // batch-bounded set. ABOVE the threshold, broadcast that id set and
+    // semi-filter the stored families BEFORE their shuffle: the verify
+    // exchange drops from O(indexed corpus) to O(touched docs), results
+    // provably unchanged (both joins key on corpus_id, so untouched
+    // docs never survive them — NearDupIndexSpec pins path equality).
+    // The decision reads the manifest's exact per-group counts — zero
+    // data jobs; any count-less legacy group declines (conservative).
+    val counts = Versioned.readCounts(dir, Versioned.latestVersion(dir))
+    val narrow =
+      counts.nonEmpty && counts.values.sum >= narrowThreshold
     val bB = bands.select(col(idCol).as("batch_id"), col("band"),
       col("band_hash"))
     val bC = t.filter(col("kind") === "b")
       .select(col(idCol).as("corpus_id"), col("band"), col("band_hash"))
-    val cands = bB.join(bC, Seq("band", "band_hash"))
+    val cands0 = bB.join(bC, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
-    val shC = t.filter(col("kind") === "s")
-      .select(col(idCol).as("corpus_id"), col("shingle"))
+    // narrowed path: candidates persisted (they feed the id broadcast
+    // AND the verification join); the broadcast is bounded by the
+    // batch's distinct candidate partners — crawl-cadence batch scale;
+    // split pathological mega-batches upstream
+    val cands =
+      if (!narrow) cands0
+      else Dedup.tracked(cands0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def touched(family: DataFrame): DataFrame =
+      if (!narrow) family
+      else family.join(broadcast(cands.select("corpus_id").distinct()),
+        Seq("corpus_id"), "left_semi")
+    val shC = touched(t.filter(col("kind") === "s")
+      .select(col(idCol).as("corpus_id"), col("shingle")))
     val inter = cands
       .join(sh.select(col(idCol).as("batch_id"), col("shingle")), "batch_id")
       .join(shC, Seq("corpus_id", "shingle"))
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
     val szB = sizes.select(col(idCol).as("batch_id"), col("sz").as("sz1"))
-    val szC = t.filter(col("kind") === "z")
-      .select(col(idCol).as("corpus_id"), col("sz").as("sz2"))
+    val szC = touched(t.filter(col("kind") === "z")
+      .select(col(idCol).as("corpus_id"), col("sz").as("sz2")))
     inter.join(szB, "batch_id").join(szC, "corpus_id")
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -134,6 +171,15 @@ object NearDupIndex {
       textCol: String, p: Params, dir: String): DataFrame = {
     val (bands, sh, sizes) = sketch(batch, idCol, textCol, p)
     probeWith(spark, idCol, bands, sh, sizes, p, dir)
+  }
+
+  /** Test seam: [[probe]] with an explicit narrowing threshold, so the
+    * spec pins narrowed ≡ un-narrowed on one corpus. */
+  private[dedup] def probeThreshold(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, p: Params, dir: String,
+      narrowThreshold: Long): DataFrame = {
+    val (bands, sh, sizes) = sketch(batch, idCol, textCol, p)
+    probeWith(spark, idCol, bands, sh, sizes, p, dir, narrowThreshold)
   }
 
   /** The probe + survivor-rows half shared by both ingest verbs: the

@@ -34,6 +34,27 @@ class NearDupIndexSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("touched-doc narrowed probe (r16 scale path) is row-identical to " +
+      "the un-narrowed probe") {
+    val dir = freshDir()
+    NearDupIndex.build(corpus, "doc_id", "text", P, dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "a third unrelated corpus document describing weather changes"),
+      (12L, "totally novel text never seen in any indexed document"))
+      .toDF("doc_id", "text")
+    // threshold 0 forces the narrowing (broadcast candidate-id
+    // semi-filters); MaxValue forces the plain path — same rows out
+    val narrowed = NearDupIndex.probeThreshold(spark, batch, "doc_id",
+        "text", P, dir, narrowThreshold = 0L)
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    val plain = NearDupIndex.probeThreshold(spark, batch, "doc_id",
+        "text", P, dir, narrowThreshold = Long.MaxValue)
+      .orderBy("batch_id", "corpus_id").collect().toSeq
+    assert(narrowed == plain)
+    assert(narrowed.nonEmpty) // the dup pair must exist on both paths
+  }
+
   test("ingest appends ONLY survivors: a dup of the corpus never enters " +
       "the index, a novel doc becomes probe-able by the NEXT batch") {
     val dir = freshDir()
