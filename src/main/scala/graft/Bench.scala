@@ -221,7 +221,6 @@ object Bench {
     val batchTotal = total - streamTotal
     val headline = gated.filter(r => Headline.contains(r._1))
     val drifts = names.indices.map(qi => (names(qi), driftPct(qi)))
-    val driftByName = drifts.toMap
 
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},""" +
       s""""rep_k":$reps,"errors":$errors,""" +
@@ -248,10 +247,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))
 
-    // printed line stays SHORT: totals + error COUNT + a ~10-query
-    // representative map. The full error list, per-query map, spreads and
-    // raw reps live in bench_full.json only — an error-bearing run must
-    // not blow the line past the driver's tail buffer again.
+    // printed line stays SHORT (r15 VERDICT item 6 tightened it further:
+    // the r14 line's five per-query maps made it driver-unparseable and
+    // cost a round of PERF comparisons): totals + error COUNT + ONE
+    // headline per-query map + the scalar canary summary. queries_median
+    // / spread_pct / canary_drift_pct maps now live ONLY in
+    // bench_full.json — ~600 bytes printed, far inside the tail buffer.
     val errNames = gated.collect { case (k, _, _, _, false, _, _) => k }
     val errPreview = errNames.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},""" +
@@ -264,21 +265,12 @@ object Bench {
       s""""n_warmup_failures":$warmupFailures,"rep_k":$reps,""" +
       s""""n_reps_dropped":$nRepsDropped,""" +
       s""""queries":${jmap(headline.map(r => (r._1, r._2)))},""" +
-      s""""queries_median":${jmap(headline.map(r => (r._1, r._6)))},""" +
-      // headline spreads on the PRINTED line (r8 VERDICT item 4): a
-      // contended driver box shows up as large spread_pct right in
-      // BENCH_r{N}.json instead of re-litigating "regression or noise"
-      // each round. ~10 entries ≈ 300 bytes — safely inside the tail
-      // buffer that the full per-query map overflowed in r1/r6.
-      s""""spread_pct":${jmap(headline.map(r => (r._1, r._3)))},""" +
-      // canary neighborhood drift (r9 VERDICT item 2): per-headline-query
-      // contention evidence ON the line; full per-query map + raw canary
-      // samples in bench_full.json. A regressed-looking number whose
-      // canary drift is also large is a contended box, not a code change.
+      // canary summary (r9 VERDICT item 2) stays as two SCALARS: a
+      // regressed-looking number whose canary drift is also large is a
+      // contended box, not a code change. Per-query drift/spread/median
+      // evidence: bench_full.json.
       s""""canary_base_s":${fmt(cBase)},""" +
       s""""canary_max_drift_pct":${fmt(canaryMaxDrift)},""" +
-      s""""canary_drift_pct":${jmap(headline.map(r =>
-        (r._1, driftByName(r._1))))},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
