@@ -69,18 +69,36 @@ object ShortestPaths {
     // still carry its own (node, 0) row through every round, or the
     // documented contract (the source itself is reachable at 0 edges)
     // silently drops it at the first join
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
-      .union(srcNodes).distinct()
+    val nodes = graft.ops.Caches.tracked(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .union(srcNodes).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = nodes.count()
+    // Per-round join strategy + iterated-side partitioning from the
+    // setup's own counts (r16 — the PageRank g5 treatment, guide
+    // §2/§3.1). The frontier is SPARSE (≤ nodes rows of two BIGINTs),
+    // so the node count bounds the broadcast safely; the cached edge
+    // list is hash-repartitioned on `src` to ~1M rows/partition so
+    // small graphs' rounds stop paying near-empty task launches.
+    val bcast = n <= PageRank.BroadcastNodeLimit
     // weight-0 self-loops: a reached node relaxes itself each round
-    val e = graft.ops.Caches.tracked(
+    val eRaw = graft.ops.Caches.tracked(
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst"),
           lit(0L).as("w")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val step = (dist: DataFrame) =>
-      e.join(dist.withColumnRenamed("node", "src"), "src")
+    val eParts = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      eRaw.count() / PageRank.EdgesPerPartition + 1L)).toInt
+    val e = graft.ops.Caches.tracked(
+      eRaw.repartition(eParts, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val step = (dist: DataFrame) => {
+      val d = dist.withColumnRenamed("node", "src")
+      e.join(if (bcast) broadcast(d) else d, "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("w")).as("dist"))
+    }
     (step, srcNodes.select(col("node"), lit(0L).as("dist")))
   }
 }
