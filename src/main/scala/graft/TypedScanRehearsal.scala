@@ -90,7 +90,8 @@ object TypedScanRehearsal {
     require(connSum == opsSum, s"typed read disagrees: $connSum vs $opsSum")
     native.foreach { case (_, v) =>
       require(v == connSum, s"native read disagrees: $v vs $connSum") }
-    println(s"""{"metric":"typed_scan_rehearsal","rows":$nRows,""" +
+    // the table holds per*nGroups rows (integer division) — report that
+    println(s"""{"metric":"typed_scan_rehearsal","rows":${per * nGroups},""" +
       s""""groups":$nGroups,"conn_sec":${f"$connSec%.2f"},""" +
       s""""ops_sec":${f"$opsSec%.2f"}""" +
       native.map { case (s, _) =>

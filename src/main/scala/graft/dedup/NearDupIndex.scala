@@ -101,7 +101,12 @@ object NearDupIndex {
     * avoid — measured +0.6 s/ingest at the sf0.1 index (~1M stored
     * rows) vs a clear win once the indexed corpus dwarfs the batch
     * (the whole point of a persistent index). ~4M rows ≈ a 60k-doc
-    * corpus at ~66 shingles/doc. */
+    * corpus at ~66 shingles/doc. The trigger sums the manifest's
+    * per-GROUP counts, which include every row family (groups mix
+    * b/s/z/p rows — the manifest cannot split by kind): shingles
+    * dominate a steady-state index, so the total is a few percent
+    * coarse, and erring toward narrowing a pairs-heavy index early
+    * costs the small fixed overhead, never correctness. */
   val NarrowProbeThreshold: Long = 4L << 20
 
   /** Probe from an ALREADY-built batch sketch — the shared core of

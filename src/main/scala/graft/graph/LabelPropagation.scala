@@ -57,10 +57,14 @@ object LabelPropagation {
     // to ~1M rows/partition so a tiny graph's rounds do not pay 32
     // near-empty task launches each.
     val bcast = n <= PageRank.BroadcastNodeLimit
-    // self-loops carry each node's own label through the round's MIN
-    val eRaw = graft.ops.Caches.tracked(
+    // self-loops carry each node's own label through the round's MIN.
+    // The raw union is deliberately NOT persisted (review r16): only the
+    // repartitioned frame is the iteration's working set, so caching the
+    // raw copy too would pin 2× the edge list for the whole run — the
+    // sizing count below pays one extra narrow pass over the input
+    // instead (nodes rides its own cache).
+    val eRaw =
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val eParts = math.max(1L, math.min(
       edges.sparkSession.sparkContext.defaultParallelism.toLong,
       eRaw.count() / PageRank.EdgesPerPartition + 1L)).toInt

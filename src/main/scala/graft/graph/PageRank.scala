@@ -79,10 +79,22 @@ object PageRank {
         .withColumn("deg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("src")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // nodes persisted: consumed by the count here AND the initial rank
+    // frame at round 1 — and keeping it cached lets the raw edge cache
+    // below be dropped without a recompute
+    val nodes = graft.ops.Caches.tracked(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // materialize the per-round frame while `e` is still cached, then
+    // drop the raw cache — it is dead weight for the whole iteration
+    // (review r16: two pinned copies of the edge list put eviction
+    // pressure exactly at the scale the partition sizing targets); the
+    // eager count is work round 1 would have paid anyway
+    ed.count()
+    e.unpersist(false)
     val teleportNano = 150000000L / n // (0.15 × 10⁹) ÷ N, floor — exact
     // Join strategy is picked HERE, from the node count the setup already
     // paid for (guide §3.1): the rank frame is O(|V|) slim (two BIGINTs),

@@ -82,11 +82,14 @@ object ShortestPaths {
     // list is hash-repartitioned on `src` to ~1M rows/partition so
     // small graphs' rounds stop paying near-empty task launches.
     val bcast = n <= PageRank.BroadcastNodeLimit
-    // weight-0 self-loops: a reached node relaxes itself each round
-    val eRaw = graft.ops.Caches.tracked(
+    // weight-0 self-loops: a reached node relaxes itself each round.
+    // The raw union is deliberately NOT persisted (review r16): only the
+    // repartitioned frame is the iteration's working set — caching the
+    // raw copy too would pin 2× the edge list; the sizing count pays one
+    // extra narrow pass over the input instead.
+    val eRaw =
       e0.union(nodes.select(col("node").as("src"), col("node").as("dst"),
-          lit(0L).as("w")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        lit(0L).as("w")))
     val eParts = math.max(1L, math.min(
       edges.sparkSession.sparkContext.defaultParallelism.toLong,
       eRaw.count() / PageRank.EdgesPerPartition + 1L)).toInt

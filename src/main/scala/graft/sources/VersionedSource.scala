@@ -1653,6 +1653,13 @@ private[sources] class VersionedDataWriter(schema: StructType, file: String)
 
   private val messageType = VersionedDataWriter.toMessageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
+  /** Fixed-len byte width per big-decimal field, hoisted out of the row
+    * loop (it is a constant of the declared precision; review r16). */
+  private val decWidth: Array[Int] = schema.fields.map(_.dataType match {
+    case d: DecimalType if d.precision > 18 =>
+      VersionedDataWriter.minBytesForPrecision(d.precision)
+    case _ => 0
+  })
   private var writer: ParquetWriter[Group] = _
   private var rows = 0L
 
@@ -1686,7 +1693,7 @@ private[sources] class VersionedDataWriter(schema: StructType, file: String)
               VersionedDataWriter.fixedLenBytes(
                 row.getDecimal(i, d.precision, d.scale)
                   .toJavaBigDecimal.unscaledValue(),
-                VersionedDataWriter.minBytesForPrecision(d.precision))))
+                decWidth(i))))
           case t => throw new IllegalStateException(s"unreachable type $t")
         }
       }
